@@ -1,0 +1,63 @@
+"""Table catalog over the driver-provided parquet star schema.
+
+``TESTDATA.md``: tables live at ``{sf_dir}/{name}.parquet``. Reads are
+plain ``spark.read.parquet`` so Catalyst gets full pushdown (column
+pruning + predicate pushdown + row-group skipping via parquet min/max).
+
+At 100 TB these would be partitioned warehouse tables (e.g. ``orders``
+by month of ``o_orderdate``); the loaders keep that concern isolated
+here so query code never hard-codes paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # Must be set before the read is *analyzed* — harmless if the
+        # session (session.py) already set it; needed when the driver
+        # harness builds its own SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as a
+        # nanos-since-epoch LONG under spark.sql.legacy.parquet.nanosAsLong
+        # (set in session.py). Convert to a microsecond TimestampType with
+        # exact integer division so semantics match DuckDB's nanos→micros
+        # truncation.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the spark.sql surface."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
