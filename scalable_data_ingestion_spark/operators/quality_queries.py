@@ -1,0 +1,109 @@
+"""Oracle-checked queries for the quality engine (A1-A7).
+
+`q_quality_scores_messy` runs the single-pass scoring engine on the
+corrupted orders variant and compares every score against a DuckDB
+re-derivation of the same formulas — the strongest possible check that
+the one-agg-pass compilation preserved the reference's semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..quality.metrics import field_profile, quality_scores_df
+from ..registry import register
+from .orders_base import BASE_ORDERS_CTE, MESSY_ORDERS_CTE, messy_orders
+
+_ORDER_ID_RE = "^[A-Z]{3}-[0-9]{4}$|^API-[0-9]{4}$"
+_EMAIL_RE = "^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$"
+
+_STRING_COLS = ("order_id", "customer_name", "customer_email", "product", "source")
+_ALL_COLS = (
+    "order_id",
+    "customer_name",
+    "customer_email",
+    "product",
+    "quantity",
+    "price",
+    "discount",
+    "total_amount",
+    "order_date",
+    "source",
+)
+
+_COMPLETENESS = " + ".join(f"CAST(count({c}) AS DOUBLE) / count(*)" for c in _ALL_COLS)
+_LEN_STATS = ", ".join(
+    f"avg(length({c})) AS la_{c}, stddev(length({c})) AS ls_{c}" for c in _STRING_COLS
+)
+_CV_PARTS = " + ".join(
+    f"least(1.0, greatest(0.0, CASE WHEN la_{c} > 0 THEN 1 - ls_{c} / la_{c} ELSE 1.0 END))"
+    for c in _STRING_COLS
+)
+
+_QUALITY_SQL = f"""
+WITH {BASE_ORDERS_CTE}, {MESSY_ORDERS_CTE},
+stats AS (
+  SELECT count(*) AS n,
+         ({_COMPLETENESS}) / {len(_ALL_COLS)} * 100 AS completeness,
+         avg(CASE WHEN regexp_matches(order_id, '{_ORDER_ID_RE}') THEN 1 ELSE 0 END) AS v_order_id,
+         avg(CASE WHEN regexp_matches(customer_email, '{_EMAIL_RE}') THEN 1 ELSE 0 END) AS v_email,
+         avg(CASE WHEN quantity > 0 THEN 1 ELSE 0 END) AS v_quantity,
+         avg(CASE WHEN price > 0 THEN 1 ELSE 0 END) AS v_price,
+         avg(CASE WHEN total_amount > 0 THEN 1 ELSE 0 END) AS v_total,
+         avg(CASE WHEN order_date IS NOT NULL THEN 1 ELSE 0 END) AS v_date,
+         CAST(count(DISTINCT order_id) AS DOUBLE) / count(*) AS uniq_ratio,
+         avg(CASE WHEN abs(price * quantity - total_amount)
+                       <= 1e-8 + 0.01 * abs(total_amount) THEN 1 ELSE 0 END) AS c_close,
+         {_LEN_STATS},
+         avg(CASE WHEN price >= 1 AND price <= 10000 THEN 1 ELSE 0 END) AS a_price,
+         avg(CASE WHEN quantity >= 1 AND quantity <= 100 THEN 1 ELSE 0 END) AS a_quantity,
+         avg(CASE WHEN length(customer_name) >= 2 AND length(customer_name) <= 100
+                  THEN 1 ELSE 0 END) AS a_name,
+         avg(CASE WHEN length(product) >= 2 AND length(product) <= 200
+                  THEN 1 ELSE 0 END) AS a_product,
+         avg(CASE WHEN order_date >= current_date - 1825 AND order_date <= current_date
+                  THEN 1 ELSE 0 END) AS a_date,
+         sum(CASE WHEN order_id IS NOT NULL AND customer_name IS NOT NULL
+                   AND product IS NOT NULL AND quantity IS NOT NULL
+                   AND price IS NOT NULL AND order_date IS NOT NULL
+                   AND price > 0 AND quantity > 0 THEN 1 ELSE 0 END) AS n_valid
+  FROM messy
+),
+scored AS (
+  SELECT n, n_valid,
+         least(100.0, greatest(0.0, completeness)) AS comp,
+         least(100.0, greatest(0.0,
+           (v_order_id + v_email + v_quantity + v_price + v_total + v_date) / 6 * 100)) AS val,
+         least(100.0, greatest(0.0,
+           (uniq_ratio + c_close + {_CV_PARTS}) / {2 + len(_STRING_COLS)} * 100)) AS cons,
+         least(100.0, greatest(0.0,
+           (a_price + a_quantity + a_name + a_product + a_date) / 5 * 100)) AS acc
+  FROM stats
+)
+SELECT round(comp, 6) AS completeness_score,
+       round(val, 6) AS validity_score,
+       round(cons, 6) AS consistency_score,
+       round(acc, 6) AS accuracy_score,
+       round(comp * 0.3 + val * 0.3 + cons * 0.2 + acc * 0.2, 6) AS overall_score,
+       CASE WHEN comp * 0.3 + val * 0.3 + cons * 0.2 + acc * 0.2 >= 95 THEN 'excellent'
+            WHEN comp * 0.3 + val * 0.3 + cons * 0.2 + acc * 0.2 >= 85 THEN 'good'
+            WHEN comp * 0.3 + val * 0.3 + cons * 0.2 + acc * 0.2 >= 70 THEN 'fair'
+            WHEN comp * 0.3 + val * 0.3 + cons * 0.2 + acc * 0.2 >= 50 THEN 'poor'
+            ELSE 'critical' END AS quality_level,
+       n AS total_records,
+       CAST(n_valid AS BIGINT) AS valid_records,
+       CAST(n - n_valid AS BIGINT) AS invalid_records
+FROM scored
+"""
+
+
+@register("q_quality_scores_messy", oracle=_QUALITY_SQL)
+def q_quality_scores_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass weighted quality scores over the corrupted orders."""
+    return quality_scores_df(messy_orders(spark, sf_dir))
+
+
+@register("q_field_profile_messy")  # no oracle: dtype strings are engine-specific
+def q_field_profile_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 per-column profile (rows-only check: one row per column)."""
+    return field_profile(messy_orders(spark, sf_dir))

@@ -37,7 +37,12 @@ def _norm_cell(v):
             return None
         return round(v, 9)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # DuckDB fetchdf renders DATE as midnight datetime64; collapse so
+        # date-typed results compare equal (both are arrow date32).
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     # numpy scalars -> python
