@@ -1,0 +1,344 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash
+(north-star LLM pipeline surface, SURVEY.md §7 step 8).
+
+Design for 100 TB:
+- Exact dedup: md5-fingerprint groupBy — one shuffle keyed on a
+  16-byte hash, never on the document body.
+- Jaccard: inverted-index self-join on distinct shingles. The join key
+  is the shingle, so common shingles fan out; at scale, drop
+  ultra-frequent shingles (document-frequency cap) before the join —
+  implemented here as DF_CAP.
+- MinHash-LSH: signatures are k independent min-hashes implemented as
+  ``min(md5(seed || shingle))`` — deterministic, engine-portable (md5
+  exists in DuckDB too, so the whole LSH pipeline is oracle-checked,
+  unlike hash-seeded implementations). Banding turns O(n^2) pair
+  generation into an equi-join on (band_index, band_hash): exactly the
+  shuffle pattern that scales to billions of docs. Candidates are then
+  verified with true Jaccard.
+- SimHash: 16-bit signatures from per-token md5 high-bits; near-dup =
+  Hamming distance <= HAMMING_MAX via bit_count(xor). The pair join is
+  self-cross within small Hamming balls; at scale you'd join on rotated
+  signature prefixes — noted, not needed at test SF.
+
+Spark plans use only built-ins (split/explode/md5/min/bit ops) — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+SHINGLE_N = 3
+MINHASH_K = 12  # total min-hash functions
+LSH_BANDS = 4  # bands of r = K/BANDS rows each
+JACCARD_THRESHOLD = 0.6
+MINHASH_VERIFY_THRESHOLD = 0.5
+HAMMING_MAX = 3
+DF_CAP = 1000  # drop shingles appearing in more docs than this (join-skew guard)
+
+_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+_SHINGLES_CTE = f"""
+tok AS (
+  SELECT doc_id, {_TOKENS} AS t FROM documents
+  WHERE len({_TOKENS}) >= {SHINGLE_N}
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - {SHINGLE_N - 1})) AS i FROM tok
+),
+shingle_all AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+),
+shingle AS (
+  SELECT doc_id, sh FROM shingle_all
+  WHERE sh IN (SELECT sh FROM shingle_all GROUP BY sh HAVING count(*) <= {DF_CAP})
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id)
+"""
+
+
+def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-{3}-gram shingles per doc, with a document-frequency
+    cap on pathological shingles (inverted-index skew guard)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SHINGLE_N}), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    hot = sh.groupBy("sh").count().filter(F.col("count") > DF_CAP).select("sh")
+    return sh.join(F.broadcast(hot), "sh", "left_anti")
+
+
+def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Inverted-index self-join -> intersection counts -> Jaccard."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
+        )
+    )
+    return jac.filter(F.col("j") >= threshold).select(
+        "doc_a", "doc_b", F.round("j", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup by content hash (with injected duplicates so the operator
+# has real work at any SF: every 20th doc appears twice).
+# --------------------------------------------------------------------------
+@register(
+    "dd_exact_dedup",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+    )
+    SELECT md5(text) AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+           count(*) AS n_copies
+    FROM corpus
+    GROUP BY md5(text)
+    """,
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
+    return corpus.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").cast("bigint").alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs (full inverted-index join).
+# --------------------------------------------------------------------------
+@register(
+    "dd_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH: banded signatures -> candidate pairs -> Jaccard verify.
+# --------------------------------------------------------------------------
+def _minhash_sig(sh: DataFrame) -> DataFrame:
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("sh")))).alias(f"h{k}")
+        for k in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _bands(sig: DataFrame) -> DataFrame:
+    r = MINHASH_K // LSH_BANDS
+    rows = []
+    for band in range(LSH_BANDS):
+        cols = [F.col(f"h{band * r + j}") for j in range(r)]
+        rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat(*cols)).alias("bh"),
+            )
+        )
+    out = rows[0]
+    for rdf in rows[1:]:
+        out = out.unionByName(rdf)
+    return out
+
+
+@register(
+    "dd_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5('s{k}|' || sh)) AS h{k}" for k in range(MINHASH_K))}
+      FROM shingle GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b,
+            cat=" || ".join(f"h{b * (MINHASH_K // LSH_BANDS) + j}"
+                            for j in range(MINHASH_K // LSH_BANDS)),
+        )
+        for b in range(LSH_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN shingle a ON a.doc_id = c.doc_a
+      JOIN shingle b ON b.doc_id = c.doc_b AND b.sh = a.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {MINHASH_VERIFY_THRESHOLD}
+    """,
+)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Recall is probabilistic (a true near-dup pair can miss every band);
+    determinism is exact — both engines compute identical signatures,
+    so the oracle checks the full pipeline.
+    """
+    sh = shingles(spark, sf_dir)
+    bands = _bands(_minhash_sig(sh))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sha, F.col("doc_a") == F.col("da"))
+        .join(shb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"),
+        )
+    )
+    return jac.filter(F.col("j") >= MINHASH_VERIFY_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("j", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: 16-bit signature from token md5 high-bits; Hamming pairs.
+# --------------------------------------------------------------------------
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def _simhash_sql() -> str:
+    bit_terms = ", ".join(
+        f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN {_HIGH_HEX} THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    tok AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ),
+    bits AS (SELECT doc_id, {bit_terms} FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits)
+    """
+
+
+@register(
+    "dd_simhash_signatures",
+    oracle=f"WITH {_simhash_sql()} SELECT doc_id, simhash FROM sig",
+)
+def dd_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.substring(F.md5("tok"), j + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    bits = toks.groupBy("doc_id").agg(*bit_aggs)
+    fp = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+        fp = term if fp is None else fp + term
+    return bits.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dd_simhash_near_pairs",
+    oracle=f"""
+    WITH {_simhash_sql()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+)
+def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dd_simhash_signatures(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return pairs.filter(ham <= HAMMING_MAX).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )

@@ -1,0 +1,211 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two tiers (north-star LLM pipeline surface, SURVEY.md §7 step 8):
+- ``sim_knn_bruteforce``: exact cosine top-k — broadcast the query set,
+  map-side dot products over the corpus (no shuffle of the corpus),
+  per-query top-k via ranking window. The baseline every ANN variant
+  is measured against.
+- ``sim_ivf_knn``: IVF-style 1-probe ANN — k-means-free variant using
+  the provided ``label`` column as the coarse quantizer cells:
+  centroids = per-label mean vectors, probe = nearest centroid by
+  cosine, search only that cell (~1/10th of the corpus). Fully
+  relational (posexplode + groupBy), so the oracle checks it end-to-end.
+
+Scale notes (billions of vectors):
+- Brute force stays viable exactly as written when the query set is
+  small (broadcast joins, partial top-k per partition via the window).
+- IVF: centroid computation is one groupBy(label, dim) — shuffle is
+  n_cells x dim rows, independent of corpus size; cell search prunes
+  the corpus scan by cell id (partition the corpus by cell at write
+  time for real partition pruning).
+- Dot products run as Catalyst higher-order functions (zip_with +
+  aggregate) in doubles — deterministic left-to-right summation, no
+  Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# exact brute-force cosine top-k.
+# --------------------------------------------------------------------------
+@register(
+    "sim_knn_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, v.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+      FROM e q JOIN e v ON q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"))
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qe", "ve") / (_norm("qe") * _norm("ve")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-style 1-probe ANN with label cells as the coarse quantizer.
+# --------------------------------------------------------------------------
+@register(
+    "sim_ivf_knn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    expl AS (
+      SELECT vec_id, label, emb, unnest(generate_series(1, len(emb))) AS dim
+      FROM e
+    ),
+    flat AS (SELECT vec_id, label, dim, emb[dim] AS val FROM expl),
+    centroid AS (
+      SELECT label, dim, round(avg(val), 9) AS cval
+      FROM flat GROUP BY label, dim
+    ),
+    cnorm AS (SELECT label, sqrt(sum(cval * cval)) AS cn FROM centroid GROUP BY label),
+    qflat AS (SELECT vec_id, dim, val FROM flat WHERE vec_id < {N_QUERIES}),
+    qnorm AS (SELECT vec_id, sqrt(sum(val * val)) AS qn FROM qflat GROUP BY vec_id),
+    qc AS (
+      SELECT q.vec_id, c.label,
+             round(sum(q.val * c.cval) / (max(n.qn) * max(cn.cn)), 6) AS ccos
+      FROM qflat q
+      JOIN centroid c ON q.dim = c.dim
+      JOIN qnorm n ON q.vec_id = n.vec_id
+      JOIN cnorm cn ON c.label = cn.label
+      GROUP BY q.vec_id, c.label
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, label AS probe_label
+      FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+        FROM qc
+      ) t WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.query_id, p.probe_label, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, v.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+      FROM probe p
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e v ON v.label = p.probe_label AND v.vec_id != p.query_id
+    )
+    SELECT query_id, probe_label, neighbor_id, cosine, rank
+    FROM (
+      SELECT query_id, probe_label, neighbor_id, cosine,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM cand
+    ) t WHERE rank <= {TOP_K}
+    """,
+)
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+
+    # centroids: posexplode -> groupBy(label, dim) avg. Rounded to 9dp so
+    # cross-engine summation-order noise cannot leak into the output.
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "val_f")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+    centroid = flat.groupBy("label", "dim").agg(F.round(F.avg("val"), 9).alias("cval"))
+    cnorm = centroid.groupBy("label").agg(F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"))
+
+    qflat = flat.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "dim", "val")
+    qnorm = qflat.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("qn"))
+
+    qc = (
+        qflat.join(F.broadcast(centroid), "dim")
+        .join(F.broadcast(qnorm), "vec_id")
+        .join(F.broadcast(cnorm), "label")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sum(F.col("val") * F.col("cval")) / (F.max("qn") * F.max("cn")), 6
+            ).alias("ccos")
+        )
+    )
+    wp = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("label"))
+    probe = (
+        qc.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("probe_label"))
+    )
+
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    v = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("vlabel"),
+        F.col("embedding").alias("ve"),
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(F.broadcast(q), "query_id")
+        .join(v, (F.col("vlabel") == F.col("probe_label")) & (F.col("neighbor_id") != F.col("query_id")))
+        .select(
+            "query_id",
+            "probe_label",
+            "neighbor_id",
+            F.round(_dot("qe", "ve") / (_norm("qe") * _norm("ve")), 6).alias("cosine"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= TOP_K)
