@@ -1,0 +1,250 @@
+"""Parquet warehouse (replaces the reference's SQLite store, SURVEY.md §7).
+
+Tables under a configurable root:
+- ``orders``        — upsert-by-order_id semantics (S7, src/storage.py:114-228):
+                      append + keep-latest-on-read view; no per-row INSERT loop,
+                      writes are partition-parallel parquet.
+- ``pipeline_runs`` — one row per run (S9, :266-298).
+- ``data_quality_metrics`` — long-format metric rows (S10, :300-331).
+
+Design decisions (SURVEY.md §7): plain parquet, zero extra deps; the
+upsert is append + dedup-on-read (latest ``processed_at`` wins) with an
+explicit ``compact()`` to materialize the deduped state. Delta MERGE is
+the documented upgrade path, not a dependency. At 100 TB ``orders``
+would be partitioned by month(order_date); partition column plumbing is
+in place (``partition_cols``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str, partition_cols: tuple[str, ...] = ()):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.partition_cols = partition_cols
+        os.makedirs(self.root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return f"{self.root}/{name}"
+
+    def _exists(self, name: str) -> bool:
+        p = self._path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    # ---------------------------------------------------------------- orders
+    def save_orders(self, df: DataFrame) -> int:
+        """S7 upsert: stamp processed_at, default-fill missing sink
+        columns (src/storage.py:142-150), append."""
+        defaults = {"quantity": 1, "price": 0.0, "total_amount": 0.0}
+        for col, default in defaults.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.lit(default))
+        if "order_id" not in df.columns:
+            raise ValueError("orders frame requires order_id")
+        df = df.withColumn("processed_at", F.current_timestamp())
+        writer = df.write.mode("append")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(self._path("orders"))
+        return df.count()
+
+    def read_orders(
+        self, order_by: str = "processed_at", desc: bool = True, limit: int | None = None
+    ) -> DataFrame:
+        """S8 read-back with upsert-on-read semantics: latest
+        processed_at per order_id wins. Column-based ordering — the
+        reference's f-string SQL interpolation (src/storage.py:244-246,
+        an injection vector) is deliberately not reproduced."""
+        df = self.spark.read.parquet(self._path("orders"))
+        w = W.partitionBy("order_id").orderBy(F.col("processed_at").desc())
+        df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        col = F.col(order_by)
+        df = df.orderBy(col.desc() if desc else col.asc())
+        return df.limit(limit) if limit else df
+
+    def compact(self) -> None:
+        """Materialize the deduped orders state (rewrite)."""
+        current = self.read_orders(order_by="order_id", desc=False)
+        tmp = self._path("orders__compacting")
+        current.write.mode("overwrite").parquet(tmp)
+        final = self._path("orders")
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+
+    # ------------------------------------------------------------- run/metrics
+    def save_pipeline_run(self, run: dict) -> None:
+        row = {
+            "run_id": str(run.get("run_id")),
+            "start_time": str(run.get("start_time", "")),
+            "end_time": str(run.get("end_time", "")),
+            "status": str(run.get("status", "unknown")),
+            "records_processed": int(run.get("records_processed", 0)),
+            "records_failed": int(run.get("records_failed", 0)),
+            "error_message": str(run.get("error_message", "") or ""),
+        }
+        self.spark.createDataFrame([row]).write.mode("append").parquet(
+            self._path("pipeline_runs")
+        )
+
+    def save_quality_metrics(self, run_id: str, metrics: dict) -> None:
+        now = datetime.now(timezone.utc).isoformat()
+        rows = [
+            {
+                "run_id": run_id,
+                "metric_name": str(k),
+                "metric_value": float(v),
+                "metric_type": "quality",
+                "source_table": "orders",
+                "measured_at": now,
+            }
+            for k, v in metrics.items()
+            if isinstance(v, (int, float))
+        ]
+        if rows:
+            self.spark.createDataFrame(rows).write.mode("append").parquet(
+                self._path("data_quality_metrics")
+            )
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(name))
+
+    # ---------------------------------------------------------------- stats
+    def stats(self) -> dict:
+        """S12 (src/storage.py:333-376): row counts, today's orders,
+        avg quality metric — one pass per table."""
+        out: dict = {}
+        if self._exists("orders"):
+            orders = self.read_orders(order_by="order_id", desc=False)
+            row = orders.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.to_date("processed_at") == F.current_date()).cast("long")
+                ).alias("today"),
+            ).first()
+            out["total_orders"] = int(row["n"])
+            out["orders_today"] = int(row["today"] or 0)
+        else:
+            out["total_orders"] = 0
+            out["orders_today"] = 0
+        if self._exists("pipeline_runs"):
+            out["total_pipeline_runs"] = self.table("pipeline_runs").count()
+        else:
+            out["total_pipeline_runs"] = 0
+        if self._exists("data_quality_metrics"):
+            avg_q = (
+                self.table("data_quality_metrics")
+                .filter(F.col("metric_name") == "overall_score")
+                .agg(F.round(F.avg("metric_value"), 6))
+                .first()[0]
+            )
+            out["avg_quality_score"] = float(avg_q) if avg_q is not None else None
+        else:
+            out["avg_quality_score"] = None
+        out["warehouse_size_bytes"] = sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(self.root)
+            for f in files
+        )
+        return out
+
+    # --------------------------------------------------------------- exports
+    def export(
+        self, df: DataFrame, name: str, formats: tuple[str, ...] = ("csv", "json", "parquet")
+    ) -> dict[str, str]:
+        """S11 (src/storage.py:392-468): timestamped export dirs; parquet
+        is first-class here, not optional."""
+        stamp = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+        out: dict[str, str] = {}
+        export_root = self._path("exports")
+        os.makedirs(export_root, exist_ok=True)
+        for fmt in formats:
+            path = f"{export_root}/{name}_{stamp}.{fmt}"
+            if fmt == "csv":
+                df.write.mode("overwrite").option("header", True).csv(path)
+            elif fmt == "json":
+                df.write.mode("overwrite").json(path)
+            elif fmt == "parquet":
+                df.write.mode("overwrite").parquet(path)
+            else:
+                continue
+            out[fmt] = path
+        return out
+
+    # ---------------------------------------------------------- summary report
+    def summary_report(self, df: DataFrame, path: str | None = None) -> dict:
+        """A8 (src/storage.py:485-530): numeric describe + median,
+        categorical top-10, BI frequency tables, revenue stats — all
+        computed in a handful of aggregation jobs, exact median via
+        percentile (documented: the reference's pandas median is also
+        exact; percentile_approx is the knob to flip at 100 TB)."""
+        import pyspark.sql.types as Ty
+
+        numeric_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, Ty.NumericType)
+        ]
+        string_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, Ty.StringType)
+        ][:8]
+
+        report: dict = {
+            "generated_at": datetime.now(timezone.utc).isoformat(),
+            "total_records": df.count(),
+            "numeric": {},
+            "categorical": {},
+        }
+
+        if numeric_cols:
+            aggs = []
+            for c in numeric_cols:
+                aggs += [
+                    F.count(F.col(c)).alias(f"{c}::count"),
+                    F.round(F.avg(F.col(c)), 6).alias(f"{c}::mean"),
+                    F.round(F.stddev(F.col(c)), 6).alias(f"{c}::std"),
+                    F.round(F.min(F.col(c)).cast("double"), 6).alias(f"{c}::min"),
+                    F.round(F.max(F.col(c)).cast("double"), 6).alias(f"{c}::max"),
+                    F.round(F.percentile(F.col(c), F.lit(0.5)), 6).alias(f"{c}::median"),
+                ]
+            row = df.agg(*aggs).first().asDict()
+            for c in numeric_cols:
+                report["numeric"][c] = {
+                    k.split("::")[1]: row[k] for k in row if k.startswith(f"{c}::")
+                }
+
+        for c in string_cols:
+            top = (
+                df.groupBy(c)
+                .count()
+                .orderBy(F.col("count").desc(), F.col(c))
+                .limit(10)
+                .collect()
+            )
+            report["categorical"][c] = {
+                "distinct_in_top10": len(top),
+                "top_values": {str(r[c]): r["count"] for r in top},
+            }
+
+        if "total_amount" in df.columns:
+            rev = df.agg(
+                F.round(F.sum("total_amount"), 2).alias("sum"),
+                F.round(F.avg("total_amount"), 6).alias("mean"),
+                F.round(F.max("total_amount"), 2).alias("max"),
+                F.round(F.min("total_amount"), 2).alias("min"),
+            ).first()
+            report["revenue"] = dict(rev.asDict())
+
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as fh:
+                json.dump(report, fh, indent=2, default=str)
+        return report

@@ -1,0 +1,96 @@
+"""Structured Streaming file-drop ingestion (SURVEY.md §2.9, §7 step 7).
+
+The reference "monitors" its input directory with a one-shot glob per
+run (src/ingestion.py:216, 278) and moves files to processed/ manually.
+Here it's the real thing:
+
+    readStream (explicit schema, maxFilesPerTrigger)
+      -> foreachBatch( clean -> enrich -> standardize -> warehouse )
+      -> cleanSource='archive' replaces move-to-processed
+
+Each micro-batch runs the same stage functions as the batch pipeline —
+one code path for both modes. ``run_once`` uses trigger(availableNow)
+so tests and backfills drain the directory and stop.
+
+Scale notes: file listing is incremental (checkpointed); archived
+inputs keep the listing small. State: none needed for ingestion itself
+(stateless per-batch transforms); the windowed aggregations in
+``windows.py`` carry watermarked state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cleaning import clean
+from ..operators.enrichment import enrich
+from ..operators.standardize import standardize
+from ..sources.files import ORDER_FILE_SCHEMA
+from ..storage import Warehouse
+
+
+def order_file_stream(
+    spark: SparkSession,
+    input_dir: str,
+    fmt: str = "csv",
+    archive_dir: str | None = None,
+    max_files_per_trigger: int = 100,
+) -> DataFrame:
+    reader = (
+        spark.readStream.schema(ORDER_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if archive_dir:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    if fmt == "csv":
+        df = reader.option("header", True).csv(input_dir)
+    elif fmt == "json":
+        df = reader.json(input_dir)
+    else:
+        raise ValueError(f"unsupported stream format {fmt!r}")
+    return (
+        df.withColumn("source", F.lit(f"file_{fmt}"))
+        .withColumn("source_file", F.input_file_name())
+        .withColumn("ingested_at", F.current_timestamp())
+    )
+
+
+def process_batch(df: DataFrame, warehouse: Warehouse) -> int:
+    """validate -> transform -> store for one micro-batch (the reference's
+    whole pipeline per run becomes per-batch)."""
+    good = df
+    if "_corrupt_record" in df.columns:
+        good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    out = standardize(enrich(clean(good)))
+    return warehouse.save_orders(out)
+
+
+def start_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse: Warehouse,
+    checkpoint_dir: str,
+    fmt: str = "csv",
+    archive_dir: str | None = None,
+    once: bool = True,
+):
+    """Start (or drain, with once=True) the streaming ingest pipeline."""
+    stream = order_file_stream(spark, input_dir, fmt=fmt, archive_dir=archive_dir)
+
+    def _foreach(batch_df: DataFrame, batch_id: int) -> None:
+        process_batch(batch_df, warehouse)
+
+    writer = (
+        stream.writeStream.foreachBatch(_foreach)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query

@@ -1,0 +1,78 @@
+"""Structured Streaming tests: file-drop ingest pipeline + windowed
+aggregations equal their batch twins."""
+
+from __future__ import annotations
+
+import os
+
+from scalable_data_ingestion_spark.storage import Warehouse
+from scalable_data_ingestion_spark.streaming.ingest import start_ingest
+from scalable_data_ingestion_spark.streaming.queries import tumbling_agg
+from scalable_data_ingestion_spark.streaming.windows import (
+    event_stream_from_parquet,
+    run_to_memory,
+    streaming_sessions,
+    streaming_tumbling,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_file_ingest(spark, tmp_path):
+    input_dir = tmp_path / "drops"
+    input_dir.mkdir()
+    (input_dir / "batch1.csv").write_text(
+        "order_id,customer_name,customer_email,product,quantity,price,discount,total_amount,order_date\n"
+        "STR-0001,Ann A,ann@example.com,iPhone 15,1,999.99,0.0,999.99,2024-01-10\n"
+        "STR-0002,Ben B,ben@example.com,iPad Air,2,599.99,0.0,1199.98,2024-01-11\n"
+    )
+    (input_dir / "batch2.csv").write_text(
+        "order_id,customer_name,customer_email,product,quantity,price,discount,total_amount,order_date\n"
+        "STR-0003,Cal C,cal@example.com,MacBook Pro,1,1999.99,0.0,1999.99,2024-01-12\n"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    archive = str(tmp_path / "archive")
+    query = start_ingest(
+        spark,
+        str(input_dir),
+        wh,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        archive_dir=archive,
+        once=True,
+    )
+    query.awaitTermination(120)
+
+    stored = wh.read_orders(order_by="order_id", desc=False)
+    ids = [r["order_id"] for r in stored.select("order_id").collect()]
+    assert sorted(ids) == ["STR-0001", "STR-0002", "STR-0003"]
+    # micro-batches ran the full transform chain
+    assert "customer_segment" in stored.columns
+    row = {r["order_id"]: r for r in stored.collect()}
+    assert row["STR-0003"]["customer_segment"] == "VIP"
+
+    # restart with no new files: checkpoint prevents reprocessing
+    q2 = start_ingest(
+        spark, str(input_dir), wh, checkpoint_dir=str(tmp_path / "ckpt"),
+        archive_dir=archive, once=True,
+    )
+    q2.awaitTermination(120)
+    assert wh.read_orders(order_by="order_id", desc=False).count() == 3
+
+
+def test_streaming_tumbling_equals_batch(spark):
+    events_stream = event_stream_from_parquet(spark, f"{SF}/events.parquet")
+    got = run_to_memory(streaming_tumbling(events_stream), "t_tumbling", spark)
+
+    from scalable_data_ingestion_spark.catalog import table
+
+    expected = tumbling_agg(table(spark, SF, "events"))
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e
+
+
+def test_streaming_sessions_run(spark):
+    events_stream = event_stream_from_parquet(spark, f"{SF}/events.parquet")
+    got = run_to_memory(streaming_sessions(events_stream), "t_sessions", spark)
+    assert got.count() > 0
+    assert set(got.columns) == {"user_id", "session_start", "n_events", "sum_value"}
