@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect cost). The headline set spans the engine's surface:
+scan+agg, multi-join, windows, sessionization, quality single-pass,
+enrichment, MinHash-LSH dedup, text scoring, vector search.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_revenue_forecast",
+    "top_customers_by_revenue",
+    "w_running_revenue",
+    "ev_user_sessions",
+    "enriched_orders",
+    "q_quality_scores_messy",
+    "dd_minhash_lsh_pairs",
+    "txt_quality_scores",
+    "sim_knn_bruteforce",
+    "st_tumbling_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from scalable_data_ingestion_spark import registry
+    from scalable_data_ingestion_spark.session import get_spark
+
+    spark = get_spark("sdi-bench")
+    queries = registry.queries()
+
+    def run(name: str) -> float:
+        t0 = time.monotonic()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    # JVM/codegen warmup on the smallest SF so measured times reflect the
+    # engine, not first-call JIT + session setup.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE[:3]:
+            queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(run(name), 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -80,8 +80,13 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hot = sh.groupBy("sh").count().filter(F.col("count") > DF_CAP).select("sh")
-    return sh.join(F.broadcast(hot), "sh", "left_anti")
+    # document-frequency cap via a count window over sh — one pass over
+    # the shingle relation instead of a second groupBy + anti-join
+    # (the subtree would otherwise be computed twice).
+    from pyspark.sql import Window as W
+
+    df_count = F.count(F.lit(1)).over(W.partitionBy("sh"))
+    return sh.withColumn("_df", df_count).filter(F.col("_df") <= DF_CAP).drop("_df")
 
 
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
@@ -162,7 +167,9 @@ def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _jaccard_pairs(shingles(spark, sf_dir), JACCARD_THRESHOLD)
+    # cache: the shingle relation feeds the join twice + the size agg
+    # (small: one row per distinct (doc, shingle)).
+    return _jaccard_pairs(shingles(spark, sf_dir).cache(), JACCARD_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
@@ -240,7 +247,9 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism is exact — both engines compute identical signatures,
     so the oracle checks the full pipeline.
     """
-    sh = shingles(spark, sf_dir)
+    # cache: the shingle relation feeds signatures, the verify join (2x)
+    # and the size agg — without it the scan+explode+distinct runs 4x.
+    sh = shingles(spark, sf_dir).cache()
     bands = _bands(_minhash_sig(sh))
     a = bands.alias("a")
     b = bands.alias("b")
