@@ -1,0 +1,81 @@
+"""Descriptive-statistics queries (A7/A8 analogs as oracle-checked
+relational queries) + pivot.
+
+A8 (src/storage.py:485-530) computes numeric describe + exact median;
+here per-segment with exact percentiles (``F.percentile``; the
+documented 100 TB knob is ``percentile_approx``). Pivot is the
+value_counts-as-columns surface the reference renders in its report.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..operators.orders_base import BASE_ORDERS_CTE, base_orders
+
+
+@register(
+    "a8_value_percentiles",
+    oracle=f"""
+    WITH {BASE_ORDERS_CTE}
+    SELECT source,
+           count(*) AS n_orders,
+           round(avg(total_amount), 6) AS mean_value,
+           round(stddev(total_amount), 6) AS std_value,
+           round(min(total_amount), 2) AS min_value,
+           round(max(total_amount), 2) AS max_value,
+           round(quantile_cont(total_amount, 0.5), 6) AS median_value,
+           round(quantile_cont(total_amount, 0.9), 6) AS p90_value
+    FROM base
+    GROUP BY source
+    """,
+)
+def a8_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric describe + exact percentiles per source (A8)."""
+    df = base_orders(spark, sf_dir)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("total_amount"), 6).alias("mean_value"),
+        F.round(F.stddev("total_amount"), 6).alias("std_value"),
+        F.round(F.min("total_amount"), 2).alias("min_value"),
+        F.round(F.max("total_amount"), 2).alias("max_value"),
+        F.round(F.percentile("total_amount", F.lit(0.5)), 6).alias("median_value"),
+        F.round(F.percentile("total_amount", F.lit(0.9)), 6).alias("p90_value"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT)   AS high,
+           CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+           CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS not_specified,
+           CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)    AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: priority counts as columns per status."""
+    orders = table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        F.coalesce(F.col("`1-URGENT`"), F.lit(0)).alias("urgent"),
+        F.coalesce(F.col("`2-HIGH`"), F.lit(0)).alias("high"),
+        F.coalesce(F.col("`3-MEDIUM`"), F.lit(0)).alias("medium"),
+        F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).alias("not_specified"),
+        F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("low"),
+    )

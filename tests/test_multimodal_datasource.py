@@ -1,0 +1,84 @@
+"""Multimodal plumbing + Python DataSource tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalable_data_ingestion_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    media_stats,
+    stub_decoder,
+    synthetic_media,
+)
+from scalable_data_ingestion_spark.sources.rest_datasource import register
+
+
+def test_media_schema_and_features(spark):
+    media = synthetic_media(spark, 50)
+    assert media.count() == 50
+
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    by_id = {r["media_id"]: r for r in rows}
+    assert len(by_id[0]["feature"]) == FEATURE_DIM
+    assert by_id[0]["mime"] == "image/png"
+    assert by_id[1]["mime"] == "image/jpeg"
+    # deterministic: same payload -> same features across runs
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert again[7] == by_id[7]["feature"]
+
+
+def test_media_stats_prunes_payload(spark):
+    media = synthetic_media(spark, 30)
+    stats = media_stats(media)
+    got = {r["mime"]: r for r in stats.collect()}
+    assert got["image/png"]["n_media"] == 10
+    assert got["image/jpeg"]["n_media"] == 20
+    # payload must not appear in the aggregation plan input
+    plan = stats._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan
+
+
+def test_stub_decoder_raises():
+    with pytest.raises(NotImplementedError):
+        stub_decoder(b"\x89PNG")
+
+
+def test_media_features_roundtrip_parquet(spark, tmp_path):
+    """binary column survives a parquet round trip (storage layout)."""
+    media = synthetic_media(spark, 10)
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    back = spark.read.parquet(path)
+    # compare names + types; parquet reads relax nullability (including
+    # nested struct fields) — simpleString omits nullability
+    assert back.schema.simpleString() == media.schema.simpleString()
+    orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    rtrip = {r["media_id"]: bytes(r["payload"]) for r in back.collect()}
+    assert orig == rtrip
+
+
+def test_rest_datasource_partitioned_read(spark):
+    ok = register(spark)
+    if not ok:
+        pytest.skip("Python DataSource API unavailable")
+    df = (
+        spark.read.format("rest_posts")
+        .option("limit", 25)
+        .option("page_size", 10)
+        .option("offline", True)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 25
+    assert {r["id"] for r in rows} == set(range(1, 26))
+    # 3 partitions: 1-10, 11-20, 21-25
+    assert df.rdd.getNumPartitions() == 3
+    # composes with the standard reshape
+    from scalable_data_ingestion_spark.sources.api import posts_to_orders
+
+    orders = posts_to_orders(spark, [r.asDict() for r in rows])
+    assert orders.filter(F.col("order_id") == "API-0001").count() == 1
