@@ -351,3 +351,63 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(ham <= HAMMING_MAX).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup: every 25th vector gets a slightly-perturbed
+# copy injected (first component +0.05); pairs at cosine >= 0.99 are the
+# planted near-dups (natural max in this corpus is ~0.51).
+# --------------------------------------------------------------------------
+EMB_NEARDUP_THRESHOLD = 0.99
+
+
+@register(
+    "dd_embedding_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    corpus AS (
+      SELECT vec_id, emb FROM e
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_concat([emb[1] + 0.05], emb[2:]) AS emb
+      FROM e WHERE vec_id % 25 = 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= {EMB_NEARDUP_THRESHOLD}
+    """,
+)
+def dd_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (brute pair scan; at
+    corpus scale the same predicate runs over LSH/IVF candidate pairs —
+    see similarity.py — rather than the full cross join)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("emb")[0] + 0.05), F.slice("emb", 2, 1000)
+        ).alias("emb"),
+    )
+    corpus = emb.unionByName(perturbed)
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.sqrt(
+        F.aggregate(F.transform("ea", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    norm_b = F.sqrt(
+        F.aggregate(F.transform("eb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a", "vec_b", F.round(dot / (norm_a * norm_b), 6).alias("cosine")
+    )
+    return pairs.filter(F.col("cosine") >= EMB_NEARDUP_THRESHOLD)

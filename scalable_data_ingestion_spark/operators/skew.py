@@ -1,0 +1,102 @@
+"""Skew-mitigation helpers (100 TB posture; SURVEY.md §4 scale notes).
+
+Catalyst + AQE already handle most skew (skew-join splitting, partition
+coalescing). Two cases still benefit from explicit plan shapes:
+
+- ``two_stage_count_distinct``: COUNT(DISTINCT v) per hot key funnels
+  every distinct value of the hot key through one task. The two-stage
+  form (dedupe on the full (key, value) pair first, then count) spreads
+  stage 1 across the (key, value) space, so a hot key's values fan out
+  over many tasks.
+- ``salted_topk_values``: per-key value frequencies when a single key
+  dominates: stage 1 aggregates on (key, salt-of-value), stage 2 merges
+  — the classic salted partial aggregate, expressed with built-ins.
+
+Both are algebraically identical to their naive forms; a registered
+oracle query proves it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+def two_stage_count_distinct(df: DataFrame, key: str, value: str) -> DataFrame:
+    """COUNT(DISTINCT value) GROUP BY key, skew-safe: shuffle 1 keys on
+    (key, value) — hot keys spread across tasks — shuffle 2 merges tiny
+    per-key partial counts."""
+    return (
+        df.select(key, value)
+        .distinct()
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("bigint").alias(f"n_distinct_{value}"))
+    )
+
+
+def salted_topk_values(
+    df: DataFrame, key: str, value: str, k: int = 3, salt_buckets: int = 16
+) -> DataFrame:
+    """Top-k most frequent values per key via salted two-stage counting.
+
+    Stage 1 groups on (key, value, salt) — a hot (key, value) pair's
+    rows split over ``salt_buckets`` tasks; stage 2 merges the partial
+    counts and ranks. (For plain counts Spark's partial aggregation
+    already does this map-side; the explicit form matters when stage 1
+    carries heavier per-group state.)
+    """
+    from pyspark.sql import Window as W
+
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt_buckets)
+    stage1 = (
+        df.select(key, value)
+        .withColumn("_salt", salt)
+        .groupBy(key, value, "_salt")
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    stage2 = stage1.groupBy(key, value).agg(F.sum("_partial").cast("bigint").alias("n"))
+    w = W.partitionBy(key).orderBy(F.col("n").desc(), F.col(value))
+    return (
+        stage2.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(key, value, "n", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@register(
+    "sk_distinct_users_per_event",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_user_id
+    FROM events GROUP BY event_type
+    """,
+)
+def sk_distinct_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe distinct count == naive COUNT(DISTINCT) (oracle-proved)."""
+    return two_stage_count_distinct(table(spark, sf_dir, "events"), "event_type", "user_id")
+
+
+@register(
+    "sk_top_events_per_user_bucket",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_bucket, event_type, n,
+             CAST(row_number() OVER (
+                 PARTITION BY user_bucket ORDER BY n DESC, event_type) AS INTEGER) AS rnk
+      FROM counts
+    )
+    SELECT user_bucket, event_type, n, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def sk_top_events_per_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted top-k == naive top-k (oracle-proved on bucketed users)."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("user_bucket"), "event_type"
+    )
+    return salted_topk_values(ev, "user_bucket", "event_type", k=3)

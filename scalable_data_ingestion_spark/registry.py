@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.dedup",
     "scalable_data_ingestion_spark.operators.text",
     "scalable_data_ingestion_spark.operators.similarity",
+    "scalable_data_ingestion_spark.operators.skew",
     "scalable_data_ingestion_spark.streaming.queries",
 )
 

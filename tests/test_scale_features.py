@@ -1,0 +1,69 @@
+"""Scale-posture tests: partition pruning, skew helpers, plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scalable_data_ingestion_spark.operators.skew import (
+    salted_topk_values,
+    two_stage_count_distinct,
+)
+from scalable_data_ingestion_spark.storage import Warehouse
+
+
+def test_partitioned_warehouse_prunes(spark, tmp_path):
+    """orders partitioned by month -> a month filter scans one partition."""
+    wh = Warehouse(spark, str(tmp_path / "wh"), partition_cols=("order_month",))
+    df = spark.range(1000).select(
+        F.format_string("ORD-%04d", F.col("id")).alias("order_id"),
+        (F.col("id") % 12 + 1).cast("int").alias("order_month"),
+        (F.col("id").cast("double") * 1.5).alias("total_amount"),
+    )
+    wh.save_orders(df)
+
+    filtered = wh.table("orders").filter(F.col("order_month") == 3)
+    assert filtered.count() == 1000 // 12 + (1 if 3 <= 1000 % 12 else 0)
+
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # partition filter present and the scan reads only the matching dir
+    assert "PartitionFilters" in plan
+    assert "order_month" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_two_stage_count_distinct_matches_naive(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 7).alias("k"),
+        # skew: key 0 sees many more distinct values
+        F.when(F.col("id") % 7 == 0, F.col("id")).otherwise(F.col("id") % 50).alias("v"),
+    )
+    got = {
+        r["k"]: r["n_distinct_v"]
+        for r in two_stage_count_distinct(df, "k", "v").collect()
+    }
+    naive = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == naive
+
+
+def test_salted_topk_matches_naive(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") % 13).cast("string").alias("v")
+    )
+    got = sorted(
+        (r["k"], r["v"], r["n"], r["rnk"])
+        for r in salted_topk_values(df, "k", "v", k=2).collect()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy(F.col("n").desc(), F.col("v"))
+    naive = sorted(
+        (r["k"], r["v"], r["n"], r["rnk"])
+        for r in df.groupBy("k", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 2)
+        .collect()
+    )
+    assert got == naive
