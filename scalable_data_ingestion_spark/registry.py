@@ -30,6 +30,7 @@ ORACLES: dict[str, str] = {}
 # Modules that register queries on import.
 _QUERY_MODULES = (
     "scalable_data_ingestion_spark.plans.relational",
+    "scalable_data_ingestion_spark.plans.relational2",
     "scalable_data_ingestion_spark.plans.windows",
     "scalable_data_ingestion_spark.plans.setops",
     "scalable_data_ingestion_spark.plans.events",

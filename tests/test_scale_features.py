@@ -67,3 +67,40 @@ def test_salted_topk_matches_naive(spark):
         .collect()
     )
     assert got == naive
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key -> SortMergeJoin with no
+    Exchange (the documented co-location upgrade for fact-fact joins at
+    100 TB; SURVEY.md §7 / README scale notes)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/bktdb'")
+    try:
+        orders = spark.range(10000).select(
+            F.col("id").alias("o_key"), (F.col("id") % 97).alias("o_val")
+        )
+        items = spark.range(30000).select(
+            (F.col("id") % 10000).alias("i_key"), (F.col("id") % 13).alias("i_val")
+        )
+        orders.write.bucketBy(8, "o_key").sortBy("o_key").mode("overwrite").saveAsTable(
+            "bktdb.orders_b"
+        )
+        items.write.bucketBy(8, "i_key").sortBy("i_key").mode("overwrite").saveAsTable(
+            "bktdb.items_b"
+        )
+
+        ob = spark.table("bktdb.orders_b")
+        ib = spark.table("bktdb.items_b")
+        joined = ob.join(ib, ob.o_key == ib.i_key)
+        # force sort-merge (disable broadcast) to expose the shuffle question
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        assert joined.count() == 30000
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
