@@ -100,3 +100,30 @@ def sk_top_events_per_user_bucket(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("user_id") % 10).alias("user_bucket"), "event_type"
     )
     return salted_topk_values(ev, "user_bucket", "event_type", k=3)
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Inner equi-join resilient to a hot key on the skewed side.
+
+    The skewed side gets a random-but-deterministic salt in
+    [0, salt_buckets); the small side is replicated once per salt value
+    (explode over a salt array). The join key becomes (key, salt), so a
+    hot key's rows spread over ``salt_buckets`` tasks instead of one.
+
+    AQE's skew-join splitting usually makes this unnecessary for
+    sort-merge joins; the manual form still matters when AQE can't help
+    (e.g. aggregation-after-join pipelines that must keep partitioning,
+    or engines/stages where AQE is disabled). Result is identical to a
+    plain inner join (proved by test).
+    """
+    salted_left = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), salt_buckets)
+    )
+    salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
+    replicated_right = small.withColumn("_salt", F.explode(salts))
+    return salted_left.join(replicated_right, [key, "_salt"]).drop("_salt")

@@ -212,6 +212,12 @@ def w_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_global_record_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity op: the ONE deliberately-unpartitioned window here (the
+    reference's global sequence number). At 100 TB this single-task sort
+    is the wrong tool — use zipWithIndex-style per-partition offsets
+    (count per partition -> cumulative offset -> partition-local
+    row_number + offset) or monotonically_increasing_id when ordinal
+    contiguity isn't required (SURVEY.md §2.5)."""
     orders = table(spark, sf_dir, "orders")
     w = W.orderBy("o_orderkey")
     return orders.select(

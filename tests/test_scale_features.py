@@ -104,3 +104,22 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         assert joined.count() == 30000
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_salted_join_matches_plain_join(spark):
+    from scalable_data_ingestion_spark.operators.skew import salted_join
+
+    # 90% of rows share one hot key
+    skewed = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    got = salted_join(skewed, small, "k")
+    plain = skewed.join(small, "k")
+    assert got.count() == plain.count()
+    g = sorted(map(tuple, got.select("k", "payload", "dim_val").collect()))
+    p = sorted(map(tuple, plain.select("k", "payload", "dim_val").collect()))
+    assert g == p
