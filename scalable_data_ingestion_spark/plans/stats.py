@@ -79,3 +79,34 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("`4-NOT SPECIFIED`"), F.lit(0)).alias("not_specified"),
         F.coalesce(F.col("`5-LOW`"), F.lit(0)).alias("low"),
     )
+
+
+@register(
+    "fz_party_name_matches",
+    oracle="""
+    SELECT s_suppkey, c_custkey,
+           CAST(levenshtein(
+             replace(s_name, 'Supplier#', ''),
+             replace(c_name, 'Customer#', '')) AS INTEGER) AS edit_distance
+    FROM supplier JOIN customer
+      ON levenshtein(replace(s_name, 'Supplier#', ''),
+                     replace(c_name, 'Customer#', '')) <= 2
+    """,
+)
+def fz_party_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching via edit distance on normalized ids (theta
+    join; at scale this runs behind a blocking key — e.g. same length /
+    same prefix — instead of a cross join)."""
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.regexp_replace("s_name", "Supplier#", "").alias("sn")
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.regexp_replace("c_name", "Customer#", "").alias("cn")
+    )
+    dist = F.levenshtein("sn", "cn")
+    return (
+        F.broadcast(supp)
+        .crossJoin(cust)
+        .filter(dist <= 2)
+        .select("s_suppkey", "c_custkey", dist.cast("int").alias("edit_distance"))
+    )

@@ -223,3 +223,59 @@ def w_global_record_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         F.row_number().over(w).cast("bigint").alias("record_id"), "o_orderkey"
     )
+
+
+# --------------------------------------------------------------------------
+# first/last value over a full-partition frame: each customer's first and
+# most recent order value side by side.
+# --------------------------------------------------------------------------
+@register(
+    "w_first_last_order_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_order_value,
+           round(last_value(o_totalprice) OVER w, 2)  AS last_order_value
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def w_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_order_value"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_order_value"),
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# distribution analytics: percent_rank + cume_dist of order values.
+# --------------------------------------------------------------------------
+@register(
+    "w_order_value_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           round(cume_dist()    OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cume
+    FROM orders
+    """,
+)
+def w_order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global distribution ranks (parity-scale op; at 100 TB compute
+    percentiles per partition key or via approx quantiles instead of a
+    global sort window)."""
+    orders = table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
