@@ -184,21 +184,19 @@ def _minhash_sig(sh: DataFrame) -> DataFrame:
 
 
 def _bands(sig: DataFrame) -> DataFrame:
+    # one explode over an inline band array — a UNION of per-band selects
+    # would recompute the signature aggregation once per band.
     r = MINHASH_K // LSH_BANDS
-    rows = []
-    for band in range(LSH_BANDS):
-        cols = [F.col(f"h{band * r + j}") for j in range(r)]
-        rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.md5(F.concat(*cols)).alias("bh"),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(F.concat(*[F.col(f"h{band * r + j}") for j in range(r)])).alias("bh"),
         )
-    out = rows[0]
-    for rdf in rows[1:]:
-        out = out.unionByName(rdf)
-    return out
+        for band in range(LSH_BANDS)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "doc_id", "b.band", "b.bh"
+    )
 
 
 @register(

@@ -29,6 +29,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--name", default=None, help="run name")
     p.add_argument("--config", default=None, help="YAML config path")
     p.add_argument("--warehouse", default=None, help="warehouse root override")
+    p.add_argument(
+        "--stream",
+        action="store_true",
+        help="drain the input dir via Structured Streaming (availableNow) "
+        "instead of a batch run",
+    )
     return p
 
 
@@ -47,6 +53,29 @@ def main(argv: list[str] | None = None) -> int:
         health = mgr.health_check()
         print(json.dumps(health, indent=2))
         return 0 if health["status"] != "unhealthy" else 1
+
+    if args.stream:
+        from ..streaming.ingest import start_ingest
+
+        input_dir = config.get("files.input_dir")
+        root = config.get("warehouse.root")
+        query = start_ingest(
+            spark,
+            input_dir,
+            mgr.warehouse,
+            checkpoint_dir=f"{root}/_checkpoints/ingest",
+            archive_dir=config.get("files.processed_dir"),
+            once=True,
+        )
+        query.awaitTermination()
+        print(
+            json.dumps(
+                {"mode": "stream", "input_dir": input_dir, "status": "drained",
+                 "warehouse": mgr.warehouse.stats()},
+                indent=2, default=str,
+            )
+        )
+        return 0
 
     mgr.enable_validation = not args.no_validation
     mgr.enable_transformation = not args.no_transformation
