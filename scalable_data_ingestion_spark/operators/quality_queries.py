@@ -107,3 +107,98 @@ def q_quality_scores_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_field_profile_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 per-column profile (rows-only check: one row per column)."""
     return field_profile(messy_orders(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# A7 field profile as a value-checked long-format query (the dtype-bearing
+# variant above stays rows-only; this one is engine-neutral).
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = {
+    "order_id": "s",
+    "customer_name": "s",
+    "customer_email": "s",
+    "product": "s",
+    "quantity": "n",
+    "price": "n",
+    "discount": "n",
+    "total_amount": "n",
+    "source": "s",
+}
+
+
+def _profile_branch_sql(col: str, kind: str) -> str:
+    if kind == "n":
+        typed = (
+            f"round(min(CAST({col} AS DOUBLE)), 6) AS min_value, "
+            f"round(max(CAST({col} AS DOUBLE)), 6) AS max_value, "
+            f"round(avg(CAST({col} AS DOUBLE)), 6) AS mean_value, "
+            "CAST(NULL AS DOUBLE) AS avg_length"
+        )
+    else:
+        typed = (
+            "CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value, "
+            "CAST(NULL AS DOUBLE) AS mean_value, "
+            f"round(avg(length({col})), 6) AS avg_length"
+        )
+    return (
+        f"SELECT '{col}' AS column_name, "
+        f"CAST(count(*) - count({col}) AS BIGINT) AS null_count, "
+        f"CAST(count(DISTINCT {col}) AS BIGINT) AS distinct_count, {typed} FROM messy"
+    )
+
+
+@register(
+    "q_profile_stats_messy",
+    oracle="WITH "
+    + BASE_ORDERS_CTE
+    + ", "
+    + MESSY_ORDERS_CTE
+    + " "
+    + " UNION ALL ".join(_profile_branch_sql(c, k) for c, k in _PROFILE_COLS.items()),
+)
+def q_profile_stats_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format per-column profile (null/distinct counts, numeric
+    min/max/mean, string avg length) — one agg pass, assembled into one
+    row per column."""
+    from pyspark.sql import functions as F
+
+    df = messy_orders(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for col, kind in _PROFILE_COLS.items():
+        aggs.append(F.count(F.col(col)).alias(f"nn::{col}"))
+        aggs.append(F.countDistinct(F.col(col)).alias(f"nd::{col}"))
+        if kind == "n":
+            aggs.append(F.round(F.min(F.col(col).cast("double")), 6).alias(f"min::{col}"))
+            aggs.append(F.round(F.max(F.col(col).cast("double")), 6).alias(f"max::{col}"))
+            aggs.append(F.round(F.avg(F.col(col).cast("double")), 6).alias(f"mean::{col}"))
+        else:
+            aggs.append(F.round(F.avg(F.length(F.col(col))), 6).alias(f"len::{col}"))
+    row = df.agg(*aggs).first()
+
+    rows = []
+    for col, kind in _PROFILE_COLS.items():
+        rows.append(
+            {
+                "column_name": col,
+                "null_count": int(row["n"] - row[f"nn::{col}"]),
+                "distinct_count": int(row[f"nd::{col}"]),
+                "min_value": row.asDict().get(f"min::{col}"),
+                "max_value": row.asDict().get(f"max::{col}"),
+                "mean_value": row.asDict().get(f"mean::{col}"),
+                "avg_length": row.asDict().get(f"len::{col}"),
+            }
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("column_name", T.StringType()),
+            T.StructField("null_count", T.LongType()),
+            T.StructField("distinct_count", T.LongType()),
+            T.StructField("min_value", T.DoubleType()),
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("mean_value", T.DoubleType()),
+            T.StructField("avg_length", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
