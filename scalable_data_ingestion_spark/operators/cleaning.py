@@ -50,7 +50,9 @@ def coerce_types(df: DataFrame) -> DataFrame:
         if col in df.columns:
             df = df.withColumn(col, F.col(col).try_cast(typ))
     if "order_date" in df.columns:
-        df = df.withColumn("order_date", F.col("order_date").try_cast("date"))
+        # timestamp, not date: pd.to_datetime yields datetime64, and the
+        # DuckDB oracle returns midnight datetime64 for dates regardless.
+        df = df.withColumn("order_date", F.col("order_date").try_cast("timestamp"))
     return df
 
 

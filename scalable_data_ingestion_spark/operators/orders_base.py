@@ -72,7 +72,10 @@ def base_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         price.alias("price"),
         discount.alias("discount"),
         F.round(price * qty - discount, 2).alias("total_amount"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        # Keep the parquet timestamp type: DuckDB's fetchdf renders DATE as
+        # midnight datetime64 anyway, so a date-typed Spark result would
+        # value-mismatch under strict comparison harnesses.
+        F.col("o_orderdate").alias("order_date"),
         source.alias("source"),
     )
 
@@ -152,7 +155,7 @@ base AS (
          CAST(o_orderkey % 4 AS DOUBLE) * 2.5 AS discount,
          round(floor(o_totalprice * 100 / (o_orderkey % 5 + 1)) / 100 * (o_orderkey % 5 + 1)
                - CAST(o_orderkey % 4 AS DOUBLE) * 2.5, 2) AS total_amount,
-         CAST(o_orderdate AS DATE) AS order_date,
+         o_orderdate AS order_date,
          {_case('o_orderkey', len(SOURCES), SOURCES)} AS source
   FROM orders JOIN customer ON o_custkey = c_custkey
 )

@@ -228,11 +228,11 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fo_daily_order_vs_ship",
     oracle="""
     WITH od AS (
-      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders
+      SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n_orders
       FROM orders GROUP BY 1
     ),
     sd AS (
-      SELECT CAST(l_shipdate AS DATE) AS d, count(*) AS n_ships
+      SELECT date_trunc('day', l_shipdate) AS d, count(*) AS n_ships
       FROM lineitem GROUP BY 1
     )
     SELECT coalesce(od.d, sd.d) AS d,
@@ -244,12 +244,12 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fo_daily_order_vs_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = (
         table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_orderdate").cast("date").alias("od"))
+        .groupBy(F.date_trunc("DAY", "o_orderdate").alias("od"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
     sd = (
         table(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_shipdate").cast("date").alias("sd"))
+        .groupBy(F.date_trunc("DAY", "l_shipdate").alias("sd"))
         .agg(F.count(F.lit(1)).alias("n_ships"))
     )
     return od.join(sd, od.od == sd.sd, "full_outer").select(

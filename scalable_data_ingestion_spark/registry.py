@@ -31,6 +31,7 @@ ORACLES: dict[str, str] = {}
 _QUERY_MODULES = (
     "scalable_data_ingestion_spark.plans.relational",
     "scalable_data_ingestion_spark.plans.relational2",
+    "scalable_data_ingestion_spark.plans.relational3",
     "scalable_data_ingestion_spark.plans.windows",
     "scalable_data_ingestion_spark.plans.setops",
     "scalable_data_ingestion_spark.plans.events",

@@ -99,12 +99,12 @@ def test_cleaning_messy_orders(spark):
     # coercion produced typed columns
     assert dict(out.dtypes)["quantity"] == "bigint"
     assert dict(out.dtypes)["price"] == "double"
-    assert dict(out.dtypes)["order_date"] == "date"
+    assert dict(out.dtypes)["order_date"] == "timestamp"
 
 
 # ---- test 4 analog: enrichment (tests.py:129-155) ----------------------
 def test_enrichment_fields(spark, a1):
-    out = enrich(a1.withColumn("order_date", F.col("order_date").cast("date")))
+    out = enrich(a1.withColumn("order_date", F.col("order_date").cast("timestamp")))
     row = {r["order_id"]: r for r in out.collect()}
 
     expected_fields = {
