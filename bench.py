@@ -54,10 +54,11 @@ def main() -> None:
         return time.monotonic() - t0
 
     # JVM/codegen warmup on the smallest SF so measured times reflect the
-    # engine, not first-call JIT + session setup.
+    # engine, not first-call JIT + whole-stage-codegen compilation (which
+    # is per-plan and identical at every scale factor).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE[:3]:
+        for name in HEADLINE:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     per_query: dict[str, float] = {}

@@ -176,10 +176,20 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash-LSH: banded signatures -> candidate pairs -> Jaccard verify.
 # --------------------------------------------------------------------------
 def _minhash_sig(sh: DataFrame) -> DataFrame:
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("sh")))).alias(f"h{k}")
-        for k in range(MINHASH_K)
-    ]
+    # 12 hash functions from 3 md5 evaluations: each md5 yields four
+    # independent 8-hex (32-bit) chunks. 4x less hashing per shingle on
+    # the hot path; Catalyst's subexpression elimination computes each
+    # distinct md5 once per row.
+    aggs = []
+    for k in range(MINHASH_K):
+        grp, off = divmod(k, 4)
+        aggs.append(
+            F.min(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"s{grp}|"), F.col("sh"))), off * 8 + 1, 8
+                )
+            ).alias(f"h{k}")
+        )
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -205,7 +215,10 @@ def _bands(sig: DataFrame) -> DataFrame:
     WITH {_SHINGLES_CTE},
     sig AS (
       SELECT doc_id,
-             {", ".join(f"min(md5('s{k}|' || sh)) AS h{k}" for k in range(MINHASH_K))}
+             {", ".join(
+                 f"min(substr(md5('s{k // 4}|' || sh), {(k % 4) * 8 + 1}, 8)) AS h{k}"
+                 for k in range(MINHASH_K)
+             )}
       FROM shingle GROUP BY doc_id
     ),
     bands AS (
@@ -394,18 +407,20 @@ def dd_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emb"),
     )
     corpus = emb.unionByName(perturbed)
-    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    # Per-vector norms below the join (once per vector, not per pair).
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    a = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), norm("emb").alias("na")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), norm("emb").alias("nb")
+    )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    norm_a = F.sqrt(
-        F.aggregate(F.transform("ea", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    norm_b = F.sqrt(
-        F.aggregate(F.transform("eb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b", F.round(dot / (norm_a * norm_b), 6).alias("cosine")
+        "vec_a", "vec_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine")
     )
     return pairs.filter(F.col("cosine") >= EMB_NEARDUP_THRESHOLD)

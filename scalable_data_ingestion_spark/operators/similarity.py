@@ -79,10 +79,19 @@ def _norm(a: str):
 )
 def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    # Norms are projected BELOW the join: once per vector, not once per
+    # pair — at corpus scale this is the difference between O(n·d) and
+    # O(n·k·d) array traversals on the hot path.
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
     )
-    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ve"))
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ve"),
+        _norm("embedding").alias("vn"),
+    )
     pairs = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -90,7 +99,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot("qe", "ve") / (_norm("qe") * _norm("ve")), 6).alias("cosine"),
+            F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
