@@ -1,0 +1,221 @@
+"""Function-surface breadth: set-op ALL variants, unpivot, statistical
+aggregates from exact primitives, and array higher-order functions.
+
+The reference uses none of these (SURVEY.md §2.7 has only
+concat/distinct; §2.8 is scalar string/date/math) — they round out the
+engine's relational function surface for the driver's star schema.
+
+Determinism notes:
+- `stat_qty_line_corr` computes correlation from exact integer-valued
+  primitive sums rather than `corr()`: both engines implement corr with
+  order-dependent streaming updates (Welford), so the built-in is not
+  hash-stable cross-engine; the explicit formula over exact sums is.
+- `arr_embedding_vector_stats` uses only order-independent per-row
+  array ops (min/max/size/element access) — float fold order never
+  enters.
+
+Scale notes: unpivot is a generate (no shuffle); INTERSECT/EXCEPT ALL
+hash-aggregate on the full row — at 100 TB these would pre-partition on
+the compared columns; the per-dim means run one narrow
+posexplode -> hash aggregate with 64 x n rows, map-side combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# INTERSECT ALL: repeated (custkey, priority) order shapes present in
+# both halves of the date range, with multiplicity.
+# --------------------------------------------------------------------------
+@register(
+    "ia_order_shapes_both_eras",
+    oracle="""
+    SELECT o_custkey, o_orderpriority
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    INTERSECT ALL
+    SELECT o_custkey, o_orderpriority
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def ia_order_shapes_both_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_custkey", "o_orderpriority"
+    )
+    late = orders.filter(F.col("o_orderdate") >= cut).select(
+        "o_custkey", "o_orderpriority"
+    )
+    return early.intersectAll(late)
+
+
+# --------------------------------------------------------------------------
+# EXCEPT ALL: multiplicity-aware difference of the same two multisets.
+# --------------------------------------------------------------------------
+@register(
+    "ea_order_shapes_early_only",
+    oracle="""
+    SELECT o_custkey, o_orderpriority
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    EXCEPT ALL
+    SELECT o_custkey, o_orderpriority
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def ea_order_shapes_early_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    early = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_custkey", "o_orderpriority"
+    )
+    late = orders.filter(F.col("o_orderdate") >= cut).select(
+        "o_custkey", "o_orderpriority"
+    )
+    return early.exceptAll(late)
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT (melt): part measures to long format. SQL twin is the portable
+# UNION ALL expansion.
+# --------------------------------------------------------------------------
+@register(
+    "uv_part_measures_long",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+    FROM part
+    """,
+)
+def uv_part_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlation / covariance from exact primitive sums. quantity and
+# linenumber are integer-valued, so every sum is exact in IEEE double
+# and the final divisions are bit-identical cross-engine (built-in
+# corr() is an order-dependent streaming update — not hash-stable).
+# --------------------------------------------------------------------------
+@register(
+    "stat_qty_line_corr",
+    oracle="""
+    WITH p AS (
+      SELECT count(*) AS n,
+             sum(l_quantity)                 AS sx,
+             sum(CAST(l_linenumber AS DOUBLE)) AS sy,
+             sum(l_quantity * l_quantity)    AS sxx,
+             sum(CAST(l_linenumber AS DOUBLE) * l_linenumber) AS syy,
+             sum(l_quantity * l_linenumber)  AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           round(sx, 2) AS sum_qty,
+           round((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_line,
+           round((sxy - sx * sy / n)
+                 / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+             AS corr_qty_line
+    FROM p
+    """,
+)
+def stat_qty_line_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_linenumber").cast("double")
+    p = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return p.select(
+        "n",
+        F.round(sx, 2).alias("sum_qty"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_line"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_qty_line"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Array higher-order functions, per-row (order-independent ops only).
+# --------------------------------------------------------------------------
+@register(
+    "arr_embedding_vector_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                 AS dim,
+           round(CAST(list_min(embedding) AS DOUBLE), 6)   AS v_min,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)   AS v_max,
+           round(CAST(embedding[1] AS DOUBLE), 6)          AS v_first,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def arr_embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.array_min(e).cast("double"), 6).alias("v_min"),
+        F.round(F.array_max(e).cast("double"), 6).alias("v_max"),
+        F.round(e.getItem(0).cast("double"), 6).alias("v_first"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# posexplode -> per-dimension corpus means (the flat layout every
+# vector-analytics pass starts from).
+# --------------------------------------------------------------------------
+@register(
+    "pe_embedding_dim_means",
+    oracle="""
+    SELECT CAST(dim - 1 AS INTEGER) AS dim,
+           round(avg(CAST(embedding[dim] AS DOUBLE)), 6) AS dim_mean,
+           count(*) AS n
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS t(dim)
+    GROUP BY dim
+    """,
+)
+def pe_embedding_dim_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("dim_mean"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.plans.relational3",
     "scalable_data_ingestion_spark.plans.windows",
     "scalable_data_ingestion_spark.plans.setops",
+    "scalable_data_ingestion_spark.plans.functions_surface",
     "scalable_data_ingestion_spark.plans.events",
     "scalable_data_ingestion_spark.plans.stats",
     "scalable_data_ingestion_spark.operators.enrichment_queries",
