@@ -186,3 +186,25 @@ def ev_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# --------------------------------------------------------------------------
+# from_json -> typed struct (schema-declared parse; the companion to
+# ev_json_props_stats' path-based get_json_object).
+# --------------------------------------------------------------------------
+@register(
+    "ev_props_struct_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
+    """,
+)
+def ev_props_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return (
+        ev.select("event_id", parsed.getField("k").alias("k_val"))
+        .filter(F.col("k_val") % 7 == 0)
+    )

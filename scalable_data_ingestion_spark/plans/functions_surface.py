@@ -219,3 +219,34 @@ def pe_embedding_dim_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+# each other instead of disappearing from the inner join.
+# --------------------------------------------------------------------------
+@register(
+    "ns_status_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_orderstatus, 'P') AS st, count(*) AS n_a
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT NULLIF(o_orderstatus, 'F') AS st, count(*) AS n_b
+      FROM orders GROUP BY 1
+    )
+    SELECT a.st AS status_key, n_a, n_b
+    FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st
+    """,
+)
+def ns_status_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("st_a")
+    ).agg(F.count(F.lit(1)).alias("n_a"))
+    b = orders.groupBy(
+        F.nullif(F.col("o_orderstatus"), F.lit("F")).alias("st_b")
+    ).agg(F.count(F.lit(1)).alias("n_b"))
+    return a.join(b, F.col("st_a").eqNullSafe(F.col("st_b"))).select(
+        F.col("st_a").alias("status_key"), "n_a", "n_b"
+    )

@@ -76,3 +76,39 @@ def test_streaming_sessions_run(spark):
     got = run_to_memory(streaming_sessions(events_stream), "t_sessions", spark)
     assert got.count() > 0
     assert set(got.columns) == {"user_id", "session_start", "n_events", "sum_value"}
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per order_id even when
+    a later file re-delivers the same key."""
+    from scalable_data_ingestion_spark.streaming.ingest import (
+        dedup_order_stream,
+        order_file_stream,
+    )
+
+    input_dir = tmp_path / "drops"
+    input_dir.mkdir()
+    header = "order_id,customer_name,customer_email,product,quantity,price,discount,total_amount,order_date\n"
+    (input_dir / "a.csv").write_text(
+        header
+        + "DUP-0001,Ann A,ann@example.com,iPhone 15,1,999.99,0.0,999.99,2024-01-10\n"
+        + "DUP-0002,Ben B,ben@example.com,iPad Air,2,599.99,0.0,1199.98,2024-01-11\n"
+    )
+    (input_dir / "b.csv").write_text(
+        header
+        + "DUP-0001,Ann A,ann@example.com,iPhone 15,1,999.99,0.0,999.99,2024-01-10\n"
+        + "DUP-0003,Cal C,cal@example.com,MacBook Pro,1,1999.99,0.0,1999.99,2024-01-12\n"
+    )
+    stream = order_file_stream(spark, str(input_dir), max_files_per_trigger=1)
+    deduped = dedup_order_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = [r["order_id"] for r in spark.sql("SELECT order_id FROM t_dedup").collect()]
+    assert sorted(ids) == ["DUP-0001", "DUP-0002", "DUP-0003"]
