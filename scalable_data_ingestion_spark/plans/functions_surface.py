@@ -250,3 +250,80 @@ def ns_status_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("st_a").eqNullSafe(F.col("st_b"))).select(
         F.col("st_a").alias("status_key"), "n_a", "n_b"
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar-function lab: string, regexp, date, and conditional built-ins
+# in one projection (function-surface breadth beyond the reference's
+# F1-F22 — SURVEY.md §2.8). Every expression is per-row scalar =>
+# bit-identical cross-engine, no rounding games needed.
+# --------------------------------------------------------------------------
+@register(
+    "fn_scalar_lab",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0')        AS padded_key,
+           reverse(c_name)                                  AS rev_name,
+           split_part(c_name, '#', 2)                       AS name_num,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')        AS seg_translated,
+           regexp_extract(c_name, '([0-9]+)$', 1)           AS trailing_digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g')        AS masked_name,
+           CAST(position('0' IN c_name) AS INTEGER)         AS first_zero_pos,
+           repeat(substr(c_mktsegment, 1, 1), 3)            AS seg_initial_x3,
+           greatest(c_acctbal, 0.0)                         AS bal_floor0,
+           least(CAST(c_nationkey AS BIGINT), 9)            AS nation_cap9,
+           coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'B!') AS seg_or_bang
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def fn_scalar_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_key"),
+        F.reverse("c_name").alias("rev_name"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("trailing_digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked_name"),
+        F.locate("0", F.col("c_name")).alias("first_zero_pos"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("seg_initial_x3"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_nationkey").cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "nation_cap9"
+        ),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("B!")
+        ).alias("seg_or_bang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Date-function lab: calendar arithmetic on order dates.
+# --------------------------------------------------------------------------
+@register(
+    "fn_date_lab",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(doy FROM o_orderdate) AS INTEGER)       AS day_of_year,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP)    AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+)
+def fn_date_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.dayofyear("o_orderdate").alias("day_of_year"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate")).cast(
+            "bigint"
+        ).alias("days_to_y2k"),
+        F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
+    )
