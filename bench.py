@@ -35,6 +35,11 @@ HEADLINE = [
     "txt_quality_scores",
     "sim_knn_bruteforce",
     "st_tumbling_hourly",
+    # join-topology stress: disjunctive scan, double semi/anti self-join,
+    # union + sort + last-ignore-nulls as-of attribution
+    "q19_disjunctive_revenue",
+    "q21_sole_late_supplier",
+    "asof_purchase_attribution",
 ]
 
 
