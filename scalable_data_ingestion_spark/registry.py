@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.skew",
     "scalable_data_ingestion_spark.operators.asof",
     "scalable_data_ingestion_spark.streaming.queries",
+    "scalable_data_ingestion_spark.streaming.joins",
     "scalable_data_ingestion_spark.sources.api_queries",
 )
 

@@ -1,0 +1,80 @@
+"""Stream-stream join: click → purchase attribution within a horizon.
+
+The last Structured Streaming surface the engine exposes (alongside
+windows, stateful ops, and cross-batch dedup): joining two *unbounded*
+sides. Both inputs carry a watermark and the join condition carries an
+event-time range, so each side's state store holds only rows inside
+``watermark + horizon`` — the bounded-state requirement for unbounded
+inputs.
+
+One builder serves batch and streaming (the windows.py pattern): the
+batch result is oracle-checked (``ssj_click_purchase_pairs``), which
+certifies the join semantics; the streaming test replays the same
+events and must produce exactly the batch rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+HORIZON = "2 hours"
+
+
+def click_purchase_pairs(
+    events: DataFrame, streaming: bool = False, watermark: str = "1 day"
+) -> DataFrame:
+    """Pairs (click, later purchase by the same user within HORIZON)."""
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    if streaming:
+        clicks = clicks.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {HORIZON}")
+        ),
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("secs_to_purchase"),
+    )
+
+
+@register(
+    "ssj_click_purchase_pairs",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('second', c.ts, p.ts) AS secs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+)
+def ssj_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return click_purchase_pairs(table(spark, sf_dir, "events"))

@@ -60,13 +60,16 @@ def streaming_sessions(events: DataFrame, watermark: str = "1 day") -> DataFrame
     return session_agg(events.withWatermark("ts", watermark))
 
 
-def run_to_memory(df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
-    """Drain a streaming aggregation into an in-memory table (complete
-    mode) and return the result as a batch DataFrame."""
+def run_to_memory(
+    df: DataFrame, name: str, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming query into an in-memory table and return the
+    result as a batch DataFrame. Aggregations use ``complete``;
+    stream-stream joins emit rows once and need ``append``."""
     query = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

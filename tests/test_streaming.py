@@ -112,3 +112,23 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     ids = [r["order_id"] for r in spark.sql("SELECT order_id FROM t_dedup").collect()]
     assert sorted(ids) == ["DUP-0001", "DUP-0002", "DUP-0003"]
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """Watermarked stream-stream click->purchase join produces exactly the
+    batch rows when the whole history is replayed."""
+    from scalable_data_ingestion_spark.catalog import table
+    from scalable_data_ingestion_spark.streaming.joins import click_purchase_pairs
+
+    events_stream = event_stream_from_parquet(spark, f"{SF}/events.parquet")
+    got = run_to_memory(
+        click_purchase_pairs(events_stream, streaming=True),
+        "t_ssj",
+        spark,
+        output_mode="append",
+    )
+    expected = click_purchase_pairs(table(spark, SF, "events"))
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e
+    assert len(e) > 0
