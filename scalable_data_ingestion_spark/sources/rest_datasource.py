@@ -22,7 +22,12 @@ still works if the API is unavailable.
 from __future__ import annotations
 
 try:
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
 
     _HAS_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - Spark < 4
@@ -32,6 +37,9 @@ except ImportError:  # pragma: no cover - Spark < 4
         pass
 
     class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
         pass
 
     class InputPartition:  # type: ignore[no-redef]
@@ -92,6 +100,50 @@ class RestPostsReader(DataSourceReader):
                 )
 
 
+class RestPostsStreamReader(SimpleDataSourceStreamReader):
+    """Incremental poller: each micro-batch reads the next id range.
+
+    Offsets are ``{"last_id": n}`` — the source is replayable between
+    any two offsets (read2 below), which is what gives the stream
+    exactly-once semantics after a restart: the checkpointed offset
+    range is re-fetched deterministically, never re-invented.
+    """
+
+    def __init__(self, options: dict):
+        self.limit = int(options.get("limit", 100))
+        self.batch_size = int(options.get("batch_size", 25))
+        self.offline = str(options.get("offline", "true")).lower() != "false"
+
+    def initialOffset(self):
+        return {"last_id": 0}
+
+    def _rows(self, start_id: int, end_id: int):
+        from .api import fake_posts
+
+        if not self.offline:  # pragma: no cover - network path
+            import requests
+
+            resp = requests.get(
+                "https://jsonplaceholder.typicode.com/posts", timeout=30
+            )
+            resp.raise_for_status()
+            posts = resp.json()
+        else:
+            posts = fake_posts(end_id)
+        for post in posts:
+            if start_id <= post["id"] <= end_id:
+                yield (post["userId"], post["id"], post["title"], post["body"])
+
+    def read(self, start):
+        s = int(start["last_id"])
+        e = min(s + self.batch_size, self.limit)
+        return list(self._rows(s + 1, e)), {"last_id": e}
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay of a checkpointed range (restart path)
+        return list(self._rows(int(start["last_id"]) + 1, int(end["last_id"])))
+
+
 class RestPostsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -102,6 +154,9 @@ class RestPostsDataSource(DataSource):
 
     def reader(self, schema) -> RestPostsReader:
         return RestPostsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> RestPostsStreamReader:
+        return RestPostsStreamReader(self.options)
 
 
 def register(spark) -> bool:

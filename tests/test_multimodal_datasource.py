@@ -82,3 +82,45 @@ def test_rest_datasource_partitioned_read(spark):
 
     orders = posts_to_orders(spark, [r.asDict() for r in rows])
     assert orders.filter(F.col("order_id") == "API-0001").count() == 1
+
+
+def test_rest_datasource_streaming_poll(spark, tmp_path):
+    """The streaming side of the REST source: micro-batches advance the
+    checkpointed id offset until the feed is drained; the result equals
+    the batch read of the same range."""
+    import time
+
+    if not register(spark):
+        pytest.skip("Python DataSource API unavailable")
+    stream = (
+        spark.readStream.format("rest_posts")
+        .option("limit", 60)
+        .option("batch_size", 25)
+        .option("offline", True)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_rest_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if spark.sql("SELECT count(*) c FROM t_rest_stream").collect()[0]["c"] >= 60:
+            break
+        time.sleep(0.5)
+    q.stop()
+    got = spark.sql("SELECT * FROM t_rest_stream").collect()
+    ids = sorted(r["id"] for r in got)
+    assert ids == list(range(1, 61))  # drained exactly, no duplicates
+    batch = (
+        spark.read.format("rest_posts")
+        .option("limit", 60)
+        .option("offline", True)
+        .load()
+        .collect()
+    )
+    assert {tuple(r) for r in got} == {tuple(r) for r in batch}
