@@ -279,3 +279,41 @@ def w_order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE frame (value-based, not row-based): per-customer trailing-30-day
+# spend at each order. The frame is keyed on epoch seconds so peers with
+# equal timestamps are included symmetrically in both engines; the sum
+# uses floor-cent arithmetic (exact integer-valued summands).
+# --------------------------------------------------------------------------
+@register(
+    "w_trailing_30d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           sum(floor(o_totalprice * 100 + 0.5))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) / 100
+             AS spend_30d,
+           CAST(count(*) OVER (PARTITION BY o_custkey
+                               ORDER BY epoch(o_orderdate)
+                               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_orders_30d
+    FROM orders
+    """,
+)
+def w_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(cents).over(w) / 100).alias("spend_30d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
