@@ -16,7 +16,7 @@ Scale notes (100 TB of documents):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -181,3 +181,59 @@ def txt_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: the canonical corpus-weighting operator (training-data curation
+# scores, keyword extraction, near-dup features). Three hash-aggregates:
+# term counts per doc, doc frequency per term, corpus size — then
+# tf * ln(N/df), top-5 terms per doc with deterministic tiebreaks.
+#
+# Scale notes: everything shuffles on (doc_id) or (tok) — both
+# high-cardinality, no hot keys after the stopword-ish DF cap that
+# LSH shingling also uses. No UDFs; ln() is IEEE-identical cross-engine
+# on identical inputs.
+# ---------------------------------------------------------------------------
+@register(
+    "txt_tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents WHERE doc_id < 50
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok) AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, tok, tfidf, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select("doc_id").distinct().count()
+    scored = tf.join(df, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
