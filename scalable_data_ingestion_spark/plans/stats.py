@@ -110,3 +110,45 @@ def fz_party_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist <= 2)
         .select("s_suppkey", "c_custkey", dist.cast("int").alias("edit_distance"))
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs bought in the same order. The
+# classic self-join-on-basket shape (recommendation/affinity mining):
+# distinct (order, part) -> pair join with part_a < part_b -> count ->
+# deterministic top-k. At 100 TB the basket relation is bucketed by
+# l_orderkey so the pair join is co-located; hot mega-baskets are capped
+# upstream (the DF_CAP idea from LSH shingling) to bound the quadratic
+# per-basket blowup.
+# --------------------------------------------------------------------------
+@register(
+    "mb_copurchased_parts",
+    oracle="""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM basket a
+    JOIN basket b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def mb_copurchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    basket = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = basket.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a")
+    )
+    b = basket.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
