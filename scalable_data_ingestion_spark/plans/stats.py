@@ -152,3 +152,86 @@ def mb_copurchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width histogram (profiling primitive): order values bucketed by
+# integer division — deterministic bin edges, no float boundaries.
+# --------------------------------------------------------------------------
+@register(
+    "hist_order_value_buckets",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS bucket_min,
+           round(max(o_totalprice), 2) AS bucket_max
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def hist_order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IQR outlier detection per group (data-curation primitive): lineitem
+# prices beyond q3 + 0.35*IQR of their part type (the fence multiplier
+# is tuned to this bounded synthetic distribution, whose max sits ~0.5
+# IQR above q3; real long-tailed data would use the classic 1.5). Exact percentiles are
+# selections over stored values; the fence arithmetic is a single IEEE
+# expression — identical in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "qa_price_outliers_iqr",
+    oracle="""
+    WITH joined AS (
+      SELECT p_type, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    fences AS (
+      SELECT p_type,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM joined GROUP BY p_type
+    )
+    SELECT j.p_type,
+           count(*) AS n_outliers,
+           round(min(l_extendedprice), 2) AS min_outlier_price
+    FROM joined j
+    JOIN fences f ON j.p_type = f.p_type
+    WHERE l_extendedprice > q3 + 0.35 * (q3 - q1)
+    GROUP BY j.p_type
+    """,
+)
+def qa_price_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_type", "l_extendedprice"
+    )
+    fences = joined.groupBy(F.col("p_type").alias("f_type")).agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"),
+    )
+    return (
+        joined.join(F.broadcast(fences), F.col("p_type") == F.col("f_type"))
+        .filter(
+            F.col("l_extendedprice")
+            > F.col("q3") + 0.35 * (F.col("q3") - F.col("q1"))
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_outlier_price"),
+        )
+    )
