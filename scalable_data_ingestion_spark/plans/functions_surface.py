@@ -327,3 +327,34 @@ def fn_date_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("days_to_y2k"),
         F.date_trunc("quarter", "o_orderdate").alias("quarter_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# Array aggregation surface: collect_set -> sort_array -> array_join,
+# emitted as a string so the cross-engine comparison stays hashable
+# (array-typed result cells hash differently across drivers).
+# --------------------------------------------------------------------------
+@register(
+    "agg_segments_per_nation",
+    oracle="""
+    SELECT n_name,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
