@@ -358,3 +358,34 @@ def agg_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_mktsegment").alias("n_segments"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling (curation primitive): a stable 1/16 slice
+# selected by the first hex digit of md5(key). Unlike TABLESAMPLE /
+# rand(seed), the sample is identical across engines, re-runs, and
+# cluster layouts — the property training-data pipelines need for
+# reproducible holdouts.
+# --------------------------------------------------------------------------
+@register(
+    "samp_orders_hash_slice",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    ORDER BY o_orderkey
+    """,
+)
+def samp_orders_hash_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )

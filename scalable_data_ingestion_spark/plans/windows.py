@@ -317,3 +317,34 @@ def w_trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(cents).over(w) / 100).alias("spend_30d"),
         F.count(F.lit(1)).over(w).alias("n_orders_30d"),
     )
+
+
+# --------------------------------------------------------------------------
+# lead + nth_value: forward-looking analytics with an explicit full
+# frame (default frames differ subtly across engines; pin it).
+# --------------------------------------------------------------------------
+@register(
+    "w_next_order_preview",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           lead(o_orderkey) OVER w AS next_orderkey,
+           round(nth_value(o_totalprice, 3) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS third_order_value
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w_next_order_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    order_w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full_frame = order_w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lead("o_orderkey").over(order_w).alias("next_orderkey"),
+        F.round(F.nth_value("o_totalprice", 3).over(full_frame), 2).alias(
+            "third_order_value"
+        ),
+    )
