@@ -424,3 +424,87 @@ def dd_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_a", "vec_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine")
     )
     return pairs.filter(F.col("cosine") >= EMB_NEARDUP_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate clustering: connected components over the Jaccard pair
+# graph — the step that turns pairwise near-dup hits into dedup groups
+# (keep one canonical doc per component). Spark side is an iterative
+# min-label propagation (the scalable shape: each round is one shuffle
+# join + aggregate; labels only decrease, so equal label-sums certify
+# the fixpoint). The oracle is a recursive CTE — the rare case where
+# DuckDB can value-check a genuinely iterative Spark algorithm.
+# --------------------------------------------------------------------------
+@register(
+    "dd_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    walk(doc_id, lab) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.doc_id
+      WHERE w.lab < e.b
+    ),
+    comp AS (SELECT doc_id, min(lab) AS component_id FROM walk GROUP BY doc_id)
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS component_size
+    FROM comp
+    """,
+)
+def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    for _ in range(30):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("n_doc"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.doc_id == F.col("n_doc"), "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+            .cache()
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease => fixpoint reached
+            break
+        prev_sum = cur_sum
+    from pyspark.sql import Window as W
+
+    size_w = W.partitionBy("component_id")
+    comp = labels.select("doc_id", F.col("lab").alias("component_id"))
+    return comp.withColumn(
+        "component_size", F.count(F.lit(1)).over(size_w).cast("bigint")
+    )
