@@ -53,6 +53,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a narrow relation to full parallelism.
+
+    A parquet file is parallelized by row group; the small-SF test files
+    carry a single row group, so a scan — and everything that fuses into
+    its stage: projections, regex validity checks, partial aggregation —
+    runs as ONE task no matter how many cores exist. AQE cannot fix this
+    (it re-plans only at shuffle boundaries, never scan width). At
+    cluster scale the same table has thousands of row groups and this
+    helper is a no-op (the guard sees partitions >= cores). When it does
+    fire, the cost is one narrow shuffle of the scan's raw rows, repaid
+    by N-way parallel expression evaluation in every downstream stage.
+
+    Call it only on scan-shaped inputs (``.rdd`` here just builds the
+    RDD lineage to count partitions; on a plain file scan that triggers
+    no job).
+    """
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: never break the query
+        return df
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if parts * 2 >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import table, widen_if_narrow
 
 PRODUCTS = (
     "iPhone 15",
@@ -36,7 +36,10 @@ SOURCES = ("api_rest", "file_csv", "file_json")
 
 def base_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic A1-shaped orders built from orders x customer."""
-    o = table(spark, sf_dir, "orders")
+    # The derivation below is expression-heavy (format_string, initcap,
+    # regexp_replace, long CASE chains) and fuses into the scan stage —
+    # widen the single-row-group local scan so it uses every core.
+    o = widen_if_narrow(table(spark, sf_dir, "orders"))
     c = table(spark, sf_dir, "customer")
     df = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
 
@@ -109,8 +112,16 @@ def messy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_date"),
         F.col("source"),
     )
-    dupes = messy.filter(k % 50 == 0)
-    return messy.unionByName(dupes)
+    # Duplicate every 50th row via explode instead of self-union: a
+    # union of two branches over the same base would recompute the whole
+    # scan+join+derivation subtree twice (Spark has no automatic common
+    # subtree reuse outside AQE exchange reuse); the explode emits the
+    # extra copy in the same single pass.
+    copies = F.when(k % 50 == 0, F.array(F.lit(1), F.lit(2))).otherwise(F.array(F.lit(1)))
+    return (
+        messy.withColumn("_copy", F.explode(copies))
+        .drop("_copy")
+    )
 
 
 # SQL twin of messy_orders(), layered over BASE_ORDERS_CTE.
