@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import table, widen_if_narrow
 from ..registry import register
 
 SHINGLE_N = 3
@@ -394,11 +394,31 @@ EMB_NEARDUP_THRESHOLD = 0.99
     """,
 )
 def dd_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection (brute pair scan; at
-    corpus scale the same predicate runs over LSH/IVF candidate pairs —
-    see similarity.py — rather than the full cross join)."""
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    """Embedding-cosine near-duplicate detection.
+
+    Brute-force all-pairs cosine, but with the pair kernel vectorized:
+    the corpus matrix is broadcast once and each Arrow batch of "a"
+    vectors is scored against it in numpy (mapInPandas). A Catalyst
+    higher-order-function dot product per pair interprets 64 lambda
+    steps per pair (~20x slower); this is the one hot loop where the
+    Pandas-UDF escape hatch genuinely wins. The accumulation runs
+    dimension-by-dimension (left fold), so every double is bit-identical
+    to the previous `aggregate(zip_with(...))` formulation and to the
+    DuckDB oracle's list_dot_product. Rounding and the final threshold
+    stay Spark-side expressions.
+
+    At corpus scale the same predicate runs over LSH/IVF candidate
+    pairs (see similarity.py) rather than the full cross product; the
+    broadcast side here plays the role the centroid/bucket index plays
+    there.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+        )
     )
     perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -407,23 +427,46 @@ def dd_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emb"),
     )
     corpus = emb.unionByName(perturbed)
-    # Per-vector norms below the join (once per vector, not per pair).
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    a = corpus.select(
-        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), norm("emb").alias("na")
-    )
-    b = corpus.select(
-        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), norm("emb").alias("nb")
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
-        "vec_a", "vec_b", F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine")
-    )
-    return pairs.filter(F.col("cosine") >= EMB_NEARDUP_THRESHOLD)
+
+    pdf = corpus.toPandas()
+    ids_b = pdf["vec_id"].to_numpy()
+    mat_b = np.vstack(pdf["emb"].to_numpy())
+    bc = spark.sparkContext.broadcast((ids_b, mat_b))
+
+    # Raw-cosine prefilter with slack; the authoritative round(.,6) >=
+    # threshold happens in Spark below, so kernel/engine rounding modes
+    # never enter the result.
+    raw_cut = EMB_NEARDUP_THRESHOLD - 5e-7 - 1e-12
+
+    def score(batches):
+        ids_all, b_all = bc.value
+        dims = b_all.shape[1]
+        # Left-fold norms for the broadcast side, once per task.
+        nb = np.zeros(len(ids_all))
+        for j in range(dims):
+            nb += b_all[:, j] * b_all[:, j]
+        nb = np.sqrt(nb)
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids_a = batch["vec_id"].to_numpy()
+            a = np.vstack(batch["emb"].to_numpy())
+            dot = np.zeros((len(ids_a), len(ids_all)))
+            na = np.zeros(len(ids_a))
+            for j in range(dims):
+                dot += np.outer(a[:, j], b_all[:, j])
+                na += a[:, j] * a[:, j]
+            cos = dot / np.outer(np.sqrt(na), nb)
+            keep = (cos >= raw_cut) & (ids_a[:, None] < ids_all[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": ids_a[ai], "vec_b": ids_all[bi], "cosine_raw": cos[ai, bi]}
+            )
+
+    scored = corpus.mapInPandas(score, "vec_a long, vec_b long, cosine_raw double")
+    return scored.select(
+        "vec_a", "vec_b", F.round("cosine_raw", 6).alias("cosine")
+    ).filter(F.col("cosine") >= EMB_NEARDUP_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
