@@ -551,3 +551,70 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.withColumn(
         "component_size", F.count(F.lit(1)).over(size_w).cast("bigint")
     )
+
+
+# --------------------------------------------------------------------------
+# Survivorship: collapse each near-dup cluster to its canonical (min
+# doc_id) member — the "drop the duplicates, keep one" step that
+# follows pair/component detection in a real curation pipeline.
+# --------------------------------------------------------------------------
+@register(
+    "dd_neardup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    walk(doc_id, lab) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.doc_id
+      WHERE w.lab < e.b
+    ),
+    comp AS (SELECT doc_id, min(lab) AS component_id FROM walk GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component_id, d.doc_id) AS BIGINT) AS canonical_id,
+           CAST(c.doc_id IS NULL OR c.component_id = d.doc_id AS BOOLEAN) AS keep
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dd_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map every document to its canonical near-dup representative.
+
+    Reuses the connected-components labeling (min doc_id per cluster);
+    docs outside any cluster are their own canonical. ``keep`` marks the
+    one survivor per cluster — `filter(keep)` is the dedup'd corpus.
+    The join back to `documents` is broadcast-sized at test SF; at
+    corpus scale components are a tiny fraction of docs, so the same
+    broadcast holds (only docs that appear in a near-dup pair carry a
+    label at all).
+    """
+    comp = dd_neardup_components(spark, sf_dir).select("doc_id", "component_id")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").cast("bigint").alias("canonical_id"),
+            (
+                F.col("component_id").isNull()
+                | (F.col("component_id") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -237,3 +237,239 @@ def txt_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "tok", "tfidf", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents that share word
+# 3-grams with a held-out eval set (the classic pre-training hygiene
+# step — exact n-gram overlap against benchmark text).
+# --------------------------------------------------------------------------
+DECON_BENCH_MOD = 50  # doc_id % MOD == 0 plays the benchmark set
+DECON_MIN_OVERLAP = 3  # >= this many shared distinct 3-grams => contaminated
+
+
+@register(
+    "txt_decontamination",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+    ),
+    bench AS (
+      SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0
+    ),
+    bsizes AS (SELECT bench_id, count(*) AS bn FROM bench GROUP BY bench_id),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+    ov AS (
+      SELECT c.doc_id, b.bench_id, count(*) AS overlap
+      FROM corpus c JOIN bench b USING (sh)
+      GROUP BY 1, 2
+    )
+    SELECT ov.doc_id, ov.bench_id, CAST(overlap AS BIGINT) AS overlap,
+           round(CAST(overlap AS DOUBLE) / bn, 6) AS bench_frac
+    FROM ov JOIN bsizes USING (bench_id)
+    WHERE overlap >= {DECON_MIN_OVERLAP}
+    ORDER BY doc_id, bench_id
+    """,
+)
+def txt_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram decontamination of the corpus against an eval set.
+
+    Documents with ``doc_id % 50 == 0`` stand in for the benchmark;
+    every other document is scored by how many distinct word 3-grams it
+    shares with each benchmark doc, plus the fraction of that
+    benchmark's shingles covered. At 100 TB the benchmark side is tiny
+    and static, so its shingle set broadcasts: the corpus side streams
+    map-side through a broadcast-hash join and the only shuffle is the
+    per-(doc, bench) overlap count — no corpus self-join anywhere.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") % DECON_BENCH_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "sh"
+    )
+    bsizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bn"))
+    corpus = sh.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    ov = (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        ov.filter(F.col("overlap") >= DECON_MIN_OVERLAP)
+        .join(F.broadcast(bsizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            "overlap",
+            F.round(F.col("overlap").cast("double") / F.col("bn"), 6).alias("bench_frac"),
+        )
+        .orderBy("doc_id", "bench_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source quota sampling: cap each source at K documents, selected
+# by deterministic hash order (corpus-curation primitive: bounds any
+# one domain's contribution to the training mix).
+# --------------------------------------------------------------------------
+QUOTA_PER_SOURCE = 10
+
+
+@register(
+    "samp_docs_source_quota",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS INTEGER) AS pick
+      FROM documents
+    )
+    SELECT doc_id, source, pick FROM ranked WHERE pick <= {QUOTA_PER_SOURCE}
+    ORDER BY source, pick
+    """,
+)
+def samp_docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most K docs per source, chosen by md5(doc_id) order.
+
+    The hash order makes the sample deterministic across engines,
+    re-runs, and partitionings (unlike rand(seed), which is
+    partition-layout dependent). One shuffle on ``source``; at scale,
+    skewed sources are bounded by the quota itself — the window only
+    needs the first K rows per partition key (Spark runs a rank-limit
+    pushdown under AQE; a two-stage per-partition pre-top-K is the
+    manual variant if a single source dominates a partition).
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "pick")
+        .orderBy("source", "pick")
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy token-window packing: assign docs (in doc_id order, per
+# source) to fixed-budget token windows — the sequence-packing step
+# that turns a curated corpus into training batches.
+# --------------------------------------------------------------------------
+PACK_BUDGET = 256  # tokens per packed window
+
+
+@register(
+    "pack_token_windows",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok
+      FROM tok
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(floor((cum_tok - n_tok) / {PACK_BUDGET}.0) AS BIGINT) AS window_id,
+           CAST(cum_tok - n_tok AS BIGINT) AS offset_tok
+    FROM cum
+    ORDER BY source, doc_id
+    """,
+)
+def pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit packing of documents into fixed token budgets.
+
+    Window id is floor(running-token-offset / budget) per source in
+    doc_id order — deterministic, no driver loop, one shuffle on
+    ``source``. At 100 TB the running sum is the only sequential
+    dependency, and it parallelizes per source (for a single giant
+    source, pre-bucket by doc_id range and offset each bucket by the
+    previous buckets' token totals — a 2-pass prefix-sum).
+    """
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens_col()).cast("bigint")
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = docs.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "cum_tok", F.sum("n_tok").over(w)
+    )
+    off = F.col("cum_tok") - F.col("n_tok")
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor(off / F.lit(float(PACK_BUDGET))).alias("window_id"),
+        off.cast("bigint").alias("offset_tok"),
+    ).orderBy("source", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling by language: per-stratum keep
+# rates in sixteenths, decided by the doc's md5 bucket (stable across
+# engines/partitionings, unlike rand(seed)).
+# --------------------------------------------------------------------------
+# lang -> keep rate numerator out of 16 md5 buckets
+STRATA_RATES = {"en": 16, "es": 8, "de": 8, "fr": 8, "zh": 4}
+
+
+def _md5_bucket_expr_sql() -> str:
+    return "CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) " + " ".join(
+        f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef")
+    ) + " END"
+
+
+@register(
+    "samp_docs_lang_stratified",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, lang, {_md5_bucket_expr_sql()} AS bucket FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS INTEGER) AS bucket
+    FROM bucketed
+    WHERE bucket < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items())}
+                   ELSE 2 END
+    ORDER BY doc_id
+    """,
+)
+def samp_docs_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates (en 100%, es/de/fr 50%, zh 25%) via md5
+    bucket membership — Spark's ``sampleBy`` semantics but reproducible
+    across engines and partition layouts. Pure map-side filter: no
+    shuffle at all, and the predicate pushes column pruning to the scan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in STRATA_RATES.items()],
+        F.lit(2),
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .withColumn("_rate", rate)
+        .filter(F.col("bucket") < F.col("_rate"))
+        .drop("_rate")
+        .orderBy("doc_id")
+    )
