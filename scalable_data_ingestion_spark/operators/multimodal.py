@@ -131,3 +131,85 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.sum("meta.n_bytes").alias("total_bytes"),
         F.round(F.avg(F.col("meta.width") * F.col("meta.height")), 2).alias("avg_pixels"),
     )
+
+
+# --------------------------------------------------------------------------
+# Registered oracle-checked queries: the synthetic media table and the
+# fake extractor are both deterministic ("MEDIA:"+zero-padded id bytes,
+# rolling byte sum), so the full Arrow mapInPandas plumbing is
+# value-checkable against a pure-SQL re-derivation — the strongest
+# check available for a stubbed-codec path.
+# --------------------------------------------------------------------------
+from ..registry import register  # noqa: E402  (registered queries below)
+
+MM_N_MEDIA = 200
+
+
+@register(
+    "mm_media_features",
+    oracle=f"""
+    WITH m AS (SELECT unnest(generate_series(0, {MM_N_MEDIA - 1})) AS media_id),
+    s AS (
+      SELECT media_id,
+             'MEDIA:' || lpad(CAST(media_id AS VARCHAR), 12, '0') AS payload
+      FROM m
+    ),
+    ch AS (
+      SELECT media_id, payload,
+             unnest(generate_series(0, len(payload) - 1)) AS i
+      FROM s
+    ),
+    slot AS (
+      SELECT media_id, i % {FEATURE_DIM} AS dim,
+             (ascii(substr(payload, i + 1, 1)) % 97) / 97.0 AS v
+      FROM ch
+    ),
+    feat AS (
+      SELECT media_id, dim, round(sum(v), 6) AS val FROM slot GROUP BY 1, 2
+    )
+    SELECT media_id,
+           CASE WHEN media_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+           CAST(dim AS INTEGER) AS dim, val
+    FROM feat
+    ORDER BY media_id, dim
+    """,
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction, long-format for value checks.
+
+    ``sf_dir`` is unused: media is the deterministic synthetic table
+    (the test container ships no image/audio codecs — SURVEY.md §7
+    step 8 stubs decode, keeps the Spark plumbing real). The oracle
+    re-derives the rolling-byte-sum features in pure SQL, so a drift in
+    batch iteration, Arrow binary handling, or the UDF signature shows
+    up as a value mismatch, not just a row count.
+    """
+    feats = extract_features(synthetic_media(spark, MM_N_MEDIA))
+    return feats.select(
+        "media_id", "mime", F.posexplode("feature").alias("dim", "val")
+    ).orderBy("media_id", "dim")
+
+
+@register(
+    "mm_media_stats",
+    oracle=f"""
+    WITH m AS (SELECT unnest(generate_series(0, {MM_N_MEDIA - 1})) AS media_id),
+    meta AS (
+      SELECT media_id,
+             CASE WHEN media_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+             (media_id % 16 + 1) * 64 AS width,
+             (media_id % 9 + 1) * 64 AS height,
+             18 AS n_bytes
+      FROM m
+    )
+    SELECT mime, CAST(count(*) AS BIGINT) AS n_media,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           round(avg(width * height), 2) AS avg_pixels
+    FROM meta GROUP BY mime ORDER BY mime
+    """,
+)
+def mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media aggregate — the plan must never touch the
+    payload column (column pruning over the nested struct; see
+    test_plan_quality's ReadSchema checks for the scan-side analog)."""
+    return media_stats(synthetic_media(spark, MM_N_MEDIA)).orderBy("mime")

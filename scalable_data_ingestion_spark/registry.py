@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.dedup",
     "scalable_data_ingestion_spark.operators.text",
     "scalable_data_ingestion_spark.operators.similarity",
+    "scalable_data_ingestion_spark.operators.multimodal",
     "scalable_data_ingestion_spark.operators.skew",
     "scalable_data_ingestion_spark.operators.asof",
     "scalable_data_ingestion_spark.streaming.queries",

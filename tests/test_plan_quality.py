@@ -89,8 +89,11 @@ def test_no_python_eval_in_any_registered_query(spark, sf_dir):
     broadcast-numpy mapInPandas kernel — the all-pairs cosine is the one
     parity op where a 64-step Catalyst lambda fold per pair is ~10x
     slower than an Arrow-batched matrix product (measured 33s -> 3.5s at
-    sf0.1). Its oracle-parity test still value-checks the result."""
-    ALLOW_PANDAS_KERNEL = {"dd_embedding_neardup_pairs"}
+    sf0.1). mm_media_features IS the Pandas-UDF escape hatch surface
+    (stubbed-codec feature extraction over binary payloads) registered
+    so the driver value-checks the Arrow plumbing end to end. Both keep
+    full oracle-parity value checks."""
+    ALLOW_PANDAS_KERNEL = {"dd_embedding_neardup_pairs", "mm_media_features"}
     offenders = []
     for name, fn in registry.QUERIES.items():
         if name in ALLOW_PANDAS_KERNEL:
