@@ -372,6 +372,36 @@ def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_NEARDUP_THRESHOLD = 0.99
 
 
+def _emb_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus planted near-dups (every 25th vector re-appears
+    with +0.05 on its first component under vec_id+1e6)."""
+    emb = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+        )
+    )
+    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("emb")[0] + 0.05), F.slice("emb", 2, 1000)
+        ).alias("emb"),
+    )
+    return emb.unionByName(perturbed)
+
+
+# SQL twin of _emb_corpus (DuckDB 1-based list slicing).
+_EMB_CORPUS_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+corpus AS (
+  SELECT vec_id, emb FROM e
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_concat([emb[1] + 0.05], emb[2:]) AS emb
+  FROM e WHERE vec_id % 25 = 0
+)
+"""
+
+
 @register(
     "dd_embedding_neardup_pairs",
     oracle=f"""
@@ -415,18 +445,7 @@ def dd_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = widen_if_narrow(
-        table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
-        )
-    )
-    perturbed = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.concat(
-            F.array(F.col("emb")[0] + 0.05), F.slice("emb", 2, 1000)
-        ).alias("emb"),
-    )
-    corpus = emb.unionByName(perturbed)
+    corpus = _emb_corpus(spark, sf_dir)
 
     pdf = corpus.toPandas()
     ids_b = pdf["vec_id"].to_numpy()
@@ -617,4 +636,146 @@ def dd_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup, the bucketed scale path: sign-random-projection
+# LSH. Hyperplane signs derive from md5(h:d), so both engines build the
+# identical signatures and the whole pipeline — projection, banding,
+# candidate join, exact-cosine verify — is value-checked end to end.
+# --------------------------------------------------------------------------
+# 24 bits in 3 bands of 8: 256 bucket values per band keeps candidate
+# volume collision-bound (~tens of pairs per bucket) instead of the
+# ~2M pairs a 4-bit band yields on a 2k-vector corpus, while band
+# recall for a 0.99-cosine pair stays ~97% (1 - (1-(1-.045)^8)^3).
+EMB_LSH_PLANES = 24  # signature bits
+EMB_LSH_BANDS = 3  # bands of r = PLANES/BANDS bits
+
+# STRING is a VARCHAR alias in BOTH engines (Spark rejects bare
+# VARCHAR; DuckDB accepts STRING) — the expression is shared verbatim.
+_PLANE_SIGN_SQL = (
+    "CASE WHEN substr(md5(CAST(h AS STRING) || ':' || CAST(d AS STRING)), 1, 1)"
+    " >= '8' THEN 1.0 ELSE -1.0 END"
+)
+
+
+@register(
+    "dd_embedding_lsh_pairs",
+    oracle=f"""
+    WITH {_EMB_CORPUS_CTE},
+    dims AS (
+      SELECT vec_id, i - 1 AS d, emb[i] AS x
+      FROM corpus, unnest(generate_series(1, 64)) AS t(i)
+    ),
+    planes AS (
+      SELECT h, d, {_PLANE_SIGN_SQL} AS s
+      FROM unnest(generate_series(0, {EMB_LSH_PLANES - 1})) AS th(h),
+           unnest(generate_series(0, 63)) AS td(d)
+    ),
+    proj AS (
+      SELECT vec_id, h, sum(x * s) AS p
+      FROM dims JOIN planes USING (d) GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT vec_id, h // {EMB_LSH_PLANES // EMB_LSH_BANDS} AS band,
+             sum(CASE WHEN p > 0
+                      THEN 1 << (h % {EMB_LSH_PLANES // EMB_LSH_BANDS})
+                      ELSE 0 END) AS bsig
+      FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT vec_a, vec_b,
+             round(list_dot_product(ca.emb, cb.emb) /
+                   (sqrt(list_dot_product(ca.emb, ca.emb)) *
+                    sqrt(list_dot_product(cb.emb, cb.emb))), 6) AS cosine
+      FROM cand
+      JOIN corpus ca ON vec_a = ca.vec_id
+      JOIN corpus cb ON vec_b = cb.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM verified
+    WHERE cosine >= {EMB_NEARDUP_THRESHOLD}
+    """,
+)
+def dd_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH near-dup detection — the shape that
+    replaces the brute all-pairs scan at corpus scale.
+
+    Pipeline: per-vector 24-bit signature (sign of the dot product with
+    24 md5-seeded ±1 hyperplanes), banded into 3 x 8-bit keys; the
+    candidate join is an equi-join on (band, band-signature) — the
+    shuffle is keyed on 2 small ints, never on vectors, and its volume
+    is bucket-collision-bound rather than O(n^2). Candidates are then
+    verified with the exact cosine (Catalyst left-fold dot product with
+    hoisted per-vector norms, bit-identical to DuckDB's
+    list_dot_product). Recall is probabilistic by design (a 0.99-cosine
+    pair flips a given bit with p = acos(.99)/pi ~ 4.5%; three 8-bit
+    bands catch ~97% of such pairs, ~99.97% at the planted pairs'
+    ~0.9996 cosine); determinism is exact, so the oracle checks the
+    full pipeline.
+    """
+    corpus = _emb_corpus(spark, sf_dir)
+    r = EMB_LSH_PLANES // EMB_LSH_BANDS
+    dims = corpus.select("vec_id", F.posexplode("emb").alias("d", "x"))
+    planes = (
+        spark.range(EMB_LSH_PLANES)
+        .select(F.col("id").alias("h"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
+        .select("h", "d", F.expr(_PLANE_SIGN_SQL).alias("s"))
+    )
+    proj = (
+        dims.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "h")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("p"))
+    )
+    sig = (
+        proj.groupBy(
+            "vec_id", F.expr(f"h div {r}").alias("band")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p") > 0, F.expr(f"shiftleft(1L, CAST(h % {r} AS INT))"))
+                .otherwise(F.lit(0))
+            ).alias("bsig")
+        )
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    # Norms hoisted below the join: once per vector, not per pair.
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    ca = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), norm("emb").alias("na")
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), norm("emb").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        cand.join(ca, "vec_a")
+        .join(cb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_NEARDUP_THRESHOLD)
     )
