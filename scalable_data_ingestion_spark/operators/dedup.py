@@ -779,3 +779,55 @@ def dd_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= EMB_NEARDUP_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# Directional containment: |A ∩ B| / |A| — catches documents that are
+# mostly CONTAINED in another (quote-and-extend, boilerplate-plus-body),
+# which symmetric Jaccard under-scores when |B| >> |A|.
+# --------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.7
+
+
+@register(
+    "dd_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE CAST(i AS DOUBLE) / sa.n >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment of doc_a within doc_b (directional, so both
+    (a,b) and (b,a) can appear with different scores). Same inverted
+    -index join shape as Jaccard — one shuffle keyed on the shingle,
+    DF-capped against fan-out — but normalized by the LEFT side only,
+    so a small doc swallowed by a large one still scores ~1.0."""
+    sh = shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i").cast("double") / F.col("na"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -473,3 +473,44 @@ def samp_docs_lang_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rate")
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted upsampling: repeat each document according to its
+# length tier (the data-mixing primitive — higher-quality strata get
+# more epochs in the training mix; tier 0 is dropped outright).
+# --------------------------------------------------------------------------
+UPSAMPLE_TIERS_SQL = (
+    "CASE WHEN n_chars >= 300 THEN 3 WHEN n_chars >= 150 THEN 2 "
+    "WHEN n_chars >= 50 THEN 1 ELSE 0 END"
+)
+
+
+@register(
+    "samp_docs_upsample_by_tier",
+    oracle=f"""
+    WITH tiered AS (
+      SELECT doc_id, CAST({UPSAMPLE_TIERS_SQL} AS INTEGER) AS tier FROM documents
+    )
+    SELECT doc_id, tier, CAST(c AS INTEGER) AS copy_idx
+    FROM tiered, unnest(generate_series(1, tier)) AS t(c)
+    ORDER BY doc_id, copy_idx
+    """,
+)
+def samp_docs_upsample_by_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode each doc into `tier` copies (0 copies = filtered out).
+
+    ``sequence(1, tier)`` + ``explode`` keeps the multiplication
+    map-side — no join, no shuffle; at 100 TB the output is written
+    straight back out partition-parallel. The copy index is explicit so
+    downstream shuffles (e.g. global mix-shuffle by hash of
+    (doc_id, copy_idx)) can separate the replicas deterministically.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tier = F.expr(UPSAMPLE_TIERS_SQL).cast("int")
+    return (
+        docs.select("doc_id", tier.alias("tier"))
+        .filter(F.col("tier") >= 1)
+        .select("doc_id", "tier", F.explode(F.sequence(F.lit(1), F.col("tier"))).alias("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    )
