@@ -514,3 +514,56 @@ def samp_docs_upsample_by_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "tier", F.explode(F.sequence(F.lit(1), F.col("tier"))).alias("copy_idx"))
         .orderBy("doc_id", "copy_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# Global mix-shuffle: deterministic random order + shard assignment —
+# the last curation step before packing, so no source's docs end up
+# adjacent in the training stream.
+# --------------------------------------------------------------------------
+MIX_SHARDS = 8
+
+
+@register(
+    "samp_docs_mix_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS STRING) || '|mix') AS mk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY mk, doc_id) % {MIX_SHARDS}
+                AS BIGINT) AS shard,
+           CAST(row_number() OVER (ORDER BY mk, doc_id) AS BIGINT) AS mix_pos
+    FROM keyed
+    ORDER BY mix_pos
+    """,
+)
+def samp_docs_mix_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle the corpus into a deterministic random order and deal it
+    round-robin into shards.
+
+    The md5 sort key is engine- and partitioning-independent (re-runs
+    and backfills produce the identical mix, unlike rand(seed)). The
+    single global ORDER BY here is the test-SF formulation; at 100 TB
+    the same key feeds ``repartitionByRange(mk)`` + per-partition sort
+    — a range shuffle, not a single-reducer sort — and shard becomes
+    ``pmod(hash(mk), n)`` so no global row numbering is needed. The
+    round-robin deal by global position maximizes source interleaving
+    within every shard.
+    """
+    docs = table(spark, sf_dir, "documents")
+    mk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix")))
+    w = W.orderBy("mk", "doc_id")
+    return (
+        docs.select("doc_id", "source", mk.alias("mk"))
+        .withColumn("mix_pos", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("mix_pos") % MIX_SHARDS).alias("shard"),
+            "mix_pos",
+        )
+        .orderBy("mix_pos")
+    )
