@@ -32,6 +32,7 @@ HEADLINE = [
     "enriched_orders",
     "q_quality_scores_messy",
     "dd_minhash_lsh_pairs",
+    "dd_embedding_lsh_pairs",
     "txt_quality_scores",
     "sim_knn_bruteforce",
     "st_tumbling_hourly",

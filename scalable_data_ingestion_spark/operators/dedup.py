@@ -16,15 +16,19 @@ Design for 100 TB:
   shuffle pattern that scales to billions of docs. Candidates are then
   verified with true Jaccard.
 - SimHash: 16-bit signatures from per-token md5 high-bits; near-dup =
-  Hamming distance <= HAMMING_MAX via bit_count(xor). The pair join is
-  self-cross within small Hamming balls; at scale you'd join on rotated
-  signature prefixes — noted, not needed at test SF.
+  Hamming distance <= HAMMING_MAX via bit_count(xor). Candidate pairs
+  come from a pigeonhole band equi-join (HAMMING_MAX+1 bands — at
+  least one band must match exactly for any pair within the distance
+  bound), so recall is exact and the shuffle is keyed on small band
+  ints, never O(n^2) pairs.
 
 Spark plans use only built-ins (split/explode/md5/min/bit ops) — no
 Python UDFs anywhere.
 """
 
 from __future__ import annotations
+
+import functools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -354,13 +358,52 @@ def dd_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dd_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = dd_simhash_signatures(spark, sf_dir)
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    """SimHash near-pairs via banded candidate generation + exact verify.
+
+    Pigeonhole banding: split the 16-bit signature into HAMMING_MAX + 1
+    = 4 bands of 4 bits. Any pair within Hamming distance 3 must agree
+    EXACTLY on at least one band, so the (band, band-bits) equi-join has
+    perfect recall — unlike MinHash banding this is a guarantee, not a
+    probability, which is why the all-pairs SQL oracle still matches
+    exactly. The join shuffles on two small ints (never O(n^2) pairs);
+    candidates are then verified with bit_count(xor) <= 3. This replaces
+    the round-1 broadcast nested-loop `doc_a < doc_b` self-join.
+    """
+    n_bands = HAMMING_MAX + 1  # 4 bands x 4 bits over the 16-bit signature
+    band_bits = 16 // n_bands
+    sig = dd_simhash_signatures(spark, sf_dir).cache()  # feeds bands + verify
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.shiftright("simhash", bnd * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .alias("bits"),
+        )
+        for bnd in range(n_bands)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band", "b.bits")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    hb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return pairs.filter(ham <= HAMMING_MAX).select(
-        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .filter(ham <= HAMMING_MAX)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
     )
 
 
@@ -402,6 +445,30 @@ corpus AS (
 """
 
 
+@functools.lru_cache(maxsize=4)
+def _load_emb_index(emb_path: str):
+    """Executor-side index build for the brute-force scorer: read the
+    embeddings parquet directly in the Python worker (pyarrow) and
+    mirror ``_emb_corpus``'s transformation (float64 widening + the
+    planted every-25th perturbed copy) in numpy. lru-cached so a reused
+    worker process reads the file once, not once per task. The driver
+    never holds the matrix, and building the query plan triggers no
+    Spark job (the round-1 version ran a full collect at
+    plan-construction time)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy()
+    emb = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+    )
+    mask = ids % 25 == 0
+    pert = emb[mask].copy()
+    pert[:, 0] += 0.05
+    return np.concatenate([ids, ids[mask] + 1000000]), np.vstack([emb, pert])
+
+
 @register(
     "dd_embedding_neardup_pairs",
     oracle=f"""
@@ -427,30 +494,28 @@ def dd_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection.
 
     Brute-force all-pairs cosine, but with the pair kernel vectorized:
-    the corpus matrix is broadcast once and each Arrow batch of "a"
-    vectors is scored against it in numpy (mapInPandas). A Catalyst
-    higher-order-function dot product per pair interprets 64 lambda
-    steps per pair (~20x slower); this is the one hot loop where the
-    Pandas-UDF escape hatch genuinely wins. The accumulation runs
-    dimension-by-dimension (left fold), so every double is bit-identical
-    to the previous `aggregate(zip_with(...))` formulation and to the
-    DuckDB oracle's list_dot_product. Rounding and the final threshold
-    stay Spark-side expressions.
+    each Arrow batch of "a" vectors is scored in numpy (mapInPandas)
+    against an index matrix the WORKER builds from the embeddings
+    parquet (``_load_emb_index``) — no driver-side collect, no job at
+    plan-construction time. A Catalyst higher-order-function dot
+    product per pair interprets 64 lambda steps per pair (~20x slower);
+    this is the one hot loop where the Pandas-UDF escape hatch
+    genuinely wins. The accumulation runs dimension-by-dimension (left
+    fold), so every double is bit-identical to the previous
+    `aggregate(zip_with(...))` formulation and to the DuckDB oracle's
+    list_dot_product. Rounding and the final threshold stay Spark-side
+    expressions.
 
-    At corpus scale the same predicate runs over LSH/IVF candidate
-    pairs (see similarity.py) rather than the full cross product; the
-    broadcast side here plays the role the centroid/bucket index plays
-    there.
+    This is the documented exact baseline: the index side is O(n) per
+    worker, so it is bounded to corpora that fit one machine. At
+    corpus scale the same verify kernel runs over LSH candidate pairs —
+    ``dd_embedding_lsh_pairs`` below is that scale path.
     """
     import numpy as np
     import pandas as pd
 
     corpus = _emb_corpus(spark, sf_dir)
-
-    pdf = corpus.toPandas()
-    ids_b = pdf["vec_id"].to_numpy()
-    mat_b = np.vstack(pdf["emb"].to_numpy())
-    bc = spark.sparkContext.broadcast((ids_b, mat_b))
+    emb_path = f"{sf_dir}/embeddings.parquet"
 
     # Raw-cosine prefilter with slack; the authoritative round(.,6) >=
     # threshold happens in Spark below, so kernel/engine rounding modes
@@ -458,7 +523,7 @@ def dd_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_cut = EMB_NEARDUP_THRESHOLD - 5e-7 - 1e-12
 
     def score(batches):
-        ids_all, b_all = bc.value
+        ids_all, b_all = _load_emb_index(emb_path)
         dims = b_all.shape[1]
         # Left-fold norms for the broadcast side, once per task.
         nb = np.zeros(len(ids_all))
@@ -545,12 +610,15 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     prev_sum = labels.agg(F.sum("lab")).first()[0]
-    for _ in range(30):
+    max_rounds = 50  # >= graph diameter of any near-dup cluster we accept
+    converged = False
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("n_doc"))
             .agg(F.min("lab").alias("nlab"))
         )
+        prev_labels = labels
         labels = (
             labels.join(neighbor_min, labels.doc_id == F.col("n_doc"), "left")
             .select(
@@ -559,10 +627,23 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cache()
         )
-        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        cur_sum = labels.agg(F.sum("lab")).first()[0]  # materializes new cache
+        prev_labels.unpersist()  # superseded generation: release executor memory
         if cur_sum == prev_sum:  # labels only decrease => fixpoint reached
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # A silent wrong answer is worse than a loud failure: a component
+        # with diameter > max_rounds would return non-minimal labels that
+        # diverge from the recursive-CTE oracle.
+        raise RuntimeError(
+            f"near-dup connected components did not reach a fixpoint in "
+            f"{max_rounds} min-label rounds (graph diameter too large)"
+        )
+    # final labels cache is materialized by the last sum action, so the
+    # edge relation can be released now.
+    edges.unpersist()
     from pyspark.sql import Window as W
 
     size_w = W.partitionBy("component_id")
@@ -653,36 +734,40 @@ EMB_LSH_PLANES = 24  # signature bits
 EMB_LSH_BANDS = 3  # bands of r = PLANES/BANDS bits
 
 # STRING is a VARCHAR alias in BOTH engines (Spark rejects bare
-# VARCHAR; DuckDB accepts STRING) — the expression is shared verbatim.
-_PLANE_SIGN_SQL = (
-    "CASE WHEN substr(md5(CAST(h AS STRING) || ':' || CAST(d AS STRING)), 1, 1)"
-    " >= '8' THEN 1.0 ELSE -1.0 END"
-)
+# VARCHAR; DuckDB accepts STRING) — the sign expression is shared, with
+# the plane/dimension references parameterized per surrounding lambda.
+def _plane_sign(h_expr: str, d_expr: str) -> str:
+    return (
+        f"CASE WHEN substr(md5(CAST({h_expr} AS STRING) || ':' || "
+        f"CAST({d_expr} AS STRING)), 1, 1) >= '8' "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+    )
+
+
+_EMB_LSH_R = EMB_LSH_PLANES // EMB_LSH_BANDS
 
 
 @register(
     "dd_embedding_lsh_pairs",
     oracle=f"""
     WITH {_EMB_CORPUS_CTE},
-    dims AS (
-      SELECT vec_id, i - 1 AS d, emb[i] AS x
-      FROM corpus, unnest(generate_series(1, 64)) AS t(i)
-    ),
-    planes AS (
-      SELECT h, d, {_PLANE_SIGN_SQL} AS s
-      FROM unnest(generate_series(0, {EMB_LSH_PLANES - 1})) AS th(h),
-           unnest(generate_series(0, 63)) AS td(d)
-    ),
     proj AS (
-      SELECT vec_id, h, sum(x * s) AS p
-      FROM dims JOIN planes USING (d) GROUP BY 1, 2
+      SELECT vec_id,
+             list_transform(range(0, {EMB_LSH_PLANES}), h ->
+               list_reduce(
+                 list_transform(range(1, 65), i ->
+                   emb[i] * ({_plane_sign("h", "i - 1")})),
+                 (acc, x) -> acc + x)) AS projs
+      FROM corpus
     ),
     sig AS (
-      SELECT vec_id, h // {EMB_LSH_PLANES // EMB_LSH_BANDS} AS band,
-             sum(CASE WHEN p > 0
-                      THEN 1 << (h % {EMB_LSH_PLANES // EMB_LSH_BANDS})
-                      ELSE 0 END) AS bsig
-      FROM proj GROUP BY 1, 2
+      SELECT vec_id, b AS band,
+             list_reduce(
+               list_transform(range(0, {_EMB_LSH_R}), j ->
+                 CASE WHEN projs[b * {_EMB_LSH_R} + j + 1] > 0
+                      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END),
+               (acc, x) -> acc + x) AS bsig
+      FROM proj, unnest(generate_series(0, {EMB_LSH_BANDS - 1})) AS tb(b)
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -718,31 +803,32 @@ def dd_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands catch ~97% of such pairs, ~99.97% at the planted pairs'
     ~0.9996 cosine); determinism is exact, so the oracle checks the
     full pipeline.
+
+    The projection p = sum_d emb[d]*sign(h,d) is an ORDERED left fold
+    over the dimension index in both engines (Spark `aggregate`, DuckDB
+    `list_reduce`), so IEEE summation order — and therefore the sign
+    bit of a projection near 0 — can never diverge between them. It is
+    also computed per-row with no shuffle: the round-1 version joined
+    an exploded dims relation against a planes table and grouped, which
+    both shuffled the corpus x 64 dims and summed in partition order.
     """
     corpus = _emb_corpus(spark, sf_dir)
-    r = EMB_LSH_PLANES // EMB_LSH_BANDS
-    dims = corpus.select("vec_id", F.posexplode("emb").alias("d", "x"))
-    planes = (
-        spark.range(EMB_LSH_PLANES)
-        .select(F.col("id").alias("h"))
-        .crossJoin(spark.range(64).select(F.col("id").alias("d")))
-        .select("h", "d", F.expr(_PLANE_SIGN_SQL).alias("s"))
+    r = _EMB_LSH_R
+    projs_expr = (
+        f"transform(sequence(0, {EMB_LSH_PLANES - 1}), h -> "
+        f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, d) -> "
+        f"acc + emb[d] * ({_plane_sign('h', 'd')})))"
     )
-    proj = (
-        dims.join(F.broadcast(planes), "d")
-        .groupBy("vec_id", "h")
-        .agg(F.sum(F.col("x") * F.col("s")).alias("p"))
+    bsig_expr = (
+        f"transform(sequence(0, {EMB_LSH_BANDS - 1}), b -> "
+        f"aggregate(sequence(0, {r - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + (CASE WHEN projs[b * {r} + j] > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) "
+        f"ELSE CAST(0 AS BIGINT) END)))"
     )
     sig = (
-        proj.groupBy(
-            "vec_id", F.expr(f"h div {r}").alias("band")
-        )
-        .agg(
-            F.sum(
-                F.when(F.col("p") > 0, F.expr(f"shiftleft(1L, CAST(h % {r} AS INT))"))
-                .otherwise(F.lit(0))
-            ).alias("bsig")
-        )
+        corpus.withColumn("projs", F.expr(projs_expr))
+        .select("vec_id", F.posexplode(F.expr(bsig_expr)).alias("band", "bsig"))
     )
     a = sig.alias("a")
     b = sig.alias("b")

@@ -84,7 +84,10 @@ def _fake_features(payload: bytes) -> list[float]:
     acc = [0.0] * FEATURE_DIM
     for i, b in enumerate(payload):
         acc[i % FEATURE_DIM] += (b % 97) / 97.0
-    return [round(v, 6) for v in acc]
+    # NOTE: no rounding here — Python round() is half-to-even while SQL
+    # round() is half-away-from-zero. Callers that value-compare round
+    # Spark-side (F.round) so both engines share rounding semantics.
+    return acc
 
 
 def stub_decoder(payload: bytes) -> bytes:
@@ -160,12 +163,13 @@ MM_N_MEDIA = 200
       FROM s
     ),
     slot AS (
-      SELECT media_id, i % {FEATURE_DIM} AS dim,
+      SELECT media_id, i, i % {FEATURE_DIM} AS dim,
              (ascii(substr(payload, i + 1, 1)) % 97) / 97.0 AS v
       FROM ch
     ),
     feat AS (
-      SELECT media_id, dim, round(sum(v), 6) AS val FROM slot GROUP BY 1, 2
+      SELECT media_id, dim, round(sum(v ORDER BY i), 6) AS val
+      FROM slot GROUP BY 1, 2
     )
     SELECT media_id,
            CASE WHEN media_id % 3 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
@@ -185,9 +189,14 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     up as a value mismatch, not just a row count.
     """
     feats = extract_features(synthetic_media(spark, MM_N_MEDIA))
-    return feats.select(
-        "media_id", "mime", F.posexplode("feature").alias("dim", "val")
-    ).orderBy("media_id", "dim")
+    return (
+        feats.select("media_id", "mime", F.posexplode("feature").alias("dim", "_raw"))
+        # Spark-side SQL round so the rounding algorithm (half-away-from
+        # -zero) matches the DuckDB oracle's round(); the Python
+        # extractor emits raw doubles.
+        .select("media_id", "mime", "dim", F.round("_raw", 6).alias("val"))
+        .orderBy("media_id", "dim")
+    )
 
 
 @register(

@@ -103,9 +103,70 @@ def q_quality_scores_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores_df(messy_orders(spark, sf_dir))
 
 
-@register("q_field_profile_messy")  # no oracle: dtype strings are engine-specific
+# (column, kind, Spark simpleString dtype): kind n=numeric, s=string,
+# t=temporal. The dtype literals in the oracle double as a schema
+# assertion — if the messy projection's types drift, the hash flips.
+_FULL_PROFILE_COLS = (
+    ("order_id", "s", "string"),
+    ("customer_name", "s", "string"),
+    ("customer_email", "s", "string"),
+    ("product", "s", "string"),
+    ("quantity", "n", "bigint"),
+    ("price", "n", "double"),
+    ("discount", "n", "double"),
+    ("total_amount", "n", "double"),
+    ("order_date", "t", "timestamp_ntz"),
+    ("source", "s", "string"),
+)
+
+
+def _full_profile_branch_sql(col: str, kind: str, dtype: str) -> str:
+    if kind == "n":
+        typed = (
+            f"round(min(CAST({col} AS DOUBLE)), 6) AS min_value, "
+            f"round(max(CAST({col} AS DOUBLE)), 6) AS max_value, "
+            f"round(avg(CAST({col} AS DOUBLE)), 6) AS mean_value, "
+            f"round(stddev(CAST({col} AS DOUBLE)), 6) AS std_value, "
+            "CAST(NULL AS DOUBLE) AS avg_length, CAST(NULL AS DOUBLE) AS max_length"
+        )
+    elif kind == "s":
+        typed = (
+            "CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value, "
+            "CAST(NULL AS DOUBLE) AS mean_value, CAST(NULL AS DOUBLE) AS std_value, "
+            f"round(avg(length({col})), 6) AS avg_length, "
+            f"CAST(max(length({col})) AS DOUBLE) AS max_length"
+        )
+    else:
+        typed = (
+            "CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value, "
+            "CAST(NULL AS DOUBLE) AS mean_value, CAST(NULL AS DOUBLE) AS std_value, "
+            "CAST(NULL AS DOUBLE) AS avg_length, CAST(NULL AS DOUBLE) AS max_length"
+        )
+    return (
+        f"SELECT '{col}' AS \"column\", '{dtype}' AS dtype, "
+        f"CAST(count(*) - count({col}) AS BIGINT) AS null_count, "
+        f"round(100.0 * (count(*) - count({col})) / count(*), 6) AS null_pct, "
+        f"CAST(count(DISTINCT {col}) AS BIGINT) AS distinct_count, {typed}, "
+        f"(CAST(count(*) - count({col}) AS DOUBLE) / count(*)) > 0.10 AS high_null_flag "
+        "FROM messy"
+    )
+
+
+@register(
+    "q_field_profile_messy",
+    oracle="WITH "
+    + BASE_ORDERS_CTE
+    + ", "
+    + MESSY_ORDERS_CTE
+    + " "
+    + " UNION ALL ".join(
+        _full_profile_branch_sql(c, k, d) for c, k, d in _FULL_PROFILE_COLS
+    ),
+)
 def q_field_profile_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 per-column profile (rows-only check: one row per column)."""
+    """A7 per-column profile, fully value-checked: dtype, null
+    count/pct, distinct count, numeric min/max/mean/std, string
+    avg/max length, >10%-null flag (src/validation.py:284-326)."""
     return field_profile(messy_orders(spark, sf_dir))
 
 

@@ -245,16 +245,23 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    # Cached so the scalar-subquery total and the HAVING filter share one
+    # computation of the join+aggregate subtree (one lineitem scan), and
+    # the total joins back as a broadcast 1-row cross join — fully lazy,
+    # no driver collect at plan-construction time.
     per_part = europe_lines.groupBy("l_partkey").agg(
         F.sum("l_quantity").alias("_qty"), F.count(F.lit(1)).alias("n_lines")
     )
-    # Scalar subquery: total quantity over the same filtered set. One tiny
-    # extra job; its result broadcasts into the HAVING filter.
-    total = per_part.agg(F.sum("_qty")).collect()[0][0]
-    return per_part.filter(F.col("_qty") > 0.0005 * float(total)).select(
-        "l_partkey",
-        F.round("_qty", 2).alias("part_qty"),
-        "n_lines",
+    per_part.cache()
+    total = per_part.agg(F.sum("_qty").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_qty") > 0.0005 * F.col("_total"))
+        .select(
+            "l_partkey",
+            F.round("_qty", 2).alias("part_qty"),
+            "n_lines",
+        )
     )
 
 
@@ -266,10 +273,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipment_priority",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -328,10 +335,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         ),
     )
-    best = perf.agg(F.max("total_qty")).collect()[0][0]
+    # Cached so the scalar max and the tie filter share one computation of
+    # the filtered aggregate; the max joins back as a broadcast 1-row
+    # cross join instead of a driver-side collect.
+    perf.cache()
+    best = perf.agg(F.max("total_qty").alias("_best"))
     supp = _t(spark, sf_dir, "supplier")
     return (
-        perf.filter(F.col("total_qty") == best)
+        perf.crossJoin(F.broadcast(best))
+        .filter(F.col("total_qty") == F.col("_best"))
         .join(F.broadcast(supp), perf.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey",

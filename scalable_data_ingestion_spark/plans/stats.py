@@ -81,6 +81,27 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _deletion_variants(col: str, length: int = 9, k: int = 2):
+    """All strings reachable from ``col`` by deleting up to ``k``
+    characters (FastSS deletion neighborhood), as pure substring/concat
+    expressions — JVM-side, no UDF. Fixed-width input assumed (the
+    normalized TPC-H party ids are zero-padded 9-digit keys); for
+    variable-length text use dynamic Pass-Join partitioning instead."""
+    variants = [F.col(col)]
+    for i in range(length):  # delete position i
+        variants.append(F.concat(F.substring(col, 1, i), F.substring(col, i + 2, length)))
+    for i in range(length):  # delete positions i < j
+        for j in range(i + 1, length):
+            variants.append(
+                F.concat(
+                    F.substring(col, 1, i),
+                    F.substring(col, i + 2, j - i - 1),
+                    F.substring(col, j + 2, length),
+                )
+            )
+    return F.array_distinct(F.array(*variants))
+
+
 @register(
     "fz_party_name_matches",
     oracle="""
@@ -94,21 +115,40 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fz_party_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity matching via edit distance on normalized ids (theta
-    join; at scale this runs behind a blocking key — e.g. same length /
-    same prefix — instead of a cross join)."""
+    """Fuzzy entity matching via edit distance on normalized ids.
+
+    Candidate generation is a deletion-neighborhood (FastSS) equi-join:
+    each 9-digit key explodes into its <=46 distinct <=2-deletion
+    variants and pairs join on variant equality, then exact levenshtein
+    verifies. Recall is exact — lev(s,t) <= 2 implies a common
+    subsequence of length >= 7 reachable by <= 2 deletions from each
+    side, so the pair shares a variant. This replaces the round-1
+    broadcast cross join: the plan is a hash equi-join keyed on short
+    variant strings, never O(|S| x |C|) pairs. (Segment/prefix blocking
+    degenerates on zero-padded keys — every key starts '000…' — which
+    is why the deletion neighborhood is the right blocker here.)
+    """
     supp = table(spark, sf_dir, "supplier").select(
         "s_suppkey", F.regexp_replace("s_name", "Supplier#", "").alias("sn")
     )
     cust = table(spark, sf_dir, "customer").select(
         "c_custkey", F.regexp_replace("c_name", "Customer#", "").alias("cn")
     )
+    s_var = supp.select(
+        "s_suppkey", "sn", F.explode(_deletion_variants("sn")).alias("v")
+    )
+    c_var = cust.select(
+        "c_custkey", "cn", F.explode(_deletion_variants("cn")).alias("v")
+    )
+    cand = (
+        F.broadcast(s_var)
+        .join(c_var, "v")
+        .select("s_suppkey", "sn", "c_custkey", "cn")
+        .distinct()
+    )
     dist = F.levenshtein("sn", "cn")
-    return (
-        F.broadcast(supp)
-        .crossJoin(cust)
-        .filter(dist <= 2)
-        .select("s_suppkey", "c_custkey", dist.cast("int").alias("edit_distance"))
+    return cand.filter(dist <= 2).select(
+        "s_suppkey", "c_custkey", dist.cast("int").alias("edit_distance")
     )
 
 

@@ -271,7 +271,7 @@ def field_profile(df: DataFrame) -> DataFrame:
                 column=name,
                 dtype=field.dataType.simpleString(),
                 null_count=int(n - nn),
-                null_pct=round(100.0 * (n - nn) / n, 6) if n else 0.0,
+                null_pct=(100.0 * (n - nn) / n) if n else 0.0,
                 distinct_count=int(row[f"nd::{name}"]),
                 min_value=row[f"min::{name}"],
                 max_value=row[f"max::{name}"],
@@ -282,4 +282,9 @@ def field_profile(df: DataFrame) -> DataFrame:
                 high_null_flag=bool(n and (n - nn) / n > 0.10),
             )
         )
-    return df.sparkSession.createDataFrame(rows)
+    # Rounding happens Spark-side (SQL half-away-from-zero) rather than
+    # via Python round() (half-to-even) so oracle comparisons share one
+    # rounding algorithm.
+    return df.sparkSession.createDataFrame(rows).withColumn(
+        "null_pct", F.round("null_pct", 6)
+    )

@@ -42,9 +42,18 @@ class Warehouse:
         )
 
     # ---------------------------------------------------------------- orders
+    MONTH_COL = "order_month"
+
     def save_orders(self, df: DataFrame) -> int:
         """S7 upsert: stamp processed_at, default-fill missing sink
-        columns (src/storage.py:142-150), append."""
+        columns (src/storage.py:142-150), append.
+
+        The table is hive-partitioned by month of ``order_date``
+        (SURVEY.md §7 design decision): a date-bounded read then scans
+        only the matching ``order_month=`` directories — at 100 TB this
+        is the difference between a month's worth of files and the whole
+        table. Explicit ``partition_cols`` override the default.
+        """
         defaults = {"quantity": 1, "price": 0.0, "total_amount": 0.0}
         for col, default in defaults.items():
             if col not in df.columns:
@@ -52,11 +61,30 @@ class Warehouse:
         if "order_id" not in df.columns:
             raise ValueError("orders frame requires order_id")
         df = df.withColumn("processed_at", F.current_timestamp())
+        partition_cols = self.partition_cols
+        if not partition_cols and "order_date" in df.columns:
+            df = df.withColumn(
+                self.MONTH_COL, F.date_format("order_date", "yyyy-MM")
+            )
+            partition_cols = (self.MONTH_COL,)
         writer = df.write.mode("append")
-        if self.partition_cols:
-            writer = writer.partitionBy(*self.partition_cols)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
         writer.parquet(self._path("orders"))
         return df.count()
+
+    def _raw_orders(self) -> DataFrame:
+        return self.spark.read.parquet(self._path("orders"))
+
+    @staticmethod
+    def _latest(df: DataFrame) -> DataFrame:
+        """Upsert-on-read: latest processed_at per order_id wins."""
+        w = W.partitionBy("order_id").orderBy(F.col("processed_at").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def read_orders(
         self, order_by: str = "processed_at", desc: bool = True, limit: int | None = None
@@ -65,20 +93,33 @@ class Warehouse:
         processed_at per order_id wins. Column-based ordering — the
         reference's f-string SQL interpolation (src/storage.py:244-246,
         an injection vector) is deliberately not reproduced."""
-        df = self.spark.read.parquet(self._path("orders"))
-        w = W.partitionBy("order_id").orderBy(F.col("processed_at").desc())
-        df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        df = self._latest(self._raw_orders())
+        if self.MONTH_COL in df.columns:
+            df = df.drop(self.MONTH_COL)  # derived partition key, not payload
         col = F.col(order_by)
         df = df.orderBy(col.desc() if desc else col.asc())
         return df.limit(limit) if limit else df
 
+    def read_orders_month(self, month: str) -> DataFrame:
+        """Month-bounded read (``month`` = 'yyyy-MM'): the filter lands
+        on the hive partition column, so the scan's PartitionFilters
+        prune to one directory — asserted by test_plan_quality. Assumes
+        order_date (hence the month) is immutable per order_id, so the
+        per-month dedup window still implements upsert-on-read."""
+        df = self._raw_orders().filter(F.col(self.MONTH_COL) == month)
+        return self._latest(df).drop(self.MONTH_COL)
+
     def compact(self) -> None:
-        """Materialize the deduped orders state (rewrite)."""
-        current = self.read_orders(order_by="order_id", desc=False)
+        """Materialize the deduped orders state (rewrite), preserving
+        the month partitioning."""
+        current = self._latest(self._raw_orders())
+        partitioned = self.MONTH_COL in current.columns
         tmp = self._path("orders__compacting")
-        current.write.mode("overwrite").parquet(tmp)
+        w = current.write.mode("overwrite")
+        (w.partitionBy(self.MONTH_COL) if partitioned else w).parquet(tmp)
         final = self._path("orders")
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+        w2 = self.spark.read.parquet(tmp).write.mode("overwrite")
+        (w2.partitionBy(self.MONTH_COL) if partitioned else w2).parquet(final)
 
     # ------------------------------------------------------------- run/metrics
     def save_pipeline_run(self, run: dict) -> None:
@@ -221,18 +262,36 @@ class Warehouse:
                     k.split("::")[1]: row[k] for k in row if k.startswith(f"{c}::")
                 }
 
-        for c in string_cols:
-            top = (
-                df.groupBy(c)
-                .count()
-                .orderBy(F.col("count").desc(), F.col(c))
-                .limit(10)
+        if string_cols:
+            # Single pass for ALL categorical columns: melt via stack ->
+            # one groupBy(col_name, val) -> per-column window top-10.
+            # The round-1 version ran one groupBy job per column; this is
+            # one job no matter how many string columns the table has.
+            from pyspark.sql import Window as W
+
+            stack_expr = "stack({n}, {args}) AS (col_name, val)".format(
+                n=len(string_cols),
+                args=", ".join(f"'{c}', {c}" for c in string_cols),
+            )
+            counts = (
+                df.select(F.expr(stack_expr))
+                .groupBy("col_name", "val")
+                .agg(F.count(F.lit(1)).alias("count"))
+            )
+            w = W.partitionBy("col_name").orderBy(F.col("count").desc(), F.col("val"))
+            top_rows = (
+                counts.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= 10)
                 .collect()
             )
-            report["categorical"][c] = {
-                "distinct_in_top10": len(top),
-                "top_values": {str(r[c]): r["count"] for r in top},
-            }
+            for c in string_cols:
+                col_top = sorted(
+                    (r for r in top_rows if r["col_name"] == c), key=lambda r: r["rn"]
+                )
+                report["categorical"][c] = {
+                    "distinct_in_top10": len(col_top),
+                    "top_values": {str(r["val"]): r["count"] for r in col_top},
+                }
 
         if "total_amount" in df.columns:
             rev = df.agg(

@@ -30,6 +30,43 @@ def test_partitioned_warehouse_prunes(spark, tmp_path):
     assert "order_month" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_default_month_partitioning_prunes(spark, tmp_path):
+    """Default save path derives order_month from order_date and hive-
+    partitions by it; a month-bounded read prunes to one directory."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    df = spark.range(300).select(
+        F.format_string("ORD-%04d", F.col("id")).alias("order_id"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("id") % 90).cast("int")
+        ).alias("order_date"),
+        (F.col("id").cast("double") * 2.0).alias("total_amount"),
+    )
+    wh.save_orders(df)
+
+    dirs = sorted(
+        d
+        for d in os.listdir(str(tmp_path / "wh2" / "orders"))
+        if d.startswith("order_month=")
+    )
+    assert dirs == ["order_month=2024-01", "order_month=2024-02", "order_month=2024-03"]
+
+    feb = wh.read_orders_month("2024-02")
+    plan = feb._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "order_month" in plan.split("PartitionFilters")[1][:200]
+    # ids with (id % 90) in Feb 2024 days 31..59: 3 ids per residue
+    assert feb.count() == 29 * 3
+    assert "order_month" not in feb.columns  # derived key, not payload
+
+    # full read keeps prior schema (no partition key leak) + upsert works
+    wh.compact()
+    assert wh.read_orders(order_by="order_id", desc=False).count() == 300
+
+
 def test_two_stage_count_distinct_matches_naive(spark):
     df = spark.range(10000).select(
         (F.col("id") % 7).alias("k"),
