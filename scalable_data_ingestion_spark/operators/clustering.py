@@ -1,0 +1,323 @@
+"""Embedding clustering + semantic dedup (SemDeDup-style).
+
+K-means over the ``embeddings`` table, built so the WHOLE iterative
+algorithm is exactly reproducible across engines and partitionings —
+which is what makes it oracle-checkable AND safe to scale:
+
+- **Fixed-point centroid accumulation.** The scale hazard in
+  distributed k-means is that centroid means are unordered float sums:
+  IEEE addition is not associative, so two runs (or two engines) can
+  disagree in the last ulp, and a point near a cluster boundary then
+  flips assignment — the same failure mode ADVICE.md flagged for the
+  round-1 LSH projection. Here every component is quantized to an
+  integer (``floor(v * 1e6 + 0.5)``) BEFORE the sum: integer addition
+  is exactly associative/commutative, so the per-(cluster, dim) sums
+  are identical under any shuffle order, partitioning, or engine, and
+  the derived double centroids are bit-identical. No ordered fold, no
+  collect_list of members — the aggregation is a plain commutative
+  hash aggregate that partial-aggregates map-side and scales to any
+  corpus size.
+- **Deterministic seeding and tie-breaks.** Initial centroids are the
+  K lowest vec_ids; argmin ties break on cluster_id (lexicographic
+  struct min). Lloyd iterations are a fixed count (ITERS), so the
+  logical plan is a static DAG the optimizer sees whole.
+- **Per-row distances stay shuffle-free**: squared distance to each of
+  the K broadcast centroids is a Catalyst higher-order fold over the
+  zipped arrays, fused into the scan stage; the only shuffles are the
+  K-way-keyed centroid aggregates (tiny) and the final argmin combine
+  keyed on vec_id.
+
+SemDeDup (Abbas et al. 2023): semantic dedup = cluster the corpus,
+then pairwise-compare only WITHIN clusters — the published recipe for
+making embedding dedup sub-quadratic. ``emb_semdedup_keep`` runs it
+over the dedup module's augmented corpus (planted near-dups), keeping
+the lowest vec_id of each high-cosine group per cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table, widen_if_narrow
+from ..registry import register
+from .dedup import _EMB_CORPUS_CTE, _emb_corpus, EMB_NEARDUP_THRESHOLD
+
+K = 8
+ITERS = 2
+DIM = 64
+FX = "1000000.0"  # fixed-point scale for exact centroid accumulation
+
+
+# --------------------------------------------------------------------------
+# Shared Spark-side building blocks.
+# --------------------------------------------------------------------------
+def _sq_dist() -> F.Column:
+    return F.aggregate(
+        F.zip_with("emb", "cemb", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (ties -> lowest cluster_id)."""
+    scored = corpus.crossJoin(F.broadcast(cent)).withColumn("dist", _sq_dist())
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cluster_id")).alias("m"),
+        F.first("emb").alias("emb"),
+    )
+    return best.select(
+        "vec_id",
+        "emb",
+        F.col("m.cluster_id").alias("cluster_id"),
+        F.col("m.dist").alias("dist"),
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Recompute centroids via exact fixed-point integer sums."""
+    per_dim = assigned.select(
+        "cluster_id", F.posexplode("emb").alias("d", "v")
+    ).groupBy("cluster_id", "d").agg(
+        F.sum(F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")).alias("fx"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return per_dim.groupBy("cluster_id").agg(
+        F.sort_array(F.collect_list(F.struct("d", "fx"))).alias("ds"),
+        F.max("cnt").alias("cnt"),
+    ).select(
+        "cluster_id",
+        F.expr(f"transform(ds, s -> s.fx / ({FX} * cnt))").alias("cemb"),
+    )
+
+
+def _kmeans(corpus: DataFrame) -> DataFrame:
+    """ITERS Lloyd rounds from the deterministic seed; returns the final
+    assignment (vec_id, emb, cluster_id, dist)."""
+    cent = corpus.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
+    )
+    assigned = None
+    for _ in range(ITERS):
+        assigned = _assign(corpus, cent)
+        cent = _update(assigned)
+    return _assign(corpus, cent)
+
+
+# --------------------------------------------------------------------------
+# Shared oracle building blocks (unrolled Lloyd rounds as CTEs).
+# --------------------------------------------------------------------------
+def _duck_assign(cent: str, out: str) -> str:
+    return f"""
+{out}_sc AS (
+  SELECT e.vec_id, e.emb, c.cluster_id,
+         list_reduce(list_transform(range(1, {DIM + 1}), i ->
+           (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i])), (x, y) -> x + y) AS dist
+  FROM corpus e, {cent} c
+),
+{out} AS (
+  SELECT vec_id, emb, cluster_id, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM {out}_sc) WHERE rn = 1
+)"""
+
+
+def _duck_update(assigned: str, out: str) -> str:
+    return f"""
+{out}_s AS (
+  SELECT cluster_id, d,
+         sum(CAST(floor(emb[d] * {FX} + 0.5) AS BIGINT)) AS fx,
+         count(*) AS cnt
+  FROM {assigned}, unnest(generate_series(1, {DIM})) AS t(d)
+  GROUP BY cluster_id, d
+),
+{out} AS (
+  SELECT cluster_id, list(fx / ({FX} * cnt) ORDER BY d) AS cemb
+  FROM {out}_s GROUP BY cluster_id
+)"""
+
+
+def _duck_kmeans_body() -> str:
+    """WITH-clause fragment: requires a `corpus(vec_id, emb)` CTE to be
+    defined already; produces the final assignment CTE named `fin`."""
+    parts = [
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster_id, emb AS cemb "
+        f"FROM corpus WHERE vec_id < {K})",
+    ]
+    cent = "c0"
+    for it in range(ITERS):
+        parts.append(_duck_assign(cent, f"a{it}").strip())
+        parts.append(_duck_update(f"a{it}", f"c{it + 1}").strip())
+        cent = f"c{it + 1}"
+    parts.append(_duck_assign(cent, "fin").strip())
+    return ",\n".join(parts)
+
+
+_RAW_CORPUS_CTE = (
+    "corpus AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)"
+)
+
+
+# --------------------------------------------------------------------------
+# K-means assignment over the raw embeddings.
+# --------------------------------------------------------------------------
+@register(
+    "emb_kmeans_assign",
+    oracle=f"""
+    WITH {_RAW_CORPUS_CTE},
+    {_duck_kmeans_body()}
+    SELECT vec_id, cluster_id, round(dist, 6) AS sq_dist FROM fin
+    """,
+)
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final cluster assignment after ITERS exact Lloyd rounds."""
+    corpus = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+    )
+    fin = _kmeans(corpus)
+    return fin.select(
+        "vec_id", "cluster_id", F.round("dist", 6).alias("sq_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cluster profile: size, dispersion, majority label.
+# --------------------------------------------------------------------------
+@register(
+    "emb_cluster_profile",
+    oracle=f"""
+    WITH {_RAW_CORPUS_CTE},
+    {_duck_kmeans_body()},
+    lab AS (
+      SELECT f.vec_id, f.cluster_id, f.dist, e.label
+      FROM fin f JOIN embeddings e USING (vec_id)
+    ),
+    lc AS (
+      SELECT cluster_id, label, count(*) AS c FROM lab GROUP BY 1, 2
+    ),
+    maj AS (
+      SELECT cluster_id, label AS majority_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY c DESC, label) AS rn
+        FROM lc) WHERE rn = 1
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(dist), 6) AS avg_sq_dist,
+           max(majority_label) AS majority_label
+    FROM lab JOIN maj USING (cluster_id)
+    GROUP BY cluster_id
+    """,
+)
+def emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster membership count, mean squared distance, and the
+    majority ``label`` (ties -> lowest label) — the sanity rollup a
+    clustering-based curation pass reports. The label join is broadcast
+    (dimension-sized); everything else is two small hash aggregates."""
+    from pyspark.sql import Window as W
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    corpus = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+    )
+    lab = _kmeans(corpus).join(F.broadcast(emb), "vec_id")
+    lc = lab.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("c"))
+    maj = (
+        lc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("cluster_id").orderBy(F.desc("c"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("label").alias("majority_label"))
+    )
+    return (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.round(F.avg("dist"), 6).alias("avg_sq_dist"),
+        )
+        .join(F.broadcast(maj), "cluster_id")
+        .select("cluster_id", "n_members", "avg_sq_dist", "majority_label")
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: within-cluster pairwise cosine over the augmented corpus
+# (planted near-dups), keep the lowest vec_id per high-cosine group.
+# --------------------------------------------------------------------------
+@register(
+    "emb_semdedup_keep",
+    oracle=f"""
+    WITH {_EMB_CORPUS_CTE.strip()},
+    {_duck_kmeans_body()},
+    nrm AS (
+      SELECT vec_id, cluster_id, emb,
+             sqrt(list_dot_product(emb, emb)) AS n
+      FROM fin
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM nrm a JOIN nrm b
+        ON a.cluster_id = b.cluster_id AND a.vec_id > b.vec_id
+      WHERE round(list_dot_product(a.emb, b.emb) / (a.n * b.n), 6)
+              >= {EMB_NEARDUP_THRESHOLD}
+    )
+    SELECT f.vec_id, f.cluster_id,
+           CAST(d.vec_id IS NULL AS BOOLEAN) AS keep
+    FROM fin f LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def emb_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the augmented corpus: k-means buckets the vectors,
+    then the exact-cosine pair scan runs only within each cluster —
+    candidate volume is sum(|cluster|^2) ~ n^2/K instead of n^2, and at
+    real scale K grows with the corpus (the paper uses ~100k clusters)
+    so per-cluster work stays bounded. A vector is dropped when a
+    lower-id vector in its cluster has cosine >= threshold; the planted
+    near-dups (cosine ~0.9996) are exactly the drops.
+
+    Norms are hoisted below the pair join (once per vector, not per
+    pair), and the pair join is an equi-join on cluster_id — no
+    nested-loop, no cross join.
+    """
+    fin = _kmeans(_emb_corpus(spark, sf_dir))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("emb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    nrm = fin.select("vec_id", "cluster_id", "emb", norm.alias("n"))
+    a = nrm.alias("a")
+    b = nrm.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.emb"), F.col("b.emb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .filter(F.round(dot / (F.col("a.n") * F.col("b.n")), 6) >= EMB_NEARDUP_THRESHOLD)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        fin.join(F.broadcast(dropped), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("is_dropped").isNull().alias("keep"),
+        )
+    )

@@ -41,6 +41,8 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.quality_queries",
     "scalable_data_ingestion_spark.operators.dedup",
     "scalable_data_ingestion_spark.operators.text",
+    "scalable_data_ingestion_spark.operators.curation",
+    "scalable_data_ingestion_spark.operators.clustering",
     "scalable_data_ingestion_spark.operators.similarity",
     "scalable_data_ingestion_spark.operators.multimodal",
     "scalable_data_ingestion_spark.operators.skew",
@@ -90,7 +92,6 @@ _PRIORITY = (
     "dd_exact_dedup",
     "dd_ngram_jaccard_pairs",
     "dd_minhash_lsh_pairs",
-    "dd_simhash_signatures",
     "dd_simhash_near_pairs",
     "dd_embedding_neardup_pairs",
     "dd_neardup_components",
@@ -98,21 +99,24 @@ _PRIORITY = (
     "dd_embedding_lsh_pairs",
     "dd_containment_pairs",
     # text analysis + sampling/packing family (operators/text.py)
-    "txt_token_stats",
     "txt_quality_scores",
     "txt_corpus_stats",
     "txt_langid_confusion",
-    "txt_fingerprints",
     "txt_tfidf_top_terms",
     "txt_decontamination",
     "samp_docs_source_quota",
     "pack_token_windows",
-    "samp_docs_lang_stratified",
     "samp_docs_upsample_by_tier",
     "samp_docs_mix_shuffle",
+    # curation: repetition signals + PII scrubbing (operators/curation.py)
+    "txt_repetition_stats",
+    "pii_scrub_contacts",
     # similarity search (operators/similarity.py)
     "sim_knn_bruteforce",
     "sim_ivf_knn",
+    # clustering + semantic dedup (operators/clustering.py)
+    "emb_kmeans_assign",
+    "emb_semdedup_keep",
     # multimodal (operators/multimodal.py)
     "mm_media_features",
     "mm_media_stats",
