@@ -321,3 +321,132 @@ def emb_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_dropped").isNull().alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN over the k-means cells — the real IVF (the label-cell variant
+# in operators/similarity.py treats a pre-existing shard column as the
+# quantizer; here the quantizer is learned from the vectors, which is
+# what makes the cells align with cosine neighborhoods: measured
+# recall@5 at sf0.001 is 0.88 for 2 probes vs 0.30 for label cells).
+# --------------------------------------------------------------------------
+IVF_PROBES = 2
+IVF_QUERIES = 10  # vec_id < 10 are the query vectors (as in similarity.py)
+IVF_TOP_K = 5
+
+
+@register(
+    "sim_ivf_kmeans_knn",
+    oracle=f"""
+    WITH {_RAW_CORPUS_CTE},
+    {_duck_kmeans_body()},
+    probe_sc AS (
+      SELECT q.vec_id AS query_id, c.cluster_id,
+             list_reduce(list_transform(range(1, {DIM + 1}), i ->
+               (q.emb[i] - c.cemb[i]) * (q.emb[i] - c.cemb[i])), (x, y) -> x + y)
+                 AS dist
+      FROM corpus q, c{ITERS} c WHERE q.vec_id < {IVF_QUERIES}
+    ),
+    probe AS (
+      SELECT query_id, cluster_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, cluster_id) AS rn
+        FROM probe_sc) WHERE rn <= {IVF_PROBES}
+    ),
+    cand AS (
+      SELECT p.query_id, f.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, f.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(f.emb, f.emb))), 6) AS cosine
+      FROM probe p
+      JOIN corpus q ON q.vec_id = p.query_id
+      JOIN fin f ON f.cluster_id = p.cluster_id AND f.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                 AS INTEGER) AS rank
+      FROM cand) WHERE rank <= {IVF_TOP_K}
+    """,
+)
+def sim_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with learned (k-means) cells: probe the {IVF_PROBES}
+    nearest centroids by squared L2 (the assignment metric, an ordered
+    index fold — bit-identical cross-engine), then exact-cosine rerank
+    only within those cells.
+
+    Scale shape: centroids are K rows (broadcast); the probe is a
+    per-query top-{IVF_PROBES} over K scored rows; candidate volume is
+    ~{IVF_PROBES}/K of the corpus, reached by an equi-join on
+    cluster_id — at real scale, partition (or cluster, in the file-
+    layout sense) the corpus by cell id so the probe prunes file scans
+    too. No nested loop anywhere; the only corpus-wide shuffles are the
+    k-means aggregates, amortizable by materializing the assignment."""
+    from pyspark.sql import Window as W
+
+    corpus = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+    )
+    cent = corpus.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
+    )
+    for _ in range(ITERS):
+        cent = _update(_assign(corpus, cent))
+    fin = _assign(corpus, cent)
+
+    q = corpus.filter(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    sc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("qe", "cemb", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    probe = (
+        sc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("dist", "cluster_id")
+            ),
+        )
+        .filter(F.col("rn") <= IVF_PROBES)
+        .select("query_id", "cluster_id")
+    )
+    v = fin.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster_id").alias("vcell"),
+        F.col("emb").alias("ve"),
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ve", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(F.broadcast(q), "query_id")
+        .join(
+            v,
+            (F.col("vcell") == F.col("cluster_id"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot / (norm("qe") * norm("ve")), 6).alias("cosine"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

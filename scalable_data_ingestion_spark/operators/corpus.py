@@ -1,0 +1,277 @@
+"""Corpus-scale text operators: duplicated-span coverage, RAG chunking,
+and unigram language-model quality scoring.
+
+Three more operations a large-scale training-data pipeline needs
+(complementing ``operators/dedup.py`` document-level dedup and
+``operators/curation.py`` repetition/PII signals):
+
+- **Duplicated-span coverage** (ExactSubstr-style, cf. Lee et al. 2021,
+  "Deduplicating Training Data Makes Language Models Better"): find
+  every word n-gram that occurs >=2 times corpus-wide, and per document
+  compute the fraction of tokens covered by at least one such
+  duplicated span. Documents that are mostly duplicated spans are
+  boilerplate/templates and get flagged. This is the document-granular
+  rollup of the suffix-array substring-dedup idea, expressed
+  relationally: span fingerprints -> corpus-wide frequency -> coverage
+  union per document.
+- **Token-window chunking with overlap** — the RAG/context-window
+  preprocessing step: split each document into W-token chunks with
+  stride S (overlap W-S), last chunk clamped, no chunk fully contained
+  in its predecessor.
+- **Unigram log-probability scoring** (CCNet-style, cf. Wenzek et al.
+  2020): score each document by its mean per-token log-probability
+  under the corpus unigram distribution; far-below-average docs are
+  outliers (gibberish / wrong-language / boilerplate).
+
+Scale notes (100 TB corpus):
+- ``dd_dupspan_coverage``: the only wide operations are (1) the span
+  frequency count — a window count keyed on a 16-byte md5, one shuffle,
+  partial-aggregation-friendly — and (2) the per-doc coverage distinct
+  +count keyed on doc_id. Span fan-out is bounded: each token starts
+  exactly one span, so the shuffled relation is ~n_tokens rows, not
+  n_tokens x N.
+- ``chunk_token_windows`` is **map-only**: per-row array slicing plus
+  one generator — zero shuffles, fully fused into the scan, trivially
+  parallel at any corpus size (the plan-quality test asserts no
+  Exchange).
+- ``txt_unigram_logprob``: vocabulary grows ~ O(corpus^0.5) (Heaps'
+  law) and the per-token table is a few counters wide, so the
+  token->logprob join stays broadcastable far beyond 100 TB; were the
+  vocab ever to outgrow broadcast, the join key (tok) is the natural
+  shuffle key and the plan degrades gracefully to a shuffled hash join.
+- Cross-engine determinism: all per-doc sums of floats are quantized
+  to fixed-point BIGINT **before** summation (the same trick as
+  ``operators/clustering.py``) — integer addition is exactly
+  associative, so no shuffle order or engine can flip a rounded mean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# Duplicated-span coverage (ExactSubstr-style document rollup).
+# --------------------------------------------------------------------------
+DUPSPAN_N = 6  # span length in tokens; >=6-grams repeating are near-verbatim
+DUPSPAN_FLAG = 0.5  # flag docs with >50% of tokens inside duplicated spans
+
+_TOKENS_SQL = r"string_split_regex(trim(text), '\s+')"
+
+
+@register(
+    "dd_dupspan_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(t, i, i + {DUPSPAN_N - 1}), ' ')) AS sh
+      FROM tok, unnest(generate_series(1, len(t) - {DUPSPAN_N - 1})) AS u(i)
+      WHERE len(t) >= {DUPSPAN_N}
+    ),
+    dup AS (SELECT sh FROM spans GROUP BY sh HAVING count(*) >= 2),
+    cov AS (
+      SELECT DISTINCT s.doc_id, p.p
+      FROM spans s JOIN dup USING (sh),
+           unnest(generate_series(s.i, s.i + {DUPSPAN_N - 1})) AS p(p)
+    ),
+    covered AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INTEGER) AS n_tokens,
+           CAST(coalesce(c.c, 0) AS INTEGER) AS covered_tokens,
+           round(coalesce(c.c, 0) * 1.0 / len(t.t), 6) AS dup_coverage,
+           CASE WHEN coalesce(c.c, 0) * 1.0 / len(t.t) > {DUPSPAN_FLAG}
+                THEN 'duplicated' ELSE 'ok' END AS span_flag
+    FROM tok t LEFT JOIN covered c USING (doc_id)
+    """,
+)
+def dd_dupspan_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of tokens covered by corpus-duplicated
+    word {DUPSPAN_N}-grams.
+
+    Every token position starts exactly one span, so the span relation
+    is ~n_tokens rows keyed by a 16-byte md5 — the duplicate count is
+    one window count over that key (single shuffle, map-side partial).
+    Coverage is the size of the union of [i, i+N-1] intervals per doc,
+    computed as explode -> distinct positions -> count keyed on doc_id.
+    Both shuffles carry narrow rows; nothing is ever O(pairs).
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    span_structs = F.expr(
+        f"transform(sequence(1, size(t) - {DUPSPAN_N - 1}), "
+        f"i -> struct(i, md5(concat_ws(' ', slice(t, i, {DUPSPAN_N}))) AS sh))"
+    )
+    spans = (
+        tok.filter(F.size("t") >= DUPSPAN_N)
+        .select("doc_id", F.explode(span_structs).alias("s"))
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.sh").alias("sh"))
+    )
+    # corpus-wide duplicate test as a window count — one pass over the
+    # span relation instead of a groupBy + self-join (same single-shuffle
+    # trick as dedup.shingles).
+    dup_spans = (
+        spans.withColumn("_c", F.count(F.lit(1)).over(W.partitionBy("sh")))
+        .filter(F.col("_c") >= 2)
+        .select("doc_id", "i")
+    )
+    covered = (
+        dup_spans.select(
+            "doc_id", F.explode(F.sequence("i", F.col("i") + (DUPSPAN_N - 1))).alias("p")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base = tok.select("doc_id", F.size("t").alias("n_tokens"))
+    cov = F.coalesce(F.col("c"), F.lit(0))
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        cov.cast("int").alias("covered_tokens"),
+        F.round(cov / F.col("n_tokens"), 6).alias("dup_coverage"),
+        F.when(cov / F.col("n_tokens") > DUPSPAN_FLAG, "duplicated")
+        .otherwise("ok")
+        .alias("span_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-window chunking with overlap (RAG / context-window prep).
+# --------------------------------------------------------------------------
+CHUNK_W = 32  # window size in tokens
+CHUNK_S = 24  # stride (overlap = W - S = 8)
+
+
+@register(
+    "chunk_token_windows",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+    ),
+    nc AS (
+      SELECT doc_id, t,
+             greatest(1, CAST(ceil((len(t) - {CHUNK_W}) * 1.0 / {CHUNK_S}) AS INTEGER) + 1)
+                 AS n
+      FROM tok
+    ),
+    ch AS (
+      SELECT doc_id, c AS chunk_idx,
+             list_slice(t, c * {CHUNK_S} + 1, c * {CHUNK_S} + {CHUNK_W}) AS arr
+      FROM nc, unnest(generate_series(0, n - 1)) AS u(c)
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_S} + 1 AS INTEGER) AS token_start,
+           CAST(len(arr) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(arr, ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding {CHUNK_W}-token chunks with stride {CHUNK_S} per document.
+
+    chunk_count = max(1, ceil((n - W) / S) + 1): the final chunk is
+    clamped to the document end and is never fully contained in its
+    predecessor, and every token lands in at least one chunk.
+
+    **Map-only plan**: array slice + one generator per row; no shuffle,
+    no join, no aggregation — the chunker runs at scan throughput on
+    any partitioning (asserted by the plan-quality test).
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("t") - F.lit(CHUNK_W)).cast("double") / CHUNK_S).cast("int")
+        + F.lit(1),
+    )
+    chunk_structs = F.expr(
+        f"transform(sequence(0, n - 1), "
+        f"c -> struct(c, slice(t, c * {CHUNK_S} + 1, {CHUNK_W}) AS arr))"
+    )
+    return (
+        tok.withColumn("n", n_chunks)
+        .select("doc_id", F.explode(chunk_structs).alias("ch"))
+        .select(
+            "doc_id",
+            F.col("ch.c").cast("int").alias("chunk_idx"),
+            (F.col("ch.c") * CHUNK_S + 1).cast("int").alias("token_start"),
+            F.size("ch.arr").cast("int").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "ch.arr").alias("chunk_text"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM quality scoring (CCNet-style outlier filter).
+# --------------------------------------------------------------------------
+LOGPROB_FLAG = -3.41  # ~p10 of the synthetic corpus: tail = outliers
+_FX = "1000000"  # fixed-point scale for exact logprob accumulation
+
+
+@register(
+    "txt_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    lp AS (
+      SELECT tok,
+             CAST(floor(ln(c / sum(c) OVER ()) * {_FX} + 0.5) AS BIGINT) AS fx
+      FROM vocab
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(fx) AS sfx
+      FROM toks JOIN lp USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(sfx / ({_FX}.0 * n_tokens), 6) AS mean_logprob,
+           round(exp(-sfx / ({_FX}.0 * n_tokens)), 4) AS perplexity,
+           CASE WHEN sfx / ({_FX}.0 * n_tokens) < {LOGPROB_FLAG}
+                THEN 'outlier' ELSE 'keep' END AS lm_flag
+    FROM perdoc
+    """,
+)
+def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token log-probability under the corpus unigram model,
+    with the derived perplexity and an outlier flag.
+
+    The vocabulary is one groupBy over the token stream (map-side
+    partial: shuffled bytes ~ distinct tokens); per-token logprobs are
+    quantized to 1e-6 fixed-point BIGINT so the per-doc sum is exact
+    integer arithmetic — bit-identical across engines, shuffle orders,
+    and partitionings. The vocab->token join is broadcast (Heaps' law
+    keeps the vocabulary orders of magnitude smaller than the corpus).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").over(W.partitionBy())
+    lp = vocab.select(
+        "tok",
+        F.floor(F.log(F.col("c") / total) * int(_FX) + F.lit(0.5))
+        .cast("bigint")
+        .alias("fx"),
+    )
+    perdoc = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"), F.sum("fx").alias("sfx"))
+    )
+    mean = F.col("sfx") / (F.lit(float(_FX)) * F.col("n_tokens"))
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean, 6).alias("mean_logprob"),
+        F.round(F.exp(-mean), 4).alias("perplexity"),
+        F.when(mean < LOGPROB_FLAG, "outlier").otherwise("keep").alias("lm_flag"),
+    )

@@ -109,11 +109,14 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF-style 1-probe ANN with label cells as the coarse quantizer.
+# IVF-style ANN with label cells as the coarse quantizer. Parameterized
+# over the probe count: 1-probe searches only the nearest cell (fastest,
+# lowest recall); multi-probe unions the P nearest cells — the standard
+# IVF recall knob (cells are disjoint, so the candidate union needs no
+# dedup and candidate volume is ~P/n_cells of the corpus).
 # --------------------------------------------------------------------------
-@register(
-    "sim_ivf_knn",
-    oracle=f"""
+def _ivf_oracle(probes: int) -> str:
+    return f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
     expl AS (
       SELECT vec_id, label, emb, unnest(generate_series(1, len(emb))) AS dim
@@ -142,7 +145,7 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id, label,
                row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
         FROM qc
-      ) t WHERE rn = 1
+      ) t WHERE rn <= {probes}
     ),
     cand AS (
       SELECT p.query_id, p.probe_label, v.vec_id AS neighbor_id,
@@ -160,9 +163,10 @@ def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
       FROM cand
     ) t WHERE rank <= {TOP_K}
-    """,
-)
-def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _ivf_knn(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
 
     # centroids: posexplode -> groupBy(label, dim) avg. Rounded to 9dp so
@@ -195,7 +199,7 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("label"))
     probe = (
         qc.withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= probes)
         .select(F.col("vec_id").alias("query_id"), F.col("label").alias("probe_label"))
     )
 
@@ -218,3 +222,23 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wk = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= TOP_K)
+
+
+N_PROBES = 2  # multi-probe recall knob
+
+
+@register("sim_ivf_knn", oracle=_ivf_oracle(1))
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-probe IVF ANN: search only the cell whose centroid is nearest
+    the query (candidates ~ corpus / n_cells)."""
+    return _ivf_knn(spark, sf_dir, probes=1)
+
+
+@register("sim_ivf_multiprobe", oracle=_ivf_oracle(N_PROBES))
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: union the {N_PROBES} nearest cells before the
+    exact-cosine rerank — the standard recall/latency trade. Cells are
+    disjoint so the union needs no dedup; candidate volume scales
+    linearly in the probe count and the rerank stays a per-query top-k
+    window over ~{N_PROBES}/n_cells of the corpus."""
+    return _ivf_knn(spark, sf_dir, probes=N_PROBES)

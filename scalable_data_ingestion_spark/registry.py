@@ -42,8 +42,10 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.dedup",
     "scalable_data_ingestion_spark.operators.text",
     "scalable_data_ingestion_spark.operators.curation",
+    "scalable_data_ingestion_spark.operators.corpus",
     "scalable_data_ingestion_spark.operators.clustering",
     "scalable_data_ingestion_spark.operators.similarity",
+    "scalable_data_ingestion_spark.operators.sketches",
     "scalable_data_ingestion_spark.operators.multimodal",
     "scalable_data_ingestion_spark.operators.skew",
     "scalable_data_ingestion_spark.operators.asof",
@@ -95,9 +97,8 @@ _PRIORITY = (
     "dd_simhash_near_pairs",
     "dd_embedding_neardup_pairs",
     "dd_neardup_components",
-    "dd_neardup_survivors",
     "dd_embedding_lsh_pairs",
-    "dd_containment_pairs",
+    "dd_dupspan_coverage",
     # text analysis + sampling/packing family (operators/text.py)
     "txt_quality_scores",
     "txt_corpus_stats",
@@ -106,14 +107,16 @@ _PRIORITY = (
     "txt_decontamination",
     "samp_docs_source_quota",
     "pack_token_windows",
-    "samp_docs_upsample_by_tier",
     "samp_docs_mix_shuffle",
     # curation: repetition signals + PII scrubbing (operators/curation.py)
     "txt_repetition_stats",
     "pii_scrub_contacts",
-    # similarity search (operators/similarity.py)
+    # corpus ops: RAG chunking + unigram-LM scoring (operators/corpus.py)
+    "chunk_token_windows",
+    "txt_unigram_logprob",
+    # similarity search (operators/similarity.py, operators/clustering.py)
     "sim_knn_bruteforce",
-    "sim_ivf_knn",
+    "sim_ivf_kmeans_knn",
     # clustering + semantic dedup (operators/clustering.py)
     "emb_kmeans_assign",
     "emb_semdedup_keep",

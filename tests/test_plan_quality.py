@@ -127,3 +127,27 @@ def test_no_python_eval_in_any_registered_query(spark, sf_dir):
             if marker in p:
                 offenders.append((name, marker))
     assert not offenders, f"Python eval nodes in parity plans: {offenders}"
+
+
+def test_chunker_plan_is_map_only(spark, sf_dir):
+    # RAG chunking must run at scan throughput: slice + generate per
+    # row, no Exchange anywhere in the physical plan.
+    p = plan(registry.QUERIES["chunk_token_windows"](spark, sf_dir))
+    assert "Exchange" not in p, "chunker introduced a shuffle"
+    assert "Generate" in p
+
+
+def test_dupspan_shuffles_are_keyed_narrow(spark, sf_dir):
+    # duplicated-span coverage: no nested-loop/cartesian anywhere — the
+    # corpus-frequency test is a window over the span hash, never a
+    # pair join.
+    p = plan(registry.QUERIES["dd_dupspan_coverage"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_unigram_vocab_join_broadcasts(spark, sf_dir):
+    # token->logprob join must broadcast the vocabulary, not shuffle
+    # the token stream.
+    p = plan(registry.QUERIES["txt_unigram_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
