@@ -1,0 +1,203 @@
+"""Behavioral analytics over the event log: ordered conversion funnels
+and cohort retention.
+
+The reference has no event analytics at all (its only aggregate surface
+is whole-table descriptive stats, SURVEY.md §2.4); these two operators
+cover the sequence-analysis family a product/training-data pipeline
+runs over clickstream-shaped data:
+
+- **Ordered conversion funnel** (``ev_conversion_funnel``): for each
+  user, the first ``view``, the first ``click`` strictly after that
+  view, and the first ``purchase`` strictly after that click — i.e. the
+  stages must happen in order, not merely all happen. Rolls up to
+  per-stage user counts and conversion rates. This is the
+  MATCH_RECOGNIZE/funnel idiom expressed with conditional min-over-
+  window, no pattern-matching engine needed.
+- **Cohort retention** (``ev_retention_cohorts``): users are cohorted
+  by their first active day; for every (cohort day, day offset) cell,
+  the fraction of the cohort active that day. The classic triangle
+  retention matrix.
+
+Scale notes (100 TB event log):
+- Both operators shuffle **once** on ``user_id`` (the funnel's three
+  stage timestamps are stacked window functions over the same
+  partitioning — Catalyst plans a single Exchange; the cohort's
+  per-user first day is a partial-aggregating groupBy). Everything
+  after the per-user reduction is dimension-sized (stages × 1,
+  days × offsets) and hash-aggregates map-side.
+- No self-joins on the raw event log: the naive funnel formulation
+  (events JOIN events JOIN events per user) explodes on power users;
+  conditional window minima are O(events) regardless of per-user
+  fan-out. Skewed users cost one partition's sort, bounded by
+  per-user event counts, not pairs.
+- The retention matrix's ``count(DISTINCT user_id)`` is keyed by
+  (cohort_day, offset) after a per-(user, day) dedup — the dedup is
+  the same shuffle as the cohort assignment, so the distinct is exact
+  without a second corpus-wide pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+@register(
+    "ev_conversion_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    ),
+    n AS (
+      SELECT (SELECT count(*) FROM v) AS n1,
+             (SELECT count(*) FROM c) AS n2,
+             (SELECT count(*) FROM p) AS n3
+    )
+    SELECT s.stage, s.n_users,
+           round(s.n_users * 1.0 / n.n1, 6) AS conv_from_start,
+           round(s.n_users * 1.0 / s.n_prev, 6) AS conv_from_prev
+    FROM n, (
+      SELECT '1_view' AS stage, n1 AS n_users, n1 AS n_prev FROM n
+      UNION ALL SELECT '2_click', n2, n1 FROM n
+      UNION ALL SELECT '3_purchase', n3, n2 FROM n
+    ) s
+    """,
+)
+def ev_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel with per-stage user
+    counts and step conversion rates.
+
+    Stage timestamps are conditional minima stacked over ONE window
+    partitioning (user_id): ``t1 = min(ts) where view``, ``t2 = min(ts)
+    where click and ts > t1``, ``t3 = min(ts) where purchase and
+    ts > t2``. Catalyst plans the three Window operators over a single
+    Exchange, so the whole funnel costs one shuffle of the event log —
+    no event-log self-joins (the naive 3-way join is quadratic per
+    power user).
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    per_ev = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))
+    ).over(w)
+    per_ev = per_ev.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts")
+        )
+    ).over(w)
+    per_user = (
+        per_ev.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n1"), F.count("t2").alias("n2"), F.count("t3").alias("n3")
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("stage"),
+                    F.col("n1").alias("n_users"),
+                    F.col("n1").alias("n_prev"),
+                    F.col("n1").alias("n_start"),
+                ),
+                F.struct(
+                    F.lit("2_click").alias("stage"),
+                    F.col("n2").alias("n_users"),
+                    F.col("n1").alias("n_prev"),
+                    F.col("n1").alias("n_start"),
+                ),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"),
+                    F.col("n3").alias("n_users"),
+                    F.col("n2").alias("n_prev"),
+                    F.col("n1").alias("n_start"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(F.col("s.n_users") / F.col("s.n_start"), 6).alias("conv_from_start"),
+        F.round(F.col("s.n_users") / F.col("s.n_prev"), 6).alias("conv_from_prev"),
+    )
+
+
+@register(
+    "ev_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    coh AS (
+      SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id
+    ),
+    cells AS (
+      SELECT c.cohort_day,
+             CAST(datediff('day', c.cohort_day, a.day) AS INTEGER) AS offset_days,
+             count(DISTINCT a.user_id) AS n_active
+      FROM act a JOIN coh c USING (user_id)
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT cohort_day, n_active AS cohort_size FROM cells WHERE offset_days = 0
+    )
+    SELECT c.cohort_day, c.offset_days,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           round(c.n_active * 1.0 / b.cohort_size, 6) AS retention
+    FROM cells c JOIN base b USING (cohort_day)
+    """,
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle retention matrix: cohort users by first active day,
+    then the active fraction of each cohort at every day offset.
+
+    One shuffle keyed on user_id covers the (user, day) dedup AND the
+    per-user cohort min (the cohort join is on the same key, so AQE
+    reuses the partitioning); the (cohort, offset) matrix is at most
+    days^2 cells — dimension-sized regardless of event volume, so the
+    final aggregate and the offset-0 self-join are broadcast-cheap.
+    """
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cells = (
+        act.join(coh, "user_id")
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").cast("int").alias("offset_days"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    base = cells.filter(F.col("offset_days") == 0).select(
+        "cohort_day", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(F.broadcast(base), "cohort_day").select(
+        "cohort_day",
+        "offset_days",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
+    )

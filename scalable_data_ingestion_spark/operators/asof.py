@@ -70,8 +70,10 @@ def asof_join(
     out = filled.filter(F.col("_side") == 1)
     asof_time: Column = F.col("_last_rv._rt")
     if tolerance_seconds is not None:
+        # unix_timestamp works for both TIMESTAMP and TIMESTAMP_NTZ inputs
+        # (TIMESTAMP_NTZ no longer casts to BIGINT directly).
         in_tol = (
-            F.col(left_time).cast("long") - asof_time.cast("long")
+            F.unix_timestamp(F.col(left_time)) - F.unix_timestamp(asof_time)
         ) <= tolerance_seconds
         out = out.withColumn("_last_rv", F.when(in_tol, F.col("_last_rv")))
     sel = [*l_cols, F.col("_last_rv._rt").alias(f"asof_{right_time}")]

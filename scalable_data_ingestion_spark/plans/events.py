@@ -166,7 +166,7 @@ def ev_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    gap_sec = F.col("ts").cast("long") - prev_ts.cast("long")
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
     flagged = ev.select(
         "user_id",
         "ts",

@@ -44,6 +44,8 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.curation",
     "scalable_data_ingestion_spark.operators.corpus",
     "scalable_data_ingestion_spark.operators.clustering",
+    "scalable_data_ingestion_spark.operators.analytics",
+    "scalable_data_ingestion_spark.operators.filtering",
     "scalable_data_ingestion_spark.operators.similarity",
     "scalable_data_ingestion_spark.operators.sketches",
     "scalable_data_ingestion_spark.operators.multimodal",
