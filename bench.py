@@ -43,6 +43,17 @@ HEADLINE = [
     "asof_purchase_attribution",
 ]
 
+# Round-3 additions: behavioral analytics, model-based filtering,
+# iterative graph, PQ-compressed ANN. Kept in a separate list so the
+# r2-comparable subtotal (queries_r2_set_total) stays diffable across
+# rounds while the headline total covers the full surface.
+HEADLINE_R3 = [
+    "ev_conversion_funnel",
+    "txt_hash_classifier_score",
+    "gr_copurchase_pagerank",
+    "sim_pq_adc_knn",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,7 +75,7 @@ def main() -> None:
     # target-SF runs too).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in HEADLINE + HEADLINE_R3:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # Each query runs twice at the target SF: the first (cold) run pays
@@ -74,7 +85,7 @@ def main() -> None:
     # run. Both are reported.
     cold: dict[str, float] = {}
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + HEADLINE_R3:
         cold[name] = round(run(name), 3)
         per_query[name] = round(run(name), 3)
 
@@ -88,6 +99,9 @@ def main() -> None:
                 "queries": per_query,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "queries_r2_set_total": round(
+                    sum(per_query[n] for n in HEADLINE), 3
+                ),
                 "sf": sf,
             }
         )

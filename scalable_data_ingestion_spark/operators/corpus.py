@@ -275,3 +275,52 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(-mean), 4).alias("perplexity"),
         F.when(mean < LOGPROB_FLAG, "outlier").otherwise("keep").alias("lm_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-style pretokenizer counting (GPT-2 pretokenizer shape): the token
+# accounting a training pipeline budgets with, vs naive whitespace
+# splitting. Word fragments keep their leading space (" fast"), digits
+# and punctuation runs split off — the regex is the deterministic
+# pre-merge stage of byte-pair tokenizers, so counts approximate real
+# tokenizer budgets far better than whitespace counts.
+# --------------------------------------------------------------------------
+BPE_RX = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+@register(
+    "txt_bpe_token_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(regexp_extract_all(text, '{BPE_RX}', 0),
+                             x -> regexp_matches(x, '\\S'))) AS n_bpe,
+             len(string_split_regex(trim(text), '\\s+')) AS n_ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_bpe AS INTEGER) AS n_bpe_tokens,
+           CAST(n_ws AS INTEGER) AS n_ws_tokens,
+           round(n_bpe * 1.0 / n_ws, 6) AS bpe_to_ws_ratio
+    FROM t
+    """,
+)
+def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretokenizer-accurate token counts per document.
+
+    ``regexp_extract_all`` with the GPT-2-shaped pretokenizer regex runs
+    JVM-side (codegen'd), map-only — zero shuffles, scan throughput at
+    any corpus size. Whitespace-only matches (leading/multiple spaces)
+    are excluded from the count; the ratio to whitespace tokens is the
+    budget-inflation factor tokenizer-aware sampling needs.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_RX), F.lit(0))
+    n_bpe = F.size(F.filter(toks, lambda x: x.rlike(r"\S")))
+    n_ws = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_to_ws_ratio"),
+    )

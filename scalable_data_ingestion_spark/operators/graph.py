@@ -1,0 +1,144 @@
+"""Iterative graph analytics over relational data: PageRank on the
+part co-purchase graph.
+
+The dedup module already runs one iterative graph algorithm (connected
+components, ``operators/dedup.py``); this adds the other canonical
+one — PageRank — expressed as the Pregel-in-DataFrames pattern: one
+message-passing join + one aggregate per superstep, unrolled a fixed
+number of rounds so both engines see an identical static DAG.
+
+Graph: nodes are parts, with an (undirected, unweighted) edge between
+two parts that appear in the same order (the same co-purchase relation
+as ``mb_copurchased_parts`` in plans/stats.py). Because edges are
+symmetric, every node has out-degree >= 1 — no dangling-mass handling
+is needed and the rank vector stays a probability distribution up to
+integer truncation.
+
+Determinism (the reason this is oracle-checkable): ALL rank arithmetic
+is BIGINT fixed-point at scale 1e9 —
+
+    pr_0       = 10^9 DIV N
+    contrib(u) = pr(u) DIV outdeg(u)
+    pr'(v)     = (15*10^9) DIV (100*N)  +  (85 * sum contrib) DIV 100
+
+Integer division and integer sums are exact and associative, so the
+result is bit-identical across engines, shuffle orders, and partition
+layouts — the same policy as the k-means centroids in
+operators/clustering.py, with division-before-sum replacing the float
+mean entirely.
+
+Scale notes (billions of edges):
+- The edge list comes from a lineitem self-equi-join on l_orderkey;
+  fan-out is bounded by order size (max ~13 lines in this schema,
+  7 in TPC-H), so the join output is ~|lineitem| x avg_order_size —
+  linear, not quadratic.
+- Each superstep is one shuffle keyed on the node id (join pr with
+  edges on src, aggregate on dst) with map-side partial sums. At real
+  scale you co-partition edges and ranks once (`repartition(node)`)
+  and every superstep reuses that partitioning; AQE handles hub-node
+  skew via skew-join splitting, or pre-salt the few super-hubs.
+- Degrees are joined once and carried inside the rank relation, so a
+  superstep touches exactly two relations (edges, ranks) — the shape
+  GraphFrames' aggregateMessages produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+PR_ITERS = 3
+PR_SCALE = 10**9  # fixed-point scale for rank mass
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+@register(
+    "gr_copurchase_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (
+      SELECT d.src AS node, d.deg,
+             CAST({PR_SCALE} // nn.n AS BIGINT) AS pr_fx
+      FROM deg d CROSS JOIN nn
+    ),
+    {",".join(
+        f'''pr{i + 1} AS (
+      SELECT e.dst AS node, dd.deg,
+             CAST({15 * PR_SCALE} // ({PR_DAMP_DEN} * nn.n)
+                  + ({PR_DAMP_NUM} * sum(p.pr_fx // p.deg)) // {PR_DAMP_DEN}
+                  AS BIGINT) AS pr_fx
+      FROM pairs e
+      JOIN pr{i} p ON p.node = e.src
+      JOIN deg dd ON dd.src = e.dst
+      CROSS JOIN nn
+      GROUP BY e.dst, dd.deg, nn.n
+    )''' for i in range(PR_ITERS)
+    )}
+    SELECT node AS part_id,
+           CAST(deg AS BIGINT) AS out_degree,
+           round(pr_fx / {PR_SCALE}.0, 9) AS pagerank
+    FROM pr{PR_ITERS}
+    """,
+)
+def gr_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({PR_ITERS} supersteps, damping 0.85) over the part
+    co-purchase graph, in exact BIGINT fixed-point.
+
+    Every superstep is `edges JOIN ranks ON src` -> `groupBy dst` with
+    integer contributions — one node-keyed shuffle, partial-aggregated
+    map-side, identical results under any execution order.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        # every superstep joins against the edge list; cache it once
+        # instead of re-running the self-join + distinct per iteration
+        # (same pattern as the cached shingle relation in dedup.py)
+        .persist()
+    )
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    nn = F.broadcast(deg.agg(F.count(F.lit(1)).alias("n")))
+    pr = deg.crossJoin(nn).select(
+        F.col("src").alias("node"),
+        "deg",
+        F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("pr_fx"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = pairs.join(pr, pairs.src == pr.node).select(
+            "dst", F.expr("pr_fx DIV deg").alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = (
+            sums.join(deg, sums.dst == deg.src)
+            .crossJoin(nn)
+            .select(
+                F.col("dst").alias("node"),
+                "deg",
+                F.expr(
+                    f"CAST({15 * PR_SCALE} DIV ({PR_DAMP_DEN} * n)"
+                    f" + ({PR_DAMP_NUM} * s) DIV {PR_DAMP_DEN} AS BIGINT)"
+                ).alias("pr_fx"),
+            )
+        )
+    return pr.select(
+        F.col("node").alias("part_id"),
+        F.col("deg").cast("bigint").alias("out_degree"),
+        F.round(F.col("pr_fx") / F.lit(float(PR_SCALE)), 9).alias("pagerank"),
+    )

@@ -1,0 +1,251 @@
+"""Product-quantization ANN (IVF-PQ's compression half) over the
+embeddings table.
+
+PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+Search"): split each D-dim vector into S subvectors, learn a small
+codebook per subspace (k-means), store each vector as S one-byte codes,
+and answer queries with Asymmetric Distance Computation (ADC) — the
+query precomputes its distance to every centroid of every subspace
+(an S x K lookup table), and a database vector's approximate distance
+is the sum of S table lookups. The corpus is never decompressed.
+
+Everything is expressed relationally so DuckDB value-checks the entire
+pipeline — codebook training included:
+
+- reshape: (vec_id, sub, subemb[SUBDIM]) — one row per subspace.
+- train: Lloyd k-means over all subspaces AT ONCE, centroids keyed by
+  (sub, cid) — the per-subspace loop becomes a grouping key, so one
+  unrolled iteration trains all S codebooks simultaneously (same
+  fixed-point centroid sums as operators/clustering.py: quantize to
+  1e-6 BIGINT before summation, exact under any shuffle order).
+- encode: argmin centroid per (vec_id, sub) (ties -> lowest cid).
+- ADC: per query, squared-L2 to each (sub, cid) centroid, quantized to
+  1e-6 fixed-point BIGINT; candidate distance = integer SUM of S
+  lookups via an equi-join on (sub, cid = code) — exact, associative,
+  engine-independent.
+
+Scale notes (billions of vectors):
+- The encoded corpus is S bytes/vector + vec_id — a 64-dim float
+  corpus compresses 32x; the ADC join touches only (vec_id, sub, code)
+  rows, shuffle keyed on (sub, code) against a broadcast S x K
+  distance table (K*S = {PQ_K}x{PQ_SUBS} = tiny regardless of corpus).
+- Codebook training cost is one shuffle per Lloyd round keyed on
+  (sub, cid) with map-side partial fixed-point sums; at real scale you
+  train on a sample and broadcast the codebook — the encode step is
+  then map-only against broadcast centroids.
+- The candidate aggregation keys on (query_id, vec_id); for top-k the
+  per-query rank is a TakeOrderedAndProject-sized window. Pair this
+  with the IVF cells (operators/clustering.py sim_ivf_kmeans_knn) to
+  prune candidates before ADC — classic IVF-PQ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table, widen_if_narrow
+from ..registry import register
+
+PQ_SUBS = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (8 x 8 = 64)
+PQ_K = 16  # centroids per subspace codebook
+PQ_ITERS = 1  # unrolled Lloyd rounds (init from first PQ_K vectors)
+PQ_QUERIES = 10  # vec_id < 10 are the query vectors (as in similarity.py)
+PQ_TOP_K = 5
+_FX = "1000000.0"  # fixed-point scale (centroid sums and ADC cells)
+
+
+def _sub_corpus_sql() -> str:
+    return f"""
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(embedding::DOUBLE[], s * {PQ_SUBDIM} + 1,
+                        s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS se
+      FROM embeddings, unnest(generate_series(0, {PQ_SUBS - 1})) AS u(s)
+    )"""
+
+
+def _duck_sqdist(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, {PQ_SUBDIM + 1}), i -> "
+        f"({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _duck_assign(cent: str, out: str) -> str:
+    return f"""
+    {out}_sc AS (
+      SELECT sub.vec_id, sub.s, sub.se, c.cid,
+             {_duck_sqdist("sub.se", "c.ce")} AS dist
+      FROM sub JOIN {cent} c ON c.s = sub.s
+    ),
+    {out} AS (
+      SELECT vec_id, s, se, cid FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+        FROM {out}_sc) WHERE rn = 1
+    )"""
+
+
+def _duck_update(assigned: str, out: str) -> str:
+    return f"""
+    {out}_s AS (
+      SELECT s, cid, d,
+             sum(CAST(floor(se[d] * {_FX} + 0.5) AS BIGINT)) AS fx,
+             count(*) AS cnt
+      FROM {assigned}, unnest(generate_series(1, {PQ_SUBDIM})) AS t(d)
+      GROUP BY s, cid, d
+    ),
+    {out} AS (
+      SELECT s, cid, list(fx / ({_FX} * cnt) ORDER BY d) AS ce
+      FROM {out}_s GROUP BY s, cid
+    )"""
+
+
+def _duck_codebook() -> str:
+    parts = [
+        f"""c0 AS (
+      SELECT s, CAST(vec_id AS INTEGER) AS cid, se AS ce
+      FROM sub WHERE vec_id < {PQ_K}
+    )"""
+    ]
+    cent = "c0"
+    for it in range(PQ_ITERS):
+        parts.append(_duck_assign(cent, f"a{it}").strip())
+        parts.append(_duck_update(f"a{it}", f"c{it + 1}").strip())
+        cent = f"c{it + 1}"
+    parts.append(_duck_assign(cent, "codes").strip())
+    return ",\n".join(parts)
+
+
+@register(
+    "sim_pq_adc_knn",
+    oracle=f"""
+    WITH {_sub_corpus_sql().strip()},
+    {_duck_codebook()},
+    dt AS (
+      SELECT q.vec_id AS query_id, c.s, c.cid,
+             CAST(floor({_duck_sqdist("q.se", "c.ce")} * {_FX} + 0.5) AS BIGINT)
+                 AS pd_fx
+      FROM sub q JOIN c{PQ_ITERS} c ON c.s = q.s
+      WHERE q.vec_id < {PQ_QUERIES}
+    ),
+    cand AS (
+      SELECT dt.query_id, codes.vec_id AS neighbor_id,
+             sum(dt.pd_fx) AS adc_fx
+      FROM codes JOIN dt ON dt.s = codes.s AND dt.cid = codes.cid
+      WHERE codes.vec_id != dt.query_id
+      GROUP BY dt.query_id, codes.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           round(adc_fx / {_FX}, 6) AS approx_sq_dist, rank
+    FROM (
+      SELECT query_id, neighbor_id, adc_fx,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY adc_fx, neighbor_id)
+                 AS INTEGER) AS rank
+      FROM cand) WHERE rank <= {PQ_TOP_K}
+    """,
+)
+def sim_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed approximate kNN via asymmetric distance computation.
+
+    All {PQ_SUBS} subspace codebooks train in ONE k-means (subspace id
+    is a grouping key); queries look up quantized per-subspace
+    distances from a broadcast {PQ_SUBS}x{PQ_K} table and candidates
+    sum them with exact integer arithmetic — bit-identical across
+    engines and shuffle orders, hence fully oracle-checked (training
+    included).
+    """
+    emb = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+        )
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_SUBS - 1}), "
+                f"s -> struct(s, slice(emb, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS se))"
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.se").alias("se")).persist()
+
+    sqdist = F.aggregate(
+        F.zip_with("se", "ce", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        scored = sub.join(F.broadcast(cent), "s").withColumn("dist", sqdist)
+        wa = W.partitionBy("vec_id", "s").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "s", "se", "cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        per_dim = (
+            assigned.select("s", "cid", F.posexplode("se").alias("d", "v"))
+            .groupBy("s", "cid", "d")
+            .agg(
+                F.sum(
+                    F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+                ).alias("fx"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+        )
+        return (
+            per_dim.groupBy("s", "cid")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("d", "fx"))).alias("ds"),
+                F.max("cnt").alias("cnt"),
+            )
+            .select(
+                "s", "cid", F.expr(f"transform(ds, t -> t.fx / ({_FX} * cnt))").alias("ce")
+            )
+        )
+
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").cast("int").alias("cid"), F.col("se").alias("ce")
+    )
+    for _ in range(PQ_ITERS):
+        cent = update(assign(cent))
+    codes = assign(cent).select("vec_id", "s", "cid")
+
+    q = sub.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("se").alias("se")
+    )
+    dt = (
+        q.join(F.broadcast(cent), "s")
+        .withColumn("dist", sqdist.cast("double"))
+        .select(
+            "query_id",
+            "s",
+            "cid",
+            F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("pd_fx"),
+        )
+    )
+    cand = (
+        codes.join(F.broadcast(dt), ["s", "cid"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd_fx").alias("adc_fx"))
+    )
+    wk = W.partitionBy("query_id").orderBy("adc_fx", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("adc_fx") / F.lit(float(_FX)), 6).alias("approx_sq_dist"),
+            "rank",
+        )
+    )

@@ -46,6 +46,8 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.clustering",
     "scalable_data_ingestion_spark.operators.analytics",
     "scalable_data_ingestion_spark.operators.filtering",
+    "scalable_data_ingestion_spark.operators.graph",
+    "scalable_data_ingestion_spark.operators.pq",
     "scalable_data_ingestion_spark.operators.similarity",
     "scalable_data_ingestion_spark.operators.sketches",
     "scalable_data_ingestion_spark.operators.multimodal",
@@ -91,6 +93,12 @@ def load_all() -> None:
 # the stats / events / functions-surface / relational / window families —
 # rather than exhausting the window on registration-order relational
 # variants. Everything not listed keeps registration order after these.
+# Round 3: second representatives of already-window-covered families
+# (sliding window, mix-shuffle, field profile, range join, media stats,
+# salted top-k, percentiles) rotate out — they stay green in the local
+# 130-oracle sweep — making room for the round-3 families: funnel +
+# retention analytics, hashed-classifier / Bloom / temperature-mix
+# filtering, PageRank, and PQ-ADC ANN.
 _PRIORITY = (
     # deduplication family (operators/dedup.py)
     "dd_exact_dedup",
@@ -109,7 +117,6 @@ _PRIORITY = (
     "txt_decontamination",
     "samp_docs_source_quota",
     "pack_token_windows",
-    "samp_docs_mix_shuffle",
     # curation: repetition signals + PII scrubbing (operators/curation.py)
     "txt_repetition_stats",
     "pii_scrub_contacts",
@@ -124,13 +131,10 @@ _PRIORITY = (
     "emb_semdedup_keep",
     # multimodal (operators/multimodal.py)
     "mm_media_features",
-    "mm_media_stats",
     # skew tools (operators/skew.py)
     "sk_distinct_users_per_event",
-    "sk_top_events_per_user_bucket",
     # as-of / range joins (operators/asof.py)
     "asof_purchase_attribution",
-    "rj_orders_in_promo_periods",
     # reference-parity enrichment (operators/enrichment_queries.py)
     "orders_base_projection",
     "enriched_orders",
@@ -138,23 +142,29 @@ _PRIORITY = (
     "segment_brand_distribution",
     # reference-parity quality scoring (operators/quality_queries.py)
     "q_quality_scores_messy",
-    "q_field_profile_messy",
     "q_profile_stats_messy",
     # streaming batch twins (streaming/queries.py, streaming/joins.py)
     "st_tumbling_hourly",
-    "st_sliding_1h_30m",
     "st_session_windows",
     "ssj_click_purchase_pairs",
     # REST API source mapping (sources/api_queries.py)
     "api_orders_mapping",
     # stats family representatives (plans/stats.py) — fz_ fixed this round
     "fz_party_name_matches",
-    "a8_value_percentiles",
     "mb_copurchased_parts",
-    # events family representative (plans/events.py)
+    # events family representatives (plans/events.py, operators/analytics.py)
     "ev_user_sessions",
+    "ev_conversion_funnel",
+    "ev_retention_cohorts",
     # functions-surface representative (plans/functions_surface.py)
     "arr_embedding_vector_stats",
+    # model-based filtering (operators/filtering.py)
+    "txt_hash_classifier_score",
+    "dd_bloom_decontaminate",
+    "samp_temperature_mix",
+    # graph + PQ ANN (operators/graph.py, operators/pq.py)
+    "gr_copurchase_pagerank",
+    "sim_pq_adc_knn",
     # relational + window representatives — q12 oracle typing fixed this round
     "q12_late_shipment_priority",
     "q01_pricing_summary",

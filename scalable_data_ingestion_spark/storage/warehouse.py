@@ -158,6 +158,32 @@ class Warehouse:
     def table(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
 
+    # ------------------------------------------------------------- bucketing
+    def save_bucketed(
+        self, df: DataFrame, name: str, key: str, buckets: int = 8
+    ) -> DataFrame:
+        """Write ``df`` as a bucketed (and bucket-sorted) catalog table.
+
+        Bucketing is the co-located-join strategy at warehouse scale:
+        two tables bucketed on the same key with the same bucket count
+        join with ZERO Exchange — each task reads matching bucket files
+        from both sides, so a 100 TB fact/fact join costs no shuffle at
+        all (asserted by tests/test_scale_features.py). The data lands
+        under the warehouse root as ordinary parquet; the bucket spec
+        lives in the session catalog (Spark requires ``saveAsTable``
+        for bucketed writes — a plain ``.parquet(path)`` cannot record
+        the spec).
+        """
+        (
+            df.write.mode("overwrite")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", self._path(name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+        return self.spark.table(name)
+
     # ---------------------------------------------------------------- stats
     def stats(self) -> dict:
         """S12 (src/storage.py:333-376): row counts, today's orders,

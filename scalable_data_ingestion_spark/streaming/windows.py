@@ -45,6 +45,11 @@ def event_stream_from_parquet(
     )
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+        # newer parquet readers surface the NANOS column as TIMESTAMP_NTZ,
+        # which withWatermark rejects; the session runs in UTC so the cast
+        # to TIMESTAMP is value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

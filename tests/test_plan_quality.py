@@ -151,3 +151,51 @@ def test_unigram_vocab_join_broadcasts(spark, sf_dir):
     # the token stream.
     p = plan(registry.QUERIES["txt_unigram_logprob"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+# ---------------------------------------------------------------- round 3
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The three stage timestamps stack over ONE user_id partitioning —
+    the event log is shuffled once, not once per stage."""
+    p = plan(registry.QUERIES["ev_conversion_funnel"](spark, sf_dir))
+    # formatted mode lists Exchange arguments on their own line
+    n_user_exchanges = p.count("hashpartitioning(user_id")
+    assert n_user_exchanges == 1, p
+
+
+def test_classifier_is_joinless_single_aggregation(spark, sf_dir):
+    """Feature hashing keeps the model fixed-size and inline: the whole
+    classifier is explode + one doc-keyed aggregate — no join against a
+    weight table, nothing quadratic."""
+    p = plan(registry.QUERIES["txt_hash_classifier_score"](spark, sf_dir))
+    assert "Join" not in p, p
+
+
+def test_bloom_probe_joins_broadcast(spark, sf_dir):
+    """The bloom position set broadcasts (8 KiB bitmap at any benchmark
+    size); the corpus probe must never shuffle against it."""
+    p = plan(registry.QUERIES["dd_bloom_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_temperature_mix_rate_join_broadcasts(spark, sf_dir):
+    """Per-language keep rates are dimension-sized and broadcast; the
+    corpus-side keep decision stays map-side."""
+    p = plan(registry.QUERIES["samp_temperature_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_pq_adc_lookup_broadcasts(spark, sf_dir):
+    """The ADC distance table (SUBS x K rows per query set) broadcasts;
+    candidate scoring is a broadcast equi-join on (sub, code), never a
+    shuffle of the encoded corpus against the table."""
+    p = plan(registry.QUERIES["sim_pq_adc_knn"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_pagerank_reuses_cached_edges(spark, sf_dir):
+    """Supersteps iterate over the persisted edge list — the lineitem
+    self-join + distinct must not re-execute per iteration."""
+    p = plan(registry.QUERIES["gr_copurchase_pagerank"](spark, sf_dir))
+    assert "InMemoryTableScan" in p, p

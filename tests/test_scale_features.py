@@ -160,3 +160,32 @@ def test_salted_join_matches_plain_join(spark):
     g = sorted(map(tuple, got.select("k", "payload", "dim_val").collect()))
     p = sorted(map(tuple, plain.select("k", "payload", "dim_val").collect()))
     assert g == p
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts
+    join without any shuffle — the co-located fact/fact join strategy
+    for 100 TB scale."""
+    wh = Warehouse(spark, str(tmp_path / "whb"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ob = wh.save_bucketed(orders, "orders_bucketed", "o_custkey", buckets=8)
+    cb = wh.save_bucketed(customer, "customer_bucketed", "c_custkey", buckets=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey).groupBy("c_mktsegment").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_rows = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+
+    assert n_rows > 0
+    # the join itself is exchange-free: the only Exchange in the plan (if
+    # any) belongs to the groupBy ABOVE the join, never below it
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_part, join_part[:2000]
+    assert "SelectedBucketsCount" in plan
