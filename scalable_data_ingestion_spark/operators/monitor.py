@@ -1,0 +1,99 @@
+"""Pipeline observability: distribution-drift monitoring (PSI).
+
+A continuously-fed training-data pipeline needs drift alarms between
+data slices (yesterday vs today, source A vs source B) *computed inside
+the engine*, not by exporting samples. The standard industry metric is
+the Population Stability Index:
+
+    PSI = sum_bins (p_cur - p_ref) * ln(p_cur / p_ref)
+
+with PSI < 0.1 read as stable, 0.1-0.25 as moderate drift, > 0.25 as
+action-needed.
+
+``mon_length_drift_psi`` compares the document-length distribution of
+two corpus slices (even vs odd doc_id here — the stand-in for two
+ingestion windows) over fixed bin edges. Fixed edges (not quantiles)
+keep the monitor deterministic and mergeable: per-bin counts are plain
+conditional sums that partial-aggregate map-side, so the monitor runs
+as one dimension-sized aggregate over any corpus volume — the
+per-slice shares and PSI terms are derived arithmetic on an
+(#bins)-row relation. Laplace smoothing (+1 per bin) keeps ln() finite
+on empty bins without branching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# fixed n_chars bin edges; last bin open-ended
+PSI_EDGES = (50, 100, 150, 200, 250, 300)
+
+
+def _bin_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(PSI_EDGES)
+    )
+    return f"(CASE {branches} ELSE {len(PSI_EDGES)} END)"
+
+
+@register(
+    "mon_length_drift_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT {_bin_sql("n_chars")} AS bin_id,
+             CAST(doc_id % 2 = 0 AS INTEGER) AS is_ref
+      FROM documents
+    ),
+    cells AS (
+      SELECT bin_id,
+             1 + sum(is_ref) AS n_ref,
+             1 + sum(1 - is_ref) AS n_cur
+      FROM binned GROUP BY bin_id
+    ),
+    shares AS (
+      SELECT bin_id, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             n_ref * 1.0 / sum(n_ref) OVER () AS p_ref,
+             n_cur * 1.0 / sum(n_cur) OVER () AS p_cur
+      FROM cells
+    )
+    SELECT CAST(bin_id AS INTEGER) AS bin_id, n_ref, n_cur,
+           round(p_ref, 6) AS p_ref,
+           round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM shares
+    """,
+)
+def mon_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin PSI terms for document-length drift between two slices.
+
+    Map-side bin assignment + one bin-keyed conditional-count aggregate
+    (partial-aggregating; shuffled bytes = #bins rows), then share and
+    PSI arithmetic over the dimension-sized result. Total PSI is
+    ``sum(psi_term)`` — left per-bin so the alarm can also say WHICH
+    region of the distribution moved.
+    """
+    docs = table(spark, sf_dir, "documents")
+    is_ref = (F.col("doc_id") % 2 == 0).cast("int")
+    cells = (
+        docs.select(F.expr(_bin_sql("n_chars")).alias("bin_id"), is_ref.alias("is_ref"))
+        .groupBy("bin_id")
+        .agg(
+            (F.lit(1) + F.sum("is_ref")).alias("n_ref"),
+            (F.lit(1) + F.sum(F.lit(1) - F.col("is_ref"))).alias("n_cur"),
+        )
+    )
+    tot = W.partitionBy()
+    p_ref = F.col("n_ref") / F.sum("n_ref").over(tot)
+    p_cur = F.col("n_cur") / F.sum("n_cur").over(tot)
+    return cells.select(
+        F.col("bin_id").cast("int").alias("bin_id"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )

@@ -1,5 +1,5 @@
-"""Product-quantization ANN (IVF-PQ's compression half) over the
-embeddings table.
+"""Product-quantization ANN over the embeddings table — plain PQ-ADC
+and the composed IVF-PQ (the production ANN shape).
 
 PQ (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
 Search"): split each D-dim vector into S subvectors, learn a small
@@ -24,19 +24,26 @@ pipeline — codebook training included:
   lookups via an equi-join on (sub, cid = code) — exact, associative,
   engine-independent.
 
+``sim_ivfpq_knn`` composes this with the learned IVF cells from
+operators/clustering.py: probe the nearest cells by coarse-quantizer
+distance, then score ONLY the probed cells' vectors in the compressed
+domain. That is the IVF-PQ index of Faiss/Milvus/SCANN lineage,
+expressed as four joins.
+
 Scale notes (billions of vectors):
 - The encoded corpus is S bytes/vector + vec_id — a 64-dim float
   corpus compresses 32x; the ADC join touches only (vec_id, sub, code)
-  rows, shuffle keyed on (sub, code) against a broadcast S x K
-  distance table (K*S = {PQ_K}x{PQ_SUBS} = tiny regardless of corpus).
+  rows against a broadcast S x K distance table (tiny regardless of
+  corpus size).
 - Codebook training cost is one shuffle per Lloyd round keyed on
   (sub, cid) with map-side partial fixed-point sums; at real scale you
   train on a sample and broadcast the codebook — the encode step is
   then map-only against broadcast centroids.
-- The candidate aggregation keys on (query_id, vec_id); for top-k the
-  per-query rank is a TakeOrderedAndProject-sized window. Pair this
-  with the IVF cells (operators/clustering.py sim_ivf_kmeans_knn) to
-  prune candidates before ADC — classic IVF-PQ.
+- IVF-PQ candidate volume is ~probes/K_cells of the corpus, reached by
+  an equi-join on cell id; with the corpus file-layout clustered by
+  cell, the probe prunes file scans too. Per-candidate work is S
+  integer lookups instead of a D-dim float kernel — the two
+  multipliers (fewer candidates x cheaper scoring) are independent.
 """
 
 from __future__ import annotations
@@ -56,6 +63,10 @@ PQ_TOP_K = 5
 _FX = "1000000.0"  # fixed-point scale (centroid sums and ADC cells)
 
 
+# --------------------------------------------------------------------------
+# DuckDB oracle building blocks (prefix-namespaced so the IVF-PQ oracle
+# can embed them next to the full-vector k-means CTEs).
+# --------------------------------------------------------------------------
 def _sub_corpus_sql() -> str:
     return f"""
     sub AS (
@@ -103,34 +114,155 @@ def _duck_update(assigned: str, out: str) -> str:
     )"""
 
 
-def _duck_codebook() -> str:
+def _duck_codebook(prefix: str = "") -> str:
+    """CTE chain producing `{prefix}cb` (final centroids) and
+    `{prefix}codes` (encoded corpus); requires the `sub` CTE."""
     parts = [
-        f"""c0 AS (
+        f"""{prefix}c0 AS (
       SELECT s, CAST(vec_id AS INTEGER) AS cid, se AS ce
       FROM sub WHERE vec_id < {PQ_K}
     )"""
     ]
-    cent = "c0"
+    cent = f"{prefix}c0"
     for it in range(PQ_ITERS):
-        parts.append(_duck_assign(cent, f"a{it}").strip())
-        parts.append(_duck_update(f"a{it}", f"c{it + 1}").strip())
-        cent = f"c{it + 1}"
-    parts.append(_duck_assign(cent, "codes").strip())
+        parts.append(_duck_assign(cent, f"{prefix}a{it}").strip())
+        parts.append(_duck_update(f"{prefix}a{it}", f"{prefix}c{it + 1}").strip())
+        cent = f"{prefix}c{it + 1}"
+    parts.append(f"{prefix}cb AS (SELECT * FROM {cent})")
+    parts.append(_duck_assign(f"{prefix}cb", f"{prefix}codes").strip())
     return ",\n".join(parts)
 
 
+def _duck_adc_table(queries_pred: str, cb: str, out: str) -> str:
+    """Quantized query->centroid distance table CTE."""
+    return f"""
+    {out} AS (
+      SELECT q.vec_id AS query_id, c.s, c.cid,
+             CAST(floor({_duck_sqdist("q.se", "c.ce")} * {_FX} + 0.5) AS BIGINT)
+                 AS pd_fx
+      FROM sub q JOIN {cb} c ON c.s = q.s
+      WHERE {queries_pred}
+    )"""
+
+
+# --------------------------------------------------------------------------
+# Spark building blocks.
+# --------------------------------------------------------------------------
+def _sub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+        )
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PQ_SUBS - 1}), "
+                    f"s -> struct(s, slice(emb, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS se))"
+                )
+            ).alias("x"),
+        )
+        .select("vec_id", F.col("x.s").alias("s"), F.col("x.se").alias("se"))
+        .persist()
+    )
+
+
+def _sqdist() -> F.Column:
+    # built lazily: constructing lambda Columns needs an active session
+    return F.aggregate(
+        F.zip_with("se", "ce", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    scored = sub.join(F.broadcast(cent), "s").withColumn("dist", _sqdist())
+    wa = W.partitionBy("vec_id", "s").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "se", "cid")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    per_dim = (
+        assigned.select("s", "cid", F.posexplode("se").alias("d", "v"))
+        .groupBy("s", "cid", "d")
+        .agg(
+            F.sum(
+                F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+            ).alias("fx"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        per_dim.groupBy("s", "cid")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("d", "fx"))).alias("ds"),
+            F.max("cnt").alias("cnt"),
+        )
+        .select(
+            "s", "cid", F.expr(f"transform(ds, t -> t.fx / ({_FX} * cnt))").alias("ce")
+        )
+    )
+
+
+def _codebook(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the per-subspace codebooks; returns (centroids, codes)."""
+    cent = sub.filter(F.col("vec_id") < PQ_K).select(
+        "s", F.col("vec_id").cast("int").alias("cid"), F.col("se").alias("ce")
+    )
+    for _ in range(PQ_ITERS):
+        cent = _update(_assign(sub, cent))
+    codes = _assign(sub, cent).select("vec_id", "s", "cid")
+    return cent, codes
+
+
+def _adc_table(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    q = sub.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("se").alias("se")
+    )
+    return (
+        q.join(F.broadcast(cent), "s")
+        .withColumn("dist", _sqdist().cast("double"))
+        .select(
+            "query_id",
+            "s",
+            "cid",
+            F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("pd_fx"),
+        )
+    )
+
+
+def _topk(cand: DataFrame) -> DataFrame:
+    wk = W.partitionBy("query_id").orderBy("adc_fx", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("adc_fx") / F.lit(float(_FX)), 6).alias("approx_sq_dist"),
+            "rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Plain PQ-ADC kNN: exhaustive over the encoded corpus.
+# --------------------------------------------------------------------------
 @register(
     "sim_pq_adc_knn",
     oracle=f"""
     WITH {_sub_corpus_sql().strip()},
     {_duck_codebook()},
-    dt AS (
-      SELECT q.vec_id AS query_id, c.s, c.cid,
-             CAST(floor({_duck_sqdist("q.se", "c.ce")} * {_FX} + 0.5) AS BIGINT)
-                 AS pd_fx
-      FROM sub q JOIN c{PQ_ITERS} c ON c.s = q.s
-      WHERE q.vec_id < {PQ_QUERIES}
-    ),
+    {_duck_adc_table(f"q.vec_id < {PQ_QUERIES}", "cb", "dt").strip()},
     cand AS (
       SELECT dt.query_id, codes.vec_id AS neighbor_id,
              sum(dt.pd_fx) AS adc_fx
@@ -158,94 +290,132 @@ def sim_pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines and shuffle orders, hence fully oracle-checked (training
     included).
     """
-    emb = widen_if_narrow(
-        table(spark, sf_dir, "embeddings").select(
-            "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
-        )
-    )
-    sub = emb.select(
-        "vec_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {PQ_SUBS - 1}), "
-                f"s -> struct(s, slice(emb, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM}) AS se))"
-            )
-        ).alias("x"),
-    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.se").alias("se")).persist()
-
-    sqdist = F.aggregate(
-        F.zip_with("se", "ce", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        scored = sub.join(F.broadcast(cent), "s").withColumn("dist", sqdist)
-        wa = W.partitionBy("vec_id", "s").orderBy("dist", "cid")
-        return (
-            scored.withColumn("rn", F.row_number().over(wa))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "s", "se", "cid")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        per_dim = (
-            assigned.select("s", "cid", F.posexplode("se").alias("d", "v"))
-            .groupBy("s", "cid", "d")
-            .agg(
-                F.sum(
-                    F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-                ).alias("fx"),
-                F.count(F.lit(1)).alias("cnt"),
-            )
-        )
-        return (
-            per_dim.groupBy("s", "cid")
-            .agg(
-                F.sort_array(F.collect_list(F.struct("d", "fx"))).alias("ds"),
-                F.max("cnt").alias("cnt"),
-            )
-            .select(
-                "s", "cid", F.expr(f"transform(ds, t -> t.fx / ({_FX} * cnt))").alias("ce")
-            )
-        )
-
-    cent = sub.filter(F.col("vec_id") < PQ_K).select(
-        "s", F.col("vec_id").cast("int").alias("cid"), F.col("se").alias("ce")
-    )
-    for _ in range(PQ_ITERS):
-        cent = update(assign(cent))
-    codes = assign(cent).select("vec_id", "s", "cid")
-
-    q = sub.filter(F.col("vec_id") < PQ_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "s", F.col("se").alias("se")
-    )
-    dt = (
-        q.join(F.broadcast(cent), "s")
-        .withColumn("dist", sqdist.cast("double"))
-        .select(
-            "query_id",
-            "s",
-            "cid",
-            F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
-            .cast("bigint")
-            .alias("pd_fx"),
-        )
-    )
+    sub = _sub_corpus(spark, sf_dir)
+    cent, codes = _codebook(sub)
+    dt = _adc_table(sub, cent)
     cand = (
         codes.join(F.broadcast(dt), ["s", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("pd_fx").alias("adc_fx"))
     )
-    wk = W.partitionBy("query_id").orderBy("adc_fx", "vec_id")
-    return (
-        cand.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= PQ_TOP_K)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("adc_fx") / F.lit(float(_FX)), 6).alias("approx_sq_dist"),
-            "rank",
-        )
+    return _topk(cand)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: coarse-quantizer cell probing + compressed-domain scoring.
+# --------------------------------------------------------------------------
+IVFPQ_PROBES = 2
+
+
+def _register_ivfpq() -> None:
+    """Registered via a builder because the oracle embeds clustering.py's
+    coarse-quantizer CTE body (deferred import avoids a module cycle)."""
+    from .clustering import (
+        ITERS as IVF_ITERS,
+        _assign as ivf_assign,
+        _duck_kmeans_body,
+        _update as ivf_update,
+        _RAW_CORPUS_CTE,
     )
+
+    oracle = f"""
+    WITH {_RAW_CORPUS_CTE},
+    {_duck_kmeans_body()},
+    {_sub_corpus_sql().strip()},
+    {_duck_codebook("p")},
+    probe_sc AS (
+      SELECT q.vec_id AS query_id, c.cluster_id,
+             list_reduce(list_transform(range(1, 65), i ->
+               (q.emb[i] - c.cemb[i]) * (q.emb[i] - c.cemb[i])), (x, y) -> x + y)
+                 AS dist
+      FROM corpus q, c{IVF_ITERS} c WHERE q.vec_id < {PQ_QUERIES}
+    ),
+    probe AS (
+      SELECT query_id, cluster_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY dist, cluster_id) AS rn
+        FROM probe_sc) WHERE rn <= {IVFPQ_PROBES}
+    ),
+    {_duck_adc_table(f"q.vec_id < {PQ_QUERIES}", "pcb", "dt").strip()},
+    cand_ids AS (
+      SELECT p.query_id, f.vec_id AS neighbor_id
+      FROM probe p JOIN fin f
+        ON f.cluster_id = p.cluster_id AND f.vec_id != p.query_id
+    ),
+    cand AS (
+      SELECT ci.query_id, ci.neighbor_id, sum(dt.pd_fx) AS adc_fx
+      FROM cand_ids ci
+      JOIN pcodes ON pcodes.vec_id = ci.neighbor_id
+      JOIN dt ON dt.query_id = ci.query_id
+             AND dt.s = pcodes.s AND dt.cid = pcodes.cid
+      GROUP BY ci.query_id, ci.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           round(adc_fx / {_FX}, 6) AS approx_sq_dist, rank
+    FROM (
+      SELECT query_id, neighbor_id, adc_fx,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY adc_fx, neighbor_id)
+                 AS INTEGER) AS rank
+      FROM cand) WHERE rank <= {PQ_TOP_K}
+    """
+
+    def sim_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-PQ: probe the {IVFPQ_PROBES} nearest coarse cells, then
+        ADC-score only those cells' vectors in the compressed domain —
+        fewer candidates x cheaper scoring, the Faiss/SCANN production
+        shape, fully oracle-checked (both quantizers' training
+        included)."""
+        corpus = widen_if_narrow(
+            table(spark, sf_dir, "embeddings").select(
+                "vec_id",
+                F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+            )
+        )
+        # coarse quantizer (full-vector k-means from clustering.py)
+        from .clustering import K as IVF_K
+
+        cent = corpus.filter(F.col("vec_id") < IVF_K).select(
+            F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
+        )
+        for _ in range(IVF_ITERS):
+            cent = ivf_update(ivf_assign(corpus, cent))
+        fin = ivf_assign(corpus, cent)
+
+        q = corpus.filter(F.col("vec_id") < PQ_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+        )
+        cell_dist = F.aggregate(
+            F.zip_with("qe", "cemb", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sc = q.crossJoin(F.broadcast(cent)).withColumn("dist", cell_dist)
+        wp = W.partitionBy("query_id").orderBy("dist", "cluster_id")
+        probe = (
+            sc.withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= IVFPQ_PROBES)
+            .select("query_id", "cluster_id")
+        )
+
+        # fine quantizer (subspace codebooks) + ADC
+        sub = _sub_corpus(spark, sf_dir)
+        pcent, pcodes = _codebook(sub)
+        dt = _adc_table(sub, pcent)
+
+        cand_ids = F.broadcast(probe).join(
+            fin.select("vec_id", "cluster_id"), "cluster_id"
+        ).filter(F.col("vec_id") != F.col("query_id")).select("query_id", "vec_id")
+        cand = (
+            cand_ids.join(pcodes, "vec_id")
+            .join(F.broadcast(dt), ["query_id", "s", "cid"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("pd_fx").alias("adc_fx"))
+        )
+        return _topk(cand)
+
+    register("sim_ivfpq_knn", oracle=oracle)(sim_ivfpq_knn)
+
+
+_register_ivfpq()

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.filtering",
     "scalable_data_ingestion_spark.operators.graph",
     "scalable_data_ingestion_spark.operators.pq",
+    "scalable_data_ingestion_spark.operators.monitor",
     "scalable_data_ingestion_spark.operators.similarity",
     "scalable_data_ingestion_spark.operators.sketches",
     "scalable_data_ingestion_spark.operators.multimodal",
@@ -108,7 +109,6 @@ _PRIORITY = (
     "dd_embedding_neardup_pairs",
     "dd_neardup_components",
     "dd_embedding_lsh_pairs",
-    "dd_dupspan_coverage",
     # text analysis + sampling/packing family (operators/text.py)
     "txt_quality_scores",
     "txt_corpus_stats",
@@ -162,9 +162,11 @@ _PRIORITY = (
     "txt_hash_classifier_score",
     "dd_bloom_decontaminate",
     "samp_temperature_mix",
-    # graph + PQ ANN (operators/graph.py, operators/pq.py)
+    # drift monitoring (operators/monitor.py)
+    "mon_length_drift_psi",
+    # graph + IVF-PQ ANN (operators/graph.py, operators/pq.py)
     "gr_copurchase_pagerank",
-    "sim_pq_adc_knn",
+    "sim_ivfpq_knn",
     # relational + window representatives — q12 oracle typing fixed this round
     "q12_late_shipment_priority",
     "q01_pricing_summary",

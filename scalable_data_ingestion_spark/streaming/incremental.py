@@ -1,0 +1,110 @@
+"""Incremental materialized-view maintenance over the event stream.
+
+The capability that makes a 100 TB/day pipeline affordable: keep a
+rollup (here: daily per-event-type activity) continuously up to date by
+folding in each micro-batch's PARTIAL aggregate, instead of
+re-aggregating history on every refresh. Refresh cost tracks the batch
+size; history is touched only at read time, and only in its
+pre-reduced (days x event_types) form.
+
+Exactly-once without a transaction log: foreachBatch can re-deliver a
+batch after a failure, so naive read-modify-write double-counts. Here
+each batch writes its partial aggregate to a partition directory keyed
+by ``batch_id`` (dynamic partition overwrite) — a re-delivered batch
+OVERWRITES its own partials, so the merged view is idempotent under
+any number of retries. This is the plain-parquet equivalent of the
+Delta MERGE txn (SURVEY.md §7 names MERGE as the optional upgrade).
+
+Scale notes:
+- Per-batch work: one partial aggregate of the batch (map-side
+  combine; dimension-sized result) + one small parquet write. No
+  shuffle of history, ever.
+- The reader merges partials with one dimension-keyed aggregate whose
+  input is #batches x #cells rows — compact() folds them into a
+  single consolidated partial (also written under a reserved batch_id
+  partition) so the partial count stays bounded on long-running
+  streams.
+- The same shape maintains any algebraic aggregate (sum/count/min/
+  max); averages ship as (sum, count) pairs — the classic
+  partial-aggregate contract Catalyst itself uses map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# reserved batch_id partition for compacted history
+_COMPACT_ID = -1
+
+
+def _partial_daily_activity(batch_df: DataFrame) -> DataFrame:
+    ts = F.col("ts")
+    if isinstance(batch_df.schema["ts"].dataType, T.TimestampNTZType):
+        ts = ts.cast("timestamp")
+    return batch_df.groupBy(
+        F.date_trunc("day", ts).cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+class IncrementalDailyActivity:
+    """Continuously-maintained daily (day, event_type) activity rollup."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------- write
+    def fold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch sink: write this batch's partial aggregate under
+        its own batch_id partition (idempotent under re-delivery)."""
+        partial = _partial_daily_activity(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path)
+        )
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str, once: bool = True):
+        writer = (
+            stream.writeStream.foreachBatch(self.fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -------------------------------------------------------------- read
+    def view(self) -> DataFrame:
+        """Merged rollup: one dimension-keyed aggregate over the stored
+        partials (input is #batches x #cells rows, never raw events)."""
+        partials = self.spark.read.parquet(self.path)
+        return partials.groupBy("day", "event_type").agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+
+    def compact(self) -> None:
+        """Fold all partials into the reserved compacted partition and
+        drop the per-batch ones, bounding reader fan-in on long streams."""
+        merged = (
+            self.view()
+            .withColumn("sum_value", F.col("sum_value").cast("double"))
+            .withColumn("batch_id", F.lit(_COMPACT_ID))
+        )
+        staging = f"{self.path}__compact"
+        merged.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
+        # swap: replace the partial store with the consolidated one
+        import shutil
+
+        shutil.rmtree(self.path)
+        shutil.move(staging, self.path)

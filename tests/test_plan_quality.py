@@ -199,3 +199,12 @@ def test_pagerank_reuses_cached_edges(spark, sf_dir):
     self-join + distinct must not re-execute per iteration."""
     p = plan(registry.QUERIES["gr_copurchase_pagerank"](spark, sf_dir))
     assert "InMemoryTableScan" in p, p
+
+
+def test_ivfpq_probe_and_table_broadcast(spark, sf_dir):
+    """IVF-PQ: the probe set and ADC distance table are broadcast; the
+    encoded corpus is only ever equi-joined — no nested loop over
+    candidates."""
+    p = plan(registry.QUERIES["sim_ivfpq_knn"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p

@@ -132,3 +132,58 @@ def test_stream_stream_join_equals_batch(spark):
     e = {tuple(r) for r in expected.collect()}
     assert g == e
     assert len(e) > 0
+
+
+def test_incremental_rollup_equals_batch(spark, tmp_path):
+    """Incrementally-maintained daily rollup == full batch recompute,
+    and re-delivering a batch's partials does not double-count."""
+    from pyspark.sql import functions as F
+
+    from scalable_data_ingestion_spark.streaming.incremental import (
+        IncrementalDailyActivity,
+    )
+
+    stream = event_stream_from_parquet(
+        spark, f"{SF}/events.parquet", max_files_per_trigger=1
+    )
+    mv = IncrementalDailyActivity(spark, str(tmp_path / "mv"))
+    q = mv.attach(stream, checkpoint_dir=str(tmp_path / "mv_ckpt"), once=True)
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    got = {tuple(r[:2]): tuple(r[2:]) for r in mv.view().collect()}
+    want = {tuple(r[:2]): tuple(r[2:]) for r in batch.collect()}
+    assert got == want
+
+    # simulate re-delivery of batch 0: fold the same micro-batch again —
+    # dynamic partition overwrite must keep the view unchanged
+    first_batch = spark.read.parquet(f"{SF}/events.parquet")
+    mv.fold_batch(first_batch, 0)
+    mv.fold_batch(first_batch, 0)
+    # after double "re-delivery", batch 0's partials exist exactly once;
+    # the remaining batches' partials are intact
+    again = {tuple(r[:2]): tuple(r[2:]) for r in mv.view().collect()}
+    # batch 0 originally held a subset of events; re-delivering the FULL
+    # table as batch 0 changes totals — so rebuild expectations: batch 0
+    # partial == whole table, other batch partials unchanged is not equal
+    # to `want`; instead assert idempotence: folding twice == folding once
+    mv2 = IncrementalDailyActivity(spark, str(tmp_path / "mv2"))
+    mv2.fold_batch(first_batch, 0)
+    once_only = {tuple(r[:2]): tuple(r[2:]) for r in mv2.view().collect()}
+    twice = again  # noqa: F841  (kept for debugging on failure)
+    mv2.fold_batch(first_batch, 0)
+    assert {tuple(r[:2]): tuple(r[2:]) for r in mv2.view().collect()} == once_only
+
+    # compaction preserves the merged values and folds partials into one
+    mv2.compact()
+    assert {tuple(r[:2]): tuple(r[2:]) for r in mv2.view().collect()} == once_only
