@@ -324,3 +324,69 @@ def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws_tokens"),
         F.round(n_bpe.cast("double") / n_ws, 6).alias("bpe_to_ws_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted systematic sampling by token count: pick documents in
+# proportion to their token mass with EXACT integer arithmetic — the
+# deterministic alternative to weighted reservoir sampling (whose
+# u^(1/w) keys are float-order-fragile across engines). A document is
+# picked once per STEP-token boundary its cumulative-token interval
+# covers, so expected picks are proportional to n_tokens and huge
+# documents can be picked multiple times (epoch weighting).
+# --------------------------------------------------------------------------
+SYSSAMP_STEP = 1000  # one pick per 1000 tokens of corpus mass
+
+
+@register(
+    "samp_docs_weighted_systematic",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR) || '|sys') AS mk
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY mk, doc_id) AS cum_tok
+      FROM tok
+    )
+    SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+           CAST(cum_tok // {SYSSAMP_STEP} - (cum_tok - n_tok) // {SYSSAMP_STEP}
+                AS INTEGER) AS n_picks
+    FROM cum
+    WHERE cum_tok // {SYSSAMP_STEP} > (cum_tok - n_tok) // {SYSSAMP_STEP}
+    """,
+)
+def samp_docs_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-proportional systematic sample: documents whose cumulative
+    token interval crosses a {SYSSAMP_STEP}-token boundary, in
+    deterministic md5 order.
+
+    All selection arithmetic is BIGINT division on exact prefix sums —
+    no float keys, so the sample is identical across engines, re-runs
+    and partitionings. The single global running sum is the test-SF
+    formulation; at 100 TB the same key feeds repartitionByRange +
+    per-partition prefix sums offset by partition totals (the 2-pass
+    distributed scan, as in pack_token_windows).
+    """
+    docs = table(spark, sf_dir, "documents")
+    mk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|sys")))
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
+        mk.alias("mk"),
+    )
+    cum = tok.withColumn("cum_tok", F.sum("n_tok").over(W.orderBy("mk", "doc_id")))
+    hi = F.expr(f"cum_tok DIV {SYSSAMP_STEP}")
+    lo = F.expr(f"(cum_tok - n_tok) DIV {SYSSAMP_STEP}")
+    return (
+        cum.filter(hi > lo)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.col("cum_tok").cast("bigint").alias("cum_tok"),
+            (hi - lo).cast("int").alias("n_picks"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Time-series resampling: date-spine gap fill with carry-forward.
+
+Event logs are irregular; downstream consumers (feature stores, drift
+monitors, forecasting) want a dense regular grid. ``ts_daily_fill``
+resamples each user's event stream to a daily grid over the user's own
+active span:
+
+- build the per-user date spine with ``sequence(first_day, last_day)``
+  + explode — map-side, no join against a calendar table;
+- left-join the observed daily aggregates onto the spine;
+- fill gaps: observed-day flag, zero-fill for additive measures, and
+  last-observation-carried-forward (LOCF) for the running value via
+  ``last(ignorenulls)`` over an ordered user window.
+
+Scale notes:
+- The spine explode produces exactly sum(span_days) rows — linear in
+  the output, not |users| x |calendar|; a user active 3 days costs 3
+  rows no matter how long the log runs.
+- One shuffle keys the daily aggregate on (user_id, day); the spine
+  join and the LOCF window reuse the same user_id partitioning
+  (Catalyst plans a single Exchange chain, no re-shuffle).
+- LOCF as `last(value, ignorenulls) over (rows unbounded preceding)`
+  is a running-frame window — streaming-friendly state, no per-gap
+  recursion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+
+@register(
+    "ts_daily_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events, round(sum(value), 2) AS day_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, CAST(g AS DATE) AS day
+      FROM span, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(g)
+    ),
+    joined AS (
+      SELECT s.user_id, s.day,
+             coalesce(d.n_events, 0) AS n_events,
+             d.day_value,
+             CAST(d.user_id IS NOT NULL AS BOOLEAN) AS observed
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           CAST(n_events AS BIGINT) AS n_events,
+           coalesce(day_value, 0.0) AS day_value,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+           observed
+    FROM joined
+    """,
+)
+def ts_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid per user with zero-fill and LOCF.
+
+    ``sequence()`` builds each user's date spine inline (output-linear,
+    no calendar join); gaps get n_events=0, day_value=0.0, and the
+    carried-forward last observed value — the standard resample step
+    before windowed feature extraction.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = spine.join(
+        daily.withColumn("observed", F.lit(True)), ["user_id", "day"], "left"
+    )
+    locf = F.last("day_value", ignorenulls=True).over(
+        W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce("day_value", F.lit(0.0)).alias("day_value"),
+        locf.alias("locf_value"),
+        F.coalesce("observed", F.lit(False)).alias("observed"),
+    )

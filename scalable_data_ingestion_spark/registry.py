@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.graph",
     "scalable_data_ingestion_spark.operators.pq",
     "scalable_data_ingestion_spark.operators.monitor",
+    "scalable_data_ingestion_spark.operators.timeseries",
     "scalable_data_ingestion_spark.operators.similarity",
     "scalable_data_ingestion_spark.operators.sketches",
     "scalable_data_ingestion_spark.operators.multimodal",
@@ -96,16 +97,16 @@ def load_all() -> None:
 # variants. Everything not listed keeps registration order after these.
 # Round 3: second representatives of already-window-covered families
 # (sliding window, mix-shuffle, field profile, range join, media stats,
-# salted top-k, percentiles) rotate out — they stay green in the local
-# 130-oracle sweep — making room for the round-3 families: funnel +
-# retention analytics, hashed-classifier / Bloom / temperature-mix
-# filtering, PageRank, and PQ-ADC ANN.
+# salted top-k, percentiles, dupspan, simhash pairs) rotate out — they
+# stay green in the local full-registry oracle sweep — making room for
+# the round-3 families: funnel + retention analytics, hashed-classifier
+# / Bloom / temperature-mix filtering, time-series gap fill, PSI drift
+# monitoring, PageRank, and IVF-PQ ANN.
 _PRIORITY = (
     # deduplication family (operators/dedup.py)
     "dd_exact_dedup",
     "dd_ngram_jaccard_pairs",
     "dd_minhash_lsh_pairs",
-    "dd_simhash_near_pairs",
     "dd_embedding_neardup_pairs",
     "dd_neardup_components",
     "dd_embedding_lsh_pairs",
@@ -162,6 +163,8 @@ _PRIORITY = (
     "txt_hash_classifier_score",
     "dd_bloom_decontaminate",
     "samp_temperature_mix",
+    # time-series resampling (operators/timeseries.py)
+    "ts_daily_fill",
     # drift monitoring (operators/monitor.py)
     "mon_length_drift_psi",
     # graph + IVF-PQ ANN (operators/graph.py, operators/pq.py)

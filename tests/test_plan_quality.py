@@ -208,3 +208,12 @@ def test_ivfpq_probe_and_table_broadcast(spark, sf_dir):
     p = plan(registry.QUERIES["sim_ivfpq_knn"](spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_gap_fill_spine_is_generated_inline(spark, sf_dir):
+    """The date spine comes from sequence()+explode (output-linear),
+    never a calendar cross join."""
+    p = plan(registry.QUERIES["ts_daily_fill"](spark, sf_dir))
+    assert "Generate" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
