@@ -1,0 +1,148 @@
+"""Incremental (snapshot-delta) deduplication against a fingerprint store.
+
+Production corpus pipelines never re-deduplicate the whole corpus per
+crawl: they keep a *fingerprint store* (the md5 content hashes of every
+document already accepted) and anti-join each new batch against it, so
+per-run cost is O(|batch|), not O(|corpus|).
+
+Reference parity: the reference's multi-source ingest dedups only
+within a run (`src/ingestion.py` keep-first); an accumulating store is
+the scale-out generalization of the same "first copy wins" contract.
+
+Scale notes (100 TB):
+- The store side is huge but *append-only and hash-keyed*; persist it
+  bucketed by `fingerprint` so the nightly batch anti-join shuffles
+  ONLY the delta (store partitions are read co-located, no store-side
+  exchange). Here both sides derive from the same parquet, so Catalyst
+  plans a regular shuffled LEFT ANTI hash join — the same plan shape,
+  with the store exchange elided once bucketing is in place.
+- LEFT ANTI join is the right physical op: no row multiplication, the
+  build side keeps only the 16-byte hash, and AQE can convert to a
+  broadcast anti-join on small deltas.
+- Never `collect()` the store into a driver-side set — at 100 TB the
+  store alone is billions of hashes.
+
+The batch here is synthesized deterministically from `documents` so the
+operator has real work at every SF: 25 % of docs form the incoming
+batch, and every store doc with ``doc_id % 20 == 1`` is re-submitted
+under a new id (a true duplicate the store must reject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# store: 3/4 of the corpus already ingested; batch: the remaining 1/4
+# plus re-submissions of store docs (doc_id % 20 == 1 → +2_000_000).
+_STORE_PRED = "doc_id % 4 != 0"
+_BATCH_PRED = "doc_id % 4 = 0"
+
+
+@register(
+    "dd_incremental_new_docs",
+    oracle=f"""
+    WITH store AS (
+      SELECT DISTINCT md5(text) AS fingerprint
+      FROM documents WHERE {_STORE_PRED}
+    ),
+    batch AS (
+      SELECT doc_id, source, md5(text) AS fingerprint
+      FROM documents WHERE {_BATCH_PRED}
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, source, md5(text) AS fingerprint
+      FROM documents WHERE {_STORE_PRED} AND doc_id % 20 = 1
+    )
+    SELECT b.doc_id, b.source, b.fingerprint,
+           CAST(s.fingerprint IS NULL AS BOOLEAN) AS accepted
+    FROM batch b LEFT JOIN store s USING (fingerprint)
+    """,
+)
+def dd_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join a new document batch against the accepted-hash store.
+
+    Returns every batch row with an ``accepted`` flag (True = content
+    hash unseen, document enters the corpus). Expressed as a LEFT OUTER
+    against the distinct store hashes so accept/reject are one plan; a
+    pure ingest path would use ``how="left_anti"`` and keep only the
+    accepted rows — identical join internals.
+    """
+    docs = table(spark, sf_dir, "documents")
+    store = (
+        docs.filter(F.expr(_STORE_PRED))
+        .select(F.md5("text").alias("fingerprint"))
+        .distinct()
+        .withColumn("in_store", F.lit(True))
+    )
+    resubmitted = docs.filter(F.expr(_STORE_PRED) & (F.col("doc_id") % 20 == 1)).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "source", F.md5("text").alias("fingerprint")
+    )
+    batch = (
+        docs.filter(F.expr(_BATCH_PRED))
+        .select("doc_id", "source", F.md5("text").alias("fingerprint"))
+        .unionByName(resubmitted)
+    )
+    return batch.join(store, "fingerprint", "left").select(
+        "doc_id",
+        "source",
+        "fingerprint",
+        F.col("in_store").isNull().alias("accepted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# canonicalization dedup: normalize text (case / punctuation / whitespace)
+# before hashing, so cosmetic variants collapse to one canonical doc.
+# --------------------------------------------------------------------------
+@register(
+    "dd_normalized_dedup",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id,
+             '  ' || upper(text) || ' !!' AS text
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    canon AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fingerprint
+      FROM corpus
+    )
+    SELECT fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS kept_doc_id,
+           count(*) AS n_variants
+    FROM canon
+    GROUP BY fingerprint
+    """,
+)
+def dd_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on a *canonicalized* content hash.
+
+    The canonical form lowercases, strips non-alphanumerics, and
+    collapses whitespace — the standard web-crawl normalization step
+    before exact hashing (cosmetic re-posts of the same page collapse).
+    Injected variants (every 25th doc, upper-cased with junk punctuation)
+    give the operator real work at every SF. Pure column expressions →
+    one map stage + one hash-shuffle on the 16-byte digest; whole-stage
+    codegen end to end, identical shape at any corpus size.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    canonical = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " ")
+    )
+    return corpus.select("doc_id", F.md5(canonical).alias("fingerprint")).groupBy(
+        "fingerprint"
+    ).agg(
+        F.min("doc_id").cast("bigint").alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("n_variants"),
+    )

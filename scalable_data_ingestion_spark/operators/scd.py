@@ -1,0 +1,217 @@
+"""Slowly-changing-dimension (SCD Type 2) history and event-sequence
+analytics: versioned dimension builds, Markov transitions, and top user
+paths.
+
+The reference's warehouse is overwrite-only (`src/storage.py` upsert,
+SURVEY.md §2.2 S7): history is lost on every update. SCD Type 2 is the
+warehouse-standard fix — each key keeps a *run* of versioned rows with
+``[effective_from, effective_to)`` validity ranges — and the sequence
+operators (transition matrix, path mining) are the clickstream
+counterparts: both reduce an ordered per-key history with window
+functions instead of per-key loops.
+
+Scale notes (100 TB):
+- All three operators shuffle **once** on their entity key
+  (``o_custkey`` / ``user_id``); every window in a query shares that
+  partitioning so Catalyst plans a single Exchange + sort. No
+  self-joins on the fact table: the naive "event JOIN next event"
+  formulation duplicates the log; ``lag``/``lead`` are O(rows) with
+  sort-based state.
+- The change-detection filter (``lag != current``) runs *before* the
+  second windowing in the SCD build, so version numbering and
+  ``effective_to`` only process change rows — on a 100 TB order
+  history with mostly-stable priorities that is a large reduction
+  ahead of the second sort.
+- Path mining caps each user at the first ``PATH_LEN`` events before
+  aggregating strings (bounded memory per user regardless of power
+  users), and the path roll-up is dimension-sized after the per-user
+  reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+PATH_LEN = 5
+TOP_PATHS = 20
+
+
+# --------------------------------------------------------------------------
+# SCD Type 2: customer order-priority history with validity ranges.
+# --------------------------------------------------------------------------
+@register(
+    "scd2_priority_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_priority
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS effective_to,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INTEGER) AS version,
+           CAST(lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build: one row per (customer, priority run).
+
+    Change detection via ``lag`` over (custkey, orderdate) keeps only
+    rows where the priority actually changed; a second window over the
+    *change rows only* assigns ``version`` and closes each range with
+    ``effective_to = lead(effective_from)`` (NULL = current). Ties on
+    the same date break on ``o_orderkey`` so both engines see one
+    deterministic sequence.
+    """
+    orders = table(spark, sf_dir, "orders")
+    seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = (
+        orders.withColumn("prev_priority", F.lag("o_orderpriority").over(seq))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("prev_priority") != F.col("o_orderpriority"))
+        )
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    )
+    # Two same-day orders with different priorities both survive the
+    # change filter, so the version window keeps the o_orderkey
+    # tiebreak — both engines must see one deterministic sequence.
+    ver = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changed.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("effective_from"),
+        F.lead("o_orderdate").over(ver).alias("effective_to"),
+        F.row_number().over(ver).alias("version"),
+        F.lead("o_orderdate").over(ver).isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Markov transition matrix over the event stream.
+# --------------------------------------------------------------------------
+@register(
+    "ev_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type), 6)
+             AS p_transition
+    FROM pairs
+    """,
+)
+def ev_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts + probabilities.
+
+    ``lead`` pairs each event with its successor inside the user's
+    ordered stream (one shuffle on user_id), then a dimension-sized
+    groupBy counts (from, to) pairs; the row-probability normalization
+    windows over the tiny transition matrix, not the log.
+    """
+    ev = table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("event_type", F.lead("event_type").over(seq).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    norm = W.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias("p_transition"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top user paths: most common first-K event-type sequences.
+# --------------------------------------------------------------------------
+@register(
+    "ev_top_user_paths",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= {PATH_LEN}
+      GROUP BY user_id
+    ),
+    counted AS (
+      SELECT path, count(*) AS n_users FROM paths GROUP BY path
+    )
+    SELECT path, n_users
+    FROM counted
+    ORDER BY n_users DESC, path
+    LIMIT {TOP_PATHS}
+    """,
+)
+def ev_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_PATHS} first-{PATH_LEN}-event paths across all users.
+
+    Each user's stream is truncated to its first ``PATH_LEN`` events
+    (row_number filter — bounded state per user), joined into a
+    ``'a>b>c'`` path string via an order-preserving sort of
+    (rn, event_type) structs, then counted. The final ORDER BY + LIMIT
+    compiles to TakeOrderedAndProject (no global sort materialization).
+    """
+    ev = table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "event_type", F.row_number().over(seq).alias("rn"))
+        .filter(F.col("rn") <= PATH_LEN)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(TOP_PATHS)
+    )

@@ -1,0 +1,158 @@
+"""Dataset-split and score-calibration primitives for training corpora.
+
+Three operators a training-data pipeline runs after cleaning/dedup:
+
+- **Deterministic train/val/test split** (``samp_train_val_test``):
+  hash-bucket assignment (md5 of the key, 16 buckets → 13/2/1 ≈
+  81/12.5/6.25 %) so membership is a pure function of the document id —
+  stable across engines, partitionings, reruns, and corpus growth
+  (adding documents never moves an existing one between splits, unlike
+  ``randomSplit``).
+- **Cross-source quantile normalization** (``txt_quality_quantile_norm``):
+  per-source ``percent_rank`` of a raw quality score. Raw heuristics are
+  not comparable across sources (boilerplate-heavy domains score low
+  everywhere); rank-normalizing within source yields one calibrated
+  [0,1] scale so a single global keep-threshold is meaningful.
+- **Exact heavy hitters** (``hh_frequent_tokens``): global top-K tokens
+  with corpus frequency share — the vocabulary head used for stopword
+  induction and tokenizer sanity checks.
+
+Scale notes (100 TB):
+- The split is a pure map-side projection — zero shuffles; the bucket
+  predicate evaluates inside whole-stage codegen next to the scan.
+- Quantile-norm shuffles once on ``source``; ranks never leave the
+  per-source partition. At extreme per-source cardinality swap
+  ``percent_rank`` for ``ntile``/approx quantile cutpoints to bound
+  sort width — same output contract, bounded state.
+- Heavy hitters relies on Spark's partial aggregation: the token
+  explosion never shuffles raw tokens — map-side hash agg reduces each
+  partition to its local vocabulary before the exchange, and the final
+  top-K is TakeOrderedAndProject (no global sort). The total-token
+  denominator joins in as a broadcast single row, not a
+  single-partition window over the vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .text import _md5_bucket_expr_sql, tokens_col
+
+# 16 md5 buckets: 0-12 train, 13-14 val, 15 test.
+TRAIN_BUCKETS = 13
+VAL_BUCKETS = 2
+TOP_TOKENS = 50
+
+
+@register(
+    "samp_train_val_test",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, source, {_md5_bucket_expr_sql()} AS bucket FROM documents
+    )
+    SELECT doc_id, source, CAST(bucket AS INTEGER) AS bucket,
+           CASE WHEN bucket < {TRAIN_BUCKETS} THEN 'train'
+                WHEN bucket < {TRAIN_BUCKETS + VAL_BUCKETS} THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def samp_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 81/12.5/6.25 train/val/test assignment.
+
+    Membership depends only on md5(doc_id), so the split survives
+    reruns, engine changes, and corpus growth; no shuffle, no RNG.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    return docs.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_BUCKETS, "train")
+        .when(bucket < TRAIN_BUCKETS + VAL_BUCKETS, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "txt_quality_quantile_norm",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')), 6) AS raw_score
+      FROM documents
+    )
+    SELECT doc_id, source, raw_score,
+           round(percent_rank() OVER (
+             PARTITION BY source ORDER BY raw_score, doc_id), 6) AS calibrated,
+           CAST(least(floor(percent_rank() OVER (
+             PARTITION BY source ORDER BY raw_score, doc_id) * 10), 9) AS INTEGER)
+             AS decile
+    FROM scored
+    """,
+)
+def txt_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank calibration of a raw quality heuristic.
+
+    Raw score = lexical diversity (distinct/total tokens, computed with
+    array functions — no explode, no extra shuffle). ``percent_rank``
+    within source, tie-broken on doc_id for a deterministic rank, plus
+    the decile bucket downstream samplers key on.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    raw = F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6)
+    w = W.partitionBy("source").orderBy("raw_score", "doc_id")
+    pct = F.percent_rank().over(w)
+    return docs.select("doc_id", "source", raw.alias("raw_score")).select(
+        "doc_id",
+        "source",
+        "raw_score",
+        F.round(pct, 6).alias("calibrated"),
+        F.least(F.floor(pct * 10), F.lit(9)).cast("int").alias("decile"),
+    )
+
+
+@register(
+    "hh_frequent_tokens",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+    ),
+    counted AS (
+      SELECT token, count(*) AS n FROM toks GROUP BY token
+    ),
+    total AS (SELECT sum(n) AS t FROM counted)
+    SELECT token, n, round(CAST(n AS DOUBLE) / t, 6) AS share
+    FROM counted, total
+    ORDER BY n DESC, token
+    LIMIT {TOP_TOKENS}
+    """,
+)
+def hh_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global top-{TOP_TOKENS} tokens with corpus share.
+
+    Map-side partial aggregation collapses each partition to its local
+    vocabulary before the single hash shuffle; the grand total joins
+    back as a broadcast 1-row aggregate (no single-partition window);
+    the final ordering compiles to TakeOrderedAndProject.
+    """
+    docs = table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counted.agg(F.sum("n").alias("t"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select("token", "n", F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(TOP_TOKENS)
+    )

@@ -40,11 +40,14 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.enrichment_queries",
     "scalable_data_ingestion_spark.operators.quality_queries",
     "scalable_data_ingestion_spark.operators.dedup",
+    "scalable_data_ingestion_spark.operators.incremental_dedup",
     "scalable_data_ingestion_spark.operators.text",
     "scalable_data_ingestion_spark.operators.curation",
+    "scalable_data_ingestion_spark.operators.splits",
     "scalable_data_ingestion_spark.operators.corpus",
     "scalable_data_ingestion_spark.operators.clustering",
     "scalable_data_ingestion_spark.operators.analytics",
+    "scalable_data_ingestion_spark.operators.scd",
     "scalable_data_ingestion_spark.operators.filtering",
     "scalable_data_ingestion_spark.operators.graph",
     "scalable_data_ingestion_spark.operators.pq",
@@ -54,6 +57,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.sketches",
     "scalable_data_ingestion_spark.operators.multimodal",
     "scalable_data_ingestion_spark.operators.skew",
+    "scalable_data_ingestion_spark.operators.layout",
     "scalable_data_ingestion_spark.operators.asof",
     "scalable_data_ingestion_spark.streaming.queries",
     "scalable_data_ingestion_spark.streaming.joins",
@@ -96,40 +100,40 @@ def load_all() -> None:
 # rather than exhausting the window on registration-order relational
 # variants. Everything not listed keeps registration order after these.
 # Round 3: second representatives of already-window-covered families
-# (sliding window, mix-shuffle, field profile, range join, media stats,
-# salted top-k, percentiles, dupspan, simhash pairs) rotate out — they
-# stay green in the local full-registry oracle sweep — making room for
-# the round-3 families: funnel + retention analytics, hashed-classifier
-# / Bloom / temperature-mix filtering, time-series gap fill, PSI drift
-# monitoring, PageRank, and IVF-PQ ANN.
+# rotate out (they stay green in the local full-registry oracle sweep)
+# making room for this round's families: incremental store-anti-join
+# dedup + canonicalization dedup, SCD Type 2 history, Markov
+# transitions + path mining, hash-deterministic train/val/test splits,
+# per-source quantile calibration, exact heavy hitters, and Z-order
+# layout keys.
 _PRIORITY = (
     # deduplication family (operators/dedup.py)
     "dd_exact_dedup",
-    "dd_ngram_jaccard_pairs",
+    "dd_normalized_dedup",
     "dd_minhash_lsh_pairs",
-    "dd_embedding_neardup_pairs",
+    "dd_incremental_new_docs",
     "dd_neardup_components",
     "dd_embedding_lsh_pairs",
     # text analysis + sampling/packing family (operators/text.py)
     "txt_quality_scores",
     "txt_corpus_stats",
     "txt_langid_confusion",
-    "txt_tfidf_top_terms",
+    "hh_frequent_tokens",
     "txt_decontamination",
     "samp_docs_source_quota",
     "pack_token_windows",
     # curation: repetition signals + PII scrubbing (operators/curation.py)
     "txt_repetition_stats",
     "pii_scrub_contacts",
-    # corpus ops: RAG chunking + unigram-LM scoring (operators/corpus.py)
-    "chunk_token_windows",
+    # splits + unigram-LM scoring (operators/splits.py, operators/corpus.py)
+    "samp_train_val_test",
     "txt_unigram_logprob",
-    # similarity search (operators/similarity.py, operators/clustering.py)
+    # similarity search + score calibration (similarity.py, splits.py)
     "sim_knn_bruteforce",
-    "sim_ivf_kmeans_knn",
-    # clustering + semantic dedup (operators/clustering.py)
+    "txt_quality_quantile_norm",
+    # clustering + Z-order layout (clustering.py, layout.py)
     "emb_kmeans_assign",
-    "emb_semdedup_keep",
+    "zo_orders_zvalues",
     # multimodal (operators/multimodal.py)
     "mm_media_features",
     # skew tools (operators/skew.py)
@@ -141,18 +145,18 @@ _PRIORITY = (
     "enriched_orders",
     "cleaned_messy_orders",
     "segment_brand_distribution",
-    # reference-parity quality scoring (operators/quality_queries.py)
+    # quality scoring + SCD2 history (quality_queries.py, scd.py)
     "q_quality_scores_messy",
-    "q_profile_stats_messy",
-    # streaming batch twins (streaming/queries.py, streaming/joins.py)
+    "scd2_priority_history",
+    # streaming batch twins + Markov transitions (streaming/, scd.py)
     "st_tumbling_hourly",
-    "st_session_windows",
+    "ev_event_transitions",
     "ssj_click_purchase_pairs",
     # REST API source mapping (sources/api_queries.py)
     "api_orders_mapping",
-    # stats family representatives (plans/stats.py) — fz_ fixed this round
+    # stats + path mining representatives (plans/stats.py, scd.py)
     "fz_party_name_matches",
-    "mb_copurchased_parts",
+    "ev_top_user_paths",
     # events family representatives (plans/events.py, operators/analytics.py)
     "ev_user_sessions",
     "ev_conversion_funnel",

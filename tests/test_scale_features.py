@@ -189,3 +189,51 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path, sf_dir):
     join_part = plan.split("SortMergeJoin")[-1]
     assert "Exchange" not in join_part, join_part[:2000]
     assert "SelectedBucketsCount" in plan
+
+
+def test_zorder_layout_skips_files(spark, tmp_path, sf_dir):
+    """Z-ordered write yields per-file bounding boxes that are narrow in
+    BOTH clustered dimensions (the precondition for 2-D min/max file
+    skipping), where a date-sorted layout is full-width on customer."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from scalable_data_ingestion_spark.operators.layout import zorder_write
+
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 256).cast("int").alias("cust"),
+            (F.dayofyear("o_orderdate") % 256).cast("int").alias("day"),
+        )
+    )
+    out = str(tmp_path / "zorders")
+    zorder_write(orders, ("cust", "day"), out, n_files=8)
+
+    spans = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.read_metadata(f)
+        lo = {"cust": 1 << 30, "day": 1 << 30}
+        hi = {"cust": -1, "day": -1}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in lo and col.statistics is not None:
+                    lo[name] = min(lo[name], col.statistics.min)
+                    hi[name] = max(hi[name], col.statistics.max)
+        spans.append(
+            ((hi["cust"] - lo["cust"]) / 255.0, (hi["day"] - lo["day"]) / 255.0)
+        )
+
+    assert len(spans) >= 4
+    avg_cust = sum(s[0] for s in spans) / len(spans)
+    avg_day = sum(s[1] for s in spans) / len(spans)
+    # random/date-sorted layout => ~1.0 span on cust; z-order bounds both.
+    assert avg_cust < 0.75, spans
+    assert avg_day < 0.75, spans
+    # and combined box area is far below the full domain
+    avg_area = sum(s[0] * s[1] for s in spans) / len(spans)
+    assert avg_area < 0.40, spans
