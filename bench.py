@@ -54,6 +54,15 @@ HEADLINE_R3 = [
     "sim_pq_adc_knn",
 ]
 
+# Round-4 additions: incremental store dedup, SCD2 dimension build,
+# iterative-state EWMA (applyInPandas), exact heavy hitters.
+HEADLINE_R4 = [
+    "dd_incremental_new_docs",
+    "scd2_priority_history",
+    "ts_ewma_daily",
+    "hh_frequent_tokens",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,7 +84,7 @@ def main() -> None:
     # target-SF runs too).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE + HEADLINE_R3:
+        for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # Each query runs twice at the target SF: the first (cold) run pays
@@ -85,7 +94,7 @@ def main() -> None:
     # run. Both are reported.
     cold: dict[str, float] = {}
     per_query: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R3:
+    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4:
         cold[name] = round(run(name), 3)
         per_query[name] = round(run(name), 3)
 
@@ -101,6 +110,9 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "queries_r2_set_total": round(
                     sum(per_query[n] for n in HEADLINE), 3
+                ),
+                "queries_r3_set_total": round(
+                    sum(per_query[n] for n in HEADLINE + HEADLINE_R3), 3
                 ),
                 "sf": sf,
             }

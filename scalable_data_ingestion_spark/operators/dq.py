@@ -1,0 +1,176 @@
+"""Warehouse data-quality audits: referential integrity and robust
+(MAD) outlier detection.
+
+The reference validates *records in isolation* (`src/validation.py`,
+SURVEY.md §2.6 A1-A7: nulls, regexes, ranges). A warehouse at scale
+also needs *cross-table* audits — do child keys resolve? — and
+*distribution-aware* checks that flag values wildly outside their
+group's robust spread, which per-record range rules can't see.
+
+Scale notes (100 TB):
+- The FK audit is one LEFT JOIN + conditional count per relationship,
+  on the join key the fact table would shuffle on anyway; parent sides
+  reduce to DISTINCT keys first (a fraction of the fact table), and
+  small parents broadcast. No row explosion: audits aggregate to one
+  row per relationship.
+- MAD outliers need two grouped exact medians (median of x, then
+  median of |x - med|). Group cardinality here is tiny (order
+  priorities), so the per-group medians are dimension-sized and join
+  back as broadcasts; the fact table is scanned twice but never
+  shuffled wide. At extreme group counts swap `percentile` for
+  `approx_percentile` with a tolerance — same plan shape.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+# MAD -> sigma-equivalent scale for a normal distribution.
+MAD_K = 1.4826
+MAD_THRESHOLD = 3.0
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    WITH audits AS (
+      SELECT 'orders.custkey->customer' AS relationship,
+             count(*) AS n_child,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'lineitem.orderkey->orders',
+             count(*),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.partkey->part',
+             count(*),
+             CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.suppkey->supplier',
+             count(*),
+             CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    )
+    SELECT relationship, n_child, n_orphans,
+           round(1.0 - CAST(n_orphans AS DOUBLE) / n_child, 6) AS fk_coverage
+    FROM audits
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-coverage audit over the warehouse's four child→parent edges.
+
+    Each relationship is a LEFT JOIN against the parent's distinct keys
+    with a conditional orphan count — the anti-join cardinality and the
+    child count from ONE pass. Parents are broadcast (dimension-sized);
+    the audit output is 4 rows regardless of fact size.
+    """
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, label: str) -> DataFrame:
+        par = parent.select(F.col(pkey).alias("_pk")).distinct()
+        return (
+            child.select(F.col(ckey).alias("_ck"))
+            .join(F.broadcast(par), F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.lit(label).alias("relationship"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    audits = [
+        audit(orders, "o_custkey", table(spark, sf_dir, "customer"), "c_custkey",
+              "orders.custkey->customer"),
+        audit(lineitem, "l_orderkey", orders, "o_orderkey",
+              "lineitem.orderkey->orders"),
+        audit(lineitem, "l_partkey", table(spark, sf_dir, "part"), "p_partkey",
+              "lineitem.partkey->part"),
+        audit(lineitem, "l_suppkey", table(spark, sf_dir, "supplier"), "s_suppkey",
+              "lineitem.suppkey->supplier"),
+    ]
+    out = reduce(DataFrame.unionByName, audits)
+    return out.select(
+        "relationship",
+        "n_child",
+        "n_orphans",
+        F.round(1.0 - F.col("n_orphans").cast("double") / F.col("n_child"), 6).alias(
+            "fk_coverage"
+        ),
+    )
+
+
+@register(
+    "dq_price_outliers_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, m.med,
+             quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS mad
+      FROM orders o JOIN med m USING (o_orderpriority)
+      GROUP BY o.o_orderpriority, m.med
+    )
+    SELECT o.o_orderpriority AS priority,
+           round(d.med, 6) AS median_price,
+           round(d.mad, 6) AS mad_price,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN abs(o.o_totalprice - d.med)
+                              > {MAD_THRESHOLD} * {MAD_K} * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders o JOIN dev d USING (o_orderpriority)
+    GROUP BY 1, 2, 3
+    """,
+)
+def dq_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier counts via median absolute deviation.
+
+    Median and MAD are exact grouped percentiles (dimension-sized
+    results broadcast back onto the facts); a value is an outlier when
+    |x - median| > {MAD_THRESHOLD} * {MAD_K} * MAD — the robust
+    equivalent of a 3-sigma rule, immune to the outliers' own pull on
+    mean/stddev.
+    """
+    orders = table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", "med")
+        .agg(F.percentile(F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    return (
+        orders.join(F.broadcast(dev), "o_orderpriority")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.round("med", 6).alias("median_price"),
+            F.round("mad", 6).alias("mad_price"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("med"))
+                    > MAD_THRESHOLD * MAD_K * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

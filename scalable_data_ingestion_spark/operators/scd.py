@@ -215,3 +215,119 @@ def ev_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(TOP_PATHS)
     )
+
+
+# --------------------------------------------------------------------------
+# Peak concurrency via a two-level sweep line — interval analytics with
+# NO interval self-join and NO single global sort.
+# --------------------------------------------------------------------------
+@register(
+    "ev_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT s AS ts, 1 AS delta FROM spans
+      UNION ALL
+      SELECT e + INTERVAL 1 SECOND AS ts, -1 AS delta FROM spans
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, ts, delta FROM bounds
+    ),
+    net AS (SELECT day, sum(delta) AS net FROM daily GROUP BY day),
+    carry AS (
+      SELECT day,
+             coalesce(sum(net) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS carried
+      FROM net
+    ),
+    run AS (
+      SELECT d.day,
+             sum(d.delta) OVER (
+               PARTITION BY d.day ORDER BY d.ts, d.delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + c.carried AS conc,
+             d.delta
+      FROM daily d JOIN carry c USING (day)
+    )
+    SELECT day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions_started
+    FROM run
+    GROUP BY day
+    """,
+)
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak number of simultaneously-open user sessions.
+
+    Sweep line over session boundaries (+1 at start, -1 one second
+    after end), computed as a TWO-LEVEL prefix sum: the running count
+    partitions by day (parallel across days), and a dimension-sized
+    per-day net-delta window carries the midnight-spanning sessions
+    into the next day's offset. The naive alternatives — an interval
+    self-join (quadratic on hot days) or one global unpartitioned sort
+    — never touch the plan. Ties at the same boundary instant carry
+    equal deltas after the (ts, delta) sort, so the running maximum is
+    permutation-invariant and cross-engine deterministic.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    run_w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(prev_ts.isNull() | (gap_sec > 1800), 1).otherwise(0))
+        .over(run_w)
+        .alias("sid"),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    bounds = spans.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionByName(
+        spans.select(
+            F.expr("e + INTERVAL 1 SECOND").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = bounds.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "ts", "delta"
+    )
+    net = daily.groupBy("day").agg(F.sum("delta").alias("net"))
+    carry_w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    carry = net.select(
+        "day", F.coalesce(F.sum("net").over(carry_w), F.lit(0)).alias("carried")
+    )
+    run_day = W.partitionBy("day").orderBy("ts", "delta").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    conc = daily.join(F.broadcast(carry), "day").select(
+        "day",
+        (F.sum("delta").over(run_day) + F.col("carried")).alias("conc"),
+        "delta",
+    )
+    return conc.groupBy("day").agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sessions_started"),
+    )

@@ -100,3 +100,74 @@ def ts_daily_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         locf.alias("locf_value"),
         F.coalesce("observed", F.lit(False)).alias("observed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exponentially-weighted moving average: genuinely iterative per-key
+# state (each output depends on the previous output), the one shape
+# window frames cannot express. Spark side: applyInPandas — ONE shuffle
+# on user_id, O(1) state per key, Arrow-batched; the batch twin of the
+# streaming applyInPandasWithState pattern. Oracle: DuckDB recursive
+# CTE runs the identical recurrence, so the hash check proves the
+# escape hatch preserves exact semantics (alpha=0.25 and 1-alpha=0.75
+# are dyadic, so both engines' doubles round identically at every
+# step). The output is deliberately UNROUNDED: the recurrence
+# produces bit-identical doubles in both engines, while decimal
+# rounding of a double near a .5 ulp boundary is
+# implementation-defined (DuckDB multiplies, Python rounds the exact
+# binary value) and flipped one row in 30k at sf0.01.
+# --------------------------------------------------------------------------
+EWMA_ALPHA = 0.25
+
+
+@register(
+    "ts_ewma_daily",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS x,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(date_trunc('day', ts) AS DATE)
+             ) AS INTEGER) AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    rec AS (
+      SELECT user_id, rn, day, x, x AS s FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.rn, d.day, d.x,
+             {EWMA_ALPHA} * d.x + {1 - EWMA_ALPHA} * r.s
+      FROM daily d JOIN rec r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+    )
+    SELECT user_id, day, x AS day_value, s AS ewma FROM rec
+    """,
+)
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily EWMA (alpha={EWMA_ALPHA}) of event value sums.
+
+    The recurrence s_t = alpha*x_t + (1-alpha)*s_(t-1), s_1 = x_1 runs
+    in an Arrow-batched applyInPandas over each user's day-sorted
+    series — the canonical "output depends on previous output" operator
+    that needs the per-key iterative escape hatch rather than a window
+    frame.
+    """
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out = []
+        s = 0.0
+        for i, x in enumerate(pdf["day_value"]):
+            x = float(x)
+            s = x if i == 0 else EWMA_ALPHA * x + (1 - EWMA_ALPHA) * s
+            out.append(s)
+        pdf["ewma"] = out
+        return pdf
+
+    return daily.groupBy("user_id").applyInPandas(
+        ewma, schema="user_id bigint, day date, day_value double, ewma double"
+    )

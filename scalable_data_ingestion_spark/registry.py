@@ -52,6 +52,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.graph",
     "scalable_data_ingestion_spark.operators.pq",
     "scalable_data_ingestion_spark.operators.monitor",
+    "scalable_data_ingestion_spark.operators.dq",
     "scalable_data_ingestion_spark.operators.timeseries",
     "scalable_data_ingestion_spark.operators.similarity",
     "scalable_data_ingestion_spark.operators.sketches",
@@ -120,14 +121,15 @@ _PRIORITY = (
     "txt_langid_confusion",
     "hh_frequent_tokens",
     "txt_decontamination",
-    "samp_docs_source_quota",
+    # cross-table audits (operators/dq.py)
+    "dq_referential_integrity",
     "pack_token_windows",
-    # curation: repetition signals + PII scrubbing (operators/curation.py)
-    "txt_repetition_stats",
+    # DQ audits + PII scrubbing (operators/dq.py, operators/curation.py)
+    "dq_price_outliers_mad",
     "pii_scrub_contacts",
-    # splits + unigram-LM scoring (operators/splits.py, operators/corpus.py)
+    # splits + iterative-state EWMA (operators/splits.py, timeseries.py)
     "samp_train_val_test",
-    "txt_unigram_logprob",
+    "ts_ewma_daily",
     # similarity search + score calibration (similarity.py, splits.py)
     "sim_knn_bruteforce",
     "txt_quality_quantile_norm",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -120,6 +121,86 @@ class Warehouse:
         final = self._path("orders")
         w2 = self.spark.read.parquet(tmp).write.mode("overwrite")
         (w2.partitionBy(self.MONTH_COL) if partitioned else w2).parquet(final)
+
+    def forget_customer(self, email: str) -> int:
+        """Right-to-be-forgotten: remove every order row belonging to
+        ``email``, rewriting ONLY the month partitions that contain the
+        subject's data (dynamic partition overwrite), not the table.
+
+        At 100 TB the erasure cost is bounded by the subject's partition
+        footprint — typically a handful of month directories — while
+        every other file is untouched (verified byte-for-byte in
+        test_forget_customer_rewrites_only_affected_partitions).
+        Returns the number of rows removed.
+        """
+        raw = self._raw_orders()
+        if "customer_email" not in raw.columns:
+            return 0
+        target = F.col("customer_email") == email
+        partitioned = self.MONTH_COL in raw.columns
+        if not partitioned:
+            removed = raw.filter(target).count()
+            if removed:
+                keep = raw.filter(~target | F.col("customer_email").isNull())
+                tmp = self._path("orders__forgetting")
+                keep.write.mode("overwrite").parquet(tmp)
+                self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                    self._path("orders")
+                )
+            return removed
+
+        affected = [
+            r[0]
+            for r in raw.filter(target).select(self.MONTH_COL).distinct().collect()
+        ]
+        if not affected:
+            return 0
+        removed = raw.filter(target).count()
+        keep = raw.filter(
+            F.col(self.MONTH_COL).isin(affected)
+            & (~target | F.col("customer_email").isNull())
+        )
+        # Stage through a scratch dir (Spark refuses to overwrite its own
+        # read source), then dynamic-overwrite only the affected months.
+        tmp = self._path("orders__forgetting")
+        keep.write.mode("overwrite").partitionBy(self.MONTH_COL).parquet(tmp)
+        no_survivors = not any(
+            d.startswith(f"{self.MONTH_COL}=") for d in os.listdir(tmp)
+        )
+        if no_survivors:
+            # Every affected month contained only the subject: no rewrite
+            # needed, just drop those partition directories.
+            for month in affected:
+                part_dir = f"{self._path('orders')}/{self.MONTH_COL}={month}"
+                if os.path.isdir(part_dir):
+                    shutil.rmtree(part_dir)
+            return removed
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                self.spark.read.parquet(tmp)
+                .write.mode("overwrite")
+                .partitionBy(self.MONTH_COL)
+                .parquet(self._path("orders"))
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Dynamic overwrite only touches partitions present in the staged
+        # survivors; a month where the subject was the only row has no
+        # surviving rows, so drop its directory explicitly.
+        surviving = {
+            r[0]
+            for r in self.spark.read.parquet(tmp)
+            .select(self.MONTH_COL)
+            .distinct()
+            .collect()
+        }
+        for month in set(affected) - surviving:
+            part_dir = f"{self._path('orders')}/{self.MONTH_COL}={month}"
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+        return removed
 
     # ------------------------------------------------------------- run/metrics
     def save_pipeline_run(self, run: dict) -> None:

@@ -237,3 +237,75 @@ def test_zorder_layout_skips_files(spark, tmp_path, sf_dir):
     # and combined box area is far below the full domain
     avg_area = sum(s[0] * s[1] for s in spans) / len(spans)
     assert avg_area < 0.40, spans
+
+
+def test_forget_customer_rewrites_only_affected_partitions(spark, tmp_path):
+    """GDPR erasure removes the subject's rows and rewrites ONLY month
+    partitions containing them; every other partition's files are
+    byte-identical afterwards."""
+    import glob
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(300).select(
+        F.format_string("ORD-%04d", F.col("id")).alias("order_id"),
+        F.when(F.col("id") % 100 == 7, "target@x.com")
+        .otherwise(F.format_string("u%d@x.com", F.col("id")))
+        .alias("customer_email"),
+        F.to_timestamp(
+            F.format_string("2024-%02d-15", (F.col("id") % 3 + 1).cast("int"))
+        ).alias("order_date"),
+        (F.col("id").cast("double") * 2.0).alias("total_amount"),
+    )
+    wh.save_orders(df)
+    root = str(tmp_path / "wh" / "orders")
+
+    # subject rows live in months 1-3 where id%100==7 -> ids 7,107,207 ->
+    # months (7%3)+1=2, (107%3)+1=3, (207%3)+1=1 ... all three months hit;
+    # add an untouched month by appending one extra row in month 4.
+    extra = spark.createDataFrame(
+        [("ORD-9999", "safe@x.com", "2024-04-15 00:00:00", 1.0)],
+        "order_id string, customer_email string, order_date string, total_amount double",
+    ).withColumn("order_date", F.to_timestamp("order_date"))
+    wh.save_orders(extra)
+
+    before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{root}/order_month=2024-04/*.parquet")
+    }
+    assert before
+
+    removed = wh.forget_customer("target@x.com")
+    assert removed == 3
+
+    remaining = wh.table("orders")
+    assert remaining.filter(F.col("customer_email") == "target@x.com").count() == 0
+    assert remaining.filter(F.col("customer_email") == "safe@x.com").count() == 1
+    # non-subject rows in affected months survive
+    assert remaining.count() == 300 + 1 - 3
+
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{root}/order_month=2024-04/*.parquet")
+    }
+    assert after == before  # untouched partition not rewritten
+
+
+def test_forget_customer_drops_emptied_partition(spark, tmp_path):
+    """A month where the subject was the only row disappears entirely."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [
+            ("ORD-0001", "solo@x.com", "2024-01-15 00:00:00", 5.0),
+            ("ORD-0002", "keep@x.com", "2024-02-15 00:00:00", 6.0),
+        ],
+        "order_id string, customer_email string, order_date string, total_amount double",
+    ).withColumn("order_date", F.to_timestamp("order_date"))
+    wh.save_orders(df)
+
+    assert wh.forget_customer("solo@x.com") == 1
+    remaining = wh.table("orders")
+    assert remaining.count() == 1
+    assert remaining.filter(F.col("customer_email") == "keep@x.com").count() == 1
+    import os
+    assert not os.path.isdir(str(tmp_path / "wh" / "orders" / "order_month=2024-01"))
