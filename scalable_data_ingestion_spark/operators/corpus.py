@@ -390,3 +390,57 @@ def samp_docs_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame
             (hi - lo).cast("int").alias("n_picks"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary induction: global top bigrams (the counting step of a
+# BPE/WordPiece merge round). Spark side builds bigrams MAP-SIDE with
+# zip_with over two shifted slices of the token array — no explode of
+# single tokens, no per-doc window sort, no shuffle before the partial
+# aggregate; the one exchange carries partially-counted bigrams. The
+# oracle reconstructs the same pairs relationally (unnest WITH
+# ORDINALITY + lead) — two very different plans, same counts.
+# --------------------------------------------------------------------------
+TOP_BIGRAMS = 40
+
+
+@register(
+    "txt_top_bigrams",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+    ),
+    pairs AS (SELECT t[i] || ' ' || t[i + 1] AS bigram FROM idx)
+    SELECT bigram, count(*) AS n
+    FROM pairs
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {TOP_BIGRAMS}
+    """,
+)
+def txt_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_BIGRAMS} adjacent token pairs across the corpus.
+
+    ``zip_with(slice(t,1,n-1), slice(t,2,n-1), concat)`` emits each
+    document's bigram list inside the scan stage (empty for 1-token
+    docs); the only shuffle is the final bigram count, map-side
+    partial-aggregated, with a TakeOrderedAndProject tail.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = F.expr(
+        "zip_with(slice(_toks, 1, size(_toks) - 1),"
+        "         slice(_toks, 2, size(_toks) - 1),"
+        "         (a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        docs.select(toks.alias("_toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(TOP_BIGRAMS)
+    )

@@ -174,3 +174,54 @@ def dq_price_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit: distribution-level fraud/corruption signal
+# for monetary columns (fabricated or unit-mangled amounts flunk it
+# while passing every per-record range rule). Dimension-sized output
+# (9 rows); one partial-aggregated count per digit, total joined back
+# as a broadcast single row.
+# --------------------------------------------------------------------------
+@register(
+    "dq_benford_price",
+    oracle="""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit,
+             count(*) AS n
+      FROM orders WHERE o_totalprice >= 1
+      GROUP BY 1
+    ),
+    total AS (SELECT sum(n) AS t FROM digits)
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / t, 6) AS obs_frac,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_frac,
+           round(abs(CAST(n AS DOUBLE) / t
+                     - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS abs_dev
+    FROM digits, total
+    """,
+)
+def dq_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford.
+
+    The digit extraction is string-based (no float log in the grouping
+    key, so no ulp-boundary risk on the digit itself); expected Benford
+    mass log10(1 + 1/d) evaluates to identical doubles in both engines.
+    """
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = orders.groupBy(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = digits.agg(F.sum("n").alias("t"))
+    obs = F.col("n").cast("double") / F.col("t")
+    benford = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    return digits.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_frac"),
+        F.round(benford, 6).alias("benford_frac"),
+        F.round(F.abs(obs - benford), 6).alias("abs_dev"),
+    )

@@ -55,6 +55,13 @@ PR_SCALE = 10**9  # fixed-point scale for rank mass
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
+def _shuffle_partitions(spark: SparkSession) -> int:
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 200
+
+
 @register(
     "gr_copurchase_pagerank",
     oracle=f"""
@@ -108,34 +115,39 @@ def gr_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
-        # every superstep joins against the edge list; cache it once
-        # instead of re-running the self-join + distinct per iteration
-        # (same pattern as the cached shingle relation in dedup.py)
+        # Co-partition the edge list on src ONCE and cache it: every
+        # superstep's rank join then lines up with the previous
+        # superstep's groupBy(dst) output partitioning (same key, same
+        # partition count), so a superstep costs exactly ONE exchange
+        # (the message aggregation) instead of three. Same pattern as
+        # the cached shingle relation in dedup.py, plus partitioning
+        # reuse.
+        .repartition(_shuffle_partitions(spark), "src")
         .persist()
     )
     deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    nn = F.broadcast(deg.agg(F.count(F.lit(1)).alias("n")))
-    pr = deg.crossJoin(nn).select(
+    # One tiny driver-side action: the node count folds into the rank
+    # expressions as a literal, removing a broadcast-nested-loop stage
+    # from every superstep (and materializing the cached edges/degrees
+    # the iterations reuse).
+    n = deg.count()
+    pr = deg.select(
         F.col("src").alias("node"),
         "deg",
-        F.expr(f"CAST({PR_SCALE} DIV n AS BIGINT)").alias("pr_fx"),
+        F.lit(PR_SCALE // n).cast("bigint").alias("pr_fx"),
     )
+    base_fx = (15 * PR_SCALE) // (PR_DAMP_DEN * n)
     for _ in range(PR_ITERS):
         contrib = pairs.join(pr, pairs.src == pr.node).select(
             "dst", F.expr("pr_fx DIV deg").alias("c")
         )
         sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        pr = (
-            sums.join(deg, sums.dst == deg.src)
-            .crossJoin(nn)
-            .select(
-                F.col("dst").alias("node"),
-                "deg",
-                F.expr(
-                    f"CAST({15 * PR_SCALE} DIV ({PR_DAMP_DEN} * n)"
-                    f" + ({PR_DAMP_NUM} * s) DIV {PR_DAMP_DEN} AS BIGINT)"
-                ).alias("pr_fx"),
-            )
+        pr = sums.join(deg, sums.dst == deg.src).select(
+            F.col("dst").alias("node"),
+            "deg",
+            F.expr(
+                f"CAST({base_fx} + ({PR_DAMP_NUM} * s) DIV {PR_DAMP_DEN} AS BIGINT)"
+            ).alias("pr_fx"),
         )
     return pr.select(
         F.col("node").alias("part_id"),

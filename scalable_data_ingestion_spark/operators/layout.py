@@ -109,3 +109,30 @@ def zorder_write(df: DataFrame, cols: tuple[str, str], path: str, n_files: int =
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def clustered_write(
+    df: DataFrame,
+    key: str,
+    order: tuple[str, ...],
+    path: str,
+    n_files: int = 8,
+) -> None:
+    """Secondary-sort write: cluster rows by ``key`` and sort each file
+    by ``(key, *order)``.
+
+    The repartitionAndSortWithinPartitions pattern in DataFrame terms:
+    one shuffle delivers every key's rows to one partition, and the
+    write-side sort makes each file a concatenation of per-key ordered
+    runs. Downstream sequence consumers (session replay, per-user
+    training-example assembly, merge-join readers) then stream each
+    key's history in order with ZERO further shuffles or sorts — the
+    sort is paid once at layout time, not per query. Also the
+    precondition for Spark's bucketed sort-merge reads.
+    """
+    (
+        df.repartition(n_files, key)
+        .sortWithinPartitions(key, *order)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

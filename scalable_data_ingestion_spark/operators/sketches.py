@@ -78,3 +78,115 @@ def sk_approx_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcts")[2].alias("approx_p99"),
         "n_orders",
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch with EXACT cross-engine parity. Unlike HLL/GK above
+# (engine-specific internals, rows-only check), a CMS is a pure
+# function of its hash family — and ours is md5-derived, so DuckDB
+# builds the identical 3x64 counter table and the identical estimates:
+# the whole sketch pipeline is value-hash-checked.
+#
+# Scale story: the shuffle for the counter table carries AT MOST
+# depth x width (=192) partially-summed cells per map task regardless
+# of vocabulary size — the sketch is the mergeable-aggregate answer to
+# "frequency estimates over an unbounded key domain". The exact top-K
+# comparison side exists here to measure the sketch's overestimate.
+# --------------------------------------------------------------------------
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+CMS_TOPK = 40
+
+
+def _hex_digit_sql(expr: str, pos: int) -> str:
+    """DuckDB CASE mapping of one md5 hex digit to 0-15."""
+    return (
+        f"CASE substr({expr}, {pos}, 1) "
+        + " ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))
+        + " END"
+    )
+
+
+def _cms_bucket_sql(row: int) -> str:
+    md5 = f"md5('{row}:' || token)"
+    return f"(16 * ({_hex_digit_sql(md5, 1)}) + ({_hex_digit_sql(md5, 2)})) % {CMS_WIDTH}"
+
+
+def _cms_bucket_col(row: int):
+    md5 = F.md5(F.concat(F.lit(f"{row}:"), F.col("token")))
+    return (F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % CMS_WIDTH).alias(
+        f"b{row}"
+    )
+
+
+@register(
+    "sk_cms_token_estimates",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents
+    ),
+    counted AS (SELECT token, count(*) AS n FROM toks GROUP BY token),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS r, {_cms_bucket_sql(r)} AS bucket, sum(n) AS cell "
+          f"FROM counted GROUP BY 2"
+          for r in range(CMS_DEPTH)
+      )}
+    ),
+    top AS (
+      SELECT token, n FROM counted ORDER BY n DESC, token LIMIT {CMS_TOPK}
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT token, n, {r} AS r, {_cms_bucket_sql(r)} AS bucket FROM top"
+          for r in range(CMS_DEPTH)
+      )}
+    )
+    SELECT p.token, p.n,
+           CAST(min(c.cell) AS BIGINT) AS cms_estimate,
+           CAST(min(c.cell) - p.n AS BIGINT) AS overestimate
+    FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+    GROUP BY p.token, p.n
+    """,
+)
+def sk_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth {CMS_DEPTH}, width {CMS_WIDTH}) over the
+    token stream, probed at the exact top-{CMS_TOPK} tokens.
+
+    Counter cells are partial-summable (the map side reduces every
+    partition to <=192 cells before the exchange); estimates are the
+    row-wise minimum of the probed cells and always >= the true count.
+    md5-derived bucket hashes make the sketch a pure function of the
+    data — DuckDB rebuilds it bit-for-bit, so even the *approximate*
+    path is value-checked.
+    """
+    from .text import tokens_col
+
+    docs = table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    cells = None
+    for r in range(CMS_DEPTH):
+        part = counted.select(F.lit(r).alias("r"), _cms_bucket_col(r), "n").groupBy(
+            "r", f"b{r}"
+        ).agg(F.sum("n").alias("cell")).withColumnRenamed(f"b{r}", "bucket")
+        cells = part if cells is None else cells.unionByName(part)
+    top = counted.orderBy(F.col("n").desc(), "token").limit(CMS_TOPK)
+    probes = None
+    for r in range(CMS_DEPTH):
+        part = top.select("token", "n", F.lit(r).alias("r"), _cms_bucket_col(r)).withColumnRenamed(
+            f"b{r}", "bucket"
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("token", "n")
+        .agg(
+            F.min("cell").cast("bigint").alias("cms_estimate"),
+            (F.min("cell") - F.col("n")).cast("bigint").alias("overestimate"),
+        )
+    )

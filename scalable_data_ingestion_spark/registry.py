@@ -165,10 +165,11 @@ _PRIORITY = (
     "ev_retention_cohorts",
     # functions-surface representative (plans/functions_surface.py)
     "arr_embedding_vector_stats",
-    # model-based filtering (operators/filtering.py)
+    # model filtering, CMS sketch, vocab induction (filtering.py,
+    # sketches.py, corpus.py)
     "txt_hash_classifier_score",
-    "dd_bloom_decontaminate",
-    "samp_temperature_mix",
+    "sk_cms_token_estimates",
+    "txt_top_bigrams",
     # time-series resampling (operators/timeseries.py)
     "ts_daily_fill",
     # drift monitoring (operators/monitor.py)

@@ -309,3 +309,32 @@ def test_forget_customer_drops_emptied_partition(spark, tmp_path):
     assert remaining.filter(F.col("customer_email") == "keep@x.com").count() == 1
     import os
     assert not os.path.isdir(str(tmp_path / "wh" / "orders" / "order_month=2024-01"))
+
+
+def test_clustered_write_yields_per_key_ordered_runs(spark, tmp_path, sf_dir):
+    """After clustered_write(events by user, time-ordered): each file
+    holds whole users only, and every user's rows are contiguous and
+    time-sorted within the file — streamable without re-sorting."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from scalable_data_ingestion_spark.operators.layout import clustered_write
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    )
+    out = str(tmp_path / "clustered")
+    clustered_write(ev, "user_id", ("ts", "event_id"), out, n_files=4)
+
+    seen_users = {}
+    for f in sorted(glob.glob(f"{out}/part-*.parquet")):
+        tbl = pq.read_table(f).to_pydict()
+        rows = list(zip(tbl["user_id"], tbl["ts"], tbl["event_id"]))
+        assert rows == sorted(rows), f"file {f} not (user, time) sorted"
+        for u in set(tbl["user_id"]):
+            assert u not in seen_users or seen_users[u] == f, (
+                f"user {u} split across {seen_users[u]} and {f}"
+            )
+            seen_users[u] = f
+    assert len(seen_users) > 10
