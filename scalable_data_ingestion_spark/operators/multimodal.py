@@ -222,3 +222,73 @@ def mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload column (column pruning over the nested struct; see
     test_plan_quality's ReadSchema checks for the scan-side analog)."""
     return media_stats(synthetic_media(spark, MM_N_MEDIA)).orderBy("mime")
+
+
+# --------------------------------------------------------------------------
+# Frame sampling: the video path of the pipeline. Uniformly sample K
+# frame indices per clip (count derived from metadata), "decode" each
+# sampled frame (stub = md5 of payload bytes + index — the real
+# deployment swaps in an actual frame grab), and emit one row per
+# sampled frame. mapInPandas keeps the fan-out inside the Arrow batch:
+# no shuffle happens until something aggregates the frames.
+# --------------------------------------------------------------------------
+FRAME_SAMPLES = 4
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH m AS (SELECT unnest(generate_series(0, {MM_N_MEDIA - 1})) AS media_id),
+    clip AS (
+      SELECT media_id,
+             'MEDIA:' || lpad(CAST(media_id AS VARCHAR), 12, '0') AS payload,
+             (media_id % 16 + 1) * 8 AS n_frames
+      FROM m
+    ),
+    j AS (SELECT unnest(generate_series(0, {FRAME_SAMPLES - 1})) AS j),
+    sampled AS (
+      SELECT c.media_id, c.n_frames,
+             CAST(j.j * c.n_frames / {FRAME_SAMPLES} AS BIGINT) AS frame_idx,
+             md5(c.payload || ':' || CAST(CAST(j.j * c.n_frames / {FRAME_SAMPLES} AS BIGINT) AS VARCHAR)) AS frame_md5
+      FROM clip c CROSS JOIN j
+    )
+    SELECT media_id, CAST(n_frames AS INTEGER) AS n_frames, frame_idx, frame_md5
+    FROM sampled
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform {FRAME_SAMPLES}-frame sample per synthetic clip.
+
+    Frame count comes from metadata (width/8 — stands in for
+    container-header duration); sampled indices are
+    ``j * n_frames // {FRAME_SAMPLES}``; the per-frame fingerprint is
+    the stub decode (md5 of payload bytes + frame index, computed with
+    hashlib inside the Arrow batch). The oracle re-derives every
+    fingerprint in SQL, so batch iteration, binary handling, and the
+    integer sampling arithmetic are all value-checked.
+    """
+    import hashlib
+
+    media = synthetic_media(spark, MM_N_MEDIA).select(
+        "media_id", "payload", (F.col("meta.width") / 8).cast("int").alias("n_frames")
+    )
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfs, idxs, hashes = [], [], [], []
+            for mid, payload, nf in zip(pdf["media_id"], pdf["payload"], pdf["n_frames"]):
+                p = bytes(payload)
+                for j in range(FRAME_SAMPLES):
+                    idx = j * int(nf) // FRAME_SAMPLES
+                    ids.append(mid)
+                    nfs.append(nf)
+                    idxs.append(idx)
+                    hashes.append(hashlib.md5(p + f":{idx}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "n_frames": nfs, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return media.mapInPandas(
+        _sample,
+        "media_id bigint, n_frames int, frame_idx bigint, frame_md5 string",
+    )

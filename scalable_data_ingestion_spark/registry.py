@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.monitor",
     "scalable_data_ingestion_spark.operators.dq",
     "scalable_data_ingestion_spark.operators.timeseries",
+    "scalable_data_ingestion_spark.operators.projection",
     "scalable_data_ingestion_spark.operators.similarity",
     "scalable_data_ingestion_spark.operators.sketches",
     "scalable_data_ingestion_spark.operators.multimodal",

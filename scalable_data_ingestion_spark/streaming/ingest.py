@@ -116,3 +116,77 @@ def dedup_order_stream(
     return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
         [key]
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental dedup against a persistent fingerprint store —
+# the streaming twin of operators/incremental_dedup.py: each micro-batch
+# anti-joins the accepted-hash store on disk, appends only unseen docs,
+# and appends the new fingerprints to the store. Unlike
+# dropDuplicates(WithinWatermark), the store survives query restarts
+# and is unbounded-time (watermark state is not): "first copy ever
+# wins", not "first copy within the watermark".
+#
+# Scale notes: the store is append-only parquet keyed by the 16-byte
+# hash; at 100 TB it is bucketed by fingerprint so each micro-batch
+# (delta-sized) shuffles only itself against co-located store buckets.
+# Batch-internal duplicates collapse first (cheap groupBy on the
+# micro-batch), so the store join sees unique hashes.
+# --------------------------------------------------------------------------
+class FingerprintStoreDedup:
+    """foreachBatch sink: exactly-first-copy document ingestion."""
+
+    def __init__(self, spark: SparkSession, store_dir: str, out_dir: str):
+        self.spark = spark
+        self.store_dir = store_dir
+        self.out_dir = out_dir
+
+    def _store(self) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self.store_dir) or not any(
+            f.endswith(".parquet") for f in os.listdir(self.store_dir)
+        ):
+            return None
+        return self.spark.read.parquet(self.store_dir)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        fresh = (
+            batch_df.withColumn("fingerprint", F.md5("text"))
+            # collapse batch-internal duplicates: keep-first by doc_id
+            .groupBy("fingerprint")
+            .agg(
+                F.min("doc_id").alias("doc_id"),
+                F.first("text").alias("text"),
+            )
+        )
+        store = self._store()
+        if store is not None:
+            fresh = fresh.join(store, "fingerprint", "left_anti")
+        # Materialize once: the two appends below must see the same rows.
+        fresh = fresh.persist()
+        try:
+            fresh.select("doc_id", "fingerprint", "text").write.mode("append").parquet(
+                self.out_dir
+            )
+            fresh.select("fingerprint").write.mode("append").parquet(self.store_dir)
+        finally:
+            fresh.unpersist()
+
+
+def start_dedup_ingest(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_once: bool = True,
+):
+    """Wire a document stream through the fingerprint-store dedup."""
+    sink = FingerprintStoreDedup(spark, store_dir, out_dir)
+    writer = docs_stream.writeStream.foreachBatch(sink.process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if run_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

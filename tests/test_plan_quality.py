@@ -113,11 +113,20 @@ def test_no_python_eval_in_any_registered_query(spark, sf_dir):
     broadcast-numpy mapInPandas kernel — the all-pairs cosine is the one
     parity op where a 64-step Catalyst lambda fold per pair is ~10x
     slower than an Arrow-batched matrix product (measured 33s -> 3.5s at
-    sf0.1). mm_media_features IS the Pandas-UDF escape hatch surface
-    (stubbed-codec feature extraction over binary payloads) registered
-    so the driver value-checks the Arrow plumbing end to end. Both keep
-    full oracle-parity value checks."""
-    ALLOW_PANDAS_KERNEL = {"dd_embedding_neardup_pairs", "mm_media_features"}
+    sf0.1). mm_media_features and mm_frame_sample ARE the Pandas-UDF
+    escape hatch surface (stubbed-codec feature extraction / frame
+    sampling over binary payloads) registered so the driver
+    value-checks the Arrow plumbing end to end. ts_ewma_daily is the
+    genuinely-iterative per-key recurrence (output depends on previous
+    output) that window frames cannot express — its applyInPandas
+    kernel is value-checked bit-for-bit against a DuckDB recursive
+    CTE. All keep full oracle-parity value checks."""
+    ALLOW_PANDAS_KERNEL = {
+        "dd_embedding_neardup_pairs",
+        "mm_media_features",
+        "mm_frame_sample",
+        "ts_ewma_daily",
+    }
     offenders = []
     for name, fn in registry.QUERIES.items():
         if name in ALLOW_PANDAS_KERNEL:

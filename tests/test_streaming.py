@@ -187,3 +187,50 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     # compaction preserves the merged values and folds partials into one
     mv2.compact()
     assert {tuple(r[:2]): tuple(r[2:]) for r in mv2.view().collect()} == once_only
+
+
+def test_fingerprint_store_dedup_across_restarts(spark, tmp_path):
+    """Streaming dedup against the on-disk fingerprint store: first copy
+    ever wins — across micro-batches AND across query restarts (where
+    dropDuplicatesWithinWatermark state would have been lost)."""
+    import json
+
+    from scalable_data_ingestion_spark.streaming.ingest import start_dedup_ingest
+
+    input_dir = tmp_path / "docs"
+    input_dir.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "accepted")
+
+    def drop(name, rows):
+        (input_dir / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(input_dir))
+        )
+        q = start_dedup_ingest(
+            stream, spark, store, out, checkpoint_dir=str(tmp_path / ckpt)
+        )
+        q.awaitTermination(120)
+
+    drop("b1.json", [
+        {"doc_id": 1, "text": "alpha"},
+        {"doc_id": 2, "text": "beta"},
+        {"doc_id": 3, "text": "alpha"},   # batch-internal dup
+    ])
+    run("ckpt1")
+
+    # second run: NEW checkpoint (simulated restart, no streaming state),
+    # re-submits alpha/beta plus one new doc
+    drop("b2.json", [
+        {"doc_id": 10, "text": "alpha"},  # dup of doc 1
+        {"doc_id": 11, "text": "gamma"},
+    ])
+    run("ckpt2")
+
+    accepted = spark.read.parquet(out)
+    rows = {r["text"]: r["doc_id"] for r in accepted.collect()}
+    assert rows == {"alpha": 1, "beta": 2, "gamma": 11}
+    assert spark.read.parquet(store).count() == 3
