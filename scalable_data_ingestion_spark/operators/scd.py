@@ -331,3 +331,157 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sessions_started"),
     )
+
+
+# --------------------------------------------------------------------------
+# CDC apply: reduce an ordered change log (insert/update/delete) to the
+# current snapshot — MERGE INTO semantics as one window + filter, no
+# per-op loop, no target-table rewrite per change.
+# --------------------------------------------------------------------------
+@register(
+    "cdc_apply_orders",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey AS key,
+             CASE o_orderkey % 4 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS op,
+             CAST(o_orderkey % 7 AS BIGINT) AS seq,
+             o_totalprice AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey AS key, 'U' AS op,
+             CAST(o_orderkey % 7 + 3 AS BIGINT) AS seq,
+             o_totalprice * 2 AS price
+      FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    latest AS (
+      SELECT key, op, seq, price,
+             row_number() OVER (PARTITION BY key ORDER BY seq DESC, op DESC) AS rn
+      FROM log
+    )
+    SELECT key, op AS last_op, seq AS last_seq, price
+    FROM latest
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC log: latest op per key wins, deletes drop the key.
+
+    The log is synthesized deterministically from ``orders`` (base op
+    per key plus a later update for every 5th key). One shuffle on the
+    key; ``row_number`` over (seq DESC, op DESC) picks the winner and a
+    filter drops deleted keys — the scalable MERGE INTO reduction
+    (upsert-by-read), same shape as the warehouse's latest-wins view.
+    At 100 TB the log is far smaller than the snapshot, so production
+    applies this reduction to the log alone and joins the survivors
+    onto the unchanged snapshot partitions.
+    """
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 4 == 0, "D")
+        .when(F.col("o_orderkey") % 4 == 1, "U")
+        .otherwise("I")
+        .alias("op"),
+        (F.col("o_orderkey") % 7).cast("bigint").alias("seq"),
+        F.col("o_totalprice").alias("price"),
+    )
+    # *2 (not *1.1): a dyadic factor keeps the update price exact in
+    # binary, so no rounding is needed — round(x*1.1, 2) lands on .005
+    # boundaries where the engines' rounding algorithms disagree.
+    updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("U").alias("op"),
+        (F.col("o_orderkey") % 7 + 3).cast("bigint").alias("seq"),
+        (F.col("o_totalprice") * 2).alias("price"),
+    )
+    log = base.unionByName(updates)
+    w = W.partitionBy("key").orderBy(F.col("seq").desc(), F.col("op").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "key",
+            F.col("op").alias("last_op"),
+            F.col("seq").alias("last_seq"),
+            "price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Point-in-time (temporal) join: enrich each order with the SCD2
+# dimension version valid AT the order date — the consumer side of
+# scd2_priority_history, and the pattern behind feature-store
+# "as-of-event-time" training joins (no leakage from future versions).
+# --------------------------------------------------------------------------
+@register(
+    "pit_orders_with_priority_version",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_priority
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey,
+             o_orderpriority AS priority,
+             o_orderdate AS effective_from,
+             coalesce(lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ), TIMESTAMP '9999-12-31') AS effective_to,
+             CAST(row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS INTEGER) AS version
+      FROM changes
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           h.priority AS priority_at_order, h.version
+    FROM orders o
+    JOIN hist h
+      ON o.o_custkey = h.custkey
+     AND o.o_orderdate >= h.effective_from
+     AND o.o_orderdate < h.effective_to
+    """,
+)
+def pit_orders_with_priority_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join each order to the dimension version valid at its date.
+
+    Equi-join on custkey narrows the candidates to one customer's few
+    versions before the range predicate selects the covering interval —
+    a hash join with a residual filter, never a cartesian. (The
+    half-open [from, to) ranges tile each customer's timeline, so
+    exactly one version matches; same-day priority changes resolve to
+    the later change, matching the history build's ordering.) At scale
+    this is the feature-store point-in-time join: broadcast the
+    dimension when it fits, else both sides shuffle once on the entity
+    key.
+    """
+    orders = table(spark, sf_dir, "orders")
+    hist = scd2_priority_history(spark, sf_dir).select(
+        "custkey",
+        "priority",
+        "effective_from",
+        F.coalesce("effective_to", F.lit("9999-12-31").cast("timestamp")).alias(
+            "effective_to"
+        ),
+        "version",
+    )
+    return orders.join(
+        hist,
+        (orders.o_custkey == hist.custkey)
+        & (orders.o_orderdate >= hist.effective_from)
+        & (orders.o_orderdate < hist.effective_to),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("priority").alias("priority_at_order"),
+        "version",
+    )

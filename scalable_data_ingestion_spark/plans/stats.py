@@ -275,3 +275,60 @@ def qa_price_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("l_extendedprice"), 2).alias("min_outlier_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth (decile) histogram — the partner of the equi-width
+# histogram above. Boundaries come from one exact grouped percentile
+# pass (a 1-row result broadcast back), bucket assignment is a pure
+# expression fold over the cut array: NO ntile over a global sort, so
+# the plan scales — the only wide operation is the percentile
+# aggregate itself.
+# --------------------------------------------------------------------------
+N_DEPTH_BUCKETS = 10
+
+
+@register(
+    "hist_equidepth_price",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice,
+               [{", ".join(str((i + 1) / N_DEPTH_BUCKETS) for i in range(N_DEPTH_BUCKETS - 1))}]) AS qs
+      FROM orders
+    ),
+    assigned AS (
+      SELECT o.o_totalprice,
+             len(list_filter(c.qs, q -> o.o_totalprice > q)) AS bucket
+      FROM orders o CROSS JOIN cuts c
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM assigned
+    GROUP BY bucket
+    """,
+)
+def hist_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile histogram of order totals with exact quantile boundaries.
+
+    Bucket index = number of cut points strictly below the value
+    (identical tie rule in both engines over identical cut doubles).
+    """
+    orders = table(spark, sf_dir, "orders")
+    qs = [(i + 1) / N_DEPTH_BUCKETS for i in range(N_DEPTH_BUCKETS - 1)]
+    cuts = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias("qs")
+    )
+    assigned = orders.crossJoin(F.broadcast(cuts)).select(
+        "o_totalprice",
+        F.expr(
+            "aggregate(qs, 0, (acc, q) ->"
+            " acc + CASE WHEN o_totalprice > q THEN 1 ELSE 0 END)"
+        ).alias("bucket"),
+    )
+    return assigned.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

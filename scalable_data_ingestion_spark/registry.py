@@ -178,8 +178,9 @@ _PRIORITY = (
     # graph + IVF-PQ ANN (operators/graph.py, operators/pq.py)
     "gr_copurchase_pagerank",
     "sim_ivfpq_knn",
-    # relational + window representatives — q12 oracle typing fixed this round
-    "q12_late_shipment_priority",
+    # CDC apply + relational/window representatives (q12's oracle-typing
+    # fix stayed green in r02; rotated out for the CDC family)
+    "cdc_apply_orders",
     "q01_pricing_summary",
     "w_running_revenue",
 )
