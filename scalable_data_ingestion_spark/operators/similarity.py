@@ -242,3 +242,67 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly in the probe count and the rerank stays a per-query top-k
     window over ~{N_PROBES}/n_cells of the corpus."""
     return _ivf_knn(spark, sf_dir, probes=N_PROBES)
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining: for each query vector, the nearest neighbors
+# whose LABEL DIFFERS — the contrastive-training pair-generation step
+# (high-similarity wrong-label examples are the informative negatives).
+# Same broadcast-query / shuffle-free corpus scan as the kNN above;
+# the label predicate lands in the join filter, so candidates of the
+# query's own class are dropped before ranking, not after.
+# --------------------------------------------------------------------------
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             v.vec_id AS negative_id, v.label AS negative_label,
+             round(list_dot_product(q.emb, v.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+      FROM e q JOIN e v ON q.vec_id < {N_QUERIES} AND q.label <> v.label
+    ),
+    ranked AS (
+      SELECT query_id, query_label, negative_id, negative_label, cosine,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, negative_id) AS INTEGER) AS rank
+      FROM pairs
+    )
+    SELECT query_id, query_label, negative_id, negative_label, cosine, rank
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} highest-cosine wrong-label vectors per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("ve"),
+        _norm("embedding").alias("vn"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_label") != F.col("negative_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("negative_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )

@@ -156,3 +156,114 @@ def hh_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(TOP_TOKENS)
     )
+
+
+# --------------------------------------------------------------------------
+# Curation funnel: the whole corpus-curation pipeline as ONE lazy plan
+# with a per-stage audit trail — docs in, after exact dedup, after
+# language filter, after quality gate, after per-source quota. Each
+# stage is the registered operator's logic inlined as a relation;
+# the report is what a 100 TB curation run logs per snapshot (loss
+# accounting per gate, token mass per stage).
+# --------------------------------------------------------------------------
+FUNNEL_LANGS = ("en", "es", "de")
+FUNNEL_QUOTA = 40  # max docs per source after all gates
+
+
+@register(
+    "pipe_curation_funnel",
+    oracle=f"""
+    WITH s0 AS (
+      SELECT doc_id, source, lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS diversity,
+             md5(text) AS fp
+      FROM documents
+    ),
+    s1 AS (
+      SELECT * FROM s0
+      WHERE doc_id = (SELECT min(doc_id) FROM s0 i WHERE i.fp = s0.fp)
+    ),
+    s2 AS (SELECT * FROM s1 WHERE lang IN {FUNNEL_LANGS}),
+    s3 AS (SELECT * FROM s2 WHERE n_tok >= 20 AND diversity >= 0.2),
+    s4 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS pick
+        FROM s3
+      ) WHERE pick <= {FUNNEL_QUOTA}
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage, 'ingest' AS gate, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM s0
+      UNION ALL
+      SELECT 1, 'exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'lang_filter', count(*), CAST(sum(n_tok) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'quality_gate', count(*), CAST(sum(n_tok) AS BIGINT) FROM s3
+      UNION ALL
+      SELECT 4, 'source_quota', count(*), CAST(sum(n_tok) AS BIGINT) FROM s4
+    )
+    """,
+)
+def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage survivor counts + token mass for the curation DAG.
+
+    One lazy plan: dedup keep-first (window on the content hash), the
+    language allowlist, the quality gate (token count + lexical
+    diversity), and the md5-ordered per-source quota, each feeding the
+    next; the five stage counts union into the audit report. Every
+    stage is the same logic as its standalone registered operator.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    s0 = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "diversity"
+        ),
+        F.md5("text").alias("fp"),
+    )
+    keep_w = W.partitionBy("fp").orderBy("doc_id")
+    s1 = (
+        s0.withColumn("_rn", F.row_number().over(keep_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    s2 = s1.filter(F.col("lang").isin(*FUNNEL_LANGS))
+    s3 = s2.filter((F.col("n_tok") >= 20) & (F.col("diversity") >= 0.2))
+    quota_w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    s4 = (
+        s3.withColumn("pick", F.row_number().over(quota_w))
+        .filter(F.col("pick") <= FUNNEL_QUOTA)
+        .drop("pick")
+    )
+
+    def stage(df: DataFrame, i: int, gate: str) -> DataFrame:
+        return df.agg(
+            F.lit(i).alias("stage"),
+            F.lit(gate).alias("gate"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+
+    from functools import reduce
+
+    return reduce(
+        DataFrame.unionByName,
+        [
+            stage(s0, 0, "ingest"),
+            stage(s1, 1, "exact_dedup"),
+            stage(s2, 2, "lang_filter"),
+            stage(s3, 3, "quality_gate"),
+            stage(s4, 4, "source_quota"),
+        ],
+    )
