@@ -485,3 +485,124 @@ def pit_orders_with_priority_version(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("priority").alias("priority_at_order"),
         "version",
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day active users (WAU): exact windowed COUNT DISTINCT.
+# A range-frame COUNT(DISTINCT) window is not supported (and a naive
+# events x events day self-join explodes); the scalable exact shape is
+# (user, day) distinct -> day-spine range join -> per-day distinct
+# count, where the join input is already reduced to one row per
+# (user, active day).
+# --------------------------------------------------------------------------
+WAU_DAYS = 7
+
+
+@register(
+    "ev_rolling_wau",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM ud),
+    joined AS (
+      SELECT s.day, u.user_id
+      FROM spine s
+      JOIN ud u
+        ON u.day BETWEEN s.day - INTERVAL {WAU_DAYS - 1} DAY AND s.day
+    )
+    SELECT day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+    FROM joined
+    GROUP BY day
+    """,
+)
+def ev_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active in the trailing {WAU_DAYS}-day window, per day.
+
+    The range join runs over the (user, day) DISTINCT relation — at
+    100 TB that is |users| x |active days|, orders of magnitude smaller
+    than the event log, and each spine day matches at most {WAU_DAYS}
+    activity days per user. For very long horizons the HLL sketch
+    variant (sk_approx_event_profile) bounds this further; this is the
+    exact twin.
+    """
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    spine = ud.select("day").distinct().withColumnRenamed("day", "sday")
+    joined = spine.join(
+        ud,
+        (F.col("day") >= F.date_sub(F.col("sday"), WAU_DAYS - 1))
+        & (F.col("day") <= F.col("sday")),
+    )
+    return joined.groupBy(F.col("sday").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff: reconcile two versions of a keyed table — the
+# anti-entropy audit after any replication/CDC/backfill (did the apply
+# produce exactly the expected adds/drops/changes?). One full-outer
+# join on the key; counts are dimension-sized.
+# --------------------------------------------------------------------------
+@register(
+    "snap_orders_diff",
+    oracle="""
+    WITH prev AS (
+      SELECT o_orderkey AS key, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    curr AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    classified AS (
+      SELECT CASE
+               WHEN p.key IS NULL THEN 'added'
+               WHEN c.key IS NULL THEN 'removed'
+               WHEN p.price <> c.price THEN 'changed'
+               ELSE 'unchanged'
+             END AS change
+      FROM prev p FULL OUTER JOIN curr c ON p.key = c.key
+    )
+    SELECT change, count(*) AS n FROM classified GROUP BY change
+    """,
+)
+def snap_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every key across two synthetic order snapshots.
+
+    prev = orders minus the %10==0 slice; curr = orders minus the
+    %10==3 slice with the %7==0 prices doubled (dyadic — no rounding
+    hazard). FULL OUTER on the key, one CASE classification, 4-row
+    report: added / removed / changed / unchanged.
+    """
+    orders = table(spark, sf_dir, "orders")
+    prev = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("p_price")
+    )
+    curr = orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("key"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("c_price"),
+    )
+    joined = prev.withColumnRenamed("key", "p_key").join(
+        curr.withColumnRenamed("key", "c_key"),
+        F.col("p_key") == F.col("c_key"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("p_key").isNull(), "added")
+        .when(F.col("c_key").isNull(), "removed")
+        .when(F.col("p_price") != F.col("c_price"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(change.alias("change")).groupBy("change").agg(
+        F.count(F.lit(1)).alias("n")
+    )
