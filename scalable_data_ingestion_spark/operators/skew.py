@@ -127,3 +127,72 @@ def salted_join(
     salts = F.array(*[F.lit(i) for i in range(salt_buckets)])
     replicated_right = small.withColumn("_salt", F.explode(salts))
     return salted_left.join(replicated_right, [key, "_salt"]).drop("_salt")
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnostics: the report you run BEFORE choosing a join
+# strategy at 100 TB. Per candidate key: distinct-key count, rows on
+# the hottest key, exact p99 of rows-per-key, and the share of all
+# rows carried by the top key — the numbers that decide between plain
+# shuffle join, AQE skew split, salting, or broadcast.
+# --------------------------------------------------------------------------
+from ..registry import register  # noqa: E402
+from ..catalog import table as _table  # noqa: E402
+
+
+@register(
+    "sk_join_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT 'lineitem.l_orderkey' AS key_col, l_orderkey AS k, count(*) AS n
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'lineitem.l_partkey', l_partkey, count(*) FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', l_suppkey, count(*) FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'orders.o_custkey', o_custkey, count(*) FROM orders GROUP BY 1, 2
+    )
+    SELECT key_col,
+           count(*) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_rows_per_key,
+           round(quantile_cont(n, 0.99), 6) AS p99_rows_per_key,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_key_share
+    FROM per_key
+    GROUP BY key_col
+    """,
+)
+def sk_join_key_skew_report(spark, sf_dir):
+    """Rows-per-key distribution for the four hot join keys.
+
+    Each key needs one partial-aggregated groupBy (the same shuffle the
+    join itself would do, but carrying only counts); the report rollup
+    is dimension-sized. A top_key_share near 1/n_partitions is the
+    red flag for AQE skew split or salting.
+    """
+    from functools import reduce
+
+    li = _table(spark, sf_dir, "lineitem")
+    orders = _table(spark, sf_dir, "orders")
+    parts = []
+    for label, df, col in (
+        ("lineitem.l_orderkey", li, "l_orderkey"),
+        ("lineitem.l_partkey", li, "l_partkey"),
+        ("lineitem.l_suppkey", li, "l_suppkey"),
+        ("orders.o_custkey", orders, "o_custkey"),
+    ):
+        per_key = df.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+        parts.append(
+            per_key.agg(
+                F.lit(label).alias("key_col"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("n").cast("bigint").alias("n_rows"),
+                F.max("n").cast("bigint").alias("max_rows_per_key"),
+                F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99_rows_per_key"),
+                F.round(F.max("n").cast("double") / F.sum("n"), 6).alias(
+                    "top_key_share"
+                ),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)

@@ -107,3 +107,49 @@ def test_initcap_divergence_is_the_documented_one(spark):
     got = df.select(F.initcap(F.trim("name"))).first()[0]
     assert got == "O'brien Jones"  # Spark
     assert pd.Series(["o'brien jones"]).str.title()[0] == "O'Brien Jones"  # pandas
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min invariant: every probed estimate >= the true count
+    (cell sums can only add colliding mass, never lose it)."""
+    from scalable_data_ingestion_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["sk_cms_token_estimates"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["n"], r
+        assert r["overestimate"] == r["cms_estimate"] - r["n"]
+
+
+def test_zvalue_bijective(spark, sf_dir):
+    """The Morton key decodes back to exactly (cust_bits, day_bits):
+    interleaving loses nothing within the quantized domain."""
+    from scalable_data_ingestion_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["zo_orders_zvalues"](spark, sf_dir).limit(500).collect()
+    assert rows
+    for r in rows:
+        z = r["zval"]
+        x = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r["cust_bits"], r["day_bits"]), r
+
+
+def test_ewma_matches_pandas_ewm(spark, sf_dir):
+    """The bucketed applyInPandas recurrence equals pandas
+    ewm(alpha, adjust=False) per user (the library-standard EWMA)."""
+    from scalable_data_ingestion_spark import registry
+    from scalable_data_ingestion_spark.operators.timeseries import EWMA_ALPHA
+
+    registry.load_all()
+    pdf = (
+        registry.QUERIES["ts_ewma_daily"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "day"])
+    )
+    assert len(pdf)
+    for _, g in pdf.groupby("user_id"):
+        expected = g["day_value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
+        assert (g["ewma"] - expected).abs().max() < 1e-9
