@@ -444,3 +444,128 @@ def txt_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(TOP_BIGRAMS)
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram LM scoring with interpolated smoothing — the upgrade path from
+# txt_unigram_logprob (CCNet-style filters use exactly this shape:
+# n-gram LM perplexity per doc, flag the tail). p(w2|w1) =
+# 0.75*p_ML(w2|w1) + 0.25*p_uni(w2); both lambdas dyadic, logprobs
+# quantized to 1e-6 BIGINT fixed-point before the per-doc sum, so the
+# whole model — training AND scoring — is exact cross-engine.
+# --------------------------------------------------------------------------
+BIGRAM_LAMBDA = 0.75  # dyadic: exact in binary
+BIGRAM_FLAG = -3.0
+
+
+@register(
+    "txt_bigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+      WHERE len({_TOKENS_SQL}) >= 2
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    tot AS (SELECT sum(c) AS t FROM uni),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM tok, unnest(range(1, len(t))) AS u(i)
+    ),
+    bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(cb) AS c1 FROM bgc GROUP BY w1),
+    lp AS (
+      SELECT b.w1, b.w2,
+             CAST(floor(ln({BIGRAM_LAMBDA} * b.cb / x.c1
+                           + {1 - BIGRAM_LAMBDA} * u.c / tt.t) * {_FX} + 0.5)
+                  AS BIGINT) AS fx
+      FROM bgc b
+      JOIN ctx x USING (w1)
+      JOIN uni u ON u.tok = b.w2
+      CROSS JOIN tot tt
+    ),
+    perdoc AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(l.fx) AS sfx
+      FROM bg g JOIN lp l ON g.w1 = l.w1 AND g.w2 = l.w2
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(sfx / ({_FX}.0 * n_bigrams), 6) AS mean_logprob,
+           round(exp(-sfx / ({_FX}.0 * n_bigrams)), 4) AS perplexity,
+           CASE WHEN sfx / ({_FX}.0 * n_bigrams) < {BIGRAM_FLAG}
+                THEN 'outlier' ELSE 'keep' END AS lm_flag
+    FROM perdoc
+    """,
+)
+def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-probability (interpolated with unigram).
+
+    Bigrams extract map-side (zip_with over shifted slices, doc_id
+    kept); the model tables (bigram conditional + unigram backoff) are
+    two grouped counts joined back broadcast — at vocabulary scale the
+    bigram join key (w1, w2) degrades gracefully to a shuffled hash
+    join. Fixed-point logprob sums keep per-doc scores exact under any
+    execution order.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    toks = docs.select("doc_id", F.explode(t).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c").over(W.partitionBy())
+    uni_p = uni.select("tok", "c", total.alias("t"))
+    bg = (
+        docs.select("doc_id", t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_t, 1, size(_t) - 1),"
+                    "         slice(_t, 2, size(_t) - 1),"
+                    "         (x, y) -> named_struct('w1', x, 'w2', y))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bgc.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    lp = (
+        bgc.join(F.broadcast(ctx), "w1")
+        .join(
+            F.broadcast(uni_p.select(F.col("tok").alias("w2"), "c", "t")), "w2"
+        )
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    BIGRAM_LAMBDA * F.col("cb") / F.col("c1")
+                    + (1 - BIGRAM_LAMBDA) * F.col("c") / F.col("t")
+                )
+                * int(_FX)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("fx"),
+        )
+    )
+    perdoc = (
+        bg.join(F.broadcast(lp), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("fx").alias("sfx"),
+        )
+    )
+    mean = F.col("sfx") / (F.lit(float(_FX)) * F.col("n_bigrams"))
+    return perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(mean, 6).alias("mean_logprob"),
+        F.round(F.exp(-mean), 4).alias("perplexity"),
+        F.when(mean < BIGRAM_FLAG, "outlier").otherwise("keep").alias("lm_flag"),
+    )

@@ -1,0 +1,122 @@
+"""Entity resolution end-to-end: fuzzy match -> components -> entities.
+
+Composes the registered building blocks into the full ER pipeline a
+master-data system runs: candidate generation + verification
+(``fz_party_name_matches`` — deletion-neighborhood blocking, exact
+levenshtein verify), transitive closure over the match graph
+(min-label propagation, the same fixpoint loop as
+``dd_neardup_components``), and entity assignment with a canonical
+representative per cluster. Every supplier and customer lands in
+exactly one entity; unmatched parties are singleton entities.
+
+Scale notes:
+- Nodes are integer-encoded (supplier 2k, customer 2k+1) so labels
+  stay BIGINT and min-label is exact integer arithmetic.
+- Each propagation round is one node-keyed shuffle join + aggregate;
+  labels only decrease, so an unchanged label-sum certifies the
+  fixpoint (no driver-side graph state).
+- The match graph is far sparser than the party registry, so rounds
+  run on the edge relation, not the full registry; the registry joins
+  back once at the end for singleton assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from ..plans.stats import fz_party_name_matches
+
+_FZ_PAIRS_SQL = """
+      SELECT s_suppkey * 2 AS a, c_custkey * 2 + 1 AS b
+      FROM supplier JOIN customer
+        ON levenshtein(replace(s_name, 'Supplier#', ''),
+                       replace(c_name, 'Customer#', '')) <= 2
+"""
+
+
+@register(
+    "er_party_entities",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_FZ_PAIRS_SQL}),
+    parties AS (
+      SELECT s_suppkey * 2 AS node, 'supplier' AS party_type,
+             s_suppkey AS party_key FROM supplier
+      UNION ALL
+      SELECT c_custkey * 2 + 1, 'customer', c_custkey FROM customer
+    ),
+    edges AS (
+      SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+    ),
+    walk(node, lab) AS (
+      SELECT node, node FROM parties
+      UNION
+      SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+      WHERE w.lab < e.b
+    ),
+    comp AS (SELECT node, min(lab) AS entity_id FROM walk GROUP BY node)
+    SELECT p.party_type, p.party_key, c.entity_id,
+           CAST(count(*) OVER (PARTITION BY c.entity_id) AS BIGINT)
+             AS entity_size
+    FROM parties p JOIN comp c USING (node)
+    """,
+)
+def er_party_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve suppliers + customers into entities via fuzzy matching.
+
+    Match pairs come from the registered deletion-neighborhood fuzzy
+    matcher; min-label propagation closes transitive chains
+    (supplier~customerA~supplierB become ONE entity); the full party
+    registry joins back so unmatched parties keep singleton entities.
+    """
+    supp = table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2).alias("node"),
+        F.lit("supplier").alias("party_type"),
+        F.col("s_suppkey").alias("party_key"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") * 2 + 1).alias("node"),
+        F.lit("customer").alias("party_type"),
+        F.col("c_custkey").alias("party_key"),
+    )
+    parties = supp.unionByName(cust)
+    pairs = fz_party_name_matches(spark, sf_dir).select(
+        (F.col("s_suppkey") * 2).alias("a"), (F.col("c_custkey") * 2 + 1).alias("b")
+    )
+    edges = pairs.union(pairs.select(F.col("b"), F.col("a"))).toDF("src", "dst").cache()
+
+    labels = parties.select("node").withColumn("lab", F.col("node")).cache()
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    converged = False
+    for _ in range(50):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n_node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        prev_labels = labels
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("n_node"), "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+            .cache()
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        prev_labels.unpersist()
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError("entity resolution did not converge in 50 rounds")
+    size_w = W.partitionBy("entity_id")
+    return (
+        parties.join(labels, "node")
+        .select("party_type", "party_key", F.col("lab").alias("entity_id"))
+        .withColumn("entity_size", F.count(F.lit(1)).over(size_w).cast("bigint"))
+    )

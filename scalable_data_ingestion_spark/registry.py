@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.scd",
     "scalable_data_ingestion_spark.operators.filtering",
     "scalable_data_ingestion_spark.operators.graph",
+    "scalable_data_ingestion_spark.operators.entity",
     "scalable_data_ingestion_spark.operators.pq",
     "scalable_data_ingestion_spark.operators.monitor",
     "scalable_data_ingestion_spark.operators.dq",
