@@ -226,3 +226,52 @@ def test_gap_fill_spine_is_generated_inline(spark, sf_dir):
     assert "Generate" in p, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_map_only_operators_have_no_exchange(spark, sf_dir):
+    """Split assignment, Morton keys, and JL projection are pure
+    projections — zero shuffles anywhere in their plans."""
+    for name in ("samp_train_val_test", "zo_orders_zvalues", "emb_random_projection"):
+        p = plan(registry.QUERIES[name](spark, sf_dir), "simple")
+        assert "Exchange" not in p, (name, p)
+
+
+def test_topk_operators_take_ordered(spark, sf_dir):
+    """Heavy hitters and bigram mining end in TakeOrderedAndProject —
+    never a global sort materialization."""
+    for name in ("hh_frequent_tokens", "txt_top_bigrams", "ev_top_user_paths"):
+        p = plan(registry.QUERIES[name](spark, sf_dir), "simple")
+        assert "TakeOrderedAndProject" in p, (name, p)
+        assert "Sort [" not in p.split("TakeOrderedAndProject")[0], (name, p)
+
+
+def test_incremental_dedup_is_hash_join(spark, sf_dir):
+    """The store anti-join must be a hash join on the fingerprint, not
+    a nested loop."""
+    p = plan(registry.QUERIES["dd_incremental_new_docs"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_pit_join_is_equi_with_residual(spark, sf_dir):
+    """The point-in-time join keys on custkey (hash join) with the
+    interval predicate as a residual filter — never a cartesian."""
+    p = plan(
+        registry.QUERIES["pit_orders_with_priority_version"](spark, sf_dir), "simple"
+    )
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both SCD2 windows share the custkey partitioning: one Exchange."""
+    p = plan(registry.QUERIES["scd2_priority_history"](spark, sf_dir), "simple")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_peak_concurrency_no_self_join(spark, sf_dir):
+    """The sweep line never joins the event log against itself."""
+    p = plan(registry.QUERIES["ev_peak_concurrency"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    # exactly one scan family: events (spine/carry derive from it)
+    assert "lineitem" not in p, p

@@ -338,3 +338,24 @@ def test_clustered_write_yields_per_key_ordered_runs(spark, tmp_path, sf_dir):
             )
             seen_users[u] = f
     assert len(seen_users) > 10
+
+
+def test_forget_customer_unpartitioned_table(spark, tmp_path):
+    """Erasure also works on a warehouse without month partitioning
+    (no order_date column -> flat table rewrite path)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [
+            ("ORD-0001", "gone@x.com", 5.0),
+            ("ORD-0002", "stay@x.com", 6.0),
+            ("ORD-0003", "gone@x.com", 7.0),
+        ],
+        "order_id string, customer_email string, total_amount double",
+    )
+    wh.save_orders(df)
+    assert wh.forget_customer("gone@x.com") == 2
+    remaining = wh.table("orders")
+    assert remaining.count() == 1
+    assert remaining.filter(F.col("customer_email") == "stay@x.com").count() == 1
+    # idempotent: a second call removes nothing
+    assert wh.forget_customer("gone@x.com") == 0
