@@ -572,27 +572,24 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late"),
         )
     )
+    # Aggregate reformulation of the EXISTS / NOT EXISTS pair: for a
+    # late supplier s on order o, "some other supplier exists" is
+    # n_suppliers(o) > 1 and "no OTHER late supplier" is
+    # n_late_suppliers(o) == 1 (s is the one). One per-order aggregate
+    # replaces both theta self-joins, and the late->per_order join keys
+    # on l_orderkey so it reuses the aggregate's output partitioning.
+    # At sf0.1 both formulations are overhead-bound and equal; the win
+    # is asymptotic — the theta self-joins multiply rows on hot orders
+    # (quadratic per order) where the aggregate stays linear.
     late = li_o.filter("is_late").select("l_orderkey", "l_suppkey").distinct()
-    others = li_o.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    late_others = li_o.filter("is_late").select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    per_order = li_o.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("nl"),
     )
     supp = _t(spark, sf_dir, "supplier")
     return (
-        late.join(
-            others,
-            (late.l_orderkey == others.o2_orderkey)
-            & (late.l_suppkey != others.o2_suppkey),
-            "left_semi",
-        )
-        .join(
-            late_others,
-            (late.l_orderkey == late_others.o3_orderkey)
-            & (late.l_suppkey != late_others.o3_suppkey),
-            "left_anti",
-        )
+        late.join(per_order, "l_orderkey")
+        .filter((F.col("ns") > 1) & (F.col("nl") == 1))
         .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
