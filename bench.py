@@ -63,6 +63,19 @@ HEADLINE_R4 = [
     "hh_frequent_tokens",
 ]
 
+# Round-4 late additions: bigram LM scoring, exact rolling WAU, the
+# one-plan curation funnel, and CDC snapshot reconciliation.
+# (er_party_entities stays out of the headline set: the synthetic
+# zero-padded numeric names make its match graph degenerate-dense at
+# sf0.1 — ~600k pairs — so its bench cost measures the fixture's
+# pathology, not the operator.)
+HEADLINE_R5 = [
+    "txt_bigram_logprob",
+    "ev_rolling_wau",
+    "pipe_curation_funnel",
+    "snap_orders_diff",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -84,7 +97,7 @@ def main() -> None:
     # target-SF runs too).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4:
+        for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # Each query runs twice at the target SF: the first (cold) run pays
@@ -94,7 +107,7 @@ def main() -> None:
     # run. Both are reported.
     cold: dict[str, float] = {}
     per_query: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4:
+    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5:
         cold[name] = round(run(name), 3)
         per_query[name] = round(run(name), 3)
 
@@ -113,6 +126,13 @@ def main() -> None:
                 ),
                 "queries_r3_set_total": round(
                     sum(per_query[n] for n in HEADLINE + HEADLINE_R3), 3
+                ),
+                "queries_r4_set_total": round(
+                    sum(
+                        per_query[n]
+                        for n in HEADLINE + HEADLINE_R3 + HEADLINE_R4
+                    ),
+                    3,
                 ),
                 "sf": sf,
             }
