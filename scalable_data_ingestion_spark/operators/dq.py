@@ -225,3 +225,66 @@ def dq_benford_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_frac"),
         F.round(F.abs(obs - benford), 6).alias("abs_dev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Key-uniqueness audit: the DQ dimension the reference's scoring misses
+# entirely (completeness/validity/consistency/accuracy but never
+# uniqueness). One partial-aggregated countDistinct per candidate key;
+# output is one row per key.
+# --------------------------------------------------------------------------
+@register(
+    "dq_key_uniqueness",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders.o_orderkey' AS key_col,
+             count(*) AS n_rows,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             round(1.0 - CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6)
+               AS dup_ratio
+      FROM orders
+      UNION ALL
+      SELECT 'customer.c_custkey', count(*), count(DISTINCT c_custkey),
+             round(1.0 - CAST(count(DISTINCT c_custkey) AS DOUBLE) / count(*), 6)
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem.(orderkey,linenumber)', count(*),
+             count(DISTINCT l_orderkey * 100 + l_linenumber),
+             round(1.0 - CAST(count(DISTINCT l_orderkey * 100 + l_linenumber)
+                              AS DOUBLE) / count(*), 6)
+      FROM lineitem
+    )
+    """,
+)
+def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate audit for the candidate primary keys.
+
+    The lineitem compound key packs into one BIGINT
+    (orderkey * 100 + linenumber, linenumber < 100 in this schema) so
+    the distinct count stays a single-column hash aggregate.
+    """
+
+    def audit(df: DataFrame, label: str, key) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("key_col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct"),
+            F.round(
+                1.0 - F.countDistinct(key).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_ratio"),
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        audit(orders, "orders.o_orderkey", F.col("o_orderkey"))
+        .unionByName(audit(cust, "customer.c_custkey", F.col("c_custkey")))
+        .unionByName(
+            audit(
+                li,
+                "lineitem.(orderkey,linenumber)",
+                F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+            )
+        )
+    )

@@ -606,3 +606,66 @@ def snap_orders_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(change.alias("change")).groupBy("change").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --------------------------------------------------------------------------
+# Daily bounce rate: share of sessions with exactly one event — the
+# standard engagement KPI on top of the sessionization relation; one
+# extra dimension-sized aggregate over the session spans.
+# --------------------------------------------------------------------------
+@register(
+    "ev_daily_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, sid, min(ts) AS s, count(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', s) AS DATE) AS day,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6)
+             AS bounce_rate
+    FROM spans
+    GROUP BY 1
+    """,
+)
+def ev_daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions, bounces, and bounce rate per session-start day."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_sec = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    run_w = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.when(prev_ts.isNull() | (gap_sec > 1800), 1).otherwise(0))
+        .over(run_w)
+        .alias("sid"),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.count(F.lit(1)).alias("n_events")
+    )
+    bounce = F.when(F.col("n_events") == 1, 1.0).otherwise(0.0)
+    return spans.groupBy(F.date_trunc("day", "s").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce.cast("int")).cast("bigint").alias("n_bounces"),
+        F.round(F.avg(bounce), 6).alias("bounce_rate"),
+    )
