@@ -91,3 +91,105 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_p"),
     )
     return projected.select("vec_id", F.posexplode("_p").alias("dim", "proj_fx"))
+
+
+# --------------------------------------------------------------------------
+# Embedding drift monitoring: PSI over the dim-0 sign-projection of the
+# vectors, comparing two corpus slices (even/odd vec_id as the stand-in
+# for two snapshot windows). Raw 64-d drift is unmonitorable per-dim;
+# one JL component preserves relative geometry enough to alarm on
+# wholesale embedding shifts (model swap, normalization bug) — and the
+# fixed-point projection makes every bin count exact cross-engine.
+# --------------------------------------------------------------------------
+# edges chosen from the synthetic embeddings' observed p0 spread
+# (~N(0, 1e4) fixed-point) so all bins carry mass at test SFs
+_PSI_EDGES_FX = (-12000, -6000, 0, 6000, 12000)
+
+_SIGNS_D0_SQL = ", ".join(f"({i}, {_SIGNS[0][i]})" for i in range(IN_DIM))
+
+
+def _fx_bin_sql(col: str) -> str:
+    branches = " ".join(
+        f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES_FX)
+    )
+    return f"(CASE {branches} ELSE {len(_PSI_EDGES_FX)} END)"
+
+
+@register(
+    "mon_embedding_drift_psi",
+    oracle=f"""
+    WITH signs(i, s) AS (VALUES {_SIGNS_D0_SQL}),
+    idx AS (
+      SELECT vec_id, embedding AS e, unnest(range(1, {IN_DIM} + 1)) AS i1
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT q.vec_id,
+             sum(CAST(floor(CAST(q.e[q.i1] AS DOUBLE) * {FX}) AS BIGINT) * sg.s)
+               AS p0
+      FROM idx q JOIN signs sg ON q.i1 - 1 = sg.i
+      GROUP BY q.vec_id
+    ),
+    binned AS (
+      SELECT {_fx_bin_sql("p0")} AS bin_id,
+             CAST(vec_id % 2 = 0 AS INTEGER) AS is_ref
+      FROM proj
+    ),
+    cells AS (
+      SELECT bin_id,
+             1 + sum(is_ref) AS n_ref,
+             1 + sum(1 - is_ref) AS n_cur
+      FROM binned GROUP BY bin_id
+    ),
+    shares AS (
+      SELECT bin_id, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             n_ref * 1.0 / sum(n_ref) OVER () AS p_ref,
+             n_cur * 1.0 / sum(n_cur) OVER () AS p_cur
+      FROM cells
+    )
+    SELECT CAST(bin_id AS INTEGER) AS bin_id, n_ref, n_cur,
+           round(p_ref, 6) AS p_ref,
+           round(p_cur, 6) AS p_cur,
+           round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term
+    FROM shares
+    """,
+)
+def mon_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin PSI terms for drift of the dim-0 JL projection.
+
+    The projection fold is the same shuffle-free codegen expression as
+    ``emb_random_projection`` (dim 0 only); bins are fixed fixed-point
+    edges so counts partial-aggregate map-side; Laplace +1 smoothing
+    keeps ln() finite on empty bins.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        f"transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * {FX}) AS BIGINT))"
+    )
+    p0 = F.expr(
+        "aggregate(zip_with(_q, array({}), (x, s) -> x * s),"
+        " 0L, (acc, x) -> acc + x)".format(",".join(str(s) for s in _SIGNS[0]))
+    )
+    proj = emb.select("vec_id", quant.alias("_q")).select("vec_id", p0.alias("p0"))
+    bin_id = F.expr(_fx_bin_sql("p0"))
+    binned = proj.select(
+        bin_id.alias("bin_id"),
+        (F.col("vec_id") % 2 == 0).cast("int").alias("is_ref"),
+    )
+    cells = binned.groupBy("bin_id").agg(
+        (F.lit(1) + F.sum("is_ref")).alias("n_ref"),
+        (F.lit(1) + F.sum(1 - F.col("is_ref"))).alias("n_cur"),
+    )
+    from pyspark.sql import Window as W
+
+    tot = W.partitionBy()
+    p_ref = F.col("n_ref") / F.sum("n_ref").over(tot)
+    p_cur = F.col("n_cur") / F.sum("n_cur").over(tot)
+    return cells.select(
+        F.col("bin_id").cast("int").alias("bin_id"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+    )
