@@ -917,3 +917,202 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH quality evaluation: banding recall / candidate precision of the
+# MinHash-LSH pipeline against exact inverted-index Jaccard ground
+# truth, plus the signature estimator's error. The "measure, don't
+# guess" harness for the (K, bands) knobs: before committing an LSH
+# configuration to a 100 TB dedup run, its recall is measured at a
+# small SF, not assumed from the S-curve formula.
+#
+# All three counters are integers; the signature MAE is kept exact by
+# integer cross-multiplication — |m/K - i/u| aggregated as
+# sum(|m*u - K*i|) / (K * sum(u)), in parts-per-million — so the whole
+# eval is bit-deterministic with no float summation anywhere.
+#
+# Scale: ground truth is the one quadratic-ish piece (inverted-index
+# self-join, DF-capped); at corpus scale you run this eval on a
+# sampled slice, which is exactly how the query composes (its input
+# relations are ordinary DataFrames).
+# --------------------------------------------------------------------------
+_SIG_MATCH_SQL = " + ".join(
+    f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(MINHASH_K)
+)
+
+_LSH_EVAL_BANDS_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+        b=b,
+        cat=" || ".join(
+            f"h{b * (MINHASH_K // LSH_BANDS) + j}"
+            for j in range(MINHASH_K // LSH_BANDS)
+        ),
+    )
+    for b in range(LSH_BANDS)
+)
+
+
+@register(
+    "dd_lsh_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"min(substr(md5('s{k // 4}|' || sh), {(k % 4) * 8 + 1}, 8)) AS h{k}"
+                 for k in range(MINHASH_K)
+             )}
+      FROM shingle GROUP BY doc_id
+    ),
+    bands AS ({_LSH_EVAL_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    inter_all AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT t.doc_a, t.doc_b, t.i, sa.n + sb.n - t.i AS u
+      FROM inter_all t
+      JOIN sizes sa ON t.doc_a = sa.doc_id
+      JOIN sizes sb ON t.doc_b = sb.doc_id
+      WHERE CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i)
+            >= {MINHASH_VERIFY_THRESHOLD}
+    ),
+    ver AS (
+      SELECT v.doc_a, v.doc_b, v.i, v.u,
+             ({_SIG_MATCH_SQL}) AS m
+      FROM truth v
+      JOIN cand c ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+      JOIN sig sa ON sa.doc_id = v.doc_a
+      JOIN sig sb ON sb.doc_id = v.doc_b
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_verified,
+             CAST(COALESCE(sum(abs(m * u - {MINHASH_K} * i)), 0) AS BIGINT)
+                 AS err_num,
+             CAST(COALESCE(sum(u), 0) AS BIGINT) AS u_sum
+      FROM ver
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+      (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+      agg.n_verified,
+      round(agg.n_verified /
+            CAST(NULLIF((SELECT count(*) FROM truth), 0) AS DOUBLE), 6)
+          AS band_recall,
+      round(agg.n_verified /
+            CAST(NULLIF((SELECT count(*) FROM cand), 0) AS DOUBLE), 6)
+          AS candidate_precision,
+      CAST(round(1000000.0 * agg.err_num /
+                 ({MINHASH_K} * CAST(NULLIF(agg.u_sum, 0) AS DOUBLE)))
+           AS BIGINT) AS sig_mae_ppm
+    FROM agg
+    """,
+)
+def dd_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding recall, candidate precision, and signature-estimator MAE
+    of the MinHash-LSH pipeline vs exact Jaccard truth at the verify
+    threshold (one summary row, pure integer arithmetic)."""
+    sh = shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter_all = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        inter_all.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b", "i", (F.col("na") + F.col("nb") - F.col("i")).alias("u")
+        )
+        .filter(F.col("i").cast("double") / F.col("u") >= MINHASH_VERIFY_THRESHOLD)
+        .cache()
+    )
+
+    sig = _minhash_sig(sh).cache()
+    bands = _bands(sig)
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bh") == F.col("bb.bh"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+        .cache()
+    )
+
+    siga = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{k}").alias(f"ah{k}") for k in range(MINHASH_K)]
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{k}").alias(f"bh{k}") for k in range(MINHASH_K)]
+    )
+    m = sum(
+        (F.col(f"ah{k}") == F.col(f"bh{k}")).cast("long") for k in range(MINHASH_K)
+    )
+    ver = (
+        truth.join(cand, ["doc_a", "doc_b"])
+        .join(F.broadcast(siga), "doc_a")
+        .join(F.broadcast(sigb), "doc_b")
+        .select("doc_a", "doc_b", "i", "u", m.alias("m"))
+    )
+
+    agg = ver.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_verified"),
+        F.coalesce(
+            F.sum(F.abs(F.col("m") * F.col("u") - MINHASH_K * F.col("i"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("err_num"),
+        F.coalesce(F.sum("u"), F.lit(0)).cast("bigint").alias("u_sum"),
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+
+    return (
+        agg.crossJoin(n_true)
+        .crossJoin(n_cand)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_verified",
+            F.round(
+                F.col("n_verified")
+                / F.when(F.col("n_true") > 0, F.col("n_true")).cast("double"),
+                6,
+            ).alias("band_recall"),
+            F.round(
+                F.col("n_verified")
+                / F.when(F.col("n_candidates") > 0, F.col("n_candidates")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("candidate_precision"),
+            F.round(
+                F.lit(1000000.0)
+                * F.col("err_num")
+                / (
+                    MINHASH_K
+                    * F.when(F.col("u_sum") > 0, F.col("u_sum")).cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("sig_mae_ppm"),
+        )
+    )

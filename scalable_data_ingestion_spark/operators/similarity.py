@@ -56,9 +56,7 @@ def _norm(a: str):
 # --------------------------------------------------------------------------
 # exact brute-force cosine top-k.
 # --------------------------------------------------------------------------
-@register(
-    "sim_knn_bruteforce",
-    oracle=f"""
+_BRUTE_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     pairs AS (
       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
@@ -75,8 +73,10 @@ def _norm(a: str):
       FROM pairs
     )
     SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
-    """,
-)
+    """
+
+
+@register("sim_knn_bruteforce", oracle=_BRUTE_ORACLE)
 def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     # Norms are projected BELOW the join: once per vector, not once per
@@ -305,4 +305,82 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("negative_id"))
     return pairs.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOP_K
+    )
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the IVF variants against the
+# exact brute-force ground truth. The "measure, don't guess" harness
+# for the probe-count knob: before shipping an index configuration at
+# corpus scale you want its recall measured on a held-out query set,
+# not assumed. Ground truth and both IVF runs reuse the registered
+# pipelines; hits are integer counts (join + groupBy), so the whole
+# eval is bit-deterministic — no float aggregation anywhere.
+#
+# Scale: the eval joins are keyed on (query_id, neighbor_id) over
+# |queries| x k rows — tiny regardless of corpus size; the expensive
+# inputs are the searches themselves, which keep their own scale
+# stories (broadcast query side; cell-pruned scans).
+# --------------------------------------------------------------------------
+@register(
+    "sim_ivf_recall_at_k",
+    oracle=f"""
+    WITH brute AS (SELECT * FROM ({_BRUTE_ORACLE}) t),
+    ivf1 AS (SELECT * FROM ({_ivf_oracle(1)}) t),
+    ivf2 AS (SELECT * FROM ({_ivf_oracle(N_PROBES)}) t),
+    h1 AS (
+      SELECT b.query_id, count(*) AS c
+      FROM brute b JOIN ivf1 i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY b.query_id
+    ),
+    h2 AS (
+      SELECT b.query_id, count(*) AS c
+      FROM brute b JOIN ivf2 i
+        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h1.c, 0) AS BIGINT) AS hits_1probe,
+           CAST(COALESCE(h2.c, 0) AS BIGINT) AS hits_multiprobe,
+           round(COALESCE(h1.c, 0) / CAST({TOP_K} AS DOUBLE), 6) AS recall_1probe,
+           round(COALESCE(h2.c, 0) / CAST({TOP_K} AS DOUBLE), 6) AS recall_multiprobe
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN h1 ON q.query_id = h1.query_id
+    LEFT JOIN h2 ON q.query_id = h2.query_id
+    """,
+)
+def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{TOP_K} of 1-probe and multi-probe IVF vs the
+    exact brute-force top-k (pure integer hit counts; one final exact
+    division per recall column)."""
+    brute = sim_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf1 = _ivf_knn(spark, sf_dir, probes=1).select("query_id", "neighbor_id")
+    ivf2 = _ivf_knn(spark, sf_dir, probes=N_PROBES).select("query_id", "neighbor_id")
+
+    h1 = (
+        brute.join(ivf1, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    h2 = (
+        brute.join(ivf2, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    qs = brute.select("query_id").distinct()
+    return (
+        qs.join(h1, "query_id", "left")
+        .join(h2, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("c1", F.lit(0)).cast("bigint").alias("hits_1probe"),
+            F.coalesce("c2", F.lit(0)).cast("bigint").alias("hits_multiprobe"),
+            F.round(
+                F.coalesce("c1", F.lit(0)) / F.lit(float(TOP_K)), 6
+            ).alias("recall_1probe"),
+            F.round(
+                F.coalesce("c2", F.lit(0)) / F.lit(float(TOP_K)), 6
+            ).alias("recall_multiprobe"),
+        )
     )
