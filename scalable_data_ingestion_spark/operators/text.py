@@ -567,3 +567,104 @@ def samp_docs_mix_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mix_pos")
     )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed inference batching: group documents into batches of
+# similar token length so a serving fleet pads each batch to its
+# bucket's cap instead of the global max (the fairseq/vLLM "bucketed
+# batching" shape). Bucket membership comes from fixed token-length
+# edges; batch capacity per bucket = floor(TOKEN_BUDGET / bucket cap),
+# so every batch's padded size is bounded by the budget. Membership,
+# ordering (md5-deterministic), and batch index are all
+# engine-portable — no rand(), no partition-layout dependence.
+#
+# Scale: one shuffle keyed on the bucket id. Few buckets = coarse
+# parallelism for the ranking window; at corpus scale, salt the
+# window key by a doc_id range prefix and offset batch indices by the
+# per-salt counts (the same 2-pass prefix-sum used in
+# pack_token_windows).
+# --------------------------------------------------------------------------
+BATCH_TOKEN_BUDGET = 512
+# (upper_edge_exclusive, padded_cap) — docs with n_tok >= last edge fall
+# into the open top bucket with a fixed conservative cap.
+LENGTH_BUCKETS = ((32, 32), (48, 48), (64, 64), (None, 128))
+
+
+def _bucket_cap_sql() -> tuple[str, str]:
+    whens, caps = [], []
+    for i, (edge, cap) in enumerate(LENGTH_BUCKETS):
+        cond = f"WHEN n_tok < {edge}" if edge is not None else "ELSE"
+        whens.append(f"{cond} THEN {i}" if edge is not None else f"ELSE {i}")
+        caps.append(f"WHEN {i} THEN {BATCH_TOKEN_BUDGET // cap}")
+    return (
+        "CASE " + " ".join(whens) + " END",
+        "CASE bucket " + " ".join(caps) + " END",
+    )
+
+
+@register(
+    "pack_length_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok, CAST({_bucket_cap_sql()[0]} AS INTEGER) AS bucket
+      FROM tok
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok, bucket,
+             row_number() OVER (
+               PARTITION BY bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             CAST({_bucket_cap_sql()[1]} AS BIGINT) AS cap
+      FROM bucketed
+    )
+    SELECT doc_id, n_tok, bucket,
+           CAST(floor((rn - 1) / cap) AS BIGINT) AS batch_id,
+           CAST((rn - 1) % cap AS BIGINT) AS slot
+    FROM ranked
+    ORDER BY bucket, batch_id, slot
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc to a (length bucket, batch, slot): similar-length
+    docs batch together under a fixed padded-token budget."""
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens_col()).cast("bigint")
+
+    bucket = None
+    cap = None
+    for i, (edge, c) in enumerate(LENGTH_BUCKETS):
+        if edge is not None:
+            cond = F.col("n_tok") < edge
+            bucket = F.when(cond, i) if bucket is None else bucket.when(cond, i)
+            cap = (
+                F.when(F.col("bucket") == i, BATCH_TOKEN_BUDGET // c)
+                if cap is None
+                else cap.when(F.col("bucket") == i, BATCH_TOKEN_BUDGET // c)
+            )
+        else:
+            bucket = bucket.otherwise(i)
+            cap = cap.when(F.col("bucket") == i, BATCH_TOKEN_BUDGET // c)
+
+    w = W.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = (
+        docs.select("doc_id", n_tok.alias("n_tok"))
+        .withColumn("bucket", bucket.cast("int"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cap", cap.cast("bigint"))
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tok",
+        "bucket",
+        F.floor((F.col("rn") - 1) / F.col("cap")).alias("batch_id"),
+        ((F.col("rn") - 1) % F.col("cap")).alias("slot"),
+    ).orderBy("bucket", "batch_id", "slot")

@@ -389,3 +389,81 @@ def samp_orders_hash_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Least-squares regression lab: slope / intercept / r² of
+# extendedprice on quantity per returnflag, from EXACT sums. Both
+# engines' built-in regr_* functions stream order-dependent float
+# updates, so they are not hash-stable cross-engine; here every
+# primitive sum (sx, sy, sxx, syy, sxy) is accumulated in DECIMAL(38,0)
+# over integer-valued operands (quantity is whole, price is exact
+# cents), making the aggregation bit-deterministic under any shuffle
+# order. Only the final per-group slope/intercept/r² arithmetic runs
+# in doubles — a fixed expression tree over exact inputs.
+#
+# Scale: one map-side-combined groupBy on a low-cardinality key; the
+# decimal accumulators are the standard trick for deterministic
+# distributed regression at any row count (no 2^53 overflow, unlike
+# double sums of squared cents).
+# --------------------------------------------------------------------------
+@register(
+    "stat_price_qty_regression",
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS DECIMAL(38,0))) AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS sy,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))
+                 * CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS syy,
+             sum(CAST(l_quantity AS DECIMAL(38,0))
+                 * CAST(round(l_extendedprice * 100) AS DECIMAL(38,0))) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / 100.0, 6) AS slope,
+           round((CAST(sy AS DOUBLE) / n
+                  - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE) / n) / 100.0, 4) AS intercept,
+           round(pow(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS r2
+    FROM p
+    """,
+)
+def stat_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    xq = F.col("l_quantity").cast("decimal(38,0)")
+    yc = F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+    p = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xq).alias("sx"),
+        F.sum(yc).alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(yc * yc).alias("syy"),
+        F.sum(xq * yc).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return p.select(
+        "l_returnflag",
+        "n",
+        F.round(slope / 100.0, 6).alias("slope"),
+        F.round((sy / n - slope * sx / n) / 100.0, 4).alias("intercept"),
+        F.round(F.pow(cov_n, 2) / (var_x * var_y), 6).alias("r2"),
+    )
