@@ -97,3 +97,91 @@ def mon_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# Volume-anomaly detection: per event type, a z-score of each day's
+# event count against the trailing 7 days — the ingest-monitoring
+# alarm that catches a dropped source or a duplicate-delivery burst
+# before it poisons a training snapshot. Mean/variance come from
+# window SUMS of integer counts (sum, sum of squares, count), so the
+# aggregation is exact under any shuffle order; only the final
+# per-row z arithmetic runs in doubles.
+#
+# Scale: one shuffle to the (day, type) grain — the windowed relation
+# is dimension-sized (days x types), so the trailing window costs
+# nothing regardless of corpus size.
+# --------------------------------------------------------------------------
+ANOM_WINDOW = 7  # trailing days
+ANOM_MIN_PRIOR = 3  # need at least this many prior days for a z-score
+ANOM_Z = 2.0
+
+
+@register(
+    "mon_daily_volume_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT day, event_type, n_events,
+             count(*) OVER w AS cnt,
+             sum(n_events) OVER w AS s,
+             sum(n_events * n_events) OVER w AS ss
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, event_type, n_events,
+           round((n_events - CAST(s AS DOUBLE) / cnt)
+                 / NULLIF(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / cnt)
+                               / (cnt - 1)), 0), 4) AS z,
+           CASE WHEN cnt >= {ANOM_MIN_PRIOR}
+                 AND abs((n_events - CAST(s AS DOUBLE) / cnt)
+                         / NULLIF(sqrt((CAST(ss AS DOUBLE)
+                                        - CAST(s AS DOUBLE) * s / cnt)
+                                       / (cnt - 1)), 0)) > {ANOM_Z}
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM framed
+    WHERE cnt >= {ANOM_MIN_PRIOR}
+    """,
+)
+def mon_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score per (day, event_type); anomalies are
+    |z| > {ANOM_Z} against the prior {ANOM_WINDOW} days."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    framed = daily.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("cnt"),
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("ss"),
+    ).filter(F.col("cnt") >= ANOM_MIN_PRIOR)
+
+    mean = F.col("s").cast("double") / F.col("cnt")
+    var = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("cnt")
+    ) / (F.col("cnt") - 1)
+    std = F.sqrt(var)
+    z = (F.col("n_events") - mean) / F.when(std != 0, std)
+    return framed.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.round(z, 4).alias("z"),
+        F.when((F.col("cnt") >= ANOM_MIN_PRIOR) & (F.abs(z) > ANOM_Z), True)
+        .otherwise(False)
+        .alias("is_anomaly"),
+    )

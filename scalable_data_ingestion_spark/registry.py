@@ -182,8 +182,13 @@ _PRIORITY = (
     # CDC apply + relational/window representatives (q12's oracle-typing
     # fix stayed green in r02; rotated out for the CDC family)
     "cdc_apply_orders",
-    "q01_pricing_summary",
-    "w_running_revenue",
+    # round-5 rotation: q01_pricing_summary and w_running_revenue were
+    # green in BOTH r01 and r02 driver windows (and stay green in the
+    # local full-registry sweep); their slots go to the new
+    # quality-evaluation harnesses so the hard signal covers the
+    # eval family (LSH banding recall + ANN recall@k).
+    "dd_lsh_eval",
+    "sim_ivf_recall_at_k",
 )
 
 

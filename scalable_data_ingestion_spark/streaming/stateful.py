@@ -69,3 +69,80 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas (Spark 4 native stateful API): per-user
+# high-watermark profile. Complements running_user_totals (the
+# applyInPandasWithState shape) with the newer processor-object API —
+# typed ValueState, explicit init/close lifecycle, RocksDB-backed
+# state store (the provider the API requires; it is also the one a
+# production cluster runs for large keyed state, since state spills
+# to disk instead of living on the executor heap). The TWS Python
+# driver worker imports google.protobuf at startup, so the test is
+# import-gated on protobuf availability (same policy as the
+# multimodal codecs).
+# --------------------------------------------------------------------------
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: E402
+
+WATERMARK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events_total", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_WATERMARK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+class UserWatermarkProcessor(StatefulProcessor):
+    """Lifetime event count + max value per user via ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("profile", _WATERMARK_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if self._state.exists():
+            n_events, max_value = self._state.get()
+        else:
+            n_events, max_value = 0, float("-inf")
+        for pdf in rows:
+            n_events += len(pdf)
+            batch_max = float(pdf["value"].max())
+            if batch_max > max_value:
+                max_value = batch_max
+        self._state.update((n_events, max_value))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events_total": [n_events],
+                "max_value": [max_value],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_value_watermarks(events: DataFrame) -> DataFrame:
+    """Streaming per-user lifetime (count, max value) via
+    transformWithStateInPandas; emits updated profiles for users seen
+    in each micro-batch (update mode). Requires the RocksDB state
+    store provider (set by the caller's session conf)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserWatermarkProcessor(),
+            outputStructType=WATERMARK_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

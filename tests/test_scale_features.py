@@ -359,3 +359,49 @@ def test_forget_customer_unpartitioned_table(spark, tmp_path):
     assert remaining.filter(F.col("customer_email") == "stay@x.com").count() == 1
     # idempotent: a second call removes nothing
     assert wh.forget_customer("gone@x.com") == 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE's skew-join handling is the runtime fallback for key skew
+    the salting helpers don't cover: with a hot join key, the skewed
+    shuffle partition must be split into multiple tasks
+    (OptimizeSkewedJoin -> AQEShuffleRead with skew=true), so one
+    straggler task never serializes the stage at cluster scale."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1MB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # hot key 0 carries ~95% of the fact side; payload is md5 text
+        # so shuffle blocks don't compress away below the skew threshold
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.concat(F.md5(F.col("id").cast("string")), F.md5((F.col("id") + 1).cast("string"))).alias("payload"),
+        )
+        dim = spark.range(10_001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = fact.join(dim, "k").select("k", "payload")
+        # collect() executes THIS DataFrame's own query execution, so
+        # its AdaptiveSparkPlan is finalized (count() would run a
+        # different, aggregated plan and leave this one unexecuted).
+        # k=0: 190,000 hot rows + id=0; other matches: multiples of 20
+        # up to 10,000 (500 rows)
+        assert len(joined.collect()) == 190_501
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
