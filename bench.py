@@ -76,6 +76,16 @@ HEADLINE_R5 = [
     "snap_orders_diff",
 ]
 
+# Round-5 additions: triangle counting (edge-edge wedge joins), the
+# MinHash-LSH quality eval (exact truth + banded candidates in one
+# DAG), trailing-window volume anomalies, length-bucketed batching.
+HEADLINE_R6 = [
+    "gr_triangle_counts",
+    "dd_lsh_eval",
+    "mon_daily_volume_anomaly",
+    "pack_length_buckets",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -97,7 +107,7 @@ def main() -> None:
     # target-SF runs too).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5:
+        for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # Each query runs twice at the target SF: the first (cold) run pays
@@ -107,7 +117,7 @@ def main() -> None:
     # run. Both are reported.
     cold: dict[str, float] = {}
     per_query: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5:
+    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6:
         cold[name] = round(run(name), 3)
         per_query[name] = round(run(name), 3)
 
@@ -131,6 +141,13 @@ def main() -> None:
                     sum(
                         per_query[n]
                         for n in HEADLINE + HEADLINE_R3 + HEADLINE_R4
+                    ),
+                    3,
+                ),
+                "queries_r5_set_total": round(
+                    sum(
+                        per_query[n]
+                        for n in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
                     ),
                     3,
                 ),
