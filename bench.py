@@ -86,6 +86,21 @@ HEADLINE_R6 = [
     "pack_length_buckets",
 ]
 
+# Round-7 additions: winnowing span-level dedup (narrow array-pipeline
+# fingerprinting + fingerprint-keyed pair join), DSIR hashed-n-gram
+# importance weights, MaxSim late-interaction re-ranking, and LPA
+# communities (one-shuffle supersteps).
+HEADLINE_R7 = [
+    "dd_winnow_match_pairs",
+    "samp_dsir_weights",
+    "sim_maxsim_multivector",
+    "gr_label_propagation",
+]
+
+ALL_HEADLINE = (
+    HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,7 +122,7 @@ def main() -> None:
     # target-SF runs too).
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6:
+        for name in ALL_HEADLINE:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # Each query runs twice at the target SF: the first (cold) run pays
@@ -117,7 +132,7 @@ def main() -> None:
     # run. Both are reported.
     cold: dict[str, float] = {}
     per_query: dict[str, float] = {}
-    for name in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6:
+    for name in ALL_HEADLINE:
         cold[name] = round(run(name), 3)
         per_query[name] = round(run(name), 3)
 
@@ -148,6 +163,14 @@ def main() -> None:
                     sum(
                         per_query[n]
                         for n in HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5
+                    ),
+                    3,
+                ),
+                "queries_r6_set_total": round(
+                    sum(
+                        per_query[n]
+                        for n in HEADLINE + HEADLINE_R3 + HEADLINE_R4
+                        + HEADLINE_R5 + HEADLINE_R6
                     ),
                     3,
                 ),

@@ -236,3 +236,99 @@ def gr_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation communities (synchronous LPA, fixed rounds).
+# Completes the distributed-graph family: connected components
+# (operators/dedup.py), PageRank + triangles (above), communities here.
+#
+# Update rule per round, for every node v:
+#     new_label(v) = the neighbor label with the highest count,
+#                    ties broken by the smallest label
+# — integer counts and integer labels only, so the unrolled 3-round
+# result is bit-identical across engines and execution orders (the
+# classic async-LPA nondeterminism is removed by synchronous rounds +
+# a total tie-break).
+#
+# Scale notes: identical superstep shape to PageRank — the edge list is
+# co-partitioned once and cached; each round is one join (edges x
+# labels, co-aligned on the join key) and one aggregation with map-side
+# combine. Winner selection uses min_by over a (count desc, label asc)
+# struct so a round costs ONE shuffle on (v, label) plus the final
+# per-v reduce — no rank window, no second sort.
+# --------------------------------------------------------------------------
+LPA_ITERS = 3
+
+
+def _lpa_round_sql(i: int) -> str:
+    return f"""lab{i + 1} AS (
+      SELECT v AS node, label FROM (
+        SELECT v, label, row_number() OVER (
+                 PARTITION BY v ORDER BY c DESC, label) AS rn
+        FROM (
+          SELECT e.src AS v, l.label, count(*) AS c
+          FROM pairs e JOIN lab{i} l ON e.dst = l.node
+          GROUP BY e.src, l.label
+        )
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "gr_label_propagation",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    lab0 AS (SELECT DISTINCT src AS node, src AS label FROM pairs),
+    {",".join(_lpa_round_sql(i) for i in range(LPA_ITERS))}
+    SELECT node AS part_id,
+           CAST(label AS BIGINT) AS community,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+    FROM lab{LPA_ITERS}
+    """,
+)
+def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community labels after 3 synchronous LPA rounds on the part
+    co-purchase graph, with deterministic (count desc, label asc)
+    tie-breaking; output includes the final community sizes."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        # co-partition on the per-round join key once; every round's
+        # label join then reuses this layout (same policy as PageRank).
+        .repartition(_shuffle_partitions(spark), "dst")
+        .persist()
+    )
+    lab = pairs.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        msgs = pairs.join(lab, pairs.dst == lab.node).select(
+            F.col("src").alias("v"), "label"
+        )
+        counts = msgs.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        lab = counts.groupBy("v").agg(
+            F.expr("min_by(label, struct(-c, label))").alias("label")
+        ).select(F.col("v").alias("node"), "label")
+    from pyspark.sql import Window as W
+
+    return lab.select(
+        F.col("node").alias("part_id"),
+        F.col("label").cast("bigint").alias("community"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("label"))
+        .cast("bigint")
+        .alias("community_size"),
+    )

@@ -40,6 +40,8 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.enrichment_queries",
     "scalable_data_ingestion_spark.operators.quality_queries",
     "scalable_data_ingestion_spark.operators.dedup",
+    "scalable_data_ingestion_spark.operators.winnow",
+    "scalable_data_ingestion_spark.operators.reweight",
     "scalable_data_ingestion_spark.operators.incremental_dedup",
     "scalable_data_ingestion_spark.operators.text",
     "scalable_data_ingestion_spark.operators.curation",
@@ -57,6 +59,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.timeseries",
     "scalable_data_ingestion_spark.operators.projection",
     "scalable_data_ingestion_spark.operators.similarity",
+    "scalable_data_ingestion_spark.operators.multivector",
     "scalable_data_ingestion_spark.operators.sketches",
     "scalable_data_ingestion_spark.operators.multimodal",
     "scalable_data_ingestion_spark.operators.skew",
@@ -109,17 +112,23 @@ def load_all() -> None:
 # transitions + path mining, hash-deterministic train/val/test splits,
 # per-source quantile calibration, exact heavy hitters, and Z-order
 # layout keys.
+# Driver-round-3 rotation: dd_exact_dedup / txt_corpus_stats /
+# ev_user_sessions / sim_knn_bruteforce were green in the r02 driver
+# window (and stay green in the local sweep); their slots go to this
+# round's new families — winnowing span-level dedup, DSIR importance
+# reweighting, MaxSim late-interaction retrieval, and LPA communities.
 _PRIORITY = (
-    # deduplication family (operators/dedup.py)
-    "dd_exact_dedup",
+    # deduplication family (operators/dedup.py, operators/winnow.py)
+    "dd_winnow_match_pairs",
     "dd_normalized_dedup",
     "dd_minhash_lsh_pairs",
     "dd_incremental_new_docs",
     "dd_neardup_components",
     "dd_embedding_lsh_pairs",
-    # text analysis + sampling/packing family (operators/text.py)
+    # text analysis + sampling/packing family (operators/text.py,
+    # operators/reweight.py)
     "txt_quality_scores",
-    "txt_corpus_stats",
+    "samp_dsir_weights",
     "txt_langid_confusion",
     "hh_frequent_tokens",
     "txt_decontamination",
@@ -132,8 +141,8 @@ _PRIORITY = (
     # splits + iterative-state EWMA (operators/splits.py, timeseries.py)
     "samp_train_val_test",
     "ts_ewma_daily",
-    # similarity search + score calibration (similarity.py, splits.py)
-    "sim_knn_bruteforce",
+    # similarity search + score calibration (multivector.py, splits.py)
+    "sim_maxsim_multivector",
     "txt_quality_quantile_norm",
     # clustering + Z-order layout (clustering.py, layout.py)
     "emb_kmeans_assign",
@@ -161,8 +170,9 @@ _PRIORITY = (
     # stats + path mining representatives (plans/stats.py, scd.py)
     "fz_party_name_matches",
     "ev_top_user_paths",
-    # events family representatives (plans/events.py, operators/analytics.py)
-    "ev_user_sessions",
+    # events + graph-communities representatives (operators/graph.py,
+    # operators/analytics.py)
+    "gr_label_propagation",
     "ev_conversion_funnel",
     "ev_retention_cohorts",
     # functions-surface representative (plans/functions_surface.py)
