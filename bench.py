@@ -93,12 +93,28 @@ HEADLINE_R6 = [
 HEADLINE_R7 = [
     "dd_winnow_match_pairs",
     "samp_dsir_weights",
+    "samp_dsir_gumbel_topk",
     "sim_maxsim_multivector",
+    "sim_rerank_maxsim",
     "gr_label_propagation",
+    "txt_gopher_rules",
+]
+
+# Round-8 additions: BM25 lexical retrieval, prefix-filtered exact
+# Jaccard join (the AllPairs scale path next to the DF-cap index),
+# value-checked HyperLogLog, classifier ROC-AUC eval, and linear
+# multi-touch attribution.
+HEADLINE_R8 = [
+    "txt_bm25_topk",
+    "dd_prefix_jaccard_pairs",
+    "sk_hll_user_estimate",
+    "eval_classifier_auc",
+    "ev_attribution_linear",
 ]
 
 ALL_HEADLINE = (
     HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
+    + HEADLINE_R8
 )
 
 
@@ -171,6 +187,14 @@ def main() -> None:
                         per_query[n]
                         for n in HEADLINE + HEADLINE_R3 + HEADLINE_R4
                         + HEADLINE_R5 + HEADLINE_R6
+                    ),
+                    3,
+                ),
+                "queries_r7_set_total": round(
+                    sum(
+                        per_query[n]
+                        for n in HEADLINE + HEADLINE_R3 + HEADLINE_R4
+                        + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
                     ),
                     3,
                 ),

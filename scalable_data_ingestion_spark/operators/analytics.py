@@ -201,3 +201,102 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_active").cast("bigint").alias("n_active"),
         F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-touch attribution: linear credit over the pre-purchase touch
+# window. For every purchase, the view/click touches by the same user
+# in the trailing 7 days share the conversion credit equally. The
+# marketing-analytics staple the funnel above doesn't cover (the funnel
+# asks "did the user convert"; attribution asks "which touchpoints get
+# paid").
+#
+# Exactness policy: per-touch credit is the INTEGER micro-credit
+# 1_000_000 DIV n_touches, so the per-channel rollup is a BIGINT sum —
+# no 1/3-style float shares accumulate (the DIV remainder is reported,
+# not redistributed, and both engines truncate identically).
+#
+# Scale (100 TB event log): the purchase-touch pairing is a user-keyed
+# equi-join with a residual time-range predicate — both sides shuffle
+# once on user_id and the pair fan-out is bounded by touches-per-user
+# within the window (the same shape as the stream-stream join,
+# streaming/joins.py). The per-purchase touch count is a window over
+# the purchase key on the already-joined relation (no second pass),
+# and the final per-channel rollup is dimension-sized.
+# --------------------------------------------------------------------------
+ATTR_WINDOW_DAYS = 7
+ATTR_TOUCH_TYPES = ("view", "click")
+ATTR_MICRO = 1_000_000
+
+
+@register(
+    "ev_attribution_linear",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS touch_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    paired AS (
+      SELECT p.purchase_id, t.touch_id, t.event_type
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.ts < p.ts
+       AND t.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ),
+    credited AS (
+      SELECT purchase_id, touch_id, event_type,
+             {ATTR_MICRO} // count(*) OVER (PARTITION BY purchase_id)
+                 AS credit_micro
+      FROM paired
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total,
+           round(CAST(sum(credit_micro) AS DOUBLE) / {ATTR_MICRO}, 6)
+               AS credit
+    FROM credited
+    GROUP BY event_type
+    """,
+)
+def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution of purchases to the trailing
+    {ATTR_WINDOW_DAYS}-day view/click touches, in exact micro-credits."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    paired = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")),
+    ).select("purchase_id", "touch_id", "event_type")
+    credited = paired.withColumn(
+        "credit_micro",
+        F.expr(
+            f"CAST({ATTR_MICRO} AS BIGINT) DIV "
+            "count(*) OVER (PARTITION BY purchase_id)"
+        ),
+    )
+    return credited.groupBy("event_type").agg(
+        F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("credit_micro").cast("bigint").alias("credit_micro_total"),
+        F.round(
+            F.sum("credit_micro").cast("double") / ATTR_MICRO, 6
+        ).alias("credit"),
+    )

@@ -313,3 +313,115 @@ def samp_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.floor(F.col("keep_rate") * MIX_BUCKETS).cast("int"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier evaluation: exact ROC-AUC of the hashed quality score
+# against the is-English label — the eval harness for the model-based
+# filter above (same family as dd_lsh_eval / sim_ivf_recall_at_k: every
+# model-shaped operator ships with its measured-quality twin).
+#
+# AUC is computed as the Mann-Whitney U statistic with the tie-aware
+# midrank convention, entirely in BIGINT: group documents by their
+# (bit-identical cross-engine) score, take p = positives and n =
+# negatives per distinct score, then
+#     2U = sum_s  p_s * (2 * negatives_below(s) + n_s)
+# so AUC = 2U / (2 * P * N) exactly — no float accumulates across
+# groups, only one final scalar division.
+#
+# Scale: documents reduce to a distinct-score histogram first (the
+# per-doc score aggregation is the classifier's own doc_id-keyed
+# shuffle); the running negatives-below window then runs over the
+# histogram, which is at most |distinct scores| rows. For truly
+# unbounded score domains the same statistic is computed on a
+# fixed-width quantized histogram (the standard streaming-AUC
+# compromise); at dimension scale the single-partition window is the
+# right plan.
+# --------------------------------------------------------------------------
+_AUC_AGG_SQL = f"""
+  toks AS (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+  ),
+  feat AS (
+    SELECT doc_id, {_hex_int_sql("md5(tok)", 1, 2)} - 128 AS w FROM toks
+  ),
+  agg AS (
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w) AS BIGINT) AS score_fx
+    FROM feat GROUP BY doc_id
+  ),
+  labeled AS (
+    SELECT a.score_fx / (128.0 * a.n_tokens) AS s,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+    FROM agg a JOIN documents d USING (doc_id)
+  ),
+  hist AS (
+    SELECT s,
+           CAST(sum(pos) AS BIGINT) AS p,
+           CAST(sum(1 - pos) AS BIGINT) AS n
+    FROM labeled GROUP BY s
+  ),
+  run AS (
+    SELECT p, n,
+           coalesce(sum(n) OVER (ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS neg_below
+    FROM hist
+  )
+"""
+
+
+@register(
+    "eval_classifier_auc",
+    oracle=f"""
+    WITH {_AUC_AGG_SQL}
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_neg,
+           CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS u2,
+           round(CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
+                 / (2.0 * sum(p) * sum(n)), 6) AS auc
+    FROM run
+    """,
+)
+def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of the hashed classifier score for the
+    lang='en' label, via the integer Mann-Whitney statistic."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    w = F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("bigint") - 128
+    agg = toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("score_fx"),
+    )
+    labeled = agg.join(docs.select("doc_id", "lang"), "doc_id").select(
+        (F.col("score_fx") / (128.0 * F.col("n_tokens"))).alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    hist = labeled.groupBy("s").agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n"),
+    )
+    run = hist.withColumn(
+        "neg_below",
+        F.coalesce(
+            F.sum("n").over(
+                W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return run.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("n").cast("bigint").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("neg_below") + F.col("n")))
+        .cast("bigint")
+        .alias("u2"),
+        F.round(
+            F.sum(F.col("p") * (2 * F.col("neg_below") + F.col("n"))).cast("double")
+            / (2.0 * F.sum("p") * F.sum("n")),
+            6,
+        ).alias("auc"),
+    )

@@ -139,3 +139,168 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         F.round("s", 6).alias("maxsim_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-stage retrieval: single-vector cosine candidate generation ->
+# MaxSim late-interaction re-rank — the production serving shape
+# (cheap recall stage prunes the corpus, expensive interaction model
+# re-scores a shortlist). At 100 TB the candidate stage is IVF/IVF-PQ
+# (operators/similarity.py, operators/pq.py); here it is exact cosine
+# so the whole pipeline stays oracle-checkable end-to-end.
+#
+# The re-rank cost is bounded by CAND_K per query regardless of corpus
+# size: sub-vector expansion happens AFTER the shortlist join, so the
+# interaction stage touches |queries| x CAND_K x M^2 facet pairs, not
+# the corpus.
+# --------------------------------------------------------------------------
+MV_CAND_K = 50  # cosine shortlist per query
+MV_RERANK_K = 10
+
+_RERANK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cos AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(q.emb, v.emb) /
+               (sqrt(list_dot_product(q.emb, q.emb)) *
+                sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+  FROM e q JOIN e v ON q.vec_id < {MV_QUERIES} AND q.vec_id != v.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS INTEGER)
+           AS cand_rank
+  FROM cos QUALIFY cand_rank <= {MV_CAND_K}
+),
+ms AS (SELECT unnest(generate_series(0, {MV_M - 1})) AS m),
+sub AS (
+  SELECT e.vec_id, ms.m,
+         list_slice(e.emb, ms.m * {MV_SUB} + 1, ms.m * {MV_SUB} + {MV_SUB}) AS sv
+  FROM e CROSS JOIN ms
+),
+dots AS (
+  SELECT c.query_id, q.m AS qm, c.neighbor_id, c.cosine, c.cand_rank,
+         {_DOT_SQL} AS dot
+  FROM cand c
+  JOIN sub d ON d.vec_id = c.neighbor_id
+  JOIN sub q ON q.vec_id = c.query_id
+),
+mx AS (
+  SELECT query_id, qm, neighbor_id, max(cosine) AS cosine,
+         max(cand_rank) AS cand_rank, max(dot) AS mx
+  FROM dots GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT query_id, neighbor_id, max(cosine) AS cosine,
+         max(cand_rank) AS cand_rank, {_PIVOT_SQL}
+  FROM mx GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine, cand_rank, {_SUM_SQL} AS s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_SUM_SQL} DESC, neighbor_id) AS rerank
+  FROM sc
+)
+SELECT query_id, neighbor_id, CAST(rerank AS INTEGER) AS rerank,
+       round(s, 6) AS maxsim_score, cosine,
+       CAST(cand_rank AS INTEGER) AS cand_rank
+FROM ranked WHERE rerank <= {MV_RERANK_K}
+"""
+
+
+@register("sim_rerank_maxsim", oracle=_RERANK_ORACLE)
+def sim_rerank_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-{MV_CAND_K} shortlist re-ranked by MaxSim; output
+    carries both scores and both ranks so the re-ordering the
+    interaction model introduces is directly visible."""
+    from .similarity import _dot, _norm
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < MV_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ve"),
+        _norm("embedding").alias("vn"),
+    )
+    cos = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias("cosine"),
+        )
+    )
+    cand = (
+        cos.withColumn(
+            "cand_rank",
+            F.row_number()
+            .over(W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id"))
+            .cast("int"),
+        )
+        .filter(F.col("cand_rank") <= MV_CAND_K)
+    )
+
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MV_M - 1}), "
+                f"m -> transform(slice(embedding, m * {MV_SUB} + 1, {MV_SUB}), "
+                "x -> CAST(x AS DOUBLE)))"
+            )
+        ).alias("m", "sv"),
+    )
+    d_sub = sub.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("m").alias("dm"), F.col("sv").alias("dv")
+    )
+    q_sub = sub.select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("qm"), F.col("sv").alias("qv")
+    ).filter(F.col("query_id") < MV_QUERIES)
+    dot = None
+    for i in range(MV_SUB):
+        term = F.col("qv").getItem(i) * F.col("dv").getItem(i)
+        dot = term if dot is None else dot + term
+    dots = (
+        cand.join(d_sub, "neighbor_id")
+        .join(F.broadcast(q_sub), "query_id")
+        .select("query_id", "qm", "neighbor_id", "cosine", "cand_rank", dot.alias("dot"))
+    )
+    mx = dots.groupBy("query_id", "qm", "neighbor_id").agg(
+        F.max("cosine").alias("cosine"),
+        F.max("cand_rank").alias("cand_rank"),
+        F.max("dot").alias("mx"),
+    )
+    sc = mx.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine"),
+        F.max("cand_rank").alias("cand_rank"),
+        *[
+            F.max(F.when(F.col("qm") == i, F.col("mx"))).alias(f"m{i}")
+            for i in range(MV_M)
+        ],
+    )
+    s = None
+    for i in range(MV_M):
+        s = F.col(f"m{i}") if s is None else s + F.col(f"m{i}")
+    ranked = sc.select(
+        "query_id", "neighbor_id", "cosine", "cand_rank", s.alias("s")
+    ).withColumn(
+        "rerank",
+        F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.col("s").desc(), "neighbor_id")
+        ),
+    )
+    return ranked.filter(F.col("rerank") <= MV_RERANK_K).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rerank").cast("int").alias("rerank"),
+        F.round("s", 6).alias("maxsim_score"),
+        "cosine",
+        F.col("cand_rank").cast("int").alias("cand_rank"),
+    )

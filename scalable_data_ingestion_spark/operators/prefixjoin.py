@@ -1,0 +1,141 @@
+"""Prefix-filtering set-similarity join (AllPairs / PPJoin family).
+
+The exact-Jaccard scale path: instead of indexing EVERY shingle of
+every document (operators/dedup.py dd_ngram_jaccard_pairs — candidate
+volume ~ sum of df² over the whole vocabulary), index only each
+document's PREFIX under a global rarity order. For Jaccard >= t, two
+sets of sizes |A| <= |B| that overlap enough must share an element
+among the first ``|A| - ceil(t*|A|) + 1`` elements when both sets are
+sorted by the same global order (Chaudhuri et al., "A Primitive
+Operator for Similarity Joins", ICDE'06; Bayardo et al., WWW'07).
+Ordering by ascending document frequency makes those prefix elements
+the RAREST shingles, so the inverted index the join probes is built
+over low-df postings — the candidate explosion on common shingles
+disappears structurally rather than via the DF_CAP heuristic.
+
+Guarantee: no false negatives — the output is *identical* to the full
+inverted-index join at the same threshold, which is exactly what the
+oracle checks (it recomputes ground truth the exhaustive way).
+
+Spark-first shape (100 TB corpus):
+- The global shingle order is a VOCABULARY-sized relation (distinct
+  shingles + df). The rank window here is a single global sort of that
+  dimension table; at extreme vocabularies the same order is obtained
+  by sorting on raw (df, sh) directly in a range-partitioned
+  zipWithIndex pass — the order only needs to be total, not dense.
+- Size pruning (t*|A| <= |B| <= |A|/t) rides inside the join
+  condition in exact integer arithmetic, so candidates with
+  incompatible sizes never materialize.
+- Prefix selection is a per-document row_number over the doc's own
+  shingles — the same doc_id-keyed shuffle the size aggregate already
+  needs.
+- Verification joins candidate pairs back to the full shingle sets
+  (intersection count), the same shape as the MinHash-LSH verify step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+from .dedup import _SHINGLES_CTE, shingles
+
+# Same threshold as the exhaustive join so the outputs are comparable.
+PJ_THRESHOLD = 0.6  # Jaccard; prefix math below hard-codes t = 3/5.
+
+# Ground truth: the exhaustive inverted-index join (same CTE the
+# dd_ngram_jaccard_pairs oracle uses). If the prefix filter dropped a
+# true pair, this oracle would catch it.
+_PJ_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {PJ_THRESHOLD}
+"""
+
+
+@register("dd_prefix_jaccard_pairs", oracle=_PJ_ORACLE)
+def dd_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= {PJ_THRESHOLD} pairs via prefix-filtered
+    candidate generation + intersection verify.
+
+    ceil(t*n) for t = 3/5 is computed as (3n + 4) DIV 5 and the size
+    band [ceil(t*n_a), n_a*5 DIV 3] in the same integer arithmetic, so
+    both engines prune identically with no float boundaries.
+    """
+    sh = shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    # Global rarity order over the vocabulary (dimension-sized).
+    df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    order = df.withColumn(
+        "rnk", F.row_number().over(W.orderBy("df", "sh"))
+    ).select("sh", "rnk")
+
+    ranked = (
+        sh.join(order, "sh")
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("rnk")),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix_len = n - ceil(3n/5) + 1, all integer arithmetic.
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1
+    ).select("doc_id", "sh", "n")
+
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.sh") == F.col("pb.sh"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # size band, exact integers: ceil(3*max/5) <= min (both
+            # directions spelled out so the predicate is symmetric).
+            & (F.col("pb.n") >= F.expr("(3 * pa.n + 4) DIV 5"))
+            & (F.col("pa.n") >= F.expr("(3 * pb.n + 4) DIV 5")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # Verify: intersection counts over the full shingle sets.
+    sha = sh.select(F.col("doc_id").alias("da"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("db"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sha, F.col("doc_a") == F.col("da"))
+        .join(shb, (F.col("doc_b") == F.col("db")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i"))
+            ).alias("j"),
+        )
+    )
+    return jac.filter(F.col("j") >= PJ_THRESHOLD).select(
+        "doc_a", "doc_b", F.round("j", 6).alias("jaccard")
+    )

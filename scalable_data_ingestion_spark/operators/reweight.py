@@ -124,3 +124,86 @@ def samp_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(contrib) > 0).alias("target_like"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR stage 2: importance *resampling* via deterministic Gumbel-top-k.
+#
+# Sampling k documents without replacement with probability
+# proportional to exp(log_weight) is exactly "perturb-and-take-top-k"
+# [Vieira '14; Kool et al., ICML '19]: add independent Gumbel(0,1)
+# noise to each log-weight and keep the k largest. The Gumbel draw
+# here is a *hash-derived* uniform (first 6 hex chars of
+# md5(doc_id) -> u in (0,1), g = -ln(-ln u)) so the sample is a pure
+# function of the data — reproducible across engines, partitionings,
+# and reruns, the same policy as every md5-bucketed sampler in
+# operators/text.py.
+#
+# Scale: the noisy key is a map-side expression; top-k is a single
+# TakeOrderedAndProject-shaped reduction (per-partition heaps, no
+# global sort of the corpus).
+# --------------------------------------------------------------------------
+DSIR_SAMPLE_K = 100
+_HEX6_DEN = 16**6 + 1  # u = (hex6 + 1) / (16^6 + 1)  in (0, 1)
+
+
+def _duck_hex6(expr: str) -> str:
+    """DuckDB: first 6 hex chars of md5(expr) as an integer (no conv()
+    in DuckDB; unrolled per-nibble CASE, same trick as
+    operators/text.py _md5_bucket_expr_sql)."""
+    nib = "0123456789abcdef"
+    parts = []
+    for p in range(6):
+        case = (
+            f"(CASE substr(md5({expr}), {p + 1}, 1) "
+            + " ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate(nib))
+            + " END)"
+        )
+        parts.append(f"{case} * {16 ** (5 - p)}")
+    return "(" + " + ".join(parts) + ")"
+
+
+_GUMBEL_SQL = f"""
+WITH dsir AS ({_DSIR_SQL.strip()}),
+keyed AS (
+  SELECT doc_id, n_tokens, log_weight,
+         log_weight + (- ln(- ln((({_duck_hex6("CAST(doc_id AS VARCHAR)")}) + 1.0)
+                                  / {_HEX6_DEN}.0))) AS gumbel_key
+  FROM dsir
+),
+ranked AS (
+  SELECT doc_id, n_tokens, log_weight, gumbel_key,
+         row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank
+  FROM keyed
+)
+SELECT CAST(rank AS INTEGER) AS rank, doc_id, n_tokens,
+       log_weight, round(gumbel_key, 6) AS gumbel_key
+FROM ranked WHERE rank <= {DSIR_SAMPLE_K}
+"""
+
+
+@register("samp_dsir_gumbel_topk", oracle=_GUMBEL_SQL)
+def samp_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resample DSIR_SAMPLE_K docs ~ exp(log_weight) without
+    replacement, via hash-deterministic Gumbel perturbation + top-k."""
+    from pyspark.sql import Window as W
+
+    weights = samp_dsir_weights(spark, sf_dir)
+    hex6 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("bigint")
+    u = (hex6 + F.lit(1).cast("double")) / F.lit(float(_HEX6_DEN))
+    keyed = weights.withColumn(
+        "gumbel_key", F.col("log_weight") + (-F.log(-F.log(u)))
+    )
+    ranked = keyed.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("gumbel_key").desc(), "doc_id")),
+    )
+    return ranked.filter(F.col("rank") <= DSIR_SAMPLE_K).select(
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        "n_tokens",
+        "log_weight",
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )

@@ -190,3 +190,140 @@ def sk_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cell") - F.col("n")).cast("bigint").alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog, exactly reproducible: md5-derived register file.
+#
+# ``approx_count_distinct`` above is the production default, but its
+# sketch is engine-internal (rows-only check). This variant implements
+# the original Flajolet et al. HLL estimator with an md5-derived hash
+# split — bucket = first 8 bits, rank = leading-zero position of the
+# next 52 bits — so the ENTIRE register file is a pure function of the
+# data and DuckDB rebuilds it bit-for-bit: the approximate estimator
+# itself gets a hard value check (same policy as the CMS sketch).
+#
+# Exactness policy: the register reduction ships as a BIGINT
+# fixed-point sum of 2^(53 - rho) (each register contributes an exact
+# integer; the 256-register total fits in 61 bits), so the harmonic
+# mean's denominator is integer-exact under any shuffle order. The
+# final alpha*m^2*2^53 / S division and the small-range linear-counting
+# correction are scalar float ops over identical inputs — bit-identical
+# cross-engine.
+#
+# Scale story: the shuffle carries at most 256 (bucket, max-rho) cells
+# per map task (partial MAX aggregation), i.e. the sketch IS the
+# shuffle payload — same as a production HLL merge. The exact distinct
+# count is computed alongside purely to report the realized error.
+# --------------------------------------------------------------------------
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_POW53 = 1 << 53
+
+
+def _hll_hash_sql() -> str:
+    md5 = "md5(CAST(user_id AS VARCHAR))"
+    bucket = f"(16 * ({_hex_digit_sql(md5, 1)}) + ({_hex_digit_sql(md5, 2)}))"
+    w_parts = " + ".join(
+        f"({_hex_digit_sql(md5, 3 + i)}) * {16 ** (12 - i)}::BIGINT" for i in range(13)
+    )
+    return f"""
+    hashed AS (
+      SELECT {bucket} AS bucket, ({w_parts}) AS w
+      FROM events
+    ),
+    rho AS (
+      SELECT bucket,
+             CASE WHEN strpos(lpad(bin(w), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      FROM hashed
+    ),
+    regs AS (SELECT bucket, max(rho) AS r FROM rho GROUP BY bucket),
+    red AS (
+      SELECT CAST(count(*) AS INTEGER) AS n_present,
+             CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s_present
+      FROM regs
+    ),
+    ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM events)
+    """
+
+
+_HLL_ORACLE = f"""
+WITH {_hll_hash_sql()},
+est AS (
+  SELECT {HLL_M} AS m,
+         {HLL_M} - n_present AS n_zero_registers,
+         s_present + ({HLL_M} - n_present)::BIGINT * {_POW53} AS s_fx,
+         exact_distinct
+  FROM red CROSS JOIN ex
+),
+final AS (
+  SELECT m, n_zero_registers, s_fx, exact_distinct,
+         CASE WHEN n_zero_registers > 0
+                   AND (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * {_POW53}.0) / s_fx
+                       <= 2.5 * {HLL_M}
+              THEN {HLL_M}.0 * ln({HLL_M}.0 / n_zero_registers)
+              ELSE (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * {_POW53}.0) / s_fx
+         END AS est
+  FROM est
+)
+SELECT CAST(m AS INTEGER) AS m,
+       CAST(n_zero_registers AS INTEGER) AS n_zero_registers,
+       s_fx,
+       round(est, 6) AS hll_estimate,
+       exact_distinct,
+       round((est - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM final
+"""
+
+
+@register("sk_hll_user_estimate", oracle=_HLL_ORACLE)
+def sk_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {HLL_M}-register HLL estimate of distinct event
+    users, with the small-range linear-counting correction, value-
+    checked against a DuckDB rebuild of the identical register file."""
+    from ..catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events").select("user_id")
+    md5 = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(md5, 3, 13), 16, 10).cast("bigint")
+    b52 = F.lpad(F.bin(w), 52, "0")
+    pos = F.instr(b52, "1")
+    rho = F.when(pos == 0, 53).otherwise(pos)
+    regs = ev.select(bucket.alias("bucket"), rho.alias("rho")).groupBy(
+        "bucket"
+    ).agg(F.max("rho").alias("r"))
+    red = regs.agg(
+        F.count(F.lit(1)).cast("int").alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - r)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    ex = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    est = red.crossJoin(ex).select(
+        F.lit(HLL_M).cast("int").alias("m"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("int").alias("n_zero_registers"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")).cast("bigint") * F.lit(_POW53)
+        ).alias("s_fx"),
+        "exact_distinct",
+    )
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M * float(_POW53) / F.col("s_fx")
+    corrected = F.when(
+        (F.col("n_zero_registers") > 0) & (raw <= 2.5 * HLL_M),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("n_zero_registers")),
+    ).otherwise(raw)
+    return est.select(
+        "m",
+        "n_zero_registers",
+        "s_fx",
+        F.round(corrected, 6).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(
+            (corrected - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_err"),
+    )

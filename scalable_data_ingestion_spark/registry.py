@@ -45,6 +45,9 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.incremental_dedup",
     "scalable_data_ingestion_spark.operators.text",
     "scalable_data_ingestion_spark.operators.curation",
+    "scalable_data_ingestion_spark.operators.gopher",
+    "scalable_data_ingestion_spark.operators.retrieval",
+    "scalable_data_ingestion_spark.operators.prefixjoin",
     "scalable_data_ingestion_spark.operators.splits",
     "scalable_data_ingestion_spark.operators.corpus",
     "scalable_data_ingestion_spark.operators.clustering",
@@ -131,7 +134,7 @@ _PRIORITY = (
     "samp_dsir_weights",
     "txt_langid_confusion",
     "hh_frequent_tokens",
-    "txt_decontamination",
+    "txt_gopher_rules",
     # cross-table audits (operators/dq.py)
     "dq_referential_integrity",
     "pack_token_windows",

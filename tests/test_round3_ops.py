@@ -88,3 +88,48 @@ def test_lpa_labels_are_fixpoint_consistent(spark, sf_dir):
     sizes = Counter(r.community for r in rows)
     for r in rows:
         assert r.community_size == sizes[r.community]
+
+
+def test_gopher_rules_is_scan_project(spark, sf_dir):
+    # One scan, no shuffle, no UDF: the whole rule stack is a single
+    # narrow projection.
+    p = plan(registry.QUERIES["txt_gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_gopher_keep_is_rule_conjunction(spark, sf_dir):
+    rows = registry.QUERIES["txt_gopher_rules"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (
+            r.pass_word_count
+            and r.pass_mean_word_len
+            and r.pass_symbol_ratio
+            and r.pass_alpha_frac
+            and r.pass_stopwords
+        )
+
+
+def test_rerank_stays_within_candidates(spark, sf_dir):
+    # Every re-ranked hit must come from the cosine shortlist, and both
+    # ranks must be within their bounds.
+    from scalable_data_ingestion_spark.operators.multivector import (
+        MV_CAND_K,
+        MV_RERANK_K,
+    )
+
+    rows = registry.QUERIES["sim_rerank_maxsim"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.rerank <= MV_RERANK_K
+        assert 1 <= r.cand_rank <= MV_CAND_K
+
+
+def test_gumbel_topk_is_subset_ordered(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.reweight import DSIR_SAMPLE_K
+
+    rows = registry.QUERIES["samp_dsir_gumbel_topk"](spark, sf_dir).collect()
+    assert len(rows) == min(DSIR_SAMPLE_K, 500)
+    keys = [r.gumbel_key for r in sorted(rows, key=lambda r: r.rank)]
+    assert keys == sorted(keys, reverse=True)
