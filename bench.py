@@ -110,6 +110,11 @@ HEADLINE_R8 = [
     "sk_hll_user_estimate",
     "eval_classifier_auc",
     "ev_attribution_linear",
+    "cust_rfm_segments",
+    "txt_zipf_fit",
+    "feat_user_activity_matrix",
+    "emb_int8_quantize",
+    "gr_two_hop_features",
 ]
 
 ALL_HEADLINE = (

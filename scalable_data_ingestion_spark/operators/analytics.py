@@ -300,3 +300,93 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit_micro").cast("double") / ATTR_MICRO, 6
         ).alias("credit"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: the classic customer-value quartile grid.
+# Recency (days since last order, vs the corpus max date so the
+# operator is a pure function of the data), Frequency (order count),
+# Monetary (lifetime spend in exact BIGINT cents — float sums of
+# o_totalprice would be order-dependent and hash-fragile). Each
+# dimension is scored into quartiles by ntile(4) under a total order
+# (custkey tiebreak), so both engines assign identical scores.
+#
+# Scale: the per-customer reduce is one custkey-keyed partial
+# aggregation. The three ntile windows are global sorts over the
+# CUSTOMER DIMENSION (not the order fact) — at extreme customer counts
+# the same quartiles come from approx-percentile cut points; at
+# dimension scale the exact sort is the right plan.
+# --------------------------------------------------------------------------
+@register(
+    "cust_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT ref_date FROM ref)) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, recency_days, frequency, monetary_cents,
+             5 - ntile(4) OVER (ORDER BY recency_days, custkey) AS r_score,
+             5 - ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             5 - ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+      FROM base
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days, frequency,
+           monetary_cents,
+           CAST(r_score AS INTEGER) AS r_score,
+           CAST(f_score AS INTEGER) AS f_score,
+           CAST(m_score AS INTEGER) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS rfm
+    FROM scored
+    """,
+)
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM quartile scores (4 = best) and the concatenated
+    RFM cell label."""
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    ref = orders.agg(F.max(d).alias("ref_date"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(d).alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff("ref_date", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = 5 - F.ntile(4).over(W.orderBy("recency_days", "custkey"))
+    f = 5 - F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "custkey"))
+    m = 5 - F.ntile(4).over(W.orderBy(F.col("monetary_cents").desc(), "custkey"))
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

@@ -569,3 +569,166 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(-mean), 4).alias("perplexity"),
         F.when(mean < BIGRAM_FLAG, "outlier").otherwise("keep").alias("lm_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf fit: log-log regression of token frequency on rank. The
+# corpus-health diagnostic next to txt_corpus_stats — a natural-language
+# corpus follows freq ~ rank^s with s near -1; a slope far from -1
+# flags synthetic/templated/spam-heavy data before it poisons the mix.
+#
+# Exactness policy: ln(rank) / ln(freq) are scalar doubles (identical
+# cross-engine), but their SUMS over the vocabulary would be
+# order-dependent floats — so each coordinate is floored into 1e-9
+# fixed point and accumulated in DECIMAL(38,0) (the exact-sums
+# regression policy, plans/functions_surface.py
+# stat_price_qty_regression: lose a deterministic 1e-9 of precision,
+# gain bit-stable aggregation under any shuffle order). The closed-form
+# slope/intercept/r2 are scalar ops over the exact sums.
+#
+# Scale: one token count (partial agg), one VOCAB-sized rank sort (the
+# same dimension-scale global window as the prefix join's rarity
+# order), one one-row reduce.
+# --------------------------------------------------------------------------
+_ZIPF_FX = 1_000_000_000  # 1e-9 fixed point for the log coordinates
+
+
+@register(
+    "txt_zipf_fit",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM freq
+    ),
+    fx AS (
+      SELECT CAST(floor(ln(rnk) * {_ZIPF_FX}) AS DECIMAL(38,0)) AS x,
+             CAST(floor(ln(n) * {_ZIPF_FX}) AS DECIMAL(38,0)) AS y
+      FROM ranked
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM fx
+    )
+    SELECT n_vocab,
+           round((n_vocab * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n_vocab * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS zipf_slope,
+           round((CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+                  * ((n_vocab * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n_vocab * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+                 / (n_vocab * CAST({_ZIPF_FX} AS DOUBLE)), 6) AS zipf_intercept,
+           round(pow(n_vocab * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((n_vocab * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n_vocab * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS r2
+    FROM sums
+    """,
+)
+def txt_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(freq) on ln(rank) over the token vocabulary, from
+    DECIMAL(38,0) fixed-point sums. Output slope ~ -1 for natural text."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.col("n").desc(), "tok"))
+    )
+    fx = ranked.select(
+        F.floor(F.log("rnk") * _ZIPF_FX).cast("decimal(38,0)").alias("x"),
+        F.floor(F.log("n") * _ZIPF_FX).cast("decimal(38,0)").alias("y"),
+    )
+    sums = fx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_vocab")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return sums.select(
+        "n_vocab",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - sx * slope) / (n * F.lit(float(_ZIPF_FX))), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.pow(num, 2) / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate — the tokenizer-fit diagnostic: given
+# a top-V frequency vocabulary, what fraction of each document's
+# tokens (and of the corpus) falls outside it? High OOV on a slice
+# flags domain shift the tokenizer (and any hashed classifier) will
+# handle badly; it is also the acceptance metric when shipping a new
+# vocab (txt_top_bigrams is the induction side, this is the eval side).
+#
+# Scale: the vocabulary is a top-V aggregate (TakeOrderedAndProject
+# over the token counts) broadcast back; the per-doc OOV rollup rides
+# the explode the token counting already does — integer counts only.
+# --------------------------------------------------------------------------
+OOV_VOCAB_SIZE = 20
+
+
+@register(
+    "txt_oov_rate",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM tok GROUP BY tok
+        ORDER BY n DESC, tok LIMIT {OOV_VOCAB_SIZE}
+      )
+    ),
+    flagged AS (
+      SELECT t.doc_id,
+             CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV token count and rate against the corpus
+    top-{OOV_VOCAB_SIZE} frequency vocabulary."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(OOV_VOCAB_SIZE)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "tok", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov).cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )

@@ -288,3 +288,73 @@ def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit: how identifiable is a record from its
+# quasi-identifiers? Groups the customer registry by the QI tuple
+# (nation, market segment, account-balance band) and reports the
+# anonymity floor — the privacy-DQ dimension that gates publishing a
+# derived dataset (records in QI groups smaller than K are
+# re-identifiable and must be suppressed or generalized before
+# release; the GDPR-erasure sink in storage/warehouse.py handles the
+# per-subject side, this audit handles the statistical side).
+#
+# Scale: one groupBy on the QI tuple (partial aggregation; group count
+# is the product of QI cardinalities, dimension-sized by
+# construction), then a one-row rollup. No joins, no window.
+# --------------------------------------------------------------------------
+KANON_K = 5
+
+
+@register(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS bal_band,
+             count(*) AS grp
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(sum(grp) AS BIGINT) AS n_records,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(grp) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN grp < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS groups_below_k,
+           CAST(sum(CASE WHEN grp < {KANON_K} THEN grp ELSE 0 END) AS BIGINT)
+               AS records_below_k,
+           round(CAST(sum(CASE WHEN grp < {KANON_K} THEN grp ELSE 0 END) AS DOUBLE)
+                 / sum(grp), 6) AS reident_risk_rate
+    FROM qi
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity floor of the customer registry under the
+    (nation, segment, balance-band) quasi-identifier tuple, K={KANON_K}."""
+    cust = table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    qi = cust.groupBy(
+        "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    ).agg(F.count(F.lit(1)).alias("grp"))
+    below = F.col("grp") < KANON_K
+    return qi.agg(
+        F.sum("grp").cast("bigint").alias("n_records"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("grp").cast("bigint").alias("min_group_size"),
+        F.sum(F.when(below, 1).otherwise(0)).cast("bigint").alias("groups_below_k"),
+        F.sum(F.when(below, F.col("grp")).otherwise(0))
+        .cast("bigint")
+        .alias("records_below_k"),
+        F.round(
+            F.sum(F.when(below, F.col("grp")).otherwise(0)).cast("double")
+            / F.sum("grp"),
+            6,
+        ).alias("reident_risk_rate"),
+    )

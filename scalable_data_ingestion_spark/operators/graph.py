@@ -332,3 +332,90 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("community_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-hop neighborhood features — the GNN-sampling / graph-feature
+# prep primitive: for every node of the co-purchase graph, its degree,
+# the total degree mass of its neighbors (the "message" a one-layer
+# GraphSAGE mean/sum aggregator consumes), and its distinct two-hop
+# reach. All counters are integers, so results are exact under any
+# join/shuffle order.
+#
+# Scale: deg is a node-keyed aggregate joined back onto the edge list
+# (the PageRank co-partitioning pattern above); the two-hop reach is
+# one edge-edge equi-join on the middle node with fan-out bounded by
+# deg(middle) — at hub-skewed graphs the standard mitigations apply
+# (degree cap / sampling per middle node, AQE skew split). The
+# distinct count keys on (src, two-hop target) — the same shuffle the
+# triangle counter uses.
+# --------------------------------------------------------------------------
+@register(
+    "gr_two_hop_features",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM pairs GROUP BY src),
+    nbr AS (
+      SELECT e.src AS node, CAST(sum(d.degree) AS BIGINT) AS nbr_degree_sum
+      FROM pairs e JOIN deg d ON d.node = e.dst
+      GROUP BY e.src
+    ),
+    hop2 AS (
+      SELECT e1.src AS node,
+             CAST(count(DISTINCT e2.dst) AS BIGINT) AS two_hop_reach
+      FROM pairs e1 JOIN pairs e2
+        ON e1.dst = e2.src AND e2.dst <> e1.src
+      GROUP BY e1.src
+    )
+    SELECT d.node AS part_id, d.degree, n.nbr_degree_sum, h.two_hop_reach
+    FROM deg d JOIN nbr n ON n.node = d.node JOIN hop2 h ON h.node = d.node
+    """,
+)
+def gr_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree, neighbor-degree mass, and distinct two-hop reach per
+    node of the part co-purchase graph (exact integer counters)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .cache()
+    )
+    deg = pairs.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    nbr = (
+        pairs.join(deg.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("degree").cast("bigint").alias("nbr_degree_sum"))
+    )
+    e1 = pairs.select(F.col("src").alias("u"), F.col("dst").alias("mid"))
+    e2 = pairs.select(F.col("src").alias("mid"), F.col("dst").alias("w"))
+    hop2 = (
+        e1.join(e2, "mid")
+        .filter(F.col("w") != F.col("u"))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.countDistinct("w").cast("bigint").alias("two_hop_reach"))
+    )
+    return (
+        deg.join(nbr, "node")
+        .join(hop2, "node")
+        .select(
+            F.col("node").alias("part_id"),
+            "degree",
+            "nbr_degree_sum",
+            "two_hop_reach",
+        )
+    )

@@ -193,3 +193,99 @@ def mon_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur, 6).alias("p_cur"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization — the storage/serving compression step
+# between raw float vectors and the PQ codes (operators/pq.py):
+# per-dimension affine quantization x -> round((x - min_d) / scale_d)
+# into [0, 255], 4x smaller than float32 with near-lossless recall for
+# most retrieval workloads.
+#
+# Exactness policy: codes are floor(t + 0.5) of scalar doubles
+# (bit-identical cross-engine); the per-vector reconstruction error is
+# accumulated in 1e-12 fixed point (BIGINT) over the dimension index
+# fold, so the rollup is exact under any shuffle order.
+#
+# Scale: the per-dimension min/max is a 64-row aggregate (posexplode +
+# partial agg) broadcast back onto the corpus; encode + error are one
+# map-side pass. At 100 TB the stats pass samples (quantile clipping)
+# instead of exact min/max — same plan shape.
+# --------------------------------------------------------------------------
+Q8_LEVELS = 255
+_Q8_ERR_FX = 1_000_000_000_000  # 1e-12 fixed point for squared error
+
+
+@register(
+    "emb_int8_quantize",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, m, emb[m + 1] AS x
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS m)
+    ),
+    stats AS (
+      SELECT m, min(x) AS lo, max(x) AS hi FROM dims GROUP BY m
+    ),
+    coded AS (
+      SELECT d.vec_id, d.m, d.x, s.lo, (s.hi - s.lo) / {Q8_LEVELS} AS scale,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE CAST(floor((d.x - s.lo) / ((s.hi - s.lo) / {Q8_LEVELS}) + 0.5)
+                            AS BIGINT) END AS code
+      FROM dims d JOIN stats s USING (m)
+    ),
+    err AS (
+      SELECT vec_id,
+             CAST(sum(CAST(floor(pow(x - (lo + code * scale), 2) * {_Q8_ERR_FX})
+                           AS BIGINT)) AS BIGINT) AS err_fx,
+             CAST(count(*) AS INTEGER) AS n_dims,
+             CAST(sum(code) AS BIGINT) AS code_sum
+      FROM coded GROUP BY vec_id
+    )
+    SELECT vec_id, n_dims, code_sum, err_fx,
+           round(CAST(err_fx AS DOUBLE) / ({_Q8_ERR_FX}.0 * n_dims), 9) AS mse
+    FROM err
+    """,
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 quantization of the embedding corpus
+    with exact fixed-point reconstruction error per vector."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    dims = e.select("vec_id", F.posexplode("emb").alias("m", "x"))
+    stats = dims.groupBy("m").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    scale = (F.col("hi") - F.col("lo")) / Q8_LEVELS
+    coded = dims.join(F.broadcast(stats), "m").select(
+        "vec_id",
+        "m",
+        "x",
+        "lo",
+        scale.alias("scale"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(F.floor((F.col("x") - F.col("lo")) / scale + 0.5))
+        .alias("code"),
+    )
+    err = coded.groupBy("vec_id").agg(
+        F.sum(
+            F.floor(
+                F.pow(F.col("x") - (F.col("lo") + F.col("code") * F.col("scale")), 2)
+                * _Q8_ERR_FX
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("err_fx"),
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+        F.sum("code").cast("bigint").alias("code_sum"),
+    )
+    return err.select(
+        "vec_id",
+        "n_dims",
+        "code_sum",
+        "err_fx",
+        F.round(
+            F.col("err_fx").cast("double") / (float(_Q8_ERR_FX) * F.col("n_dims")), 9
+        ).alias("mse"),
+    )

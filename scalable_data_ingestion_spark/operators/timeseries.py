@@ -185,3 +185,81 @@ def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id bigint, day date, day_value double, ewma double",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week seasonal indices over order revenue — the
+# seasonal-decomposition primitive (ratio-to-overall-mean method) that
+# feeds demand forecasting and anomaly baselines (the volume-anomaly
+# monitor, operators/monitor.py, flags deviations; this explains the
+# weekly shape they deviate FROM).
+#
+# Exactness policy: daily revenue is summed in BIGINT cents; the
+# day-of-week is computed ARITHMETICALLY from the epoch-day number
+# (((days + 3) % 7) + 1, ISO 1=Mon) instead of engine dayofweek()
+# functions, whose week-start conventions differ across engines. The
+# per-dow / overall averages are scalar divisions of exact integers.
+#
+# Scale: one groupBy per calendar day (partial agg over the fact),
+# then a 7-row rollup joined to a broadcast 1-row total.
+# --------------------------------------------------------------------------
+@register(
+    "ts_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ),
+    dowd AS (
+      SELECT ((date_diff('day', DATE '1970-01-01', day) + 3) % 7) + 1 AS dow,
+             cents
+      FROM daily
+    ),
+    per_dow AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM dowd GROUP BY dow
+    ),
+    total AS (
+      SELECT CAST(sum(n_days) AS BIGINT) AS all_days,
+             CAST(sum(revenue_cents) AS BIGINT) AS all_cents
+      FROM per_dow
+    )
+    SELECT CAST(dow AS INTEGER) AS dow, n_days, revenue_cents,
+           round((CAST(revenue_cents AS DOUBLE) / n_days)
+                 / (CAST(all_cents AS DOUBLE) / all_days), 6) AS seasonal_index
+    FROM per_dow CROSS JOIN total
+    """,
+)
+def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO day-of-week seasonal indices of order revenue (index 1.0 =
+    an average day; computed from exact BIGINT cent sums)."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    dow = (
+        (F.datediff("day", F.to_date(F.lit("1970-01-01"))) + 3) % 7 + 1
+    ).cast("int")
+    per_dow = daily.select(dow.alias("dow"), "cents").groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    total = per_dow.agg(
+        F.sum("n_days").cast("bigint").alias("all_days"),
+        F.sum("revenue_cents").cast("bigint").alias("all_cents"),
+    )
+    return per_dow.crossJoin(F.broadcast(total)).select(
+        "dow",
+        "n_days",
+        "revenue_cents",
+        F.round(
+            (F.col("revenue_cents").cast("double") / F.col("n_days"))
+            / (F.col("all_cents").cast("double") / F.col("all_days")),
+            6,
+        ).alias("seasonal_index"),
+    )

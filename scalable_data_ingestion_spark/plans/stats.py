@@ -332,3 +332,157 @@ def hist_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap: confidence interval for the mean
+# document length without a second pass over the data per replica.
+#
+# The online-bootstrap trick (Chamandy et al., "Estimating Uncertainty
+# for Massive Data Streams", Google 2012): each record enters replica b
+# with weight ~ Poisson(1), so all B resampled means are computed in
+# ONE aggregation over records x replicas. The Poisson draw here is the
+# inverse CDF applied to an md5-derived uniform of (doc_id, b) — a pure
+# function of the data (the repo-wide hash-randomness policy), so both
+# engines materialize the identical resample.
+#
+# Exactness: replica sums are BIGINT (weight x n_chars); each replica
+# mean is one scalar division; the CI bounds are order statistics of
+# the B means under a (mean, b) total order. No float accumulates.
+#
+# Scale: the explode is x B map-side; the aggregation reduces to B
+# rows with map-side partial sums — the shuffle carries <= B cells per
+# task regardless of corpus size (the CMS/HLL sketch property).
+# --------------------------------------------------------------------------
+BOOT_B = 32
+# Poisson(1) CDF thresholds for the inverse-CDF draw (k = 0..8, tail
+# capped at 9). Literal doubles, identical in both engines.
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988747974696,
+)
+_HEX6_DEN = float(16**6)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 9 END)"
+
+
+def _hex6_sql(expr: str) -> str:
+    digit = lambda pos: (  # noqa: E731
+        f"(CASE substr({expr}, {pos}, 1) "
+        + " ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))
+        + " END)"
+    )
+    return "(" + " + ".join(f"{digit(i + 1)} * {16 ** (5 - i)}" for i in range(6)) + ")"
+
+
+@register(
+    "stat_bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b),
+    weighted AS (
+      SELECT r.b,
+             {_pois_case_sql(
+                 "(" + _hex6_sql("md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(r.b AS VARCHAR))")
+                 + f" / {_HEX6_DEN!r})"
+             )} AS w,
+             d.n_chars
+      FROM documents d CROSS JOIN reps r
+    ),
+    boot AS (
+      SELECT b,
+             CAST(sum(w * n_chars) AS BIGINT) AS wx,
+             CAST(sum(w) AS BIGINT) AS wn
+      FROM weighted GROUP BY b
+    ),
+    means AS (
+      SELECT b, CAST(wx AS DOUBLE) / wn AS m,
+             row_number() OVER (ORDER BY CAST(wx AS DOUBLE) / wn, b) AS rnk
+      FROM boot
+    ),
+    pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sx
+      FROM documents
+    )
+    SELECT {BOOT_B} AS n_replicas, n_docs,
+           round(CAST(sx AS DOUBLE) / n_docs, 6) AS mean_chars,
+           round((SELECT m FROM means WHERE rnk = 2), 6) AS boot_lo,
+           round((SELECT m FROM means WHERE rnk = {BOOT_B - 1}), 6) AS boot_hi
+    FROM pt
+    """,
+)
+def stat_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI (rank-2 / rank-{BOOT_B - 1} of {BOOT_B}
+    replica means, ~5th/95th pct) for the mean document length, from
+    one aggregation pass with md5-deterministic weights."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_HEX6_DEN)
+    )
+    w = F.lit(9)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < _POIS_CDF[k], k).otherwise(w)
+    boot = (
+        reps.select("b", w.alias("w"), "n_chars")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).cast("bigint").alias("wx"),
+            F.sum("w").cast("bigint").alias("wn"),
+        )
+    )
+    means = boot.select(
+        "b", (F.col("wx").cast("double") / F.col("wn")).alias("m")
+    ).withColumn("rnk", F.row_number().over(W.orderBy("m", "b")))
+    lo = means.filter(F.col("rnk") == 2).select(F.round("m", 6).alias("boot_lo"))
+    hi = means.filter(F.col("rnk") == BOOT_B - 1).select(
+        F.round("m", 6).alias("boot_hi")
+    )
+    pt = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+    )
+    return (
+        pt.select(
+            F.lit(BOOT_B).alias("n_replicas"),
+            "n_docs",
+            F.round(F.col("sx").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_chars"
+            ),
+        )
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.gopher",
     "scalable_data_ingestion_spark.operators.retrieval",
     "scalable_data_ingestion_spark.operators.prefixjoin",
+    "scalable_data_ingestion_spark.operators.features",
     "scalable_data_ingestion_spark.operators.splits",
     "scalable_data_ingestion_spark.operators.corpus",
     "scalable_data_ingestion_spark.operators.clustering",
@@ -170,16 +171,21 @@ _PRIORITY = (
     "ssj_click_purchase_pairs",
     # REST API source mapping (sources/api_queries.py)
     "api_orders_mapping",
-    # stats + path mining representatives (plans/stats.py, scd.py)
-    "fz_party_name_matches",
+    # path mining representative (scd.py) + prefix-filtered similarity
+    # join (fz_party_name_matches was green in the r02 driver window and
+    # stays in the local sweep; its slot goes to the AllPairs-style
+    # prefix join, a structurally different join algorithm)
+    "dd_prefix_jaccard_pairs",
     "ev_top_user_paths",
     # events + graph-communities representatives (operators/graph.py,
     # operators/analytics.py)
     "gr_label_propagation",
     "ev_conversion_funnel",
     "ev_retention_cohorts",
-    # functions-surface representative (plans/functions_surface.py)
-    "arr_embedding_vector_stats",
+    # BM25 lexical retrieval (new family this round;
+    # arr_embedding_vector_stats was green in r01+r02 driver windows and
+    # stays in the local sweep)
+    "txt_bm25_topk",
     # model filtering, CMS sketch, vocab induction (filtering.py,
     # sketches.py, corpus.py)
     "txt_hash_classifier_score",

@@ -85,3 +85,95 @@ def test_attribution_credit_conservation(spark, sf_dir):
     purchases = {r.event_type: r.n_purchases for r in rows}
     total_micro = sum(r.credit_micro_total for r in rows)
     assert total_micro <= ATTR_MICRO * max(purchases.values()) * len(rows)
+
+
+def test_k_anonymity_accounting(spark, sf_dir):
+    row = registry.QUERIES["dq_k_anonymity"](spark, sf_dir).collect()[0]
+    assert row.n_records > 0 and row.n_groups > 0
+    assert row.records_below_k <= row.n_records
+    assert row.groups_below_k <= row.n_groups
+    assert 0.0 <= row.reident_risk_rate <= 1.0
+
+
+def test_rfm_scores_are_balanced_quartiles(spark, sf_dir):
+    from collections import Counter
+
+    rows = registry.QUERIES["cust_rfm_segments"](spark, sf_dir).collect()
+    assert rows
+    for dim in ("r_score", "f_score", "m_score"):
+        counts = Counter(getattr(r, dim) for r in rows)
+        assert set(counts) == {1, 2, 3, 4}
+        # ntile keeps bucket sizes within 1 of each other
+        assert max(counts.values()) - min(counts.values()) <= 1
+    for r in rows:
+        assert r.rfm == f"{r.r_score}{r.f_score}{r.m_score}"
+
+
+def test_zipf_slope_is_negative(spark, sf_dir):
+    row = registry.QUERIES["txt_zipf_fit"](spark, sf_dir).collect()[0]
+    assert row.n_vocab > 10
+    assert row.zipf_slope < 0  # frequency decreases with rank
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_dow_seasonality_is_centered(spark, sf_dir):
+    rows = registry.QUERIES["ts_dow_seasonality"](spark, sf_dir).collect()
+    assert {r.dow for r in rows} == set(range(1, 8))
+    # weighted mean of indices (weights = n_days) must be ~1
+    total_days = sum(r.n_days for r in rows)
+    mean = sum(r.seasonal_index * r.n_days for r in rows) / total_days
+    assert abs(mean - 1.0) < 0.01
+
+
+def test_feature_matrix_is_leakage_free(spark, sf_dir):
+    # Window hierarchy: 7d counts <= 30d counts; recency is
+    # non-negative; label is binary.
+    rows = registry.QUERIES["feat_user_activity_matrix"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_events_7d <= r.n_events_30d
+        assert r.days_since_last >= 0
+        assert r.label_active_next_7d in (0, 1)
+        assert r.n_purchases_30d <= r.n_events_30d
+
+
+def test_int8_codes_bound_reconstruction_error(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.projection import Q8_LEVELS
+
+    rows = registry.QUERIES["emb_int8_quantize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.code_sum <= Q8_LEVELS * r.n_dims
+        assert r.mse >= 0
+
+
+def test_oov_rate_bounds(spark, sf_dir):
+    rows = registry.QUERIES["txt_oov_rate"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_oov > 0 for r in rows)  # vocab smaller than corpus
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_two_hop_reach_dominates_degree(spark, sf_dir):
+    # In a symmetric graph every neighbor is reachable in two hops via
+    # a shared third node OR directly; reach counts distinct non-self
+    # targets, so it is at least... (no strict relation to degree), but
+    # nbr_degree_sum >= degree always (each neighbor has >= 1 edge back).
+    rows = registry.QUERIES["gr_two_hop_features"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.nbr_degree_sum >= r.degree
+        assert r.two_hop_reach >= 1
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    row = registry.QUERIES["stat_bootstrap_mean_ci"](spark, sf_dir).collect()[0]
+    assert row.boot_lo <= row.boot_hi
+    # the point estimate should fall inside (or at worst on) the
+    # trimmed replica range for a well-behaved mean
+    assert row.boot_lo <= row.mean_chars <= row.boot_hi or (
+        abs(row.mean_chars - row.boot_lo) / row.mean_chars < 0.05
+        or abs(row.mean_chars - row.boot_hi) / row.mean_chars < 0.05
+    )
