@@ -115,6 +115,10 @@ HEADLINE_R8 = [
     "feat_user_activity_matrix",
     "emb_int8_quantize",
     "gr_two_hop_features",
+    "mb_association_rules",
+    "dq_orders_checksum",
+    "sim_ivf_incremental_assign",
+    "gr_negative_edge_samples",
 ]
 
 ALL_HEADLINE = (

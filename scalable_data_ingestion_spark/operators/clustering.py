@@ -450,3 +450,70 @@ def sim_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVF_TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental IVF index maintenance: assign a NEW vector batch to the
+# FROZEN centroids trained on the existing corpus — the cheap path
+# that keeps an ANN index serving while vectors stream in (full
+# retraining is the scheduled job; per-batch assignment is the online
+# one). Mirrors dd_incremental_new_docs' snapshot-delta contract for
+# the vector side.
+#
+# The corpus split is deterministic (vec_id % 4: 0-2 = existing, 3 =
+# new batch); training runs the same exact fixed-point Lloyd rounds as
+# emb_kmeans_assign on the existing slice only, then ONLY the new
+# batch is scored against the broadcast centroids — per-batch cost is
+# |batch| x K distance evaluations, no retraining, no corpus scan.
+# --------------------------------------------------------------------------
+_IVF_INC_SEED_MAX = 10  # first K existing vec_ids seed the centroids
+
+
+@register(
+    "sim_ivf_incremental_assign",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE vec_id % 4 < 3
+    ),
+    newb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE vec_id % 4 = 3
+    ),
+    c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster_id, emb AS cemb
+           FROM corpus WHERE vec_id < {_IVF_INC_SEED_MAX}),
+    {_duck_assign("c0", "a0").strip()},
+    {_duck_update("a0", "c1").strip()},
+    {_duck_assign("c1", "a1").strip()},
+    {_duck_update("a1", "c2").strip()},
+    new_sc AS (
+      SELECT e.vec_id, c.cluster_id,
+             list_reduce(list_transform(range(1, {DIM + 1}), i ->
+               (e.emb[i] - c.cemb[i]) * (e.emb[i] - c.cemb[i])), (x, y) -> x + y)
+                 AS dist
+      FROM newb e, c2 c
+    )
+    SELECT vec_id, cluster_id, round(dist, 6) AS sq_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cluster_id) AS rn
+      FROM new_sc) WHERE rn = 1
+    """,
+)
+def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign the new vector batch (vec_id % 4 = 3) to centroids
+    trained with {ITERS} exact Lloyd rounds on the existing slice."""
+    raw = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    corpus = widen_if_narrow(raw.filter(F.col("vec_id") % 4 < 3))
+    newb = raw.filter(F.col("vec_id") % 4 == 3)
+    cent = corpus.filter(F.col("vec_id") < _IVF_INC_SEED_MAX).select(
+        F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
+    )
+    for _ in range(ITERS):
+        cent = _update(_assign(corpus, cent))
+    return _assign(newb, cent).select(
+        "vec_id",
+        "cluster_id",
+        F.round("dist", 6).alias("sq_dist"),
+    )

@@ -358,3 +358,69 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reident_risk_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-level table checksums — the anti-entropy primitive under
+# snap_orders_diff (operators/scd.py): comparing per-month checksums
+# between two replicas/snapshots localizes divergence to partitions
+# WITHOUT shipping rows (only the month whose checksum differs gets
+# the row-level diff). Matches the warehouse's month partitioning
+# (storage/warehouse.py), so a checksum row is a partition file set.
+#
+# The row hash canonicalizes the tuple as strings with money in
+# integer CENTS (double-to-string formatting is engine-specific; cents
+# are not) and sums the first 8 hex chars of md5 as BIGINT — a
+# commutative reduction, exact under any row order (~15k rows x 2^32
+# stays far inside BIGINT; a 100 TB table either sums into
+# DECIMAL(38,0) or xors, both commutative).
+# --------------------------------------------------------------------------
+@register(
+    "dq_orders_checksum",
+    oracle="""
+    WITH rows_ AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             o_orderstatus || '|' ||
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+             o_orderpriority AS canon
+      FROM orders
+    ),
+    hashed AS (
+      SELECT month,
+             CAST(('0x' || substr(md5(canon), 1, 8))::BIGINT AS BIGINT) AS h
+      FROM rows_
+    )
+    SELECT CAST(month AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum
+    FROM hashed GROUP BY month
+    """,
+)
+def dq_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month orders checksum: commutative BIGINT sum of md5 row
+    hashes over a canonical (cents-normalized) serialization."""
+    orders = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return (
+        orders.select(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+            h.alias("h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("h").cast("bigint").alias("checksum"),
+        )
+    )

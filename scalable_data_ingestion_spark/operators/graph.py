@@ -345,18 +345,28 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale: deg is a node-keyed aggregate joined back onto the edge list
 # (the PageRank co-partitioning pattern above); the two-hop reach is
 # one edge-edge equi-join on the middle node with fan-out bounded by
-# deg(middle) — at hub-skewed graphs the standard mitigations apply
-# (degree cap / sampling per middle node, AQE skew split). The
-# distinct count keys on (src, two-hop target) — the same shuffle the
-# triangle counter uses.
+# deg(middle). Edges carry the same co-occurrence support threshold as
+# the triangle counter (>= TRI_MIN_SUP orders): the raw co-purchase
+# graph's noise edges make sum(deg^2) — the wedge volume — explode
+# (measured 36 s vs 0.4 s at sf0.1), and a 2-hop feature over
+# single-co-occurrence edges is noise anyway. Remaining hub skew:
+# degree cap / AQE skew split. The distinct count keys on (src,
+# two-hop target) — the same shuffle the triangle counter uses.
 # --------------------------------------------------------------------------
 @register(
     "gr_two_hop_features",
-    oracle="""
-    WITH pairs AS (
-      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    oracle=f"""
+    WITH und AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
       FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    pairs AS (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM und
     ),
     deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
             FROM pairs GROUP BY src),
@@ -378,19 +388,26 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def gr_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree, neighbor-degree mass, and distinct two-hop reach per
-    node of the part co-purchase graph (exact integer counters)."""
+    node of the support-filtered part co-purchase graph (exact integer
+    counters)."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    pairs = (
+    und = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    pairs = (
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
         .cache()
     )
     deg = pairs.groupBy(F.col("src").alias("node")).agg(
@@ -419,3 +436,239 @@ def gr_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "two_hop_reach",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal graph delta: co-purchase edge churn between two eras.
+# The graph-maintenance audit — when the edge list is rebuilt from a
+# new data window, how much of the graph actually changed? High churn
+# invalidates cached communities/ranks; low churn justifies
+# incremental updates (the same decision snap_orders_diff drives for
+# tables, applied to the derived graph).
+#
+# Scale: each era's edge set is the same order-bounded basket
+# self-join as PageRank's; the comparison is a FULL OUTER equi-join on
+# the edge key rolled up to four integer counters — no row-level
+# output, no global sort.
+# --------------------------------------------------------------------------
+GR_ERA_SPLIT = "1998-01-01"
+
+
+@register(
+    "gr_edge_churn",
+    oracle=f"""
+    WITH era_a AS (
+      SELECT DISTINCT li.l_partkey AS pk, li.l_orderkey AS ok
+      FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      WHERE CAST(o.o_orderdate AS DATE) < DATE '{GR_ERA_SPLIT}'
+    ),
+    era_b AS (
+      SELECT DISTINCT li.l_partkey AS pk, li.l_orderkey AS ok
+      FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+      WHERE CAST(o.o_orderdate AS DATE) >= DATE '{GR_ERA_SPLIT}'
+    ),
+    ea AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst FROM era_a a
+      JOIN era_a b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    eb AS (
+      SELECT DISTINCT a.pk AS src, b.pk AS dst FROM era_b a
+      JOIN era_b b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    cmp AS (
+      SELECT coalesce(ea.src, eb.src) AS src,
+             CASE WHEN ea.src IS NULL THEN 'added'
+                  WHEN eb.src IS NULL THEN 'removed'
+                  ELSE 'retained' END AS cls
+      FROM ea FULL OUTER JOIN eb ON ea.src = eb.src AND ea.dst = eb.dst
+    )
+    SELECT CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+               AS retained,
+           CAST(sum(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+               AS added,
+           CAST(sum(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS removed,
+           round(CAST(sum(CASE WHEN cls <> 'retained' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS churn_rate
+    FROM cmp
+    """,
+)
+def gr_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge churn (added / removed / retained, undirected src<dst keys)
+    of the part co-purchase graph across the {GR_ERA_SPLIT} era split."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    base = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select("l_orderkey", "l_partkey", "od")
+
+    def era_edges(pred):
+        e = base.filter(pred).select("l_orderkey", "l_partkey").distinct()
+        a, b = e.alias("a"), e.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+            )
+            .distinct()
+        )
+
+    split = F.lit(GR_ERA_SPLIT).cast("date")
+    ea = era_edges(F.col("od") < split).withColumn("in_a", F.lit(1))
+    eb = era_edges(F.col("od") >= split).withColumn("in_b", F.lit(1))
+    cmp = ea.join(eb, ["src", "dst"], "full_outer")
+    cls = (
+        F.when(F.col("in_a").isNull(), "added")
+        .when(F.col("in_b").isNull(), "removed")
+        .otherwise("retained")
+    )
+    return cmp.select(cls.alias("cls")).agg(
+        F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(F.when(F.col("cls") == "added", 1).otherwise(0))
+        .cast("bigint")
+        .alias("added"),
+        F.sum(F.when(F.col("cls") == "removed", 1).otherwise(0))
+        .cast("bigint")
+        .alias("removed"),
+        F.round(
+            F.sum(F.when(F.col("cls") != "retained", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("churn_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative edge sampling — the training-data counterpart
+# of gr_two_hop_features: link-prediction models train on (real edge,
+# non-edge) pairs, and the non-edges must be sampled reproducibly for
+# the split to be stable across reruns (the repo-wide md5-randomness
+# policy, same as the Gumbel/bootstrap/Poisson samplers).
+#
+# Per source node, NEG_PER_NODE candidate targets are drawn by mapping
+# md5(src, j) into the node-id space via a rank lookup (the node list
+# is dimension-sized), then known edges and self-loops are removed
+# with a LEFT ANTI join against the real edge set. Collisions with
+# real edges simply drop — the remaining set is still deterministic.
+#
+# Scale: candidates are |nodes| x NEG_PER_NODE map-side rows; the
+# anti-join keys on (src, dst) — the same shuffle the edge list
+# itself uses; the rank lookup broadcasts.
+# --------------------------------------------------------------------------
+NEG_PER_NODE = 3
+
+
+@register(
+    "gr_negative_edge_samples",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (
+      SELECT src AS node,
+             row_number() OVER (ORDER BY src) AS rnk
+      FROM (SELECT DISTINCT src FROM pairs)
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    cand AS (
+      SELECT nd.node AS src, j.j,
+             1 + ((({"(65536 * (CASE substr(md5(CAST(nd.node AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 1) WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15 END))"})
+                  + (4096 * (CASE substr(md5(CAST(nd.node AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 2, 1) WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15 END))
+                  + (256 * (CASE substr(md5(CAST(nd.node AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 3, 1) WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15 END))
+                  + (16 * (CASE substr(md5(CAST(nd.node AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 4, 1) WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15 END))
+                  + (CASE substr(md5(CAST(nd.node AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 5, 1) WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 WHEN 'f' THEN 15 END)) % nn.n) AS pick
+      FROM nodes nd
+      CROSS JOIN (SELECT unnest(generate_series(0, {NEG_PER_NODE - 1})) AS j) j
+      CROSS JOIN nn
+    ),
+    mapped AS (
+      SELECT c.src, c.j, n2.node AS neg_dst
+      FROM cand c JOIN nodes n2 ON n2.rnk = c.pick
+      WHERE n2.node <> c.src
+    )
+    SELECT m.src, CAST(m.j AS INTEGER) AS j, m.neg_dst
+    FROM mapped m
+    LEFT JOIN pairs p ON p.src = m.src AND p.dst = m.neg_dst
+    WHERE p.src IS NULL
+    """,
+)
+def gr_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (md5-keyed) negative-edge samples for
+    link-prediction training over the co-purchase graph:
+    {NEG_PER_NODE} candidates per node minus real edges and
+    self-loops."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        pairs.select("src").distinct().withColumn(
+            "rnk", F.row_number().over(W.orderBy("src"))
+        )
+    ).withColumnRenamed("src", "node")
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("node").alias("src"),
+            F.explode(F.expr(f"sequence(0, {NEG_PER_NODE - 1})")).alias("j"),
+            "n",
+        )
+        .withColumn(
+            "pick",
+            1
+            + (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("src").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        5,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ),
+        )
+    )
+    mapped = (
+        cand.join(
+            F.broadcast(nodes.select(F.col("rnk").alias("pick"), F.col("node").alias("neg_dst"))),
+            "pick",
+        )
+        .filter(F.col("neg_dst") != F.col("src"))
+        .select("src", "j", "neg_dst")
+    )
+    return mapped.join(
+        pairs.select("src", F.col("dst").alias("neg_dst")),
+        ["src", "neg_dst"],
+        "left_anti",
+    ).select("src", F.col("j").cast("int").alias("j"), "neg_dst")

@@ -304,3 +304,41 @@ def sim_rerank_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.col("cand_rank").cast("int").alias("cand_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recall-vs-interaction agreement — the eval harness for the two-stage
+# retrieval above (same ships-with-its-eval policy as dd_lsh_eval /
+# sim_ivf_recall_at_k / eval_classifier_auc): per query, how much does
+# the MaxSim re-rank actually change the cosine ordering?
+#   n_overlap_top10  — how many of the final top-10 were already in the
+#                      cosine top-10 (10 = the interaction model agrees
+#                      with the recall stage; low = it matters)
+#   top1_cand_rank   — where the final #1 sat in the cosine ordering
+# Pure integer counters over the re-rank output; one dimension-sized
+# aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "sim_rerank_agreement",
+    oracle=f"""
+    WITH rr AS ({_RERANK_ORACLE.strip()})
+    SELECT query_id,
+           CAST(sum(CASE WHEN cand_rank <= {MV_RERANK_K} THEN 1 ELSE 0 END)
+                AS INTEGER) AS n_overlap_top10,
+           CAST(max(CASE WHEN rerank = 1 THEN cand_rank END) AS INTEGER)
+               AS top1_cand_rank
+    FROM rr GROUP BY query_id
+    """,
+)
+def sim_rerank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query agreement between the cosine shortlist ordering and
+    the MaxSim re-rank (overlap@{MV_RERANK_K}, final-top1 provenance)."""
+    rr = sim_rerank_maxsim(spark, sf_dir)
+    return rr.groupBy("query_id").agg(
+        F.sum(F.when(F.col("cand_rank") <= MV_RERANK_K, 1).otherwise(0))
+        .cast("int")
+        .alias("n_overlap_top10"),
+        F.max(F.when(F.col("rerank") == 1, F.col("cand_rank")))
+        .cast("int")
+        .alias("top1_cand_rank"),
+    )

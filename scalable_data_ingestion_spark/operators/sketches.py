@@ -327,3 +327,114 @@ def sk_hll_user_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (corrected - F.col("exact_distinct")) / F.col("exact_distinct"), 6
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped HLL: one register file PER GROUP — the production shape for
+# "distinct users per dimension cell" dashboards (a 2 KiB sketch per
+# cell instead of a distinct-key shuffle per cell). Same md5 register
+# construction as sk_hll_user_estimate, keyed by (event_type, bucket);
+# per-group estimates and realized error are value-checked against the
+# per-group exact counts.
+# --------------------------------------------------------------------------
+@register(
+    "sk_hll_users_by_event",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             (16 * ({_hex_digit_sql("md5(CAST(user_id AS VARCHAR))", 1)})
+              + ({_hex_digit_sql("md5(CAST(user_id AS VARCHAR))", 2)})) AS bucket,
+             ({" + ".join(
+                 f"({_hex_digit_sql('md5(CAST(user_id AS VARCHAR))', 3 + i)})"
+                 f" * {16 ** (12 - i)}::BIGINT" for i in range(13)
+             )}) AS w
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, bucket,
+             CASE WHEN strpos(lpad(bin(w), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      FROM hashed
+    ),
+    regs AS (SELECT event_type, bucket, max(rho) AS r
+             FROM rho GROUP BY event_type, bucket),
+    red AS (
+      SELECT event_type,
+             CAST(count(*) AS INTEGER) AS n_present,
+             CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s_present
+      FROM regs GROUP BY event_type
+    ),
+    ex AS (SELECT event_type,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+           FROM events GROUP BY event_type),
+    est AS (
+      SELECT red.event_type,
+             s_present + ({HLL_M} - n_present)::BIGINT * {_POW53} AS s_fx,
+             {HLL_M} - n_present AS v,
+             exact_distinct
+      FROM red JOIN ex ON ex.event_type = red.event_type
+    ),
+    final AS (
+      SELECT event_type, exact_distinct,
+             CASE WHEN v > 0
+                       AND (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0
+                            * {_POW53}.0) / s_fx <= 2.5 * {HLL_M}
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / v)
+                  ELSE (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0
+                        * {_POW53}.0) / s_fx
+             END AS est
+      FROM est
+    )
+    SELECT event_type, round(est, 6) AS hll_estimate, exact_distinct,
+           round((est - exact_distinct) / exact_distinct, 6) AS rel_err
+    FROM final
+    """,
+)
+def sk_hll_users_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL distinct-user estimates from per-group
+    register files, with realized error vs the exact counts."""
+    from ..catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events").select("event_type", "user_id")
+    md5 = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(md5, 3, 13), 16, 10).cast("bigint")
+    b52 = F.lpad(F.bin(w), 52, "0")
+    pos = F.instr(b52, "1")
+    rho = F.when(pos == 0, 53).otherwise(pos)
+    regs = (
+        ev.select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    red = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("int").alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - r)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    est = red.join(ex, "event_type").select(
+        "event_type",
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")).cast("bigint") * F.lit(_POW53)
+        ).alias("s_fx"),
+        (F.lit(HLL_M) - F.col("n_present")).alias("v"),
+        "exact_distinct",
+    )
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M * float(_POW53) / F.col("s_fx")
+    corrected = F.when(
+        (F.col("v") > 0) & (raw <= 2.5 * HLL_M),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v")),
+    ).otherwise(raw)
+    return est.select(
+        "event_type",
+        F.round(corrected, 6).alias("hll_estimate"),
+        "exact_distinct",
+        F.round(
+            (corrected - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_err"),
+    )

@@ -263,3 +263,103 @@ def ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling correlation of two behavioral series — trailing-14-day
+# Pearson correlation between daily view counts and daily purchase
+# counts. The cross-metric health signal: engagement and conversion
+# normally co-move; a correlation collapse flags a broken funnel step
+# even when each series' own volume looks fine (complementing the
+# per-series z-scores in mon_daily_volume_anomaly).
+#
+# Exactness: the window accumulates the five regression primitives
+# (n, sx, sy, sxx, syy, sxy) as INTEGER sums over a value-RANGE frame
+# keyed on the epoch-day number (robust to calendar gaps); the
+# correlation is one scalar expression per row. Windows with
+# degenerate variance yield NULL, and only full 14-day windows emit.
+#
+# Scale: the daily series is dimension-sized (one row per day) after
+# a single partial-aggregated groupBy of the event log; the window
+# runs over that series, not the log.
+# --------------------------------------------------------------------------
+ROLL_CORR_DAYS = 14
+
+
+@register(
+    "ts_rolling_view_purchase_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS y
+      FROM events GROUP BY 1
+    ),
+    keyed AS (
+      SELECT day, date_diff('day', DATE '1970-01-01', day) AS dayn, x, y
+      FROM daily
+    ),
+    win AS (
+      SELECT day, x, y,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+      FROM keyed
+      WINDOW w AS (ORDER BY dayn
+                   RANGE BETWEEN {ROLL_CORR_DAYS - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, CAST(n AS INTEGER) AS n_days,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 6) AS rolling_corr
+    FROM win
+    WHERE n = {ROLL_CORR_DAYS}
+      AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def ts_rolling_view_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLL_CORR_DAYS}-day Pearson correlation between daily
+    view and purchase counts, from exact integer window sums."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    keyed = daily.withColumn(
+        "dayn", F.datediff("day", F.to_date(F.lit("1970-01-01")))
+    )
+    w = W.orderBy("dayn").rangeBetween(-(ROLL_CORR_DAYS - 1), 0)
+    win = keyed.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return (
+        win.filter(
+            (n == ROLL_CORR_DAYS)
+            & (n * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (n * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select("day", n.cast("int").alias("n_days"), F.round(corr, 6).alias("rolling_corr"))
+    )

@@ -486,3 +486,195 @@ def stat_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(lo))
         .crossJoin(F.broadcast(hi))
     )
+
+
+# --------------------------------------------------------------------------
+# Association rules over the co-purchase baskets: the
+# support/confidence/lift layer on top of mb_copurchased_parts (pair
+# counts alone rank by popularity; LIFT ranks by how much more often
+# the pair occurs than independence predicts — the actual
+# recommendation signal). Directed rules A -> B with
+#   support    = n_ab / N
+#   confidence = n_ab / n_a
+#   lift       = n_ab * N / (n_a * n_b)
+# computed as scalar ops over exact integer counts (pair counts, item
+# counts, basket count), so both engines rank identically.
+#
+# Scale: pair counts come from the order-bounded basket self-join
+# (fan-out ~ order size); item counts and N are broadcast-sized; the
+# final top-k is a TakeOrderedAndProject with a full tiebreak.
+# --------------------------------------------------------------------------
+RULES_MIN_PAIR = 2
+RULES_TOPK = 25
+
+
+@register(
+    "mb_association_rules",
+    oracle=f"""
+    WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM basket),
+    item AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+             FROM basket GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {RULES_MIN_PAIR}
+    ),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+             round(CAST(p.n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+             round(CAST(p.n_ab AS DOUBLE) / ia.n_item, 6) AS confidence,
+             CAST(p.n_ab AS DOUBLE) * n.n_orders / (ia.n_item * ib.n_item) AS lift_raw
+      FROM pair p
+      JOIN item ia ON ia.l_partkey = p.part_a
+      JOIN item ib ON ib.l_partkey = p.part_b
+      CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT part_a, part_b, n_ab, support, confidence,
+             round(lift_raw, 6) AS lift,
+             row_number() OVER (ORDER BY lift_raw DESC, part_a, part_b) AS rnk
+      FROM scored
+    )
+    SELECT CAST(rnk AS INTEGER) AS rnk, part_a, part_b, n_ab,
+           support, confidence, lift
+    FROM ranked WHERE rnk <= {RULES_TOPK}
+    """,
+)
+def mb_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RULES_TOPK} directed co-purchase rules by lift (minimum
+    pair support {RULES_MIN_PAIR}), from exact integer counts."""
+    from pyspark.sql import Window as W
+
+    basket = (
+        table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    ).cache()
+    n = basket.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    item = basket.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= RULES_MIN_PAIR)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift_raw"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("lift_raw").desc(), "part_a", "part_b")
+        ),
+    )
+    return ranked.filter(F.col("rnk") <= RULES_TOPK).select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "part_a",
+        "part_b",
+        "n_ab",
+        "support",
+        "confidence",
+        F.round("lift_raw", 6).alias("lift"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact weighted median: the token-mass-weighted median document
+# length per source — "the length of the document in the MIDDLE OF THE
+# TOKEN BUDGET", the right centering statistic when records contribute
+# unequal mass (a plain median over-weights short docs). Computed with
+# integer cumulative sums: the answer is the smallest length whose
+# running token mass reaches half the total (2*cum >= total, no float
+# halves).
+#
+# Scale: one (source, length) pre-aggregation shrinks the window input
+# to distinct lengths per source; the cumulative window partitions by
+# source — no global sort, no single-partition window.
+# --------------------------------------------------------------------------
+@register(
+    "stat_weighted_median_len",
+    oracle=r"""
+    WITH w AS (
+      SELECT source, n_chars,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS mass
+      FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+      SELECT source, n_chars, mass,
+             sum(mass) OVER (PARTITION BY source ORDER BY n_chars
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_mass,
+             sum(mass) OVER (PARTITION BY source) AS total_mass
+      FROM w
+    )
+    SELECT source,
+           CAST(min(CASE WHEN 2 * cum_mass >= total_mass THEN n_chars END)
+                AS BIGINT) AS weighted_median_chars,
+           CAST(max(total_mass) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY source
+    """,
+)
+def stat_weighted_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass-weighted median of document length per source, from
+    exact integer cumulative sums."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    w = docs.groupBy("source", "n_chars").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("mass")
+    )
+    win = W.partitionBy("source").orderBy("n_chars").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = W.partitionBy("source")
+    cum = w.select(
+        "source",
+        "n_chars",
+        F.sum("mass").over(win).alias("cum_mass"),
+        F.sum("mass").over(tot).alias("total_mass"),
+    )
+    return cum.groupBy("source").agg(
+        F.min(
+            F.when(2 * F.col("cum_mass") >= F.col("total_mass"), F.col("n_chars"))
+        )
+        .cast("bigint")
+        .alias("weighted_median_chars"),
+        F.max("total_mass").cast("bigint").alias("total_tokens"),
+    )

@@ -108,3 +108,92 @@ class IncrementalDailyActivity:
 
         shutil.rmtree(self.path)
         shutil.move(staging, self.path)
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained HyperLogLog register store: the sketch
+# counterpart of the daily rollup above. Each micro-batch folds its
+# (bucket, max rho) partial registers under a batch_id partition —
+# MAX is algebraic and commutative, so re-delivery is idempotent the
+# same way, and the merged register file is IDENTICAL to the batch
+# computation over all data seen so far (operators/sketches.py
+# sk_hll_user_estimate value-checks the register math itself).
+#
+# This is how a 100 TB/day pipeline keeps "distinct users ever" /
+# "distinct URLs crawled" live: per batch cost is one 256-cell partial;
+# the merge reads #batches x <=256 rows, never raw history.
+# ---------------------------------------------------------------------------
+class IncrementalUserHLL:
+    """Continuously-maintained HLL register file over ``user_id``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    @staticmethod
+    def _partial_registers(batch_df: DataFrame) -> DataFrame:
+        md5 = F.md5(F.col("user_id").cast("string"))
+        bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")
+        w = F.conv(F.substring(md5, 3, 13), 16, 10).cast("bigint")
+        pos = F.instr(F.lpad(F.bin(w), 52, "0"), "1")
+        rho = F.when(pos == 0, 53).otherwise(pos)
+        return (
+            batch_df.select(bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("r"))
+        )
+
+    def fold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        partial = self._partial_registers(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path)
+        )
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str, once: bool = True):
+        writer = (
+            stream.writeStream.foreachBatch(self.fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def registers(self) -> DataFrame:
+        """Merged register file (== the batch register file over all
+        data folded so far)."""
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy("bucket")
+            .agg(F.max("r").alias("r"))
+        )
+
+    def estimate(self) -> float:
+        """HLL estimate (with small-range correction) from the merged
+        registers — same arithmetic as sk_hll_user_estimate."""
+        from math import log
+
+        from ..operators.sketches import HLL_ALPHA, HLL_M, _POW53
+
+        rows = self.registers().collect()
+        s = sum(1 << (53 - r.r) for r in rows)
+        v = HLL_M - len(rows)
+        s += v * _POW53
+        raw = HLL_ALPHA * HLL_M * HLL_M * float(_POW53) / s
+        if v > 0 and raw <= 2.5 * HLL_M:
+            return HLL_M * log(HLL_M / v)
+        return raw
+
+    def compact(self) -> None:
+        merged = self.registers().withColumn("batch_id", F.lit(_COMPACT_ID))
+        staging = f"{self.path}__compact"
+        merged.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
+        import shutil
+
+        shutil.rmtree(self.path)
+        shutil.move(staging, self.path)

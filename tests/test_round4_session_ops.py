@@ -177,3 +177,144 @@ def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
         abs(row.mean_chars - row.boot_lo) / row.mean_chars < 0.05
         or abs(row.mean_chars - row.boot_hi) / row.mean_chars < 0.05
     )
+
+
+def test_association_rules_are_consistent(spark, sf_dir):
+    from scalable_data_ingestion_spark.plans.stats import RULES_TOPK
+
+    rows = registry.QUERIES["mb_association_rules"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= RULES_TOPK
+    for r in rows:
+        assert 0 < r.support <= 1
+        assert 0 < r.confidence <= 1
+        assert r.lift > 0
+
+
+def test_weighted_median_is_attained_length(spark, sf_dir):
+    rows = registry.QUERIES["stat_weighted_median_len"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.weighted_median_chars is not None
+        assert r.total_tokens > 0
+
+
+def test_checksum_localizes_a_mutation(spark, sf_dir):
+    # Flipping one row's price must change exactly that month's
+    # checksum (n_rows unchanged) — the anti-entropy property.
+    from pyspark.sql import functions as F
+
+    base = {
+        r.month: (r.n_rows, r.checksum)
+        for r in registry.QUERIES["dq_orders_checksum"](spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probe_key = orders.select(F.min("o_orderkey")).first()[0]
+    mutated = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == probe_key, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    mutated.createOrReplaceTempView("_mut_orders")
+    # recompute via the same expression chain on the mutated relation
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    mut = {
+        r.month: (r.n_rows, r.checksum)
+        for r in mutated.select(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+            h.alias("h"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("h").cast("bigint").alias("checksum"),
+        )
+        .collect()
+    }
+    diff_months = [m for m in base if base[m] != mut[m]]
+    assert len(diff_months) == 1
+    m = diff_months[0]
+    assert base[m][0] == mut[m][0]  # same row count, different checksum
+
+
+def test_edge_churn_counters_partition_the_union(spark, sf_dir):
+    row = registry.QUERIES["gr_edge_churn"](spark, sf_dir).collect()[0]
+    total = row.retained + row.added + row.removed
+    assert total > 0
+    assert abs(row.churn_rate - (row.added + row.removed) / total) < 1e-6
+
+
+def test_grouped_hll_within_error_bound(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.sketches import HLL_M
+
+    rows = registry.QUERIES["sk_hll_users_by_event"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.rel_err) < 4 * 1.04 / (HLL_M ** 0.5)
+
+
+def test_incremental_assign_covers_only_new_batch(spark, sf_dir):
+    rows = registry.QUERIES["sim_ivf_incremental_assign"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.vec_id % 4 == 3  # only the new batch is scored
+        assert r.sq_dist >= 0
+
+
+def test_rolling_corr_is_bounded(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.timeseries import ROLL_CORR_DAYS
+
+    rows = registry.QUERIES["ts_rolling_view_purchase_corr"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days == ROLL_CORR_DAYS
+        assert -1.000001 <= r.rolling_corr <= 1.000001
+
+
+def test_rerank_agreement_bounds(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.multivector import (
+        MV_CAND_K,
+        MV_RERANK_K,
+    )
+
+    rows = registry.QUERIES["sim_rerank_agreement"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_overlap_top10 <= MV_RERANK_K
+        assert 1 <= r.top1_cand_rank <= MV_CAND_K
+
+
+def test_negative_samples_are_true_non_edges(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from scalable_data_ingestion_spark.operators.graph import NEG_PER_NODE
+
+    neg = registry.QUERIES["gr_negative_edge_samples"](spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("neg_dst"))
+        .distinct()
+    )
+    # no sampled negative may be a real edge or a self-loop
+    assert neg.join(pairs, ["src", "neg_dst"], "inner").count() == 0
+    assert neg.filter(F.col("src") == F.col("neg_dst")).count() == 0
+    # per-node cap respected
+    per = neg.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert per <= NEG_PER_NODE

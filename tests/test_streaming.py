@@ -234,3 +234,37 @@ def test_fingerprint_store_dedup_across_restarts(spark, tmp_path):
     rows = {r["text"]: r["doc_id"] for r in accepted.collect()}
     assert rows == {"alpha": 1, "beta": 2, "gamma": 11}
     assert spark.read.parquet(store).count() == 3
+
+
+def test_incremental_hll_equals_batch_registers(spark, tmp_path):
+    """Streamed register folding == batch register file; re-delivery
+    idempotent; compaction preserves the estimate."""
+    from scalable_data_ingestion_spark.streaming.incremental import (
+        IncrementalUserHLL,
+    )
+
+    stream = event_stream_from_parquet(
+        spark, f"{SF}/events.parquet", max_files_per_trigger=1
+    )
+    hll = IncrementalUserHLL(spark, str(tmp_path / "hll"))
+    q = hll.attach(stream, checkpoint_dir=str(tmp_path / "hll_ckpt"), once=True)
+    q.awaitTermination(120)
+
+    batch_regs = {
+        (r.bucket, r.r)
+        for r in IncrementalUserHLL._partial_registers(
+            spark.read.parquet(f"{SF}/events.parquet")
+        ).collect()
+    }
+    assert {(r.bucket, r.r) for r in hll.registers().collect()} == batch_regs
+
+    est_before = hll.estimate()
+    # re-delivery: folding the same batch twice changes nothing
+    full = spark.read.parquet(f"{SF}/events.parquet")
+    hll.fold_batch(full, 0)
+    hll.fold_batch(full, 0)
+    assert {(r.bucket, r.r) for r in hll.registers().collect()} == batch_regs
+    assert hll.estimate() == est_before
+
+    hll.compact()
+    assert hll.estimate() == est_before
