@@ -119,6 +119,8 @@ HEADLINE_R8 = [
     "dq_orders_checksum",
     "sim_ivf_incremental_assign",
     "gr_negative_edge_samples",
+    "sla_ship_leadtime",
+    "txt_pmi_pairs",
 ]
 
 ALL_HEADLINE = (

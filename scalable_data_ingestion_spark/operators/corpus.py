@@ -732,3 +732,104 @@ def txt_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("bigint").alias("n_oov"),
         F.round(F.sum(oov).cast("double") / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI co-occurrence pairs — corpus-level token association mining:
+# pointwise mutual information over document-level co-occurrence,
+# ln(N * c_ab / (c_a * c_b)). The query-expansion / related-terms
+# primitive (tokens that co-occur far above independence), the
+# document-frequency analogue of txt_top_bigrams' adjacency counts.
+#
+# Shape: distinct (doc, token) pairs -> inverted-index self-join on
+# doc_id (bounded by per-doc distinct vocab, not doc length) ->
+# vocab-sized counters; PMI is a scalar over exact integers; top-k is
+# a TakeOrderedAndProject with full tiebreak.
+# --------------------------------------------------------------------------
+PMI_MIN_COOC = 5
+PMI_TOPK = 30
+
+
+@register(
+    "txt_pmi_pairs",
+    oracle=rf"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt),
+    cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+    cooc AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+      HAVING count(*) >= {PMI_MIN_COOC}
+    ),
+    scored AS (
+      SELECT c.tok_a, c.tok_b, c.c_ab, fa.df AS df_a, fb.df AS df_b,
+             ln(CAST(c.c_ab AS DOUBLE) * n.n_docs / (fa.df * fb.df)) AS pmi_raw
+      FROM cooc c
+      JOIN cf fa ON fa.tok = c.tok_a
+      JOIN cf fb ON fb.tok = c.tok_b
+      CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT tok_a, tok_b, c_ab, df_a, df_b, round(pmi_raw, 6) AS pmi,
+             row_number() OVER (ORDER BY pmi_raw DESC, tok_a, tok_b) AS rnk
+      FROM scored
+    )
+    SELECT CAST(rnk AS INTEGER) AS rnk, tok_a, tok_b, c_ab, df_a, df_b, pmi
+    FROM ranked WHERE rnk <= {PMI_TOPK}
+    """,
+)
+def txt_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOPK} token pairs by document-level PMI (minimum
+    co-occurrence {PMI_MIN_COOC})."""
+    docs = table(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).distinct()
+    n = dt.select(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    cf = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    a, b = dt.alias("a"), dt.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COOC)
+    )
+    fa = cf.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    fb = cf.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    scored = (
+        cooc.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "df_a",
+            "df_b",
+            F.log(
+                F.col("c_ab").cast("double") * F.col("n_docs")
+                / (F.col("df_a") * F.col("df_b"))
+            ).alias("pmi_raw"),
+        )
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number().over(W.orderBy(F.col("pmi_raw").desc(), "tok_a", "tok_b")),
+    )
+    return ranked.filter(F.col("rnk") <= PMI_TOPK).select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "tok_a",
+        "tok_b",
+        "c_ab",
+        "df_a",
+        "df_b",
+        F.round("pmi_raw", 6).alias("pmi"),
+    )

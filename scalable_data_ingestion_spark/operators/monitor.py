@@ -185,3 +185,52 @@ def mon_daily_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(False)
         .alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Freshness audit: per-source data staleness vs the corpus watermark.
+# The ops-side DQ dimension the drift monitors above don't cover — a
+# source whose newest event lags the global max by days is a broken
+# feed long before its volume or distribution drifts. Events carry
+# the timestamps here (documents are timeless in this schema), so the
+# audit runs per event_type as the "source" axis.
+#
+# Exactness: lags are integer second differences of max timestamps.
+# One partial-aggregated groupBy + a broadcast one-row global max.
+# --------------------------------------------------------------------------
+FRESH_SLA_SECONDS = 6 * 3600
+
+
+@register(
+    "mon_source_freshness",
+    oracle=f"""
+    WITH per AS (
+      SELECT event_type, max(ts) AS latest,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(ts) AS watermark FROM events)
+    SELECT event_type, n_events,
+           CAST(date_diff('second', per.latest, g.watermark) AS BIGINT)
+               AS lag_seconds,
+           (date_diff('second', per.latest, g.watermark)
+            > {FRESH_SLA_SECONDS}) AS stale
+    FROM per CROSS JOIN g
+    """,
+)
+def mon_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness lag against the global event-time
+    watermark, with a {FRESH_SLA_SECONDS}s staleness SLA flag."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    g = ev.agg(F.max("ts").alias("watermark"))
+    lag = F.unix_timestamp("watermark") - F.unix_timestamp("latest")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        lag.cast("bigint").alias("lag_seconds"),
+        (lag > FRESH_SLA_SECONDS).alias("stale"),
+    )

@@ -678,3 +678,50 @@ def stat_weighted_median_len(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median_chars"),
         F.max("total_mass").cast("bigint").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fulfillment SLA: ship lead-time percentiles per order priority —
+# the operational twin of the A8 value percentiles (same exact-
+# percentile idiom, applied to the order->ship latency the priority
+# field is supposed to control). Lead times are integer day
+# differences; percentiles interpolate identically cross-engine
+# (percentile() vs quantile_cont over identical integer multisets).
+# --------------------------------------------------------------------------
+@register(
+    "sla_ship_leadtime",
+    oracle="""
+    WITH lt AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(lead_days, 0.5), 6) AS p50_days,
+           round(quantile_cont(lead_days, 0.9), 6) AS p90_days,
+           round(quantile_cont(lead_days, 0.99), 6) AS p99_days,
+           CAST(max(lead_days) AS BIGINT) AS max_days
+    FROM lt GROUP BY priority
+    """,
+)
+def sla_ship_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 order->ship lead time (days) per priority."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lt = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lead_days"),
+    )
+    return lt.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.percentile("lead_days", F.lit(0.5)), 6).alias("p50_days"),
+        F.round(F.percentile("lead_days", F.lit(0.9)), 6).alias("p90_days"),
+        F.round(F.percentile("lead_days", F.lit(0.99)), 6).alias("p99_days"),
+        F.max("lead_days").cast("bigint").alias("max_days"),
+    )

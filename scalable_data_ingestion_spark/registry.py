@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.retrieval",
     "scalable_data_ingestion_spark.operators.prefixjoin",
     "scalable_data_ingestion_spark.operators.features",
+    "scalable_data_ingestion_spark.operators.softdedup",
     "scalable_data_ingestion_spark.operators.splits",
     "scalable_data_ingestion_spark.operators.corpus",
     "scalable_data_ingestion_spark.operators.clustering",

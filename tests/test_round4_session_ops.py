@@ -318,3 +318,72 @@ def test_negative_samples_are_true_non_edges(spark, sf_dir):
     # per-node cap respected
     per = neg.groupBy("src").count().agg(F.max("count")).first()[0]
     assert per <= NEG_PER_NODE
+
+
+def test_softdedup_weights_conserve_cluster_mass(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = registry.QUERIES["dd_softdedup_weights"](spark, sf_dir).collect()
+    assert rows
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    for cid, members in clusters.items():
+        size = members[0].cluster_size
+        assert len(members) == size
+        # each cluster contributes ~1.0 total weight (DIV truncation
+        # only loses, never gains)
+        total_micro = sum(m.weight_micro for m in members)
+        assert total_micro <= 1_000_000
+        assert total_micro > 1_000_000 - size  # floor loss < 1 micro/doc
+
+
+def test_cluster_aware_split_has_no_cross_split_neardups(spark, sf_dir):
+    rows = registry.QUERIES["samp_cluster_aware_split"](spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # the leakage guarantee: one split per cluster
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # and all three splits exist at corpus level
+    assert {r.split for r in rows} == {"train", "val", "test"}
+
+
+def test_freshness_lags_are_nonnegative(spark, sf_dir):
+    rows = registry.QUERIES["mon_source_freshness"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.lag_seconds == 0 for r in rows)  # the watermark source
+    for r in rows:
+        assert r.lag_seconds >= 0
+
+
+def test_quality_survivors_keep_best_copy(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = registry.QUERIES["dd_quality_survivors"](spark, sf_dir).collect()
+    assert rows
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster_id].append(r)
+    for members in clusters.values():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        assert keepers[0].quality == max(m.quality for m in members)
+
+
+def test_pmi_pairs_are_associated(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.corpus import PMI_MIN_COOC
+
+    rows = registry.QUERIES["txt_pmi_pairs"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.c_ab >= PMI_MIN_COOC
+        assert r.c_ab <= min(r.df_a, r.df_b)
+
+
+def test_sla_percentiles_are_ordered(spark, sf_dir):
+    rows = registry.QUERIES["sla_ship_leadtime"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
