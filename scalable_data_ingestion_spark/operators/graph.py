@@ -672,3 +672,112 @@ def gr_negative_edge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["src", "neg_dst"],
         "left_anti",
     ).select("src", F.col("j").cast("int").alias("j"), "neg_dst")
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank: random walk with restart to a SEED SET —
+# "importance relative to these parts" instead of global importance.
+# The recommendation / related-items primitive (seed = a user's
+# purchased parts; high-PPR nodes are the candidates), and the
+# neighborhood-expansion scoring used in graph-based retrieval.
+#
+# Same exact BIGINT fixed-point policy as the global PageRank above:
+# teleport mass goes only to seeds ((15*SCALE) DIV (100*n_seeds)),
+# contributions are integer DIV, every superstep one node-keyed
+# shuffle; nodes with no incoming mass keep their teleport-only rank
+# via a LEFT join from the full node relation (the global variant can
+# drop them; a personalized walk must not).
+# --------------------------------------------------------------------------
+PPR_SEED_MOD = 50  # seeds = parts with part_id % PPR_SEED_MOD == 0
+
+
+def _ppr_round_sql(i: int) -> str:
+    return f"""
+    s{i} AS (
+      SELECT e.dst, sum(p.pr_fx // p.deg) AS m
+      FROM pairs e JOIN ppr{i} p ON p.node = e.src
+      GROUP BY e.dst
+    ),
+    ppr{i + 1} AS (
+      SELECT d.src AS node, d.deg,
+             CAST((CASE WHEN d.src % {PPR_SEED_MOD} = 0
+                        THEN {15 * PR_SCALE} // ({PR_DAMP_DEN} * ns.n)
+                        ELSE 0 END)
+                  + ({PR_DAMP_NUM} * coalesce(s{i}.m, 0)) // {PR_DAMP_DEN}
+                  AS BIGINT) AS pr_fx
+      FROM deg d
+      LEFT JOIN s{i} ON s{i}.dst = d.src
+      CROSS JOIN ns
+    )"""
+
+
+@register(
+    "gr_personalized_pagerank",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS deg FROM pairs GROUP BY src),
+    ns AS (SELECT count(*) AS n FROM deg WHERE src % {PPR_SEED_MOD} = 0),
+    ppr0 AS (
+      SELECT d.src AS node, d.deg,
+             CAST(CASE WHEN d.src % {PPR_SEED_MOD} = 0
+                       THEN {PR_SCALE} // ns.n ELSE 0 END AS BIGINT) AS pr_fx
+      FROM deg d CROSS JOIN ns
+    ),
+    {",".join(_ppr_round_sql(i).strip() for i in range(PR_ITERS))}
+    SELECT node AS part_id,
+           (node % {PPR_SEED_MOD} = 0) AS is_seed,
+           round(pr_fx / {PR_SCALE}.0, 9) AS ppr
+    FROM ppr{PR_ITERS}
+    WHERE pr_fx > 0
+    """,
+)
+def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{PR_ITERS}-round personalized PageRank with restart to the
+    part_id % {PPR_SEED_MOD} == 0 seed set, exact BIGINT fixed-point."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .repartition(_shuffle_partitions(spark), "src")
+        .persist()
+    )
+    deg = pairs.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    n_seeds = deg.filter(F.col("src") % PPR_SEED_MOD == 0).count()
+    is_seed = F.col("src") % PPR_SEED_MOD == 0
+    pr = deg.select(
+        F.col("src").alias("node"),
+        "deg",
+        F.when(is_seed, F.lit(PR_SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pr_fx"),
+    )
+    base = (15 * PR_SCALE) // (PR_DAMP_DEN * n_seeds)
+    for _ in range(PR_ITERS):
+        contrib = pairs.join(pr, pairs.src == pr.node).select(
+            "dst", F.expr("pr_fx DIV deg").alias("c")
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("m"))
+        pr = deg.join(sums, deg.src == sums.dst, "left").select(
+            F.col("src").alias("node"),
+            "deg",
+            F.expr(
+                f"CAST((CASE WHEN src % {PPR_SEED_MOD} = 0 THEN {base} ELSE 0 END)"
+                f" + ({PR_DAMP_NUM} * coalesce(m, 0)) DIV {PR_DAMP_DEN} AS BIGINT)"
+            ).alias("pr_fx"),
+        )
+    return pr.filter(F.col("pr_fx") > 0).select(
+        F.col("node").alias("part_id"),
+        (F.col("node") % PPR_SEED_MOD == 0).alias("is_seed"),
+        F.round(F.col("pr_fx") / F.lit(float(PR_SCALE)), 9).alias("ppr"),
+    )

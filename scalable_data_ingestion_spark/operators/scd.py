@@ -669,3 +669,99 @@ def ev_daily_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bounce.cast("int")).cast("bigint").alias("n_bounces"),
         F.round(F.avg(bounce), 6).alias("bounce_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental SCD2 maintenance: apply an order delta to an existing
+# Type-2 history WITHOUT rebuilding untouched keys. The nightly
+# warehouse workflow: history was built through the cutover date; the
+# new day's orders arrive; only customers PRESENT IN THE DELTA get
+# their dimension rows recomputed (closing open versions / appending
+# new ones), everyone else's history is carried over byte-identical.
+#
+# Correctness contract (and the oracle): the incrementally-maintained
+# result must EQUAL the full from-scratch rebuild over all orders —
+# the same stream==batch equivalence the incremental MV and HLL store
+# prove for aggregates, proven here for a windowed dimension build.
+#
+# Scale: the delta's key set is dimension-sized; per run the recompute
+# touches only affected keys' order history (semi-join), while the
+# pass-through side is a key-keyed ANTI join on the existing compact
+# history — no window function runs over untouched keys.
+# --------------------------------------------------------------------------
+SCD2_CUTOVER = "2000-01-01"
+
+
+def _scd2_build(orders_df: DataFrame) -> DataFrame:
+    """Type-2 (custkey, priority-run) build over an arbitrary order set
+    — same logic as scd2_priority_history."""
+    seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changed = (
+        orders_df.withColumn("prev_priority", F.lag("o_orderpriority").over(seq))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("prev_priority") != F.col("o_orderpriority"))
+        )
+        .select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+    )
+    ver = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changed.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("effective_from"),
+        F.lead("o_orderdate").over(ver).alias("effective_to"),
+        F.row_number().over(ver).alias("version"),
+        F.lead("o_orderdate").over(ver).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "scd2_apply_delta",
+    # The oracle is the FULL REBUILD over all orders — incremental
+    # maintenance must be indistinguishable from it.
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_priority
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE prev_priority IS NULL OR prev_priority <> o_orderpriority
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           o_orderdate AS effective_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS effective_to,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS INTEGER) AS version,
+           CAST(lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    """,
+)
+def scd2_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existing history (orders < {SCD2_CUTOVER}) + delta (orders >=
+    cutover) applied by recomputing ONLY affected customers; output
+    equals the full rebuild (the oracle) exactly."""
+    orders = table(spark, sf_dir, "orders")
+    cut = F.lit(SCD2_CUTOVER).cast("timestamp")
+    hist_pre = _scd2_build(orders.filter(F.col("o_orderdate") < cut))
+    delta = orders.filter(F.col("o_orderdate") >= cut)
+    affected = delta.select(F.col("o_custkey").alias("custkey")).distinct()
+    untouched = hist_pre.join(F.broadcast(affected), "custkey", "left_anti")
+    recomputed = _scd2_build(
+        orders.join(
+            F.broadcast(affected.withColumnRenamed("custkey", "o_custkey")),
+            "o_custkey",
+            "left_semi",
+        )
+    )
+    return untouched.unionByName(recomputed)

@@ -384,3 +384,117 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_multiprobe"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation eval: recall@{TOP_K} of cosine search using
+# only the FIRST MRL_DIMS dimensions vs the full-dimension ground
+# truth. Matryoshka-style embeddings are trained so prefixes are
+# usable sub-embeddings; serving at a truncated dimension cuts memory
+# and compute 4x here — this harness measures exactly what that
+# truncation costs in recall (per query + integer hit counts), the
+# same ships-with-its-eval policy as sim_ivf_recall_at_k.
+#
+# Shape: two broadcast-query scans (truncated slice + full), hit
+# counting via an integer (query, neighbor) equi-join.
+# --------------------------------------------------------------------------
+MRL_DIMS = 16
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    t AS (SELECT vec_id, list_slice(emb, 1, {MRL_DIMS}) AS emb FROM e),
+    full_pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, v.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+      FROM e q JOIN e v ON q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM full_pairs) WHERE rank <= {TOP_K}
+    ),
+    tr_pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, v.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+      FROM t q JOIN t v ON q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM tr_pairs) WHERE rank <= {TOP_K}
+    )
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS INTEGER) AS n_hits,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / {TOP_K}, 6)
+               AS recall_at_{TOP_K}
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@{TOP_K} of first-{MRL_DIMS}-dim cosine search against the
+    full-dimension ground truth, per query."""
+    emb = table(spark, sf_dir, "embeddings")
+    trunc = emb.select(
+        "vec_id", F.expr(f"slice(embedding, 1, {MRL_DIMS})").alias("embedding")
+    )
+
+    def topk(source: DataFrame) -> DataFrame:
+        queries = source.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            _norm("embedding").alias("qn"),
+        )
+        corpus = source.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ve"),
+            _norm("embedding").alias("vn"),
+        )
+        pairs = (
+            F.broadcast(queries)
+            .crossJoin(corpus)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias(
+                    "cosine"
+                ),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = topk(emb)
+    approx = topk(trunc).withColumnRenamed("neighbor_id", "a_neighbor")
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(truth["query_id"].alias("qid"), approx["a_neighbor"])
+    return joined.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("a_neighbor").cast("int").alias("n_hits"),
+        F.round(F.count("a_neighbor").cast("double") / TOP_K, 6).alias(
+            f"recall_at_{TOP_K}"
+        ),
+    )

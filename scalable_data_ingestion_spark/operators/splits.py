@@ -267,3 +267,153 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             stage(s4, 4, "source_quota"),
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman-allocated stratified sample: when building a fixed-size eval
+# set over heterogeneous strata, proportional allocation wastes budget
+# on low-variance strata — Neyman allocation sizes each stratum by
+# N_h * S_h (population x std-dev), minimizing the variance of the
+# estimated mean for a fixed total budget. The principled version of
+# the flat per-source quota (samp_docs_source_quota).
+#
+# Determinism: S_h comes from DECIMAL(38,0) sums of integer cents
+# (exact under any shuffle order); the 5 stratum weights combine in a
+# FIXED ORDER (pivoted columns, the BM25/MaxSim policy) so the shared
+# denominator is bit-identical; allocations are floor(x + 0.5) of
+# scalar doubles; membership is md5-rank order within stratum. The
+# selection itself is value-checked via the BIGINT sum of selected
+# order keys.
+# --------------------------------------------------------------------------
+NEYMAN_BUDGET = 500
+_STRATA = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def _neyman_w_sql(p: str) -> str:
+    return f"max(CASE WHEN priority = '{p}' THEN w END)"
+
+
+@register(
+    "samp_neyman_allocation",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    st AS (
+      SELECT priority,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+             sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0)))
+                 AS sxx
+      FROM base GROUP BY priority
+    ),
+    sd AS (
+      SELECT priority, n,
+             sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (n - 1))) / 100.0 AS s_h
+      FROM st
+    ),
+    w AS (SELECT priority, n, s_h, n * s_h AS w FROM sd),
+    tot AS (
+      SELECT {" + ".join(_neyman_w_sql(p) for p in _STRATA)} AS total_w FROM w
+    ),
+    alloc AS (
+      SELECT w.priority, w.n, w.s_h,
+             CAST(floor({NEYMAN_BUDGET} * w.w / t.total_w + 0.5) AS INTEGER)
+                 AS alloc
+      FROM w CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT b.o_orderkey, b.priority,
+             row_number() OVER (PARTITION BY b.priority
+                                ORDER BY md5(CAST(b.o_orderkey AS VARCHAR)),
+                                         b.o_orderkey) AS rnk
+      FROM base b
+    ),
+    sel AS (
+      SELECT r.priority, r.o_orderkey
+      FROM ranked r JOIN alloc a ON a.priority = r.priority
+      WHERE r.rnk <= a.alloc
+    )
+    SELECT a.priority, a.n AS n_pop, round(a.s_h, 6) AS sd_value, a.alloc,
+           CAST(count(s.o_orderkey) AS BIGINT) AS n_selected,
+           CAST(coalesce(sum(s.o_orderkey), 0) AS BIGINT) AS sample_key_sum
+    FROM alloc a LEFT JOIN sel s ON s.priority = a.priority
+    GROUP BY a.priority, a.n, a.s_h, a.alloc
+    """,
+)
+def samp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocated {NEYMAN_BUDGET}-order stratified sample by
+    priority: per-stratum sd from exact DECIMAL sums, fixed-order
+    weight total, md5-rank membership, selection checksummed."""
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    st = base.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    n = F.col("n")
+    s_h = (
+        F.sqrt(
+            (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+            / (n.cast("double") * (n - 1))
+        )
+        / 100.0
+    )
+    w = st.select("priority", "n", s_h.alias("s_h")).withColumn(
+        "w", F.col("n") * F.col("s_h")
+    )
+    tot = w.agg(
+        *[
+            F.max(F.when(F.col("priority") == p, F.col("w"))).alias(f"w{i}")
+            for i, p in enumerate(_STRATA)
+        ]
+    )
+    total = None
+    for i in range(len(_STRATA)):
+        total = F.col(f"w{i}") if total is None else total + F.col(f"w{i}")
+    alloc = w.crossJoin(F.broadcast(tot.select(total.alias("total_w")))).select(
+        "priority",
+        "n",
+        "s_h",
+        F.floor(NEYMAN_BUDGET * F.col("w") / F.col("total_w") + 0.5)
+        .cast("int")
+        .alias("alloc"),
+    )
+    ranked = base.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("priority").orderBy(
+                F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+            )
+        ),
+    )
+    sel = ranked.join(F.broadcast(alloc.select("priority", "alloc")), "priority").filter(
+        F.col("rnk") <= F.col("alloc")
+    )
+    summary = sel.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.sum("o_orderkey").cast("bigint").alias("sample_key_sum"),
+    )
+    return (
+        alloc.join(summary, "priority", "left")
+        .select(
+            "priority",
+            F.col("n").alias("n_pop"),
+            F.round("s_h", 6).alias("sd_value"),
+            "alloc",
+            F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+            F.coalesce("sample_key_sum", F.lit(0)).cast("bigint").alias("sample_key_sum"),
+        )
+    )

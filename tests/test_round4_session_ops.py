@@ -387,3 +387,129 @@ def test_sla_percentiles_are_ordered(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.p50_days <= r.p90_days <= r.p99_days <= r.max_days
+
+
+def test_scd2_delta_untouched_keys_pass_through(spark, sf_dir):
+    # Keys absent from the delta keep their history rows; the union
+    # result equals the full rebuild (the oracle already checks the
+    # value equality — this pins the pass-through structure).
+    from pyspark.sql import functions as F
+
+    from scalable_data_ingestion_spark.operators.scd import SCD2_CUTOVER
+
+    out = registry.QUERIES["scd2_apply_delta"](spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    delta_keys = {
+        r.o_custkey
+        for r in orders.filter(
+            F.col("o_orderdate") >= F.lit(SCD2_CUTOVER).cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    rows = out.collect()
+    assert rows
+    # every current version per customer is unique
+    from collections import Counter
+
+    cur = Counter(r.custkey for r in rows if r.is_current)
+    assert all(v == 1 for v in cur.values())
+    assert delta_keys & set(cur)  # delta customers present
+
+
+def test_matryoshka_recall_bounds(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.similarity import TOP_K
+
+    rows = registry.QUERIES["sim_matryoshka_recall"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= TOP_K
+    # truncation should still find SOMETHING overall
+    assert sum(r.n_hits for r in rows) > 0
+
+
+def test_ppr_mass_concentrates_on_seeds(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.graph import PPR_SEED_MOD
+
+    rows = registry.QUERIES["gr_personalized_pagerank"](spark, sf_dir).collect()
+    assert rows
+    seeds = [r for r in rows if r.is_seed]
+    non = [r for r in rows if not r.is_seed]
+    assert seeds
+    for r in rows:
+        assert r.is_seed == (r.part_id % PPR_SEED_MOD == 0)
+        assert r.ppr >= 0
+    # seed average rank should exceed non-seed average (restart mass)
+    if non:
+        assert sum(r.ppr for r in seeds) / len(seeds) > sum(
+            r.ppr for r in non
+        ) / len(non)
+
+
+def test_neyman_allocation_spends_the_budget(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.splits import NEYMAN_BUDGET
+
+    rows = registry.QUERIES["samp_neyman_allocation"](spark, sf_dir).collect()
+    assert rows
+    total_alloc = sum(r.alloc for r in rows)
+    # floor(x+0.5) rounding keeps the total within one per stratum
+    assert abs(total_alloc - NEYMAN_BUDGET) <= len(rows)
+    for r in rows:
+        assert r.n_selected == min(r.alloc, r.n_pop)
+        assert r.sd_value > 0
+
+
+# ---------------------------------------------------------------------------
+# Plan-shape gates for this session's operators: no Python row UDFs
+# anywhere, broadcasts where dimension tables feed fact-sized joins,
+# and no cartesian products outside the intentional 1-row stat joins.
+# ---------------------------------------------------------------------------
+def test_session_ops_have_no_python_row_udfs(spark, sf_dir):
+    for name in [
+        "txt_bm25_topk",
+        "dd_prefix_jaccard_pairs",
+        "sk_hll_user_estimate",
+        "eval_classifier_auc",
+        "ev_attribution_linear",
+        "cust_rfm_segments",
+        "txt_zipf_fit",
+        "ts_dow_seasonality",
+        "feat_user_activity_matrix",
+        "emb_int8_quantize",
+        "txt_oov_rate",
+        "stat_bootstrap_mean_ci",
+        "mb_association_rules",
+        "stat_weighted_median_len",
+        "dq_orders_checksum",
+        "dq_k_anonymity",
+        "mon_source_freshness",
+        "txt_pmi_pairs",
+        "sla_ship_leadtime",
+        "samp_neyman_allocation",
+        "sim_matryoshka_recall",
+        "scd2_apply_delta",
+    ]:
+        p = plan(registry.QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in p, name
+
+
+def test_prefix_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    # The whole point of prefix filtering: candidates come from an
+    # EQUI-join on the prefix token, never a nested-loop product.
+    p = plan(registry.QUERIES["dd_prefix_jaccard_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_checksum_is_single_aggregation(spark, sf_dir):
+    # scan -> project -> partial agg -> exchange -> final agg: exactly
+    # one Exchange, no joins.
+    p = plan(registry.QUERIES["dq_orders_checksum"](spark, sf_dir))
+    assert p.count("Exchange") <= 2  # one shuffle (+AQE read marker)
+    assert "Join" not in p
+
+
+def test_int8_quantize_broadcasts_dim_stats(spark, sf_dir):
+    p = plan(registry.QUERIES["emb_int8_quantize"](spark, sf_dir))
+    assert "BroadcastExchange" in p
