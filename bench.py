@@ -123,9 +123,23 @@ HEADLINE_R8 = [
     "txt_pmi_pairs",
 ]
 
+# Round-9 additions: incremental SCD2 maintenance, Matryoshka
+# truncation eval, personalized PageRank, Neyman-allocated sampling,
+# n-gram novelty, exact Gini, and fixed-point PCA power iteration.
+HEADLINE_R9 = [
+    "scd2_apply_delta",
+    "sim_matryoshka_recall",
+    "gr_personalized_pagerank",
+    "samp_neyman_allocation",
+    "txt_ngram_novelty",
+    "stat_revenue_gini",
+    "emb_pca_top_component",
+    "ev_cohort_ltv",
+]
+
 ALL_HEADLINE = (
     HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
-    + HEADLINE_R8
+    + HEADLINE_R8 + HEADLINE_R9
 )
 
 
@@ -206,6 +220,14 @@ def main() -> None:
                         per_query[n]
                         for n in HEADLINE + HEADLINE_R3 + HEADLINE_R4
                         + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
+                    ),
+                    3,
+                ),
+                "queries_r8_set_total": round(
+                    sum(
+                        per_query[n]
+                        for n in HEADLINE + HEADLINE_R3 + HEADLINE_R4
+                        + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7 + HEADLINE_R8
                     ),
                     3,
                 ),

@@ -390,3 +390,108 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve: customers cohorted by first-order month; for each
+# (cohort month, months since first order) cell, the cumulative
+# revenue per cohort member so far. THE unit-economics chart (how fast
+# does a cohort pay back, do newer cohorts monetize faster) — the
+# revenue counterpart of ev_retention_cohorts' activity triangle.
+#
+# Exactness: revenue in BIGINT cents; month arithmetic as integer
+# (year*12 + month) differences; the cumulative sum is an integer
+# window over the (cohort, offset) matrix (dimension-sized), not the
+# order fact.
+#
+# Scale: one custkey-keyed first-order reduce (partial agg), one
+# (cohort, offset) aggregation of the fact, then windows over the
+# matrix.
+# --------------------------------------------------------------------------
+@register(
+    "ev_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    csize AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_customers
+      FROM firsts GROUP BY cohort
+    ),
+    facts AS (
+      SELECT f.cohort,
+             (year(CAST(o.o_orderdate AS DATE)) * 12
+              + month(CAST(o.o_orderdate AS DATE)))
+             - (year(f.cohort) * 12 + month(f.cohort)) AS offset_months,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT cohort, offset_months,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM facts GROUP BY cohort, offset_months
+    ),
+    cum AS (
+      SELECT cohort, offset_months, revenue_cents,
+             CAST(sum(revenue_cents) OVER (
+               PARTITION BY cohort ORDER BY offset_months
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_revenue_cents
+      FROM cells
+    )
+    SELECT CAST(c.cohort AS DATE) AS cohort,
+           CAST(c.offset_months AS INTEGER) AS offset_months,
+           s.cohort_customers,
+           c.revenue_cents,
+           c.cum_revenue_cents,
+           round(((c.cum_revenue_cents * 10000) // s.cohort_customers)
+                 / 1000000.0, 6) AS cum_ltv_per_customer
+    FROM cum c JOIN csize s ON s.cohort = c.cohort
+    """,
+)
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per cohort member by (first-order cohort
+    month, months-since) — exact BIGINT cents throughout."""
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.trunc(F.min(d), "month").alias("cohort")
+    )
+    csize = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_customers")
+    )
+    facts = orders.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year(d) * 12 + F.month(d))
+            - (F.year("cohort") * 12 + F.month("cohort"))
+        ).alias("offset_months"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cells = facts.groupBy("cohort", "offset_months").agg(
+        F.sum("cents").cast("bigint").alias("revenue_cents")
+    )
+    cum = cells.withColumn(
+        "cum_revenue_cents",
+        F.sum("revenue_cents")
+        .over(
+            W.partitionBy("cohort")
+            .orderBy("offset_months")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .cast("bigint"),
+    )
+    return cum.join(F.broadcast(csize), "cohort").select(
+        "cohort",
+        F.col("offset_months").cast("int").alias("offset_months"),
+        "cohort_customers",
+        "revenue_cents",
+        "cum_revenue_cents",
+        F.round(
+            F.expr("(cum_revenue_cents * 10000) DIV cohort_customers")
+            / 1000000.0,
+            6,
+        ).alias("cum_ltv_per_customer"),
+    )

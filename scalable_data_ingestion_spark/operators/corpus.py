@@ -833,3 +833,79 @@ def txt_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df_b",
         F.round("pmi_raw", 6).alias("pmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty curve: what fraction of each document's 3-gram
+# shingles is FIRST SEEN in that document (scanning in doc_id order)?
+# The dataset-diversity diagnostic: a healthy crawl keeps introducing
+# new n-grams; a novelty collapse means the tail of the corpus is
+# re-crawled boilerplate contributing nothing to training (the
+# corpus-level counterpart of per-pair dedup — it quantifies the
+# marginal value of MORE data).
+#
+# Shape: the shingle relation (shared with dedup) -> min(doc_id) per
+# shingle (vocab-keyed partial agg) -> join back -> per-doc integer
+# ratio. The "first seen" order is the deterministic doc_id order, so
+# both engines agree exactly.
+# --------------------------------------------------------------------------
+@register(
+    "txt_ngram_novelty",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+    ),
+    pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok
+    ),
+    shingle AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+      FROM pos
+    ),
+    firsts AS (SELECT sh, min(doc_id) AS first_doc FROM shingle GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM shingle s JOIN firsts f ON f.sh = s.sh
+    GROUP BY s.doc_id
+    """,
+)
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of distinct 3-gram shingles first
+    introduced by that document (doc_id scan order)."""
+    from .dedup import SHINGLE_N
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SHINGLE_N}), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        .cache()
+    )
+    firsts = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -289,3 +289,166 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("err_fx").cast("double") / (float(_Q8_ERR_FX) * F.col("n_dims")), 9
         ).alias("mse"),
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top component by power iteration — distributed linear algebra in
+# DataFrames: the covariance matrix from one self-join over the
+# (vector, dim) relation, then POWER_ITERS unrolled multiply+normalize
+# rounds. The embedding-diagnostics workhorse (dominant variance
+# direction -> anisotropy checks, whitening, drift probes beyond the
+# single JL dim used by mon_embedding_drift_psi).
+#
+# Exactness policy (the PageRank/k-means discipline applied to linear
+# algebra): coordinates quantize to 1e-6 fixed point; raw second
+# moments accumulate in DECIMAL(38,0) (exact, order-independent);
+# covariance entries are scalar doubles over those exact sums,
+# re-quantized to 1e-9 fixed point; each matrix-vector product is an
+# exact DECIMAL sum of integer products; only the per-round
+# normalization (sqrt of an exact sum, one scalar division per
+# component) touches floats — identical cross-engine, so the whole
+# iteration is value-checkable.
+#
+# Scale: the moment matrix is D^2 rows (4096 here) from one
+# vec_id-keyed self-join with map-side partial aggregation; each
+# iteration is a D^2 x D join — dimension-sized, independent of
+# corpus size after the first pass.
+# --------------------------------------------------------------------------
+POWER_ITERS = 3
+_PCA_VFX = 1_000_000  # 1e-6 fixed point for coordinates / eigvec
+_PCA_CFX = 1_000_000_000  # 1e-9 fixed point for covariance entries
+
+
+def _pca_iter_sql(i: int) -> str:
+    return f"""
+    p{i + 1} AS (
+      SELECT c.d1 AS d, sum(CAST(c.cfx AS DECIMAL(38,0)) * v{i}.vfx) AS raw
+      FROM cmat c JOIN v{i} ON v{i}.d = c.d2
+      GROUP BY c.d1
+    ),
+    n{i + 1} AS (
+      SELECT sqrt(CAST(sum(raw * raw) AS DOUBLE)) AS nrm FROM p{i + 1}
+    ),
+    v{i + 1} AS (
+      SELECT p.d,
+             CAST(floor(CAST(p.raw AS DOUBLE) / n.nrm * {_PCA_VFX} + 0.5)
+                  AS BIGINT) AS vfx
+      FROM p{i + 1} p CROSS JOIN n{i + 1} n
+    )"""
+
+
+@register(
+    "emb_pca_top_component",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    dims AS (
+      SELECT vec_id, d,
+             CAST(floor(emb[d] * {_PCA_VFX} + 0.5) AS BIGINT) AS fx
+      FROM e CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+    ),
+    nn AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM dims),
+    su AS (SELECT d, sum(CAST(fx AS DECIMAL(38,0))) AS su FROM dims GROUP BY d),
+    mom AS (
+      SELECT a.d AS d1, b.d AS d2,
+             sum(CAST(a.fx AS DECIMAL(38,0)) * CAST(b.fx AS DECIMAL(38,0))) AS s
+      FROM dims a JOIN dims b ON a.vec_id = b.vec_id
+      GROUP BY a.d, b.d
+    ),
+    cmat AS (
+      SELECT m.d1, m.d2,
+             CAST(floor((CAST(m.s AS DOUBLE) / nn.n
+                         - (CAST(sa.su AS DOUBLE) / nn.n)
+                           * (CAST(sb.su AS DOUBLE) / nn.n))
+                        / {_PCA_VFX}.0 / {_PCA_VFX}.0
+                        * {_PCA_CFX} + 0.5) AS BIGINT) AS cfx
+      FROM mom m
+      JOIN su sa ON sa.d = m.d1
+      JOIN su sb ON sb.d = m.d2
+      CROSS JOIN nn
+    ),
+    v0 AS (SELECT DISTINCT d, CAST({_PCA_VFX} AS BIGINT) AS vfx FROM dims),
+    {",".join(_pca_iter_sql(i).strip() for i in range(POWER_ITERS))}
+    SELECT v.d AS dim, round(v.vfx / {_PCA_VFX}.0, 6) AS loading,
+           round(n.nrm / ({_PCA_CFX}.0 * {_PCA_VFX}.0), 6) AS eigenvalue_est
+    FROM v{POWER_ITERS} v CROSS JOIN n{POWER_ITERS} n
+    """,
+)
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant covariance eigenvector of the embedding corpus via
+    {POWER_ITERS} exact fixed-point power-iteration rounds."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    dims = e.select(
+        "vec_id",
+        F.posexplode("emb").alias("d0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("x") * _PCA_VFX + 0.5).cast("bigint").alias("fx"),
+    )
+    nn = dims.agg(F.countDistinct("vec_id").cast("bigint").alias("n"))
+    su = dims.groupBy("d").agg(F.sum(F.col("fx").cast("decimal(38,0)")).alias("su"))
+    a, b = dims.alias("a"), dims.alias("b")
+    mom = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .agg(
+            F.sum(
+                F.col("a.fx").cast("decimal(38,0)") * F.col("b.fx").cast("decimal(38,0)")
+            ).alias("s")
+        )
+    )
+    sa = su.select(F.col("d").alias("d1"), F.col("su").alias("sua"))
+    sb = su.select(F.col("d").alias("d2"), F.col("su").alias("sub"))
+    cmat = (
+        mom.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "d1",
+            "d2",
+            F.floor(
+                (
+                    F.col("s").cast("double") / F.col("n")
+                    - (F.col("sua").cast("double") / F.col("n"))
+                    * (F.col("sub").cast("double") / F.col("n"))
+                )
+                / float(_PCA_VFX)
+                / float(_PCA_VFX)
+                * _PCA_CFX
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("cfx"),
+        )
+        .cache()
+    )
+    v = dims.select("d").distinct().select(
+        "d", F.lit(_PCA_VFX).cast("bigint").alias("vfx")
+    )
+    nrm_df = None
+    for _ in range(POWER_ITERS):
+        p = (
+            cmat.join(v.withColumnRenamed("d", "d2"), "d2")
+            .groupBy(F.col("d1").alias("d"))
+            .agg(
+                F.sum(F.col("cfx").cast("decimal(38,0)") * F.col("vfx")).alias("raw")
+            )
+        )
+        nrm_df = p.agg(
+            F.sqrt(F.sum(F.col("raw") * F.col("raw")).cast("double")).alias("nrm")
+        )
+        v = p.crossJoin(F.broadcast(nrm_df)).select(
+            "d",
+            F.floor(F.col("raw").cast("double") / F.col("nrm") * _PCA_VFX + 0.5)
+            .cast("bigint")
+            .alias("vfx"),
+        )
+    return v.crossJoin(F.broadcast(nrm_df)).select(
+        F.col("d").alias("dim"),
+        F.round(F.col("vfx") / float(_PCA_VFX), 6).alias("loading"),
+        F.round(F.col("nrm") / (float(_PCA_CFX) * float(_PCA_VFX)), 6).alias(
+            "eigenvalue_est"
+        ),
+    )

@@ -725,3 +725,90 @@ def sla_ship_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lead_days", F.lit(0.99)), 6).alias("p99_days"),
         F.max("lead_days").cast("bigint").alias("max_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Revenue concentration: exact Gini coefficient + top-decile share of
+# customer lifetime value. The whale-risk metric — a Gini near 1 means
+# a handful of customers carry the business (and a handful of HOT KEYS
+# carry the joins: this is also the data-skew audit for the customer
+# dimension, quantifying what sk_join_key_skew_report samples).
+#
+#   G = (2 * sum(i * x_(i)) / (n * sum(x))) - (n + 1) / n
+#
+# computed over BIGINT cents with the rank window tie-broken by
+# custkey; the i*x products sum in DECIMAL(38,0) so the statistic is
+# exact under any shuffle order.
+# --------------------------------------------------------------------------
+@register(
+    "stat_revenue_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM cust
+    ),
+    agg AS (
+      SELECT max(n) AS n,
+             sum(CAST(cents AS DECIMAL(38,0))) AS sx,
+             sum(CAST(i AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS six,
+             sum(CASE WHEN i > n - n // 10
+                      THEN CAST(cents AS DECIMAL(38,0)) ELSE 0 END) AS top_decile
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(2.0 * CAST(six AS DOUBLE) / (n * CAST(sx AS DOUBLE))
+                 - (n + 1.0) / n, 6) AS gini,
+           round(CAST(top_decile AS DOUBLE) / CAST(sx AS DOUBLE), 6)
+               AS top_decile_share
+    FROM agg
+    """,
+)
+def stat_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient and top-10%-customer revenue share from
+    BIGINT cents and DECIMAL(38,0) rank-weighted sums."""
+    from pyspark.sql import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = cust.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    agg = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+        ).alias("six"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("n DIV 10"),
+                F.col("cents").cast("decimal(38,0)"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("top_decile"),
+    )
+    n = F.col("n")
+    return agg.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.col("six").cast("double") / (n * F.col("sx").cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top_decile").cast("double") / F.col("sx").cast("double"), 6
+        ).alias("top_decile_share"),
+    )

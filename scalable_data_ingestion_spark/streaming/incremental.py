@@ -197,3 +197,83 @@ class IncrementalUserHLL:
 
         shutil.rmtree(self.path)
         shutil.move(staging, self.path)
+
+
+# ---------------------------------------------------------------------------
+# Incrementally-maintained count-min sketch over the event-type stream:
+# the frequency-counter sibling of the HLL store above. CMS cells are
+# SUMS, so per-batch partials written under batch_id partitions merge
+# by addition — but unlike MAX, re-delivered partials WOULD
+# double-count if appended; the dynamic-partition overwrite keyed on
+# batch_id is what makes re-delivery idempotent here (the same
+# mechanism, now load-bearing). The merged counter table equals the
+# batch-built sketch exactly (operators/sketches.py value-checks the
+# cell math itself).
+# ---------------------------------------------------------------------------
+class IncrementalTokenCMS:
+    """Continuously-maintained 3x64 count-min sketch over event_type."""
+
+    DEPTH, WIDTH = 3, 64
+
+    @classmethod
+    def _partial_cells(cls, batch_df: DataFrame) -> DataFrame:
+        rows = []
+        for r in range(cls.DEPTH):
+            md5 = F.md5(F.concat(F.lit(f"{r}:"), F.col("event_type")))
+            bucket = (
+                F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % cls.WIDTH
+            )
+            rows.append(
+                batch_df.select(
+                    F.lit(r).alias("r"), bucket.alias("bucket")
+                ).groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+            )
+        out = rows[0]
+        for other in rows[1:]:
+            out = out.unionByName(other)
+        return out
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def fold_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        partial = self._partial_cells(batch_df).withColumn(
+            "batch_id", F.lit(int(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.path)
+        )
+
+    def attach(self, stream: DataFrame, checkpoint_dir: str, once: bool = True):
+        writer = (
+            stream.writeStream.foreachBatch(self.fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def cells(self) -> DataFrame:
+        return (
+            self.spark.read.parquet(self.path)
+            .groupBy("r", "bucket")
+            .agg(F.sum("cell").cast("bigint").alias("cell"))
+        )
+
+    def estimate(self, key: str) -> int:
+        """Point query: min over the DEPTH probed cells."""
+        import hashlib
+
+        cells = {(r.r, r.bucket): r.cell for r in self.cells().collect()}
+        est = None
+        for r in range(self.DEPTH):
+            h = hashlib.md5(f"{r}:{key}".encode()).hexdigest()
+            b = int(h[:2], 16) % self.WIDTH
+            c = cells.get((r, b), 0)
+            est = c if est is None else min(est, c)
+        return int(est or 0)

@@ -513,3 +513,44 @@ def test_checksum_is_single_aggregation(spark, sf_dir):
 def test_int8_quantize_broadcasts_dim_stats(spark, sf_dir):
     p = plan(registry.QUERIES["emb_int8_quantize"](spark, sf_dir))
     assert "BroadcastExchange" in p
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    rows = registry.QUERIES["txt_ngram_novelty"](spark, sf_dir).collect()
+    assert rows
+    by_id = {r.doc_id: r for r in rows}
+    first = by_id[min(by_id)]
+    assert first.novelty == 1.0  # nothing precedes the first doc
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_novel <= r.n_shingles
+
+
+def test_gini_is_a_valid_concentration(spark, sf_dir):
+    row = registry.QUERIES["stat_revenue_gini"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row.gini < 1.0
+    # top decile must hold at least its proportional share
+    assert row.top_decile_share >= 0.1 - 1e-6
+
+
+def test_pca_vector_is_unit_and_dominant(spark, sf_dir):
+    rows = registry.QUERIES["emb_pca_top_component"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm2 = sum(r.loading * r.loading for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3  # normalized (up to 1e-6 quantization)
+    assert rows[0].eigenvalue_est > 0
+
+
+def test_cohort_ltv_is_monotone_per_cohort(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = registry.QUERIES["ev_cohort_ltv"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r.cohort].append(r)
+    for members in by_cohort.values():
+        members.sort(key=lambda r: r.offset_months)
+        cums = [m.cum_revenue_cents for m in members]
+        assert cums == sorted(cums)  # cumulative is monotone
+        assert members[0].offset_months == 0

@@ -268,3 +268,41 @@ def test_incremental_hll_equals_batch_registers(spark, tmp_path):
 
     hll.compact()
     assert hll.estimate() == est_before
+
+
+def test_incremental_cms_equals_batch_and_never_underestimates(spark, tmp_path):
+    from collections import Counter
+
+    from scalable_data_ingestion_spark.streaming.incremental import (
+        IncrementalTokenCMS,
+    )
+
+    stream = event_stream_from_parquet(
+        spark, f"{SF}/events.parquet", max_files_per_trigger=1
+    )
+    cms = IncrementalTokenCMS(spark, str(tmp_path / "cms"))
+    q = cms.attach(stream, checkpoint_dir=str(tmp_path / "cms_ckpt"), once=True)
+    q.awaitTermination(120)
+
+    batch_cells = {
+        (r.r, r.bucket): r.cell
+        for r in IncrementalTokenCMS._partial_cells(
+            spark.read.parquet(f"{SF}/events.parquet")
+        ).collect()
+    }
+    merged = {(r.r, r.bucket): r.cell for r in cms.cells().collect()}
+    assert merged == batch_cells
+
+    # CMS invariant: estimates never underestimate the true counts
+    truth = Counter(
+        r.event_type
+        for r in spark.read.parquet(f"{SF}/events.parquet").collect()
+    )
+    for k, n in truth.items():
+        assert cms.estimate(k) >= n
+
+    # idempotent re-delivery
+    full = spark.read.parquet(f"{SF}/events.parquet")
+    cms.fold_batch(full, 0)
+    cms.fold_batch(full, 0)
+    assert {(r.r, r.bucket): r.cell for r in cms.cells().collect()} == batch_cells
