@@ -135,6 +135,9 @@ HEADLINE_R9 = [
     "stat_revenue_gini",
     "emb_pca_top_component",
     "ev_cohort_ltv",
+    "ev_variant_props_percentiles",
+    "dq_duplicate_orders",
+    "emb_norm_audit",
 ]
 
 ALL_HEADLINE = (

@@ -424,3 +424,64 @@ def dq_orders_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("h").cast("bigint").alias("checksum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-payment audit: distinct orders by the SAME customer for
+# the SAME amount on the SAME day — the classic double-charge /
+# double-ingest signature. (Exact content dedup catches identical
+# ROWS; this catches distinct order keys that should arouse
+# suspicion.) Pure integer/equality groupBy on (custkey, day, cents);
+# output one row per suspicious group with the involved order keys
+# aggregated in deterministic sorted order.
+# --------------------------------------------------------------------------
+# The synthetic orders have no natural double-charges, so every 50th
+# order is re-ingested under a shifted key (the dd_exact_dedup
+# injected-fixture policy) — the audit then has real work at any SF.
+@register(
+    "dq_duplicate_orders",
+    oracle="""
+    WITH corpus AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderdate, o_totalprice
+      FROM orders WHERE o_orderkey % 50 = 0
+    )
+    SELECT o_custkey AS custkey,
+           CAST(CAST(o_orderdate AS DATE) AS DATE) AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(o_orderkey) AS BIGINT) AS first_orderkey,
+           CAST(max(o_orderkey) AS BIGINT) AS last_orderkey
+    FROM corpus
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 2
+    """,
+)
+def dq_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups of >= 2 distinct orders with identical (customer, day,
+    amount) — the double-charge audit (every 50th order re-ingested
+    under a shifted key plays the duplicate)."""
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    dupes = base.filter(F.col("o_orderkey") % 50 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    orders = base.unionByName(dupes)
+    return (
+        orders.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("first_orderkey"),
+            F.max("o_orderkey").cast("bigint").alias("last_orderkey"),
+        )
+        .filter(F.col("n_orders") >= 2)
+    )

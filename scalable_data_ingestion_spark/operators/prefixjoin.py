@@ -83,7 +83,11 @@ def dd_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("sh", "rnk")
 
     ranked = (
-        sh.join(order, "sh")
+        # vocab-sized rank relation rides as a broadcast: the corpus
+        # shingle relation never shuffles on sh for the rank lookup
+        # (at extreme vocabularies this falls back to a shuffle join —
+        # flip the hint, the algorithm is unchanged).
+        sh.join(F.broadcast(order), "sh")
         .withColumn(
             "pos",
             F.row_number().over(W.partitionBy("doc_id").orderBy("rnk")),

@@ -452,3 +452,98 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eigenvalue_est"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding-norm audit: z-scores of vector L2 norms — degenerate
+# embeddings (zeroed rows, truncated writes, fp16 overflow) show up as
+# norm outliers long before they poison retrieval quality. Norms
+# quantize to 1e-6 fixed point; mean/variance come from DECIMAL(38,0)
+# sums of the fixed-point values (exact under any shuffle order); the
+# z-score is one scalar expression per vector.
+#
+# The synthetic corpus is unit-normalized (every norm is exactly 1.0),
+# so every 25th vector is deterministically CORRUPTED (scaled by
+# 1 + (vec_id % 7 + 1)/4) to give the audit real work — the injected-
+# fixture policy of dd_exact_dedup / dq_duplicate_orders.
+# --------------------------------------------------------------------------
+NORM_Z_FLAG = 3.0
+
+
+@register(
+    "emb_norm_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 25 = 0
+                  THEN list_transform(embedding::DOUBLE[],
+                                      x -> x * (1.0 + (vec_id % 7 + 1) / 4.0))
+                  ELSE embedding::DOUBLE[] END AS emb
+      FROM embeddings
+    ),
+    norms AS (
+      SELECT vec_id,
+             CAST(floor(sqrt(list_reduce(list_transform(emb, x -> x * x),
+                                          (a, b) -> a + b)) * 1000000 + 0.5)
+                  AS BIGINT) AS nfx
+      FROM e
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(nfx AS DECIMAL(38,0))) AS sx,
+             sum(CAST(nfx AS DECIMAL(38,0)) * CAST(nfx AS DECIMAL(38,0))) AS sxx
+      FROM norms
+    )
+    SELECT vec_id,
+           round(nfx / 1000000.0, 6) AS l2_norm,
+           round((nfx - CAST(sx AS DOUBLE) / n)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                         * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1))),
+                 6) AS z,
+           (abs((nfx - CAST(sx AS DOUBLE) / n)
+                / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * (n - 1))))
+            > {NORM_Z_FLAG}) AS outlier
+    FROM norms CROSS JOIN stats
+    """,
+)
+def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2-norm z-score with |z| > {NORM_Z_FLAG} outlier
+    flag, from exact fixed-point norm statistics."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN vec_id % 25 = 0 THEN "
+            "transform(embedding, x -> CAST(x AS DOUBLE)"
+            " * (1.0 + (vec_id % 7 + 1) / 4.0)) "
+            "ELSE transform(embedding, x -> CAST(x AS DOUBLE)) END"
+        ).alias("emb"),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("emb", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    norms = e.select(
+        "vec_id", F.floor(norm * 1000000 + 0.5).cast("bigint").alias("nfx")
+    )
+    stats = norms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("nfx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(
+            F.col("nfx").cast("decimal(38,0)") * F.col("nfx").cast("decimal(38,0)")
+        ).alias("sxx"),
+    )
+    n = F.col("n")
+    mean = F.col("sx").cast("double") / n
+    sd = F.sqrt(
+        (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        / (n.cast("double") * (n - 1))
+    )
+    z = (F.col("nfx") - mean) / sd
+    return norms.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.round(F.col("nfx") / 1000000.0, 6).alias("l2_norm"),
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > NORM_Z_FLAG).alias("outlier"),
+    )

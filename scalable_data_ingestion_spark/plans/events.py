@@ -208,3 +208,44 @@ def ev_props_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", parsed.getField("k").alias("k_val"))
         .filter(F.col("k_val") % 7 == 0)
     )
+
+
+# --------------------------------------------------------------------------
+# Spark-4 VARIANT path for semi-structured props: parse the JSON ONCE
+# into the binary Variant encoding, then extract typed fields with
+# variant_get — the modern engine-native alternative to
+# get_json_object (which re-parses the JSON string per extraction
+# expression; with V extracted fields the string path parses V times,
+# the variant path once). Output: per-type exact percentiles of the
+# payload metric, complementing ev_json_props_stats' sums.
+# --------------------------------------------------------------------------
+@register(
+    "ev_variant_props_percentiles",
+    oracle="""
+    WITH k AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(k) AS INTEGER) AS min_k,
+           round(quantile_cont(k, 0.5), 6) AS p50_k,
+           round(quantile_cont(k, 0.9), 6) AS p90_k,
+           CAST(max(k) AS INTEGER) AS max_k
+    FROM k GROUP BY event_type
+    """,
+)
+def ev_variant_props_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction through VariantType (parse_json once,
+    variant_get per field) + exact per-type percentiles."""
+    ev = table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    base = ev.select("event_type", k.alias("k"))
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("k").cast("int").alias("min_k"),
+        F.round(F.percentile("k", F.lit(0.5)), 6).alias("p50_k"),
+        F.round(F.percentile("k", F.lit(0.9)), 6).alias("p90_k"),
+        F.max("k").cast("int").alias("max_k"),
+    )

@@ -554,3 +554,20 @@ def test_cohort_ltv_is_monotone_per_cohort(spark, sf_dir):
         cums = [m.cum_revenue_cents for m in members]
         assert cums == sorted(cums)  # cumulative is monotone
         assert members[0].offset_months == 0
+
+
+def test_duplicate_orders_audit_finds_injected_copies(spark, sf_dir):
+    rows = registry.QUERIES["dq_duplicate_orders"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_orders >= 2
+        assert r.first_orderkey < r.last_orderkey
+
+
+def test_norm_audit_flags_injected_corruption(spark, sf_dir):
+    rows = registry.QUERIES["emb_norm_audit"](spark, sf_dir).collect()
+    assert rows
+    outliers = {r.vec_id for r in rows if r.outlier}
+    assert outliers  # corrupted vectors must surface
+    # only injected (vec_id % 25 == 0) vectors can be outliers here
+    assert all(v % 25 == 0 for v in outliers)
