@@ -337,10 +337,8 @@ def _pca_iter_sql(i: int) -> str:
     )"""
 
 
-@register(
-    "emb_pca_top_component",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+_PCA_CTES = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
     dims AS (
       SELECT vec_id, d,
              CAST(floor(emb[d] * {_PCA_VFX} + 0.5) AS BIGINT) AS fx
@@ -368,6 +366,13 @@ def _pca_iter_sql(i: int) -> str:
     ),
     v0 AS (SELECT DISTINCT d, CAST({_PCA_VFX} AS BIGINT) AS vfx FROM dims),
     {",".join(_pca_iter_sql(i).strip() for i in range(POWER_ITERS))}
+"""
+
+
+@register(
+    "emb_pca_top_component",
+    oracle=f"""
+    WITH {_PCA_CTES}
     SELECT v.d AS dim, round(v.vfx / {_PCA_VFX}.0, 6) AS loading,
            round(n.nrm / ({_PCA_CFX}.0 * {_PCA_VFX}.0), 6) AS eigenvalue_est
     FROM v{POWER_ITERS} v CROSS JOIN n{POWER_ITERS} n
@@ -376,6 +381,18 @@ def _pca_iter_sql(i: int) -> str:
 def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant covariance eigenvector of the embedding corpus via
     {POWER_ITERS} exact fixed-point power-iteration rounds."""
+    v, nrm_df = _pca_power(spark, sf_dir)
+    return v.crossJoin(F.broadcast(nrm_df)).select(
+        F.col("d").alias("dim"),
+        F.round(F.col("vfx") / float(_PCA_VFX), 6).alias("loading"),
+        F.round(F.col("nrm") / (float(_PCA_CFX) * float(_PCA_VFX)), 6).alias(
+            "eigenvalue_est"
+        ),
+    )
+
+
+def _pca_power(spark: SparkSession, sf_dir: str):
+    """POWER_ITERS fixed-point rounds; returns (v(d, vfx), nrm)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
     )
@@ -445,13 +462,7 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("vfx"),
         )
-    return v.crossJoin(F.broadcast(nrm_df)).select(
-        F.col("d").alias("dim"),
-        F.round(F.col("vfx") / float(_PCA_VFX), 6).alias("loading"),
-        F.round(F.col("nrm") / (float(_PCA_CFX) * float(_PCA_VFX)), 6).alias(
-            "eigenvalue_est"
-        ),
-    )
+    return v, nrm_df
 
 
 # --------------------------------------------------------------------------
@@ -546,4 +557,163 @@ def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nfx") / 1000000.0, 6).alias("l2_norm"),
         F.round(z, 6).alias("z"),
         (F.abs(z) > NORM_Z_FLAG).alias("outlier"),
+    )
+
+
+# --------------------------------------------------------------------------
+# All-but-the-top (ABTT) retrieval eval: remove the dominant principal
+# component from every embedding (Mu & Viswanath, ICLR'18 — the
+# anisotropy fix: the top component is largely a common bias that
+# crowds cosine similarity) and measure recall@k of the corrected
+# space against the ORIGINAL-space ground truth. Composes the
+# fixed-point power iteration above with the brute-force kNN harness:
+# the entire pipeline — eigenvector, projection, both rankings, the
+# recall counts — is value-checked.
+#
+# Determinism: the eigenvector enters as vfx/1e6 rationals evaluated
+# with the identical division expression in both engines; the
+# projection dot products are sequential array folds (the
+# sim_knn_bruteforce policy).
+# --------------------------------------------------------------------------
+@register(
+    "sim_abtt_recall",
+    oracle=f"""
+    WITH {{pca}}
+    , vlist AS (
+      SELECT list(vfx / {_PCA_VFX}.0 ORDER BY d) AS v FROM v{{iters}}
+    ),
+    proj AS (
+      SELECT e.vec_id,
+             list_dot_product(e.emb, vl.v) AS dot, e.emb, vl.v
+      FROM e CROSS JOIN vlist vl
+    ),
+    abtt AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i -> emb[i] - dot * v[i]) AS emb
+      FROM proj
+    ),
+    full_pairs AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, x.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(x.emb, x.emb))), 6) AS cosine
+      FROM e q JOIN e x ON q.vec_id < {{nq}} AND q.vec_id != x.vec_id
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM full_pairs) WHERE rank <= {{topk}}
+    ),
+    ab_pairs AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, x.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(x.emb, x.emb))), 6) AS cosine
+      FROM abtt q JOIN abtt x ON q.vec_id < {{nq}} AND q.vec_id != x.vec_id
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ab_pairs) WHERE rank <= {{topk}}
+    )
+    SELECT t.query_id,
+           CAST(count(a.neighbor_id) AS INTEGER) AS n_hits,
+           round(CAST(count(a.neighbor_id) AS DOUBLE) / {{topk}}, 6)
+               AS recall_at_{{topk}}
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """.format(
+        pca=_PCA_CTES,
+        iters=POWER_ITERS,
+        nq=10,
+        topk=5,
+        _PCA_VFX=_PCA_VFX,
+    ).replace("{_PCA_VFX}.0", f"{_PCA_VFX}.0"),
+)
+def sim_abtt_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 (vs original-space truth) after removing the top
+    principal component from every embedding."""
+    from pyspark.sql import Window as W
+
+    from .similarity import N_QUERIES, TOP_K, _dot, _norm
+
+    v, _ = _pca_power(spark, sf_dir)
+    vfx = {r.d: r.vfx for r in v.collect()}  # 64 values, dimension-sized
+    varr = F.expr(
+        "array("
+        + ",".join(
+            f"CAST({vfx[d]} AS DOUBLE) / {_PCA_VFX}.0" for d in sorted(vfx)
+        )
+        + ")"
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("emb", varr, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # compute the projection coefficient first, then subtract dot * v.
+    abtt = (
+        e.withColumn("dot", dot)
+        .select(
+            "vec_id",
+            F.zip_with("emb", varr, lambda x, vd: x - F.col("dot") * vd).alias(
+                "emb"
+            ),
+        )
+    )
+
+    def topk(source):
+        queries = source.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            _norm("emb").alias("qn"),
+        )
+        corpus = source.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("ve"),
+            _norm("emb").alias("vn"),
+        )
+        pairs = (
+            F.broadcast(queries)
+            .crossJoin(corpus)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias(
+                    "cosine"
+                ),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = topk(e)
+    approx = topk(abtt).withColumnRenamed("neighbor_id", "a_neighbor")
+    joined = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(truth["query_id"].alias("qid"), approx["a_neighbor"])
+    return joined.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("a_neighbor").cast("int").alias("n_hits"),
+        F.round(F.count("a_neighbor").cast("double") / TOP_K, 6).alias(
+            f"recall_at_{TOP_K}"
+        ),
     )

@@ -225,3 +225,187 @@ def dd_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qfx") / 1000000.0, 6).alias("quality"),
         (F.col("rn") == 1).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit: does the TEST split share n-grams with the
+# TRAIN split? The measurement companion to samp_cluster_aware_split —
+# the plain doc-hashed split (samp_train_val_test) CAN place two
+# near-duplicates on opposite sides of the train/test fence, and this
+# query quantifies exactly how much leaked: every test document
+# sharing >= LEAK_MIN_OVERLAP distinct word 3-grams with some train
+# document, with the worst-offender train doc per leaked test doc.
+#
+# Shape: one shingle relation, split map-side by the same md5 bucket
+# as samp_train_val_test, joined train-vs-test on the shingle key
+# (inverted index, not all-pairs). Production pre-screens with the
+# Bloom gate (dd_bloom_decontaminate); this is the exact audit.
+# --------------------------------------------------------------------------
+LEAK_MIN_OVERLAP = 3
+
+_LEAK_BUCKET = (
+    "CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) "
+    + " ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))
+    + " END"
+)
+
+
+@register(
+    "dq_split_leakage",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      FROM idx
+    ),
+    lab AS (SELECT doc_id, {_LEAK_BUCKET} AS bucket FROM documents),
+    train AS (
+      SELECT s.doc_id AS train_id, s.sh FROM sh s
+      JOIN lab l ON l.doc_id = s.doc_id WHERE l.bucket < {TRAIN_BUCKETS}
+    ),
+    test AS (
+      SELECT s.doc_id AS test_id, s.sh FROM sh s
+      JOIN lab l ON l.doc_id = s.doc_id
+      WHERE l.bucket >= {TRAIN_BUCKETS + VAL_BUCKETS}
+    ),
+    ov AS (
+      SELECT t.test_id, tr.train_id, CAST(count(*) AS BIGINT) AS overlap
+      FROM test t JOIN train tr USING (sh)
+      GROUP BY 1, 2
+      HAVING count(*) >= {LEAK_MIN_OVERLAP}
+    )
+    SELECT test_id,
+           CAST(count(*) AS BIGINT) AS n_train_matches,
+           CAST(max(overlap) AS BIGINT) AS max_overlap,
+           CAST(min(CASE WHEN overlap = mx THEN train_id END) AS BIGINT)
+               AS worst_train_id
+    FROM (SELECT *, max(overlap) OVER (PARTITION BY test_id) AS mx FROM ov)
+    GROUP BY test_id
+    """,
+)
+def dq_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-split documents sharing >= {LEAK_MIN_OVERLAP} distinct
+    3-grams with some train-split document, with the worst offender."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    labeled = sh.withColumn("bucket", bucket)
+    train = labeled.filter(F.col("bucket") < TRAIN_BUCKETS).select(
+        F.col("doc_id").alias("train_id"), "sh"
+    )
+    test = labeled.filter(F.col("bucket") >= TRAIN_BUCKETS + VAL_BUCKETS).select(
+        F.col("doc_id").alias("test_id"), "sh"
+    )
+    ov = (
+        test.join(train, "sh")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+        .filter(F.col("overlap") >= LEAK_MIN_OVERLAP)
+    )
+    mx = ov.withColumn(
+        "mx", F.max("overlap").over(W.partitionBy("test_id"))
+    )
+    return mx.groupBy("test_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_matches"),
+        F.max("overlap").cast("bigint").alias("max_overlap"),
+        F.min(F.when(F.col("overlap") == F.col("mx"), F.col("train_id")))
+        .cast("bigint")
+        .alias("worst_train_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup ROI report: what does each dedup decision actually SAVE?
+# Rolls the near-dup clustering up to corpus-level economics — docs
+# and tokens removed under (a) hard dedup (keep min-id survivor) and
+# (b) soft dedup (token mass discounted by 1/|cluster|) — the numbers
+# a curation run reports to justify its compute. Pure composition of
+# the cluster relation with token counts; all counters integer.
+# --------------------------------------------------------------------------
+@register(
+    "dd_dedup_impact",
+    oracle=f"""
+    WITH RECURSIVE {_CLUSTERS_CTE},
+    toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents
+    ),
+    j AS (
+      SELECT cl.doc_id, cl.cluster_id, cs.cluster_size, t.n_tokens,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY cl.doc_id) AS rn
+      FROM clustered cl
+      JOIN csize cs USING (cluster_id)
+      JOIN toks t USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_removed_hard,
+           CAST(sum(CASE WHEN rn > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_removed_hard,
+           CAST(sum(n_tokens - (n_tokens * (1000000 // cluster_size))
+                                // 1000000) AS BIGINT)
+               AS tokens_discounted_soft
+    FROM j
+    """,
+)
+def dd_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup savings: docs/tokens removed by hard
+    (survivor-only) dedup and token mass discounted by soft dedup."""
+    from pyspark.sql import Window as W
+
+    cl = _clustered(spark, sf_dir)
+    toks = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+    j = cl.join(toks, "doc_id").withColumn(
+        "rn", F.row_number().over(W.partitionBy("cluster_id").orderBy("doc_id"))
+    )
+    dup = F.col("rn") > 1
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("docs_removed_hard"),
+        F.sum(F.when(dup, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_removed_hard"),
+        F.sum(
+            F.col("n_tokens")
+            - F.expr(
+                "(n_tokens * (CAST(1000000 AS BIGINT) DIV cluster_size))"
+                " DIV 1000000"
+            )
+        )
+        .cast("bigint")
+        .alias("tokens_discounted_soft"),
+    )

@@ -417,3 +417,41 @@ def samp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sample_key_sum", F.lit(0)).cast("bigint").alias("sample_key_sum"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# K-fold cross-validation assignment: fold = md5 bucket % K, so folds
+# are stable under corpus growth and identical across engines/reruns
+# (the samp_train_val_test policy extended to CV). Emitted with
+# per-fold counts so imbalance is visible at assignment time.
+# --------------------------------------------------------------------------
+KFOLD_K = 5
+
+
+@register(
+    "samp_kfold_assign",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT doc_id, source, ({_md5_bucket_expr_sql()}) % {KFOLD_K} AS fold
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(fold AS INTEGER) AS fold,
+           CAST(count(*) OVER (PARTITION BY fold) AS BIGINT) AS fold_size
+    FROM bucketed
+    """,
+)
+def samp_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {KFOLD_K}-fold CV assignment with fold sizes."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        % KFOLD_K
+    )
+    out = docs.withColumn("fold", fold)
+    return out.withColumn(
+        "fold_size",
+        F.count(F.lit(1)).over(W.partitionBy("fold")).cast("bigint"),
+    )

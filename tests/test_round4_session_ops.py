@@ -571,3 +571,44 @@ def test_norm_audit_flags_injected_corruption(spark, sf_dir):
     assert outliers  # corrupted vectors must surface
     # only injected (vec_id % 25 == 0) vectors can be outliers here
     assert all(v % 25 == 0 for v in outliers)
+
+
+def test_split_leakage_reports_only_test_docs(spark, sf_dir):
+    splits = {
+        r.doc_id: r.split
+        for r in registry.QUERIES["samp_train_val_test"](spark, sf_dir).collect()
+    }
+    rows = registry.QUERIES["dq_split_leakage"](spark, sf_dir).collect()
+    for r in rows:
+        assert splits[r.test_id] == "test"
+        assert splits[r.worst_train_id] == "train"
+        assert r.max_overlap >= 3
+
+
+def test_abtt_recall_bounds(spark, sf_dir):
+    rows = registry.QUERIES["sim_abtt_recall"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+
+
+def test_kfold_partitions_the_corpus(spark, sf_dir):
+    from collections import Counter
+
+    from scalable_data_ingestion_spark.operators.splits import KFOLD_K
+
+    rows = registry.QUERIES["samp_kfold_assign"](spark, sf_dir).collect()
+    assert rows
+    counts = Counter(r.fold for r in rows)
+    assert set(counts) <= set(range(KFOLD_K))
+    for r in rows:
+        assert r.fold_size == counts[r.fold]
+
+
+def test_dedup_impact_accounting(spark, sf_dir):
+    row = registry.QUERIES["dd_dedup_impact"](spark, sf_dir).collect()[0]
+    assert row.docs_removed_hard > 0  # near-dup clusters exist
+    assert row.tokens_removed_hard <= row.total_tokens
+    # soft dedup discounts at most what hard dedup removes... not in
+    # general (soft discounts every member) — but never more than total
+    assert 0 <= row.tokens_discounted_soft <= row.total_tokens
