@@ -138,6 +138,10 @@ HEADLINE_R9 = [
     "ev_variant_props_percentiles",
     "dq_duplicate_orders",
     "emb_norm_audit",
+    "dq_split_leakage",
+    "sim_abtt_recall",
+    "dd_dedup_impact",
+    "mon_seasonal_naive_mape",
 ]
 
 ALL_HEADLINE = (

@@ -234,3 +234,82 @@ def mon_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.cast("bigint").alias("lag_seconds"),
         (lag > FRESH_SLA_SECONDS).alias("stale"),
     )
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast baseline: forecast(day) = actual(day - 7),
+# scored with MAPE per event type. Every real forecasting system is
+# judged against this baseline first (if your model can't beat
+# lag-7, ship lag-7) — and the baseline needs no training, so it
+# deploys as a pure window expression. Per-day absolute percentage
+# errors quantize to 1e-9 fixed point before summing (BIGINT), so the
+# MAPE is exact under any shuffle order.
+# --------------------------------------------------------------------------
+MAPE_FX = 1_000_000_000
+
+
+@register(
+    "mon_seasonal_naive_mape",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT event_type, day,
+             date_diff('day', DATE '1970-01-01', day) AS dayn, n
+      FROM daily
+    ),
+    lagged AS (
+      SELECT k.event_type, k.day, k.n,
+             p.n AS forecast
+      FROM keyed k JOIN keyed p
+        ON p.event_type = k.event_type AND p.dayn = k.dayn - 7
+    ),
+    errs AS (
+      SELECT event_type,
+             CAST(floor(abs(n - forecast) / CAST(n AS DOUBLE) * {MAPE_FX})
+                  AS BIGINT) AS ape_fx
+      FROM lagged WHERE n > 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           CAST(sum(ape_fx) AS BIGINT) AS ape_fx_sum,
+           round(CAST(sum(ape_fx) AS DOUBLE) / (count(*) * {MAPE_FX}.0), 6)
+               AS mape
+    FROM errs GROUP BY event_type
+    """,
+)
+def mon_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAPE of the lag-7 seasonal-naive forecast per event type, from
+    fixed-point error sums."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    keyed = daily.withColumn(
+        "dayn", F.datediff("day", F.to_date(F.lit("1970-01-01")))
+    )
+    prev = keyed.select(
+        "event_type",
+        (F.col("dayn") + 7).alias("dayn"),
+        F.col("n").alias("forecast"),
+    )
+    lagged = keyed.join(prev, ["event_type", "dayn"])
+    ape_fx = F.floor(
+        F.abs(F.col("n") - F.col("forecast")) / F.col("n").cast("double") * MAPE_FX
+    ).cast("bigint")
+    return (
+        lagged.filter(F.col("n") > 0)
+        .select("event_type", ape_fx.alias("ape_fx"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+            F.sum("ape_fx").cast("bigint").alias("ape_fx_sum"),
+            F.round(
+                F.sum("ape_fx").cast("double") / (F.count(F.lit(1)) * float(MAPE_FX)),
+                6,
+            ).alias("mape"),
+        )
+    )

@@ -409,3 +409,78 @@ def dd_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_discounted_soft"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-language contamination: document pairs in DIFFERENT declared
+# languages sharing >= LEAK_MIN_OVERLAP distinct 3-grams — mislabeled
+# language tags, copy-paste across language slices, or code/boiler-
+# plate bleeding through the langid gate. A multilingual corpus mixes
+# by language; contaminated tags silently break those ratios (and
+# the per-language dedup sharding). Same inverted-index shape as the
+# split-leakage audit, keyed on the language fence instead.
+# --------------------------------------------------------------------------
+@register(
+    "dq_cross_lang_overlap",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+    ),
+    idx AS (
+      SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 2)) AS i
+      FROM tok
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, lang,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+      FROM idx
+    )
+    SELECT a.doc_id AS doc_a, a.lang AS lang_a,
+           b.doc_id AS doc_b, b.lang AS lang_b,
+           CAST(count(*) AS BIGINT) AS overlap
+    FROM sh a JOIN sh b
+      ON a.sh = b.sh AND a.doc_id < b.doc_id AND a.lang <> b.lang
+    GROUP BY 1, 2, 3, 4
+    HAVING count(*) >= {LEAK_MIN_OVERLAP}
+    """,
+)
+def dq_cross_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of differently-tagged documents sharing >=
+    {LEAK_MIN_OVERLAP} distinct 3-grams — the language-tag
+    contamination audit."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = (
+        docs.select("doc_id", "lang", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.lang").alias("lang_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
+        .filter(F.col("overlap") >= LEAK_MIN_OVERLAP)
+    )

@@ -455,3 +455,113 @@ def samp_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fold_size",
         F.count(F.lit(1)).over(W.partitionBy("fold")).cast("bigint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mixing-budget waterfill: allocate a token budget across sources
+# toward equal shares, respecting per-source supply — the allocation
+# step of data mixing (temperature resampling decides the TARGET
+# ratios; this decides what is actually TAKEN when some sources can't
+# fill their share). Two explicit waterfill rounds in exact BIGINT
+# arithmetic: round 1 gives each source min(supply, budget/K); round 2
+# redistributes the leftover equally among sources with remaining
+# capacity. Remaining budget after round 2 is reported, not silently
+# dropped (the no-silent-caps policy).
+#
+# Scale: everything after the per-source token sums (one partial-agg
+# pass) is dimension-sized arithmetic.
+# --------------------------------------------------------------------------
+WF_BUDGET_FRACTION_DEN = 2  # budget = total_tokens / 2
+
+
+@register(
+    "samp_mix_waterfill",
+    oracle=rf"""
+    WITH supply AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS supply_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(supply_tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS k
+      FROM supply
+    ),
+    r1 AS (
+      SELECT s.source, s.supply_tokens,
+             (t.total // {WF_BUDGET_FRACTION_DEN}) // t.k AS target,
+             least(s.supply_tokens, (t.total // {WF_BUDGET_FRACTION_DEN}) // t.k)
+                 AS a1
+      FROM supply s CROSS JOIN tot t
+    ),
+    l1 AS (
+      SELECT (t.total // {WF_BUDGET_FRACTION_DEN}) - sum(r1.a1) AS leftover,
+             sum(CASE WHEN r1.a1 < r1.supply_tokens THEN 1 ELSE 0 END) AS n_unex
+      FROM r1 CROSS JOIN tot t
+      GROUP BY t.total
+    ),
+    r2 AS (
+      SELECT r1.source, r1.supply_tokens, r1.target,
+             CASE WHEN r1.a1 < r1.supply_tokens AND l1.n_unex > 0
+                  THEN least(r1.supply_tokens,
+                             r1.a1 + l1.leftover // l1.n_unex)
+                  ELSE r1.a1 END AS alloc
+      FROM r1 CROSS JOIN l1
+    )
+    SELECT source, supply_tokens, CAST(target AS BIGINT) AS target_tokens,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           (alloc >= supply_tokens) AS exhausted
+    FROM r2
+    """,
+)
+def samp_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round integer waterfill of a token budget (= total/2)
+    toward equal per-source shares, bounded by per-source supply."""
+    docs = table(spark, sf_dir, "documents")
+    supply = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint")
+        .alias("supply_tokens")
+    )
+    tot = supply.agg(
+        F.sum("supply_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    r1 = supply.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "supply_tokens",
+        F.expr(f"(total DIV {WF_BUDGET_FRACTION_DEN}) DIV k").alias("target"),
+        F.least(
+            F.col("supply_tokens"),
+            F.expr(f"(total DIV {WF_BUDGET_FRACTION_DEN}) DIV k"),
+        ).alias("a1"),
+        F.expr(f"total DIV {WF_BUDGET_FRACTION_DEN}").alias("budget"),
+    )
+    l1 = r1.agg(
+        (F.max("budget") - F.sum("a1")).alias("leftover"),
+        F.sum(F.when(F.col("a1") < F.col("supply_tokens"), 1).otherwise(0)).alias(
+            "n_unex"
+        ),
+    )
+    r2 = r1.crossJoin(F.broadcast(l1)).select(
+        "source",
+        "supply_tokens",
+        "target",
+        F.when(
+            (F.col("a1") < F.col("supply_tokens")) & (F.col("n_unex") > 0),
+            F.least(
+                F.col("supply_tokens"),
+                F.col("a1") + F.expr("leftover DIV n_unex"),
+            ),
+        )
+        .otherwise(F.col("a1"))
+        .alias("alloc"),
+    )
+    return r2.select(
+        "source",
+        "supply_tokens",
+        F.col("target").cast("bigint").alias("target_tokens"),
+        F.col("alloc").cast("bigint").alias("alloc_tokens"),
+        (F.col("alloc") >= F.col("supply_tokens")).alias("exhausted"),
+    )

@@ -612,3 +612,32 @@ def test_dedup_impact_accounting(spark, sf_dir):
     # soft dedup discounts at most what hard dedup removes... not in
     # general (soft discounts every member) — but never more than total
     assert 0 <= row.tokens_discounted_soft <= row.total_tokens
+
+
+def test_cross_lang_pairs_have_different_tags(spark, sf_dir):
+    rows = registry.QUERIES["dq_cross_lang_overlap"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.lang_a != r.lang_b
+        assert r.overlap >= 3
+
+
+def test_seasonal_naive_mape_bounds(spark, sf_dir):
+    rows = registry.QUERIES["mon_seasonal_naive_mape"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days_scored > 0
+        assert r.mape >= 0
+
+
+def test_waterfill_respects_supply_and_budget(spark, sf_dir):
+    rows = registry.QUERIES["samp_mix_waterfill"](spark, sf_dir).collect()
+    assert rows
+    total_supply = sum(r.supply_tokens for r in rows)
+    budget = total_supply // 2
+    total_alloc = sum(r.alloc_tokens for r in rows)
+    for r in rows:
+        assert r.alloc_tokens <= r.supply_tokens
+        assert r.exhausted == (r.alloc_tokens >= r.supply_tokens)
+    # never over-spends; under-spend only by integer-division crumbs
+    # or because every source is exhausted
+    assert total_alloc <= budget
