@@ -142,6 +142,9 @@ HEADLINE_R9 = [
     "sim_abtt_recall",
     "dd_dedup_impact",
     "mon_seasonal_naive_mape",
+    "sim_hybrid_rrf",
+    "txt_unigram_entropy",
+    "ev_interarrival_stats",
 ]
 
 ALL_HEADLINE = (

@@ -495,3 +495,53 @@ def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_ltv_per_customer"),
     )
+
+
+# --------------------------------------------------------------------------
+# Inter-arrival statistics: per-user event-gap percentiles rolled up
+# per event type — the engagement-rhythm profile (session timeout
+# tuning pulls its threshold from exactly this distribution; compare
+# ev_user_sessions' fixed 30-minute gap). Gaps are integer second
+# differences from a lag over the (user, ts, event_id) sequence;
+# percentiles are exact (quantile_cont / percentile over identical
+# integer multisets).
+# --------------------------------------------------------------------------
+@register(
+    "ev_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             date_diff('second', prev_ts, ts) AS gap_s
+      FROM seq WHERE prev_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+           round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps GROUP BY event_type
+    """,
+)
+def ev_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-event-type percentiles of the user inter-event gap."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.withColumn(
+        "prev_ts",
+        F.lag("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+    )
+    gaps = seq.filter(F.col("prev_ts").isNotNull()).select(
+        "event_type",
+        (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).alias("gap_s"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )

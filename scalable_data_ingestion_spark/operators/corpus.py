@@ -909,3 +909,64 @@ def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram entropy per document: H = -sum p ln p over the doc's token
+# distribution — the information-density quality signal (templated /
+# repetitive docs have low entropy even when length and lexical
+# diversity look fine; complements txt_repetition_stats). Per-token
+# terms quantize to 1e-9 fixed point before the per-doc sum (BIGINT),
+# so the entropy is exact under any aggregation order.
+# --------------------------------------------------------------------------
+ENT_FX = 1_000_000_000
+
+
+@register(
+    "txt_unigram_entropy",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok
+      GROUP BY doc_id, tok
+    ),
+    n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+    terms AS (
+      SELECT tf.doc_id,
+             CAST(floor(-(CAST(tf.c AS DOUBLE) / n.n)
+                        * ln(CAST(tf.c AS DOUBLE) / n.n) * {ENT_FX})
+                  AS BIGINT) AS h_fx
+      FROM tf JOIN n ON n.doc_id = tf.doc_id
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(h_fx) AS BIGINT) AS entropy_fx,
+           round(CAST(sum(h_fx) AS DOUBLE) / {ENT_FX}.0, 6) AS entropy_nats
+    FROM terms GROUP BY doc_id
+    """,
+)
+def txt_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy (nats) from fixed-point term sums."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = tf.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    terms = tf.join(n, "doc_id").select(
+        "doc_id",
+        F.floor(-p * F.log(p) * ENT_FX).cast("bigint").alias("h_fx"),
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_tokens"),
+        F.sum("h_fx").cast("bigint").alias("entropy_fx"),
+        F.round(F.sum("h_fx").cast("double") / float(ENT_FX), 6).alias(
+            "entropy_nats"
+        ),
+    )

@@ -154,3 +154,109 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("score", 6).alias("bm25_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. '09)
+# of the BM25 lexical ranking and a dense cosine ranking — the
+# standard two-tower serving pattern (sparse recall ∪ dense recall ->
+# rank-level fusion, no score calibration needed because RRF only
+# consumes RANKS). Embeddings index documents by id here (vec_id ==
+# doc_id in the fixture), query = vector 0.
+#
+#   rrf(d) = 1/(K + rank_bm25(d)) + 1/(K + rank_dense(d))
+#
+# with absent-from-one-list contributing 0. The two reciprocal terms
+# combine in a FIXED order, so the fused score is bit-identical
+# cross-engine; the fused list carries both source ranks for
+# observability.
+# --------------------------------------------------------------------------
+RRF_K = 60
+RRF_TOPK = 20
+RRF_DENSE_QUERY = 0  # vec_id of the dense query vector
+RRF_POOL = 25  # depth of each source ranking
+
+_RRF_ORACLE = f"""
+WITH bm AS ({_BM25_ORACLE.strip()}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb FROM e WHERE vec_id = {RRF_DENSE_QUERY}),
+cos AS (
+  SELECT v.vec_id AS doc_id,
+         round(list_dot_product(q.emb, v.emb) /
+               (sqrt(list_dot_product(q.emb, q.emb)) *
+                sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+  FROM e v CROSS JOIN q WHERE v.vec_id != {RRF_DENSE_QUERY}
+),
+dense AS (
+  SELECT doc_id, CAST(rnk AS INTEGER) AS dense_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine DESC, doc_id) AS rnk
+    FROM cos) WHERE rnk <= {RRF_POOL}
+),
+fused AS (
+  SELECT coalesce(bm.doc_id, dense.doc_id) AS doc_id,
+         bm.rank AS bm25_rank, dense.dense_rank,
+         coalesce(1.0 / ({RRF_K} + bm.rank), 0.0)
+           + coalesce(1.0 / ({RRF_K} + dense.dense_rank), 0.0) AS s
+  FROM bm FULL OUTER JOIN dense ON dense.doc_id = bm.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER) AS fused_rank,
+       doc_id, round(s, 6) AS rrf_score, bm25_rank, dense_rank
+FROM fused
+QUALIFY fused_rank <= {RRF_TOPK}
+"""
+
+
+@register("sim_hybrid_rrf", oracle=_RRF_ORACLE)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{RRF_TOPK} hybrid ranking: RRF fusion of the BM25 top-{RRF_POOL}
+    and the dense cosine top-{RRF_POOL}."""
+    from .similarity import _dot, _norm
+
+    bm = txt_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") == RRF_DENSE_QUERY).select(
+        F.col("embedding").alias("qe"), _norm("embedding").alias("qn")
+    )
+    cos = (
+        e.filter(F.col("vec_id") != RRF_DENSE_QUERY)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot("qe", "embedding") / (F.col("qn") * _norm("embedding")), 6
+            ).alias("cosine"),
+        )
+    )
+    dense = (
+        cos.withColumn(
+            "dense_rank",
+            F.row_number()
+            .over(W.orderBy(F.col("cosine").desc(), "doc_id"))
+            .cast("int"),
+        )
+        .filter(F.col("dense_rank") <= RRF_POOL)
+        .select("doc_id", "dense_rank")
+    )
+    fused = bm.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "dense_rank",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("dense_rank")), F.lit(0.0))
+        ).alias("s"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number().over(W.orderBy(F.col("s").desc(), "doc_id")).cast("int"),
+        )
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .select(
+            "fused_rank", "doc_id", F.round("s", 6).alias("rrf_score"),
+            "bm25_rank", "dense_rank",
+        )
+    )

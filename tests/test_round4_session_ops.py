@@ -641,3 +641,39 @@ def test_waterfill_respects_supply_and_budget(spark, sf_dir):
     # never over-spends; under-spend only by integer-division crumbs
     # or because every source is exhausted
     assert total_alloc <= budget
+
+
+def test_rrf_fuses_both_rankers(spark, sf_dir):
+    from scalable_data_ingestion_spark.operators.retrieval import (
+        RRF_POOL,
+        RRF_TOPK,
+    )
+
+    rows = registry.QUERIES["sim_hybrid_rrf"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= RRF_TOPK
+    # docs present in BOTH rankings must dominate the fused head
+    both = [r for r in rows if r.bm25_rank is not None and r.dense_rank is not None]
+    only = [r for r in rows if r.bm25_rank is None or r.dense_rank is None]
+    if both and only:
+        assert min(r.fused_rank for r in both) < min(r.fused_rank for r in only)
+    for r in rows:
+        assert r.bm25_rank is None or 1 <= r.bm25_rank <= RRF_POOL
+        assert r.dense_rank is None or 1 <= r.dense_rank <= RRF_POOL
+
+
+def test_entropy_bounded_by_log_vocab(spark, sf_dir):
+    import math
+
+    rows = registry.QUERIES["txt_unigram_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.entropy_nats >= 0
+        # H <= ln(#distinct tokens); fixed-point floor only undershoots
+        assert r.entropy_nats <= math.log(max(r.n_distinct_tokens, 2)) + 1e-6
+
+
+def test_interarrival_percentiles_ordered(spark, sf_dir):
+    rows = registry.QUERIES["ev_interarrival_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.p50_gap_s <= r.p90_gap_s <= r.max_gap_s
