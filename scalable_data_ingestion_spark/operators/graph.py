@@ -781,3 +781,103 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") % PPR_SEED_MOD == 0).alias("is_seed"),
         F.round(F.col("pr_fx") / F.lit(float(PR_SCALE)), 9).alias("ppr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1))
+# over the support-filtered co-purchase graph — completes the graph-
+# metric trio (degree/PageRank centrality, triangle counts, and now
+# how CLIQUEY each node's neighborhood is; high-cc parts form bundles,
+# low-cc high-degree parts are hubs). Triangle participation and
+# degree reuse the exact integer machinery of gr_triangle_counts;
+# coefficients are one scalar division per node.
+# --------------------------------------------------------------------------
+@register(
+    "gr_clustering_coefficient",
+    oracle=f"""
+    WITH edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    und AS (
+      SELECT pa AS src, pb AS dst FROM edges
+      UNION ALL
+      SELECT pb, pa FROM edges
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+            FROM und GROUP BY src),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.pb = e2.pa
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    pernode AS (SELECT unnest([a, b, c]) AS node FROM tri),
+    tcount AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+               FROM pernode GROUP BY node)
+    SELECT d.node AS part_id, d.degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN d.degree >= 2
+                      THEN 2.0 * coalesce(t.n_triangles, 0)
+                           / (d.degree * (d.degree - 1))
+                      ELSE 0.0 END, 6) AS clustering_coef
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    """,
+)
+def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the support-filtered
+    co-purchase graph (integer triangle/degree counters, one scalar
+    division per node)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+        .cache()
+    )
+    und = edges.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        edges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("mid"))
+    e2 = edges.select(F.col("pa").alias("mid"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = (
+        e1.join(e2, "mid")
+        .join(e3, ["a", "c"], "left_semi")
+        .select("a", F.col("mid").alias("b"), "c")
+    )
+    pernode = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    tcount = pernode.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))
+        / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(0.0)
+    return deg.join(tcount, "node", "left").select(
+        F.col("node").alias("part_id"),
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+        F.round(cc, 6).alias("clustering_coef"),
+    )

@@ -78,3 +78,47 @@ def click_purchase_pairs(
 )
 def ssj_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_purchase_pairs(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Stream-static join: enrich the unbounded event stream with the
+# static customer dimension (user_id == c_custkey in this fixture).
+# The canonical streaming-enrichment pattern — the static side needs
+# NO watermark and holds no state (each micro-batch hash-joins against
+# the broadcast dimension; Spark re-reads the static side per batch,
+# so slowly-changing dimensions pick up updates between batches).
+# One builder serves batch and streaming; the batch twin is
+# oracle-checked and the streaming test must reproduce it exactly.
+# ---------------------------------------------------------------------------
+def enrich_events_with_segment(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Row-level enrichment: every event annotated with the customer's
+    market segment (stream-safe — a plain broadcast hash join, no
+    state; works identically on batch and streaming inputs)."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return events.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "event_type", "c_mktsegment"
+    )
+
+
+@register(
+    "sst_events_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def sst_events_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enriched = enrich_events_with_segment(
+        table(spark, sf_dir, "events"), table(spark, sf_dir, "customer")
+    )
+    return enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

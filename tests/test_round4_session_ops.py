@@ -677,3 +677,12 @@ def test_interarrival_percentiles_ordered(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0 <= r.p50_gap_s <= r.p90_gap_s <= r.max_gap_s
+
+
+def test_clustering_coefficient_bounds(spark, sf_dir):
+    rows = registry.QUERIES["gr_clustering_coefficient"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.clustering_coef <= 1.0
+        # triangles are bounded by neighbor pairs
+        assert 2 * r.n_triangles <= r.degree * (r.degree - 1) or r.degree < 2

@@ -306,3 +306,26 @@ def test_incremental_cms_equals_batch_and_never_underestimates(spark, tmp_path):
     cms.fold_batch(full, 0)
     cms.fold_batch(full, 0)
     assert {(r.r, r.bucket): r.cell for r in cms.cells().collect()} == batch_cells
+
+
+def test_stream_static_join_equals_batch(spark):
+    """Stream-static enrichment (events x customer dim) aggregated in
+    complete mode reproduces the batch join exactly."""
+    from scalable_data_ingestion_spark.catalog import table
+    from scalable_data_ingestion_spark.streaming.joins import (
+        enrich_events_with_segment,
+    )
+
+    events_stream = event_stream_from_parquet(spark, f"{SF}/events.parquet")
+    customers = table(spark, SF, "customer")
+    got = run_to_memory(
+        enrich_events_with_segment(events_stream, customers),
+        "t_sst",
+        spark,
+        output_mode="append",
+    )
+    expected = enrich_events_with_segment(table(spark, SF, "events"), customers)
+    g = {tuple(r) for r in got.collect()}
+    e = {tuple(r) for r in expected.collect()}
+    assert g == e
+    assert len(e) > 0
