@@ -145,6 +145,10 @@ HEADLINE_R9 = [
     "sim_hybrid_rrf",
     "txt_unigram_entropy",
     "ev_interarrival_stats",
+    "sst_events_by_segment",
+    "gr_clustering_coefficient",
+    "gr_degree_distribution",
+    "txt_length_histogram",
 ]
 
 ALL_HEADLINE = (

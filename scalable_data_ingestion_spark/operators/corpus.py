@@ -970,3 +970,45 @@ def txt_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Document-length histogram per source: log2-binned token lengths —
+# the input profile for packing/batching (pack_token_windows /
+# pack_length_buckets consume exactly this shape) and the first thing
+# a corpus intake review looks at (truncation spikes, empty-doc bins).
+# Integer bin arithmetic via the bin()-string log2.
+# --------------------------------------------------------------------------
+@register(
+    "txt_length_histogram",
+    oracle=r"""
+    WITH lens AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(length(bin(n)) - 1 AS INTEGER) AS bin_log2,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens,
+           CAST(sum(n) AS BIGINT) AS token_mass
+    FROM lens
+    GROUP BY source, length(bin(n)) - 1
+    """,
+)
+def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log2-binned token-length histogram with token mass."""
+    docs = table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n"),
+    )
+    return lens.groupBy(
+        "source", (F.length(F.bin("n")) - 1).cast("int").alias("bin_log2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n").cast("bigint").alias("min_tokens"),
+        F.max("n").cast("bigint").alias("max_tokens"),
+        F.sum("n").cast("bigint").alias("token_mass"),
+    )

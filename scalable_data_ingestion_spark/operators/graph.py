@@ -881,3 +881,85 @@ def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
         F.round(cc, 6).alias("clustering_coef"),
     )
+
+
+# --------------------------------------------------------------------------
+# Degree distribution: log2-binned histogram of co-purchase degrees —
+# the skew profile that decides the graph-execution strategy (a heavy
+# power-law tail => degree-orientation for triangles, hub salting /
+# AQE for joins; a flat profile => plain hash joins suffice). The
+# quantitative backing for the scale notes on every graph operator
+# above. Integer bin arithmetic (floor(log2) via bit length of the
+# degree, engine-neutral through the bin() string trick used by the
+# HLL rank).
+# --------------------------------------------------------------------------
+@register(
+    "gr_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+            FROM pairs GROUP BY src),
+    binned AS (
+      SELECT length(bin(degree)) - 1 AS bin_log2, degree FROM deg
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(degree) AS BIGINT) AS total_degree
+            FROM deg)
+    SELECT CAST(bin_log2 AS INTEGER) AS bin_log2,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree,
+           CAST(sum(degree) AS BIGINT) AS degree_mass,
+           round(CAST(sum(degree) AS DOUBLE) / t.total_degree, 6)
+               AS degree_mass_share
+    FROM binned CROSS JOIN tot t
+    GROUP BY bin_log2, t.total_degree
+    """,
+)
+def gr_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree histogram of the co-purchase graph with
+    per-bin degree-mass share (the join-strategy skew profile)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    deg = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    binned = deg.select(
+        (F.length(F.bin("degree")) - 1).alias("bin_log2"), "degree"
+    )
+    tot = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes_t"),
+        F.sum("degree").cast("bigint").alias("total_degree"),
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("bin_log2", "total_degree")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+            F.sum("degree").cast("bigint").alias("degree_mass"),
+        )
+        .select(
+            F.col("bin_log2").cast("int").alias("bin_log2"),
+            "n_nodes",
+            "min_degree",
+            "max_degree",
+            "degree_mass",
+            F.round(
+                F.col("degree_mass").cast("double") / F.col("total_degree"), 6
+            ).alias("degree_mass_share"),
+        )
+    )

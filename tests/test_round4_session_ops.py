@@ -686,3 +686,22 @@ def test_clustering_coefficient_bounds(spark, sf_dir):
         assert 0.0 <= r.clustering_coef <= 1.0
         # triangles are bounded by neighbor pairs
         assert 2 * r.n_triangles <= r.degree * (r.degree - 1) or r.degree < 2
+
+
+def test_degree_distribution_partitions_nodes(spark, sf_dir):
+    rows = registry.QUERIES["gr_degree_distribution"](spark, sf_dir).collect()
+    assert rows
+    total_share = sum(r.degree_mass_share for r in rows)
+    assert abs(total_share - 1.0) < 1e-4
+    for r in rows:
+        assert (1 << r.bin_log2) <= r.min_degree <= r.max_degree < (
+            1 << (r.bin_log2 + 1)
+        )
+
+
+def test_length_histogram_covers_corpus(spark, sf_dir):
+    rows = registry.QUERIES["txt_length_histogram"](spark, sf_dir).collect()
+    assert rows
+    n_docs_total = sum(r.n_docs for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert n_docs_total == docs
