@@ -545,3 +545,167 @@ def ev_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session-duration percentiles: the engagement-depth profile over the
+# 30-minute-gap sessionization (ev_user_sessions). Durations are
+# integer second differences of per-session min/max timestamps; the
+# percentile layer runs over the SESSION relation (one row per
+# session), not the event log.
+# --------------------------------------------------------------------------
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "ev_session_duration_stats",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts)
+                          > {SESSION_GAP_MIN} * 60
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    durs AS (
+      SELECT user_id, session_no,
+             CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+                 AS duration_s,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_event,
+           round(quantile_cont(duration_s, 0.5), 6) AS p50_duration_s,
+           round(quantile_cont(duration_s, 0.9), 6) AS p90_duration_s,
+           CAST(max(duration_s) AS BIGINT) AS max_duration_s
+    FROM durs
+    """,
+)
+def ev_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration percentiles over {SESSION_GAP_MIN}-minute-gap
+    sessions (exact integer second durations)."""
+    ev = table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(seq).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(seq))
+                > SESSION_GAP_MIN * 60
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            W.partitionBy("user_id").orderBy("ts").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        ),
+    )
+    durs = sess.groupBy("user_id", "session_no").agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("bigint")
+        .alias("duration_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return durs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_single_event"),
+        F.round(F.percentile("duration_s", F.lit(0.5)), 6).alias("p50_duration_s"),
+        F.round(F.percentile("duration_s", F.lit(0.9)), 6).alias("p90_duration_s"),
+        F.max("duration_s").cast("bigint").alias("max_duration_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert percentiles: for users whose first purchase follows
+# their first view, the view->purchase latency distribution — the
+# funnel's TIME dimension (ev_conversion_funnel counts WHO converts;
+# this measures HOW LONG conversion takes, which prices retargeting
+# windows and attribution horizons — cf. ATTR_WINDOW_DAYS).
+# --------------------------------------------------------------------------
+@register(
+    "ev_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT f.user_id,
+             min(e.ts) AS first_purchase,
+             max(f.first_view) AS first_view
+      FROM firsts f
+      JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts > f.first_view
+      GROUP BY f.user_id
+    ),
+    lat AS (
+      SELECT CAST(date_diff('second', first_view, first_purchase) AS BIGINT)
+                 AS secs
+      FROM conv
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(secs, 0.5), 6) AS p50_secs,
+           round(quantile_cont(secs, 0.9), 6) AS p90_secs,
+           CAST(max(secs) AS BIGINT) AS max_secs
+    FROM lat
+    """,
+)
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles of first-view -> first-subsequent-purchase latency
+    across converting users (exact integer seconds)."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        firsts.join(
+            purch,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") > F.col("first_view")),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("p_ts").alias("first_purchase"),
+            F.max("first_view").alias("first_view"),
+        )
+    )
+    lat = conv.select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).cast("bigint").alias("secs")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("secs", F.lit(0.5)), 6).alias("p50_secs"),
+        F.round(F.percentile("secs", F.lit(0.9)), 6).alias("p90_secs"),
+        F.max("secs").cast("bigint").alias("max_secs"),
+    )

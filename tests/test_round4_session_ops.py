@@ -705,3 +705,22 @@ def test_length_histogram_covers_corpus(spark, sf_dir):
     n_docs_total = sum(r.n_docs for r in rows)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert n_docs_total == docs
+
+
+def test_session_durations_consistent_with_sessionization(spark, sf_dir):
+    row = registry.QUERIES["ev_session_duration_stats"](spark, sf_dir).collect()[0]
+    # must agree with the sessionization relation's session count
+    sessions = (
+        registry.QUERIES["ev_user_sessions"](spark, sf_dir)
+        .select("user_id", "session_id")
+        .distinct()
+        .count()
+    )
+    assert row.n_sessions == sessions
+    assert 0 <= row.p50_duration_s <= row.p90_duration_s <= row.max_duration_s
+
+
+def test_time_to_convert_is_positive(spark, sf_dir):
+    row = registry.QUERIES["ev_time_to_convert"](spark, sf_dir).collect()[0]
+    assert row.n_converted > 0
+    assert 0 < row.p50_secs <= row.p90_secs <= row.max_secs
