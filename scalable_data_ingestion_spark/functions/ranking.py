@@ -1,0 +1,181 @@
+"""Scalable ranking primitives.
+
+An unpartitioned ``row_number() OVER (ORDER BY ...)`` forces every row
+through ONE partition to sort — fine at sf0.01, dead at 100 TB. These
+helpers are the two replacements every ranked operator should use
+(VERDICT r3 item #3):
+
+- :func:`take_ordered_ranked` — when only the top-K survive anyway.
+  ``orderBy().limit(k)`` compiles to ``TakeOrderedAndProject``
+  (per-partition heap + driver merge of K-row heads); the ranking
+  window then runs over the BOUNDED K-row survivor set, which is the
+  one place a global window is legitimate. Identical output to
+  rank-then-filter.
+
+- :func:`global_rank` — when EVERY row needs its rank (full total-order
+  ranking, e.g. Zipf rank of each vocabulary token). Range-repartition
+  on the order keys so partition i holds the i-th slice of the total
+  order, count rows per partition (a partitions-sized driver collect —
+  the same bounded-collect pattern as PageRank's node-count literal),
+  then ``rank = offset[partition] + row_number within partition``.
+  Every partition sorts only its own slice; no single-reducer stage.
+
+Both require ``order_by`` to be a TOTAL order (include a unique
+tie-break column) so ranks are deterministic and engine-independent.
+
+``tests/test_plan_quality.py::test_no_unpartitioned_window_over_unbounded_input``
+holds the line: any registered query whose plan ranks an unbounded
+relation through an empty-partition-spec window fails the suite.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _range_sliced(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    num_partitions: int | None,
+) -> DataFrame:
+    """Range-repartition ``df`` on ``order_by`` (partition i = i-th
+    slice of the total order), tag rows with the partition id, and
+    persist so the offset job and the downstream consumer see identical
+    partition contents."""
+    n_parts = (
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    )
+    return (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .persist()
+    )
+
+
+def _partition_offsets(sliced: DataFrame, value: Column) -> dict[int, int]:
+    """Per-partition exclusive prefix totals of ``value`` (one row per
+    partition — bounded by cluster width, not data)."""
+    totals = {
+        row["_gr_pid"]: row["t"]
+        for row in sliced.groupBy("_gr_pid").agg(value.alias("t")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offsets[-1] = acc  # grand total under key -1
+    return offsets
+
+
+def _offset_expr(offsets: dict[int, int]) -> Column:
+    entries = [(pid, off) for pid, off in sorted(offsets.items()) if pid >= 0]
+    if not entries:  # empty input: no rows ever evaluate the expression
+        return F.lit(0).cast("bigint")
+    return F.element_at(
+        F.create_map(*[F.lit(v) for kv in entries for v in kv]),
+        F.col("_gr_pid"),
+    ).cast("bigint")
+
+
+def take_ordered_ranked(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-``k`` rows of ``df`` under ``order_by`` with a 1-based
+    ``rank_col``, computed as TakeOrderedAndProject + a window over the
+    bounded K-row survivor set (never a full global sort).
+
+    Equivalent to ``row_number().over(W.orderBy(*order_by))`` followed
+    by ``filter(rank <= k)``, at per-partition-heap cost.
+    """
+    survivors = df.orderBy(*order_by).limit(k)
+    return survivors.withColumn(
+        rank_col, F.row_number().over(W.orderBy(*order_by))
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based total-order rank for EVERY row of ``df`` without a
+    single-partition sort.
+
+    Range-repartitions on ``order_by`` (partition i = i-th range of the
+    total order), persists that partitioning so the offset job and the
+    downstream consumer see identical partition contents, collects the
+    per-partition row counts (one row per partition — bounded by
+    cluster width, not data), and folds the cumulative offsets back in
+    as a literal map. The ranking window is partitioned by the range
+    partition id, so each partition sorts only its own slice.
+    """
+    sliced = _range_sliced(df, order_by, num_partitions)
+    offsets = _partition_offsets(sliced, F.count(F.lit(1)))
+    within = F.row_number().over(W.partitionBy("_gr_pid").orderBy(*order_by))
+    return sliced.withColumn(
+        rank_col, _offset_expr(offsets) + within
+    ).drop("_gr_pid")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value: Column,
+    out_col: str,
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Total-order prefix sum of ``value`` for every row of ``df``
+    without a single-partition window: per-partition running sums
+    offset by the (collected, partitions-sized) previous-partition
+    totals. ``inclusive=False`` gives the strictly-before prefix."""
+    sliced = _range_sliced(df, order_by, num_partitions)
+    offsets = _partition_offsets(sliced, F.sum(value))
+    upper = 0 if inclusive else -1
+    frame = W.partitionBy("_gr_pid").orderBy(*order_by).rowsBetween(
+        W.unboundedPreceding, upper
+    )
+    within = F.coalesce(F.sum(value).over(frame), F.lit(0))
+    return sliced.withColumn(
+        out_col, _offset_expr(offsets) + within
+    ).drop("_gr_pid")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    n_tiles: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n_tiles) OVER (ORDER BY ...)`` without a
+    single-partition window. Standard SQL ntile semantics (the first
+    ``n %% k`` tiles hold one extra row), derived from the
+    range-partitioned global rank plus the total row count folded in
+    as a literal (the PageRank node-count pattern). ``order_by`` must
+    be a total order so tile membership is deterministic."""
+    sliced = _range_sliced(df, order_by, num_partitions)
+    offsets = _partition_offsets(sliced, F.count(F.lit(1)))
+    n = offsets[-1]
+    within = F.row_number().over(W.partitionBy("_gr_pid").orderBy(*order_by))
+    rank = _offset_expr(offsets) + within
+    small = n // n_tiles  # rows per short tile
+    big = small + 1  # rows per long tile (first n % k tiles)
+    cutoff = (n % n_tiles) * big
+    if small == 0:  # fewer rows than tiles: tile == rank
+        tile = rank
+    else:
+        tile = F.when(
+            rank <= cutoff, F.ceil(rank.cast("double") / big)
+        ).otherwise(
+            (n % n_tiles) + F.ceil((rank - cutoff).cast("double") / small)
+        )
+    return sliced.withColumn(out_col, tile.cast("int")).drop("_gr_pid")

@@ -349,7 +349,14 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer RFM quartile scores (4 = best) and the concatenated
-    RFM cell label."""
+    RFM cell label.
+
+    Each quartile assignment is ``global_ntile`` — the range-partitioned
+    ntile (offset ranking + literal total, standard first-tiles-long
+    semantics) — because every customer needs a score and the customer
+    dimension grows with the data: no single-partition ntile windows."""
+    from ..functions.ranking import global_ntile
+
     orders = table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     ref = orders.agg(F.max(d).alias("ref_date"))
@@ -370,17 +377,23 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    r = 5 - F.ntile(4).over(W.orderBy("recency_days", "custkey"))
-    f = 5 - F.ntile(4).over(W.orderBy(F.col("frequency").desc(), "custkey"))
-    m = 5 - F.ntile(4).over(W.orderBy(F.col("monetary_cents").desc(), "custkey"))
-    scored = base.select(
+    tiled = global_ntile(
+        base, [F.col("recency_days"), F.col("custkey")], 4, "_rt"
+    )
+    tiled = global_ntile(
+        tiled, [F.col("frequency").desc(), F.col("custkey")], 4, "_ft"
+    )
+    tiled = global_ntile(
+        tiled, [F.col("monetary_cents").desc(), F.col("custkey")], 4, "_mt"
+    )
+    scored = tiled.select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary_cents",
-        r.cast("int").alias("r_score"),
-        f.cast("int").alias("f_score"),
-        m.cast("int").alias("m_score"),
+        (5 - F.col("_rt")).cast("int").alias("r_score"),
+        (5 - F.col("_ft")).cast("int").alias("f_score"),
+        (5 - F.col("_mt")).cast("int").alias("m_score"),
     )
     return scored.withColumn(
         "rfm",

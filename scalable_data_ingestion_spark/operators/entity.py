@@ -36,6 +36,67 @@ from ..catalog import table
 from ..registry import register
 from ..plans.stats import fz_party_name_matches
 
+def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Connected components of an undirected match graph given as
+    ``(a, b)`` pairs: min-label propagation to fixpoint.
+
+    Propagates labels ONLY over nodes that have at least one match
+    edge — the overwhelming singleton majority of a registry can never
+    change label, so it stays out of every iteration (at real scale
+    the difference between iterating a match graph and iterating the
+    whole registry). Each round is one node-keyed shuffle join +
+    aggregate; labels only decrease, so an unchanged label-sum
+    certifies the fixpoint (no driver-side graph state). Returns
+    ``(node, lab)`` for matched nodes only; raises if the diameter
+    exceeds ``max_rounds``.
+    """
+    edges = (
+        pairs.union(pairs.select(F.col("b"), F.col("a")))
+        .toDF("src", "dst")
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    converged = False
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("n_node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        prev_labels = labels
+        # localCheckpoint (not cache): each round's plan references the
+        # previous labels TWICE (neighbor_min + the join), so lineage —
+        # and the plan Catalyst must stringify/analyze — doubles every
+        # round without truncation; on a cluster this would be a
+        # reliable checkpoint every ~10 supersteps.
+        labels = (
+            labels.join(neighbor_min, labels.node == F.col("n_node"), "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("lab")).first()[0]
+        prev_labels.unpersist()
+        if cur_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"entity resolution did not converge in {max_rounds} rounds"
+        )
+    return labels
+
+
 _FZ_PAIRS_SQL = """
       SELECT s_suppkey * 2 AS a, c_custkey * 2 + 1 AS b
       FROM supplier JOIN customer
@@ -92,45 +153,7 @@ def er_party_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = fz_party_name_matches(spark, sf_dir).select(
         (F.col("s_suppkey") * 2).alias("a"), (F.col("c_custkey") * 2 + 1).alias("b")
     )
-    edges = pairs.union(pairs.select(F.col("b"), F.col("a"))).toDF("src", "dst").cache()
-
-    # Propagate labels ONLY over nodes that have at least one match
-    # edge — the overwhelming singleton majority of the registry can
-    # never change label, so it stays out of every iteration (50x
-    # smaller loop relations here; at real scale the difference between
-    # iterating a match graph and iterating the whole registry).
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
-        .cache()
-    )
-    prev_sum = labels.agg(F.sum("lab")).first()[0]
-    converged = False
-    for _ in range(50):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("n_node"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        prev_labels = labels
-        labels = (
-            labels.join(neighbor_min, labels.node == F.col("n_node"), "left")
-            .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
-            )
-            .cache()
-        )
-        cur_sum = labels.agg(F.sum("lab")).first()[0]
-        prev_labels.unpersist()
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
-    if not converged:
-        raise RuntimeError("entity resolution did not converge in 50 rounds")
+    labels = min_label_components(pairs)
     size_w = W.partitionBy("entity_id")
     return (
         parties.join(F.broadcast(labels), "node", "left")
@@ -139,6 +162,158 @@ def er_party_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             "party_key",
             # unmatched parties keep their own node id = singleton entity
             F.coalesce("lab", F.col("node")).alias("entity_id"),
+        )
+        .withColumn("entity_size", F.count(F.lit(1)).over(size_w).cast("bigint"))
+    )
+
+
+# --------------------------------------------------------------------------
+# ER on a REALISTICALLY perturbed registry (VERDICT r3 item #6).
+#
+# er_party_entities above runs on TPC-H's zero-padded numeric names —
+# pathologically self-similar, so its sf0.1 bench cost measures the
+# fixture, not the operator. This variant builds the fixture a real
+# master-data system sees: word-based names (p_name — five dictionary
+# words) plus deterministic single-character-deletion typo duplicates
+# for every third part (edit distance 1, the dominant real-world typo
+# class; position keyed on the part key so both engines corrupt
+# identically).
+#
+# Pipeline: FastSS-1 candidate generation (each name's deletion-1
+# neighborhood, |name|+1 variants/row, exact for lev<=1) ->
+# variant-keyed equi-join (never a cross join) -> exact levenshtein
+# verify -> min-label transitive closure over the match graph only ->
+# registry join-back for singleton entities.
+#
+# Scale: the variant relation is |registry| x avg_len rows — linear,
+# map-generated, shuffled once on the variant string; candidate volume
+# is sum of per-variant block sizes (real-name vocabularies keep
+# blocks tiny); the closure loop touches matched nodes only.
+# --------------------------------------------------------------------------
+# Registry name = p_name + a 6-hex-char registration code derived from
+# the key: the synthetic p_name vocabulary has only ~64 distinct values
+# (thousands of exact-duplicate blocks — the same fixture pathology the
+# verdict flagged for er_party_entities), so the code suffix makes
+# names realistically near-unique while staying bit-identical across
+# engines (md5 in both).
+_DIRTY_REG_SQL = """
+      SELECT p_partkey * 2 AS reg_id,
+             p_name || ' ' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 6)
+               AS name
+      FROM part
+      UNION ALL
+      SELECT p_partkey * 2 + 1, nm FROM (
+        SELECT p_partkey,
+               p_name || ' ' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 6)
+                 AS full_name
+        FROM part WHERE p_partkey % 3 = 0
+      ), LATERAL (
+        SELECT substr(full_name, 1,
+                      CAST(p_partkey % length(full_name) AS INTEGER))
+               || substr(full_name,
+                         CAST(p_partkey % length(full_name) AS INTEGER) + 2)
+               AS nm
+      )
+"""
+
+
+@register(
+    "er_dirty_registry_entities",
+    oracle=f"""
+    WITH RECURSIVE reg AS ({_DIRTY_REG_SQL}),
+    vars AS (
+      SELECT reg_id, name,
+             substr(name, 1, i - 1) || substr(name, i + 1) AS v
+      FROM (SELECT reg_id, name,
+                   unnest(generate_series(1, length(name))) AS i
+            FROM reg)
+      UNION ALL
+      SELECT reg_id, name, name FROM reg
+    ),
+    cand AS (
+      SELECT DISTINCT a.reg_id AS a, b.reg_id AS b,
+                      a.name AS na, b.name AS nb
+      FROM vars a JOIN vars b ON a.v = b.v AND a.reg_id < b.reg_id
+    ),
+    pairs AS (SELECT a, b FROM cand WHERE levenshtein(na, nb) <= 1),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    walk(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+      WHERE w.lab < e.b
+    ),
+    comp AS (SELECT node, min(lab) AS entity_id FROM walk GROUP BY node)
+    SELECT r.reg_id, coalesce(c.entity_id, r.reg_id) AS entity_id,
+           CAST(count(*) OVER (PARTITION BY coalesce(c.entity_id, r.reg_id))
+                AS BIGINT) AS entity_size
+    FROM reg r LEFT JOIN comp c ON c.node = r.reg_id
+    """,
+)
+def er_dirty_registry_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the realistically-typo'd part-name
+    registry: FastSS-1 blocking + levenshtein<=1 verify + min-label
+    closure + singleton-preserving assignment."""
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.col("p_name"),
+            F.lit(" "),
+            F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 6),
+        ).alias("full_name"),
+    )
+    clean = part.select(
+        (F.col("p_partkey") * 2).alias("reg_id"),
+        F.col("full_name").alias("name"),
+    )
+    dirty = part.filter(F.col("p_partkey") % 3 == 0).select(
+        (F.col("p_partkey") * 2 + 1).alias("reg_id"),
+        F.concat(
+            F.expr(
+                "substr(full_name, 1, CAST(p_partkey % length(full_name) AS INT))"
+            ),
+            F.expr(
+                "substr(full_name, CAST(p_partkey % length(full_name) AS INT) + 2)"
+            ),
+        ).alias("name"),
+    )
+    reg = clean.unionByName(dirty)
+    # FastSS-1 neighborhood: the name itself plus every single-deletion
+    # variant — exact candidate cover for levenshtein <= 1.
+    deletions = reg.select(
+        "reg_id",
+        "name",
+        F.explode(F.expr("sequence(1, length(name))")).alias("i"),
+    ).select(
+        "reg_id",
+        "name",
+        F.concat(
+            F.expr("substr(name, 1, i - 1)"), F.expr("substr(name, i + 1)")
+        ).alias("v"),
+    )
+    variants = deletions.unionByName(
+        reg.select("reg_id", "name", F.col("name").alias("v"))
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("a.reg_id") < F.col("b.reg_id"))
+        .select(
+            F.col("a.reg_id").alias("a"),
+            F.col("b.reg_id").alias("b"),
+            F.col("a.name").alias("na"),
+            F.col("b.name").alias("nb"),
+        )
+        .distinct()
+    )
+    pairs = cand.filter(F.levenshtein("na", "nb") <= 1).select("a", "b")
+    labels = min_label_components(pairs)
+    size_w = W.partitionBy("entity_id")
+    return (
+        reg.join(F.broadcast(labels), reg.reg_id == labels.node, "left")
+        .select(
+            "reg_id",
+            F.coalesce("lab", F.col("reg_id")).alias("entity_id"),
         )
         .withColumn("entity_size", F.count(F.lit(1)).over(size_w).cast("bigint"))
     )

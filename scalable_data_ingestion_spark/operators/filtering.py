@@ -296,12 +296,15 @@ def samp_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
-    from pyspark.sql import Window as W
-
+    # global min count as a broadcast 1-row cross join (no window over
+    # the per-language counts)
+    cmin = counts.agg(F.min("c").alias("_cmin"))
     rate = F.round(
-        F.pow(F.col("c") / F.min("c").over(W.partitionBy()), F.lit(MIX_TAU - 1.0)), 6
+        F.pow(F.col("c") / F.col("_cmin"), F.lit(MIX_TAU - 1.0)), 6
     )
-    rates = counts.select("lang", rate.alias("keep_rate"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        "lang", rate.alias("keep_rate")
+    )
     bucket = F.conv(
         F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|temp"))), 1, 3),
         16,
@@ -387,8 +390,6 @@ _AUC_AGG_SQL = f"""
 def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact tie-aware ROC-AUC of the hashed classifier score for the
     lang='en' label, via the integer Mann-Whitney statistic."""
-    from pyspark.sql import Window as W
-
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
     w = F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("bigint") - 128
@@ -404,14 +405,13 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("p"),
         F.sum(1 - F.col("pos")).cast("bigint").alias("n"),
     )
-    run = hist.withColumn(
-        "neg_below",
-        F.coalesce(
-            F.sum("n").over(
-                W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
+    # exclusive prefix sum over the score histogram via the
+    # range-partitioned 2-pass scan (the histogram's distinct-score
+    # cardinality grows with the corpus — no single-partition window)
+    from ..functions.ranking import global_running_sum
+
+    run = global_running_sum(
+        hist, [F.col("s")], F.col("n"), "neg_below", inclusive=False
     )
     return run.agg(
         F.sum("p").cast("bigint").alias("n_pos"),

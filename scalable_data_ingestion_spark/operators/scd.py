@@ -313,10 +313,14 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", "ts").cast("date").alias("day"), "ts", "delta"
     )
     net = daily.groupBy("day").agg(F.sum("delta").alias("net"))
-    carry_w = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
-    carry = net.select(
-        "day", F.coalesce(F.sum("net").over(carry_w), F.lit(0)).alias("carried")
-    )
+    # carried-over concurrency = exclusive prefix sum over the day
+    # spine, via the range-partitioned 2-pass scan (no single-partition
+    # window, shape-uniform with the unbounded-input gate)
+    from ..functions.ranking import global_running_sum
+
+    carry = global_running_sum(
+        net, [F.col("day")], F.col("net"), "carried", inclusive=False
+    ).select("day", "carried")
     run_day = W.partitionBy("day").orderBy("ts", "delta").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )

@@ -546,19 +546,21 @@ def samp_docs_mix_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The md5 sort key is engine- and partitioning-independent (re-runs
     and backfills produce the identical mix, unlike rand(seed)). The
-    single global ORDER BY here is the test-SF formulation; at 100 TB
-    the same key feeds ``repartitionByRange(mk)`` + per-partition sort
-    — a range shuffle, not a single-reducer sort — and shard becomes
-    ``pmod(hash(mk), n)`` so no global row numbering is needed. The
-    round-robin deal by global position maximizes source interleaving
-    within every shard.
+    global position comes from ``global_rank`` — range-partitioned
+    offset ranking, never a single-reducer sort (VERDICT r3 #3 shape).
+    The round-robin deal by global position maximizes source
+    interleaving within every shard.
     """
+    from ..functions.ranking import global_rank
+
     docs = table(spark, sf_dir, "documents")
     mk = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|mix")))
-    w = W.orderBy("mk", "doc_id")
     return (
-        docs.select("doc_id", "source", mk.alias("mk"))
-        .withColumn("mix_pos", F.row_number().over(w).cast("bigint"))
+        global_rank(
+            docs.select("doc_id", "source", mk.alias("mk")),
+            [F.col("mk"), F.col("doc_id")],
+            "mix_pos",
+        )
         .select(
             "doc_id",
             "source",

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.ranking import take_ordered_ranked
 from ..registry import register
 from ..operators.orders_base import BASE_ORDERS_CTE, base_orders
 
@@ -594,13 +595,15 @@ def mb_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_raw"),
         )
     )
-    ranked = scored.withColumn(
+    # TakeOrderedAndProject top-k; only the K survivors see a window
+    # (never rank every co-purchase pair through one partition)
+    ranked = take_ordered_ranked(
+        scored,
+        [F.col("lift_raw").desc(), F.col("part_a"), F.col("part_b")],
+        RULES_TOPK,
         "rnk",
-        F.row_number().over(
-            W.orderBy(F.col("lift_raw").desc(), "part_a", "part_b")
-        ),
     )
-    return ranked.filter(F.col("rnk") <= RULES_TOPK).select(
+    return ranked.select(
         F.col("rnk").cast("int").alias("rnk"),
         "part_a",
         "part_b",
@@ -773,8 +776,12 @@ def sla_ship_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stat_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Gini coefficient and top-10%-customer revenue share from
-    BIGINT cents and DECIMAL(38,0) rank-weighted sums."""
-    from pyspark.sql import Window as W
+    BIGINT cents and DECIMAL(38,0) rank-weighted sums.
+
+    The rank-weighted sum needs EVERY customer's rank — computed by the
+    range-partitioned offset ranking (``global_rank``) with the total
+    count broadcast, never a single-partition window."""
+    from ..functions.ranking import global_rank
 
     orders = table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
@@ -782,11 +789,10 @@ def stat_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    ranked = cust.select(
-        "cents",
-        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
+    tot = cust.agg(F.count(F.lit(1)).alias("n"))
+    ranked = global_rank(
+        cust, [F.col("cents"), F.col("o_custkey")], "i"
+    ).crossJoin(F.broadcast(tot)).select("cents", "i", "n")
     agg = ranked.agg(
         F.max("n").alias("n"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("sx"),

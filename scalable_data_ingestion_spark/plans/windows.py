@@ -212,17 +212,17 @@ def w_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_global_record_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parity op: the ONE deliberately-unpartitioned window here (the
-    reference's global sequence number). At 100 TB this single-task sort
-    is the wrong tool — use zipWithIndex-style per-partition offsets
-    (count per partition -> cumulative offset -> partition-local
-    row_number + offset) or monotonically_increasing_id when ordinal
-    contiguity isn't required (SURVEY.md §2.5)."""
+    """Parity op: the reference's global sequence number, computed the
+    scalable way — ``global_rank``'s zipWithIndex-style per-partition
+    offsets (range shuffle + partitions-sized count collect +
+    partition-local row_number), never one single-task sort
+    (SURVEY.md §2.5, VERDICT r3 #3)."""
+    from ..functions.ranking import global_rank
+
     orders = table(spark, sf_dir, "orders")
-    w = W.orderBy("o_orderkey")
-    return orders.select(
-        F.row_number().over(w).cast("bigint").alias("record_id"), "o_orderkey"
-    )
+    return global_rank(
+        orders.select("o_orderkey"), [F.col("o_orderkey")], "record_id"
+    ).select(F.col("record_id").cast("bigint").alias("record_id"), "o_orderkey")
 
 
 # --------------------------------------------------------------------------
@@ -269,15 +269,25 @@ def w_first_last_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global distribution ranks (parity-scale op; at 100 TB compute
-    percentiles per partition key or via approx quantiles instead of a
-    global sort window)."""
+    """Global distribution ranks. The order key (o_totalprice,
+    o_orderkey) is a TOTAL order (orderkey unique), so
+    percent_rank == (rn-1)/(n-1) and cume_dist == rn/n with rn from the
+    range-partitioned ``global_rank`` and n folded in as a literal —
+    no single-partition sort window."""
+    from ..functions.ranking import global_rank
+
     orders = table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    ranked = global_rank(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        "_rn",
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    rn = F.col("_rn").cast("double")
+    return ranked.crossJoin(F.broadcast(n)).select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round((rn - 1) / (F.col("_n") - 1), 6).alias("pct_rank"),
+        F.round(rn / F.col("_n"), 6).alias("cume"),
     )
 
 

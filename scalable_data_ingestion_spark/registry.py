@@ -103,112 +103,79 @@ def load_all() -> None:
 
 
 # Curated registry ordering. The driver's CORRECTNESS harness checks the
-# first N registered queries (N=50 in round 1), so the leading entries are
-# chosen to cover every operator *family* — LLM-pipeline dedup/text/
-# similarity/multimodal/skew/as-of, the reference-parity enrichment and
-# quality queries, streaming batch twins, and one representative each from
-# the stats / events / functions-surface / relational / window families —
-# rather than exhausting the window on registration-order relational
-# variants. Everything not listed keeps registration order after these.
-# Round 3: second representatives of already-window-covered families
-# rotate out (they stay green in the local full-registry oracle sweep)
-# making room for this round's families: incremental store-anti-join
-# dedup + canonicalization dedup, SCD Type 2 history, Markov
-# transitions + path mining, hash-deterministic train/val/test splits,
-# per-source quantile calibration, exact heavy hitters, and Z-order
-# layout keys.
-# Driver-round-3 rotation: dd_exact_dedup / txt_corpus_stats /
-# ev_user_sessions / sim_knn_bruteforce were green in the r02 driver
-# window (and stay green in the local sweep); their slots go to this
-# round's new families — winnowing span-level dedup, DSIR importance
-# reweighting, MaxSim late-interaction retrieval, and LPA communities.
+# first N registered queries (N=50), so the leading entries rotate each
+# round to converge the driver's own record on the full registry
+# (VERDICT r3 item #4: union of r1-r4 driver-green >= 178 distinct).
+# Rounds 1-3 drove 128 distinct queries green; every name below is from
+# the 112 never-driver-checked remainder (all green in the local
+# full-registry DuckDB sweep at sf0.01). The first eleven are the
+# queries whose PLANS changed this round (the VERDICT r3 #3
+# global-window fixes: TakeOrderedAndProject top-k / range-partitioned
+# offset ranking) so the driver re-certifies their values under the new
+# plans; the rest cover the never-checked families breadth-first (dq_*
+# audits, samp_* variants, dd_* remainder, txt_* stats, ev_*
+# behavioral, gr_* round-9 graph ops, sim_*/emb_* ANN evals, monitors,
+# sketches, SCD/PIT). Everything not listed keeps registration order.
 _PRIORITY = (
-    # deduplication family (operators/dedup.py, operators/winnow.py)
-    "dd_winnow_match_pairs",
-    "dd_normalized_dedup",
-    "dd_minhash_lsh_pairs",
-    "dd_incremental_new_docs",
-    "dd_neardup_components",
-    "dd_embedding_lsh_pairs",
-    # text analysis + sampling/packing family (operators/text.py,
-    # operators/reweight.py)
-    "txt_quality_scores",
-    "samp_dsir_weights",
-    "txt_langid_confusion",
-    "hh_frequent_tokens",
-    "txt_gopher_rules",
-    # cross-table audits (operators/dq.py)
-    "dq_referential_integrity",
-    "pack_token_windows",
-    # DQ audits + PII scrubbing (operators/dq.py, operators/curation.py)
-    "dq_price_outliers_mad",
-    "pii_scrub_contacts",
-    # splits + iterative-state EWMA (operators/splits.py, timeseries.py)
-    "samp_train_val_test",
-    "ts_ewma_daily",
-    # similarity search + score calibration (multivector.py, splits.py)
-    "sim_maxsim_multivector",
-    "txt_quality_quantile_norm",
-    # clustering + Z-order layout (clustering.py, layout.py)
-    "emb_kmeans_assign",
-    "zo_orders_zvalues",
-    # multimodal (operators/multimodal.py)
-    "mm_media_features",
-    # skew tools (operators/skew.py)
-    "sk_distinct_users_per_event",
-    # as-of / range joins (operators/asof.py)
-    "asof_purchase_attribution",
-    # reference-parity enrichment (operators/enrichment_queries.py)
-    "orders_base_projection",
-    "enriched_orders",
-    "cleaned_messy_orders",
-    "segment_brand_distribution",
-    # quality scoring + SCD2 history (quality_queries.py, scd.py)
-    "q_quality_scores_messy",
-    "scd2_priority_history",
-    # streaming batch twins + Markov transitions (streaming/, scd.py)
-    "st_tumbling_hourly",
-    "ev_event_transitions",
-    "ssj_click_purchase_pairs",
-    # REST API source mapping (sources/api_queries.py)
-    "api_orders_mapping",
-    # path mining representative (scd.py) + prefix-filtered similarity
-    # join (fz_party_name_matches was green in the r02 driver window and
-    # stays in the local sweep; its slot goes to the AllPairs-style
-    # prefix join, a structurally different join algorithm)
-    "dd_prefix_jaccard_pairs",
-    "ev_top_user_paths",
-    # events + graph-communities representatives (operators/graph.py,
-    # operators/analytics.py)
-    "gr_label_propagation",
-    "ev_conversion_funnel",
-    "ev_retention_cohorts",
-    # BM25 lexical retrieval (new family this round;
-    # arr_embedding_vector_stats was green in r01+r02 driver windows and
-    # stays in the local sweep)
-    "txt_bm25_topk",
-    # model filtering, CMS sketch, vocab induction (filtering.py,
-    # sketches.py, corpus.py)
-    "txt_hash_classifier_score",
-    "sk_cms_token_estimates",
-    "txt_top_bigrams",
-    # time-series resampling (operators/timeseries.py)
-    "ts_daily_fill",
-    # drift monitoring (operators/monitor.py)
-    "mon_length_drift_psi",
-    # graph + IVF-PQ ANN (operators/graph.py, operators/pq.py)
-    "gr_copurchase_pagerank",
-    "sim_ivfpq_knn",
-    # CDC apply + relational/window representatives (q12's oracle-typing
-    # fix stayed green in r02; rotated out for the CDC family)
-    "cdc_apply_orders",
-    # round-5 rotation: q01_pricing_summary and w_running_revenue were
-    # green in BOTH r01 and r02 driver windows (and stay green in the
-    # local full-registry sweep); their slots go to the new
-    # quality-evaluation harnesses so the hard signal covers the
-    # eval family (LSH banding recall + ANN recall@k).
-    "dd_lsh_eval",
-    "sim_ivf_recall_at_k",
+    # plans changed this round -> re-certify values first
+    "samp_dsir_gumbel_topk",
+    "txt_zipf_fit",
+    "txt_pmi_pairs",
+    "sim_hybrid_rrf",
+    "gr_negative_edge_samples",
+    "samp_docs_weighted_systematic",
+    "eval_classifier_auc",
+    "mb_association_rules",
+    "stat_revenue_gini",
+    "cust_rfm_segments",
+    "txt_bigram_logprob",
+    # data-quality audit family (operators/dq.py)
+    "dq_split_leakage",
+    "dq_cross_lang_overlap",
+    "dq_benford_price",
+    "dq_key_uniqueness",
+    "dq_k_anonymity",
+    "dq_orders_checksum",
+    "dq_duplicate_orders",
+    # sampling/splits remainder (text.py, splits.py, reweight.py)
+    "samp_orders_hash_slice",
+    "samp_docs_lang_stratified",
+    "er_dirty_registry_entities",
+    "samp_cluster_aware_split",
+    "samp_neyman_allocation",
+    "samp_temperature_mix",
+    # dedup remainder (dedup.py, winnow.py, softdedup.py)
+    "dd_simhash_signatures",
+    "dd_neardup_survivors",
+    "dd_containment_pairs",
+    "dd_softdedup_weights",
+    "dd_dedup_impact",
+    "dd_bloom_decontaminate",
+    # text-analysis remainder (text.py, corpus.py)
+    "txt_token_stats",
+    "txt_oov_rate",
+    "txt_ngram_novelty",
+    "txt_unigram_entropy",
+    # behavioral events remainder (analytics.py, scd.py)
+    "ev_peak_concurrency",
+    "ev_rolling_wau",
+    "ev_session_duration_stats",
+    "ev_attribution_linear",
+    # graph remainder (graph.py)
+    "gr_triangle_counts",
+    "gr_personalized_pagerank",
+    "gr_degree_distribution",
+    # similarity / embedding evals (pq.py, similarity.py, projection.py)
+    "sim_pq_adc_knn",
+    "sim_ivf_multiprobe",
+    "sim_matryoshka_recall",
+    "emb_pca_top_component",
+    "emb_norm_audit",
+    # monitoring + sketches + temporal joins
+    "mon_seasonal_naive_mape",
+    "sk_hll_user_estimate",
+    "pit_orders_with_priority_version",
+    "scd2_apply_delta",
 )
 
 

@@ -41,6 +41,10 @@ def get_spark(app_name: str = "scalable_data_ingestion_spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # No carriage-return progress bars on stdout: the bench harness
+        # prints one machine-parsed JSON line and progress noise breaks
+        # tail-based parsers (BENCH_r03 regression).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long
         # (catalog.table converts to TimestampType).

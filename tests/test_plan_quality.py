@@ -269,6 +269,60 @@ def test_scd2_single_exchange(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1, p
 
 
+# ---------------------------------------------------------------- round 4
+def _iter_logical_nodes(jnode):
+    stack = [jnode]
+    while stack:
+        n = stack.pop()
+        yield n
+        children = n.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+# Windows over provably-bounded relations, audited by hand:
+# - w_nation_revenue_rank: rank over the per-nation revenue aggregate —
+#   the nation dimension is <= 25 rows at any scale factor.
+# - ts_rolling_view_purchase_corr: RANGE frame over the daily series —
+#   the day spine is time-bounded (10^3-10^4 rows for years of data),
+#   not data-volume-bounded; a sliding value-range frame has no
+#   Limit-shaped equivalent.
+GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
+    "w_nation_revenue_rank",
+    "ts_rolling_view_purchase_corr",
+}
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """THE scale gate from VERDICT r3 #3: an empty-partition-spec window
+    funnels its whole input through ONE partition to sort, so no
+    registered query may rank/scan an unbounded relation that way.
+    A global window is legitimate only when its input is bounded — a
+    Limit below it (the ``take_ordered_ranked`` shape: the K survivors
+    of a TakeOrderedAndProject) or an audited dimension-bounded
+    relation (explicit allowlist above). Full rankings must use
+    ``functions.ranking.global_rank`` / ``global_running_sum`` /
+    ``global_ntile`` (range-partitioned offset ranking) instead."""
+    offenders = []
+    for name, fn in registry.QUERIES.items():
+        if name in GLOBAL_WINDOW_BOUNDED_ALLOWLIST:
+            continue
+        root = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        for node in _iter_logical_nodes(root):
+            if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+                subtree = node.children().apply(0)
+                bounded = any(
+                    d.nodeName() in ("GlobalLimit", "LocalLimit")
+                    for d in _iter_logical_nodes(subtree)
+                )
+                if not bounded:
+                    offenders.append(name)
+                    break
+    assert not offenders, (
+        f"unpartitioned window over unbounded input in: {offenders}"
+    )
+
+
 def test_peak_concurrency_no_self_join(spark, sf_dir):
     """The sweep line never joins the event log against itself."""
     p = plan(registry.QUERIES["ev_peak_concurrency"](spark, sf_dir), "simple")
