@@ -61,28 +61,30 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         .withColumn("lab", F.col("node"))
         .cache()
     )
-    prev_sum = labels.agg(F.sum("lab")).first()[0]
-    converged = False
-    for _ in range(max_rounds):
+    def step(lab):
         neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(lab, edges.src == lab.node)
             .groupBy(F.col("dst").alias("n_node"))
             .agg(F.min("lab").alias("nlab"))
         )
-        prev_labels = labels
-        # localCheckpoint (not cache): each round's plan references the
-        # previous labels TWICE (neighbor_min + the join), so lineage —
-        # and the plan Catalyst must stringify/analyze — doubles every
-        # round without truncation; on a cluster this would be a
-        # reliable checkpoint every ~10 supersteps.
-        labels = (
-            labels.join(neighbor_min, labels.node == F.col("n_node"), "left")
-            .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
-            )
-            .localCheckpoint()
+        return lab.join(neighbor_min, lab.node == F.col("n_node"), "left").select(
+            "node",
+            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
         )
+
+    prev_sum = labels.agg(F.sum("lab")).first()[0]
+    converged = False
+    for _ in range(max_rounds):
+        prev_labels = labels
+        # One hop per materialization (a measured double-hop variant
+        # was slower: star-shaped match graphs converge in ~3 hops, so
+        # double-stepping does more join work than it saves in
+        # actions). localCheckpoint (not cache): each hop's plan
+        # references the previous labels twice, so lineage — and the
+        # plan Catalyst must stringify/analyze — grows geometrically
+        # without truncation; on a cluster this would be a reliable
+        # checkpoint every ~10 supersteps.
+        labels = step(labels).localCheckpoint()
         cur_sum = labels.agg(F.sum("lab")).first()[0]
         prev_labels.unpersist()
         if cur_sum == prev_sum:
@@ -294,19 +296,25 @@ def er_dirty_registry_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = deletions.unionByName(
         reg.select("reg_id", "name", F.col("name").alias("v"))
     )
-    a, b = variants.alias("a"), variants.alias("b")
+    # Narrow candidate relation: dedup on the (a, b) INT pair only —
+    # the name strings would triple the dedup shuffle width — then
+    # broadcast the registry back twice for the levenshtein verify.
+    thin = variants.select("reg_id", "v")
+    a, b = thin.alias("a"), thin.alias("b")
     cand = (
         a.join(b, "v")
         .filter(F.col("a.reg_id") < F.col("b.reg_id"))
-        .select(
-            F.col("a.reg_id").alias("a"),
-            F.col("b.reg_id").alias("b"),
-            F.col("a.name").alias("na"),
-            F.col("b.name").alias("nb"),
-        )
+        .select(F.col("a.reg_id").alias("a"), F.col("b.reg_id").alias("b"))
         .distinct()
     )
-    pairs = cand.filter(F.levenshtein("na", "nb") <= 1).select("a", "b")
+    names_a = reg.select(F.col("reg_id").alias("a"), F.col("name").alias("na"))
+    names_b = reg.select(F.col("reg_id").alias("b"), F.col("name").alias("nb"))
+    pairs = (
+        cand.join(F.broadcast(names_a), "a")
+        .join(F.broadcast(names_b), "b")
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .select("a", "b")
+    )
     labels = min_label_components(pairs)
     size_w = W.partitionBy("entity_id")
     return (
