@@ -157,6 +157,13 @@ HEADLINE_R9 = [
 # fixture pathology).
 HEADLINE_R10 = [
     "er_dirty_registry_entities",
+    # build-round-4 operator additions: word2vec-style windowed
+    # skipgram PMI (map-side pair generation), common-neighbor link
+    # prediction (wedge join minus real edges), and per-user Markov
+    # path likelihood (broadcast transition model, fixed-point sums).
+    "txt_skipgram_pmi",
+    "gr_common_neighbor_links",
+    "ev_markov_path_likelihood",
 ]
 
 ALL_HEADLINE = (

@@ -1024,3 +1024,137 @@ def txt_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("max_tokens"),
         F.sum("n").cast("bigint").alias("token_mass"),
     )
+
+
+# --------------------------------------------------------------------------
+# Positional skipgram PMI — the word2vec-style co-occurrence statistic
+# (±SKIP_WINDOW token window), complementing the document-level PMI
+# above (txt_pmi_pairs counts "both appear in the doc"; this counts
+# "appear within k tokens of each other", the signal embedding
+# training and collocation mining actually consume).
+#
+# Scale: pair generation is PURE MAP-SIDE — per-row zip_with over the
+# token array against its k-shifted self (no position self-join, no
+# shuffle until the (a, b) count), so the shuffled relation is
+# ~window x n_tokens rows of token pairs, partial-aggregated map-side.
+# Marginals are a vocab-sized broadcast; the final top-k is
+# TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+SKIP_WINDOW = 2
+SKIP_MIN_COOC = 5
+SKIP_TOPK = 30
+
+
+def _skip_pairs_sql(k: int) -> str:
+    return f"""
+      SELECT CASE WHEN t[i] <= t[i + {k}] THEN t[i] ELSE t[i + {k}] END AS a,
+             CASE WHEN t[i] <= t[i + {k}] THEN t[i + {k}] ELSE t[i] END AS b
+      FROM (SELECT t, unnest(generate_series(1, len(t) - {k})) AS i
+            FROM tok WHERE len(t) >= {k + 1})
+    """
+
+
+@register(
+    "txt_skipgram_pmi",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM tok),
+    marg AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+    ntok AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM uni),
+    pairs AS ({_skip_pairs_sql(1).strip()} UNION ALL {_skip_pairs_sql(2).strip()}),
+    npairs AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pairs),
+    cnt AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM pairs GROUP BY a, b HAVING count(*) >= {SKIP_MIN_COOC}
+    ),
+    scored AS (
+      SELECT cnt.a, cnt.b, cnt.c_ab, ma.c AS c_a, mb.c AS c_b,
+             ln(((CAST(cnt.c_ab AS DOUBLE) * ntok.nt)
+                 / (CAST(npairs.np AS DOUBLE) * ma.c))
+                * (CAST(ntok.nt AS DOUBLE) / mb.c)) AS pmi_raw
+      FROM cnt
+      JOIN marg ma ON ma.w = cnt.a
+      JOIN marg mb ON mb.w = cnt.b
+      CROSS JOIN ntok CROSS JOIN npairs
+    ),
+    ranked AS (
+      SELECT a, b, c_ab, c_a, c_b, pmi_raw,
+             row_number() OVER (ORDER BY pmi_raw DESC, a, b) AS rnk
+      FROM scored
+    )
+    SELECT CAST(rnk AS INTEGER) AS rnk, a AS tok_a, b AS tok_b,
+           c_ab, c_a, c_b, round(pmi_raw, 6) AS pmi
+    FROM ranked WHERE rnk <= {SKIP_TOPK}
+    """,
+)
+def txt_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{SKIP_TOPK} token pairs by windowed (±{SKIP_WINDOW}) skipgram
+    PMI, minimum co-occurrence {SKIP_MIN_COOC}."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    toks = docs.select(t.alias("_t"))
+
+    def shifted_pairs(k: int):
+        # per-row pairing of the array against its k-shifted self; rows
+        # shorter than k+1 tokens contribute an empty list
+        return F.expr(
+            f"if(size(_t) > {k},"
+            f" zip_with(slice(_t, 1, size(_t) - {k}),"
+            f"          slice(_t, 1 + {k}, size(_t) - {k}),"
+            f"          (x, y) -> if(x <= y, named_struct('a', x, 'b', y),"
+            f"                       named_struct('a', y, 'b', x))),"
+            f" array())"
+        )
+
+    pairs = toks.select(
+        F.explode(
+            F.flatten(
+                F.array(*[shifted_pairs(k) for k in range(1, SKIP_WINDOW + 1)])
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    uni = docs.select(F.explode(t).alias("w"))
+    marg = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ntok = uni.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
+    npairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    cnt = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= SKIP_MIN_COOC)
+    )
+    ma = marg.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    mb = marg.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        cnt.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.log(
+                (
+                    (F.col("c_ab").cast("double") * F.col("nt"))
+                    / (F.col("np").cast("double") * F.col("c_a"))
+                )
+                * (F.col("nt").cast("double") / F.col("c_b"))
+            ).alias("pmi_raw"),
+        )
+    )
+    ranked = take_ordered_ranked(
+        scored, [F.col("pmi_raw").desc(), F.col("a"), F.col("b")], SKIP_TOPK, "rnk"
+    )
+    return ranked.select(
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("a").alias("tok_a"),
+        F.col("b").alias("tok_b"),
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.round("pmi_raw", 6).alias("pmi"),
+    )

@@ -964,3 +964,135 @@ def gr_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("degree_mass_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Common-neighbor link prediction — the classic structural scorer for
+# recommendation / graph-completion candidates: for every NON-edge
+# (a, b) of the support-filtered co-purchase graph, how many neighbors
+# do a and b share, and what is the neighborhood Jaccard? The positive
+# counterpart of gr_negative_edge_samples (that op mines negatives for
+# training; this one scores candidate positives for serving).
+#
+# Shape: one wedge join on the middle node over the undirected
+# adjacency (same support-pruned edge relation as the triangle
+# counter, same hub-skew mitigations apply), minus real edges via a
+# left anti join, plus a broadcast degree lookup. Never all-pairs —
+# only pairs at distance 2 ever materialize.
+# --------------------------------------------------------------------------
+LP_TOPK = 30
+
+
+@register(
+    "gr_common_neighbor_links",
+    oracle=f"""
+    WITH eo AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    adj AS (
+      SELECT pa AS u, pb AS v FROM eo UNION ALL SELECT pb, pa FROM eo
+    ),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    cand AS (
+      SELECT e1.u AS a, e2.v AS b, CAST(count(*) AS BIGINT) AS cn
+      FROM adj e1 JOIN adj e2 ON e1.v = e2.u
+      WHERE e1.u < e2.v
+      GROUP BY e1.u, e2.v
+    ),
+    nonedge AS (
+      SELECT c.a, c.b, c.cn FROM cand c
+      LEFT JOIN eo ON eo.pa = c.a AND eo.pb = c.b
+      WHERE eo.pa IS NULL
+    ),
+    scored AS (
+      SELECT n.a, n.b, n.cn, da.d AS deg_a, db.d AS deg_b,
+             CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn) AS jac
+      FROM nonedge n
+      JOIN deg da ON da.node = n.a
+      JOIN deg db ON db.node = n.b
+    ),
+    ranked AS (
+      SELECT a, b, cn, deg_a, deg_b, jac,
+             row_number() OVER (ORDER BY cn DESC, a, b) AS rnk
+      FROM scored
+    )
+    SELECT CAST(rnk AS INTEGER) AS rnk, a AS part_a, b AS part_b,
+           cn AS common_neighbors, deg_a, deg_b,
+           round(jac, 6) AS jaccard
+    FROM ranked WHERE rnk <= {LP_TOPK}
+    """,
+)
+def gr_common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LP_TOPK} non-adjacent part pairs by common-neighbor count
+    (with neighborhood Jaccard) over the support-filtered co-purchase
+    graph."""
+    from ..functions.ranking import take_ordered_ranked
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    eo = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+        # read 4x below (two wedge sides, the anti join, the degrees)
+        .cache()
+    )
+    adj = eo.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        eo.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    e1 = adj.select(F.col("u").alias("a"), F.col("v").alias("m"))
+    e2 = adj.select(F.col("u").alias("m"), F.col("v").alias("b"))
+    cand = (
+        e1.join(e2, "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    nonedge = cand.join(
+        eo.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    scored = (
+        nonedge.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+            ).alias("jac"),
+        )
+    )
+    ranked = take_ordered_ranked(
+        scored, [F.col("cn").desc(), F.col("a"), F.col("b")], LP_TOPK, "rnk"
+    )
+    return ranked.select(
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("a").alias("part_a"),
+        F.col("b").alias("part_b"),
+        F.col("cn").alias("common_neighbors"),
+        "deg_a",
+        "deg_b",
+        F.round("jac", 6).alias("jaccard"),
+    )

@@ -769,3 +769,99 @@ def scd2_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return untouched.unionByName(recomputed)
+
+
+# --------------------------------------------------------------------------
+# Markov path likelihood — score every user's event sequence under the
+# corpus-learned first-order transition model (ev_event_transitions is
+# the model estimation; this is the scoring pass). Users whose paths
+# are improbable under the global model are the bot / broken-client /
+# fraud candidates a behavioral pipeline routes to review — the
+# event-stream analog of txt_bigram_logprob's perplexity outliers.
+#
+# Determinism: per-step log-probabilities quantize to BIGINT
+# fixed-point (1e-6 grid) BEFORE the per-user sum, so the score is
+# exact under any shuffle order (same policy as the text LMs). The
+# transition model is |event_types|^2 rows — broadcast; the only big
+# shuffle is the user-keyed lead() the transition estimate already
+# pays.
+# --------------------------------------------------------------------------
+@register(
+    "ev_markov_path_likelihood",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    steps AS (
+      SELECT user_id, event_type, next_type FROM seq
+      WHERE next_type IS NOT NULL
+    ),
+    tm AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM steps GROUP BY 1, 2
+    ),
+    fm AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS nf FROM tm GROUP BY 1
+    ),
+    lp AS (
+      SELECT tm.event_type, tm.next_type,
+             CAST(floor(ln(CAST(tm.n AS DOUBLE) / fm.nf) * 1000000 + 0.5)
+                  AS BIGINT) AS fx
+      FROM tm JOIN fm USING (event_type)
+    ),
+    peruser AS (
+      SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_steps,
+             CAST(sum(l.fx) AS BIGINT) AS sfx
+      FROM steps s
+      JOIN lp l ON l.event_type = s.event_type AND l.next_type = s.next_type
+      GROUP BY s.user_id
+    )
+    SELECT user_id, n_steps,
+           round(sfx / (1000000.0 * n_steps), 6) AS mean_logp,
+           round(exp(-(sfx / (1000000.0 * n_steps))), 6) AS perplexity
+    FROM peruser
+    """,
+)
+def ev_markov_path_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user mean transition log-likelihood (and perplexity) under
+    the global first-order event-transition model."""
+    ev = table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(seq).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    tm = steps.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    fm = tm.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("nf"))
+    lp = tm.join(fm, "event_type").select(
+        "event_type",
+        "next_type",
+        F.floor(F.log(F.col("n").cast("double") / F.col("nf")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("fx"),
+    )
+    peruser = (
+        steps.join(F.broadcast(lp), ["event_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_steps"),
+            F.sum("fx").cast("bigint").alias("sfx"),
+        )
+    )
+    mean = F.col("sfx") / (1000000.0 * F.col("n_steps"))
+    return peruser.select(
+        "user_id",
+        "n_steps",
+        F.round(mean, 6).alias("mean_logp"),
+        F.round(F.exp(-mean), 6).alias("perplexity"),
+    )
