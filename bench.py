@@ -164,6 +164,8 @@ HEADLINE_R10 = [
     "txt_skipgram_pmi",
     "gr_common_neighbor_links",
     "ev_markov_path_likelihood",
+    "ts_holt_linear",
+    "mon_category_drift_tvd",
 ]
 
 ALL_HEADLINE = (

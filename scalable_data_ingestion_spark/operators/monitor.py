@@ -318,3 +318,100 @@ def mon_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mape"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Categorical drift (total-variation distance) — the categorical
+# counterpart of the PSI monitors above (mon_length_drift_psi is
+# numeric-binned; embeddings get the JL-projected variant): for each
+# categorical document column, the per-value share shift between the
+# reference slice (even doc_id) and the current slice (odd doc_id),
+# plus the column-level TVD = max over events of probability
+# disagreement = 0.5 * L1. The alarm that catches a source mix shift
+# or a langid regression before it skews the training mixture.
+#
+# Shape: one conditional-count aggregate per column over (value) keys
+# (two scans fused by the unpivot union), dimension-sized results; the
+# column rollup windows over the per-column value list (bounded by the
+# category vocabulary, not the corpus).
+# --------------------------------------------------------------------------
+@register(
+    "mon_category_drift_tvd",
+    oracle="""
+    WITH src AS (
+      SELECT 'lang' AS col_name, lang AS val,
+             CAST(doc_id % 2 = 0 AS INTEGER) AS is_ref
+      FROM documents
+      UNION ALL
+      SELECT 'source', source, CAST(doc_id % 2 = 0 AS INTEGER)
+      FROM documents
+    ),
+    cells AS (
+      SELECT col_name, val,
+             CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+      FROM src GROUP BY col_name, val
+    ),
+    tot AS (
+      SELECT col_name,
+             CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur
+      FROM cells GROUP BY col_name
+    ),
+    shares AS (
+      SELECT c.col_name, c.val, c.n_ref, c.n_cur,
+             CAST(c.n_ref AS DOUBLE) / t.t_ref AS p_ref,
+             CAST(c.n_cur AS DOUBLE) / t.t_cur AS p_cur
+      FROM cells c JOIN tot t USING (col_name)
+    )
+    SELECT col_name, val, n_ref, n_cur,
+           round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+           round(abs(p_ref - p_cur), 6) AS abs_shift,
+           round(0.5 * sum(abs(p_ref - p_cur)) OVER (PARTITION BY col_name), 6)
+               AS col_tvd
+    FROM shares
+    """,
+)
+def mon_category_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-value share shift + per-column total-variation distance
+    between the even/odd doc_id slices, for the categorical document
+    columns (lang, source)."""
+    docs = table(spark, sf_dir, "documents")
+    is_ref = (F.col("doc_id") % 2 == 0).cast("int")
+    src = docs.select(
+        F.lit("lang").alias("col_name"), F.col("lang").alias("val"), is_ref.alias("is_ref")
+    ).unionByName(
+        docs.select(
+            F.lit("source").alias("col_name"),
+            F.col("source").alias("val"),
+            is_ref.alias("is_ref"),
+        )
+    )
+    cells = src.groupBy("col_name", "val").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    tot = cells.groupBy("col_name").agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+    )
+    shares = cells.join(F.broadcast(tot), "col_name").select(
+        "col_name",
+        "val",
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref").cast("double") / F.col("t_ref")).alias("p_ref_raw"),
+        (F.col("n_cur").cast("double") / F.col("t_cur")).alias("p_cur_raw"),
+    )
+    diff = F.abs(F.col("p_ref_raw") - F.col("p_cur_raw"))
+    col_w = W.partitionBy("col_name")
+    return shares.select(
+        "col_name",
+        "val",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref_raw", 6).alias("p_ref"),
+        F.round("p_cur_raw", 6).alias("p_cur"),
+        F.round(diff, 6).alias("abs_shift"),
+        F.round(0.5 * F.sum(diff).over(col_w), 6).alias("col_tvd"),
+    )

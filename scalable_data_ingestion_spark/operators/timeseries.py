@@ -363,3 +363,96 @@ def ts_rolling_view_purchase_corr(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("day", n.cast("int").alias("n_days"), F.round(corr, 6).alias("rolling_corr"))
     )
+
+
+# --------------------------------------------------------------------------
+# Holt's linear (double-exponential) smoothing — the trend-aware
+# sibling of ts_ewma_daily and the simplest real forecasting
+# primitive: per-user level + trend recurrences
+#
+#   l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})      l_1 = x_1
+#   b_t = g*(l_t - l_{t-1}) + (1-g)*b_{t-1}      b_1 = 0
+#   one-step forecast f_{t+1} = l_t + b_t
+#
+# Same escape-hatch policy as the EWMA: output depends on previous
+# output, so it runs as a 64-way-bucketed applyInPandas (one Arrow
+# round trip per bucket, state reset at user boundaries) and is
+# value-checked against a DuckDB recursive CTE running the identical
+# recurrence. a and g are dyadic so every double rounds identically in
+# both engines at every step; outputs stay unrounded (the EWMA's
+# documented .5-ulp rounding hazard).
+# --------------------------------------------------------------------------
+HOLT_ALPHA = 0.25  # level smoothing (dyadic)
+HOLT_GAMMA = 0.5  # trend smoothing (dyadic)
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(value), 2) AS x,
+             CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY CAST(date_trunc('day', ts) AS DATE)
+             ) AS INTEGER) AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    rec AS (
+      SELECT user_id, rn, day, x, x AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.rn, d.day, d.x,
+             {HOLT_ALPHA} * d.x + {1 - HOLT_ALPHA} * (r.l + r.b),
+             {HOLT_GAMMA} * (({HOLT_ALPHA} * d.x
+                              + {1 - HOLT_ALPHA} * (r.l + r.b)) - r.l)
+               + {1 - HOLT_GAMMA} * r.b
+      FROM daily d JOIN rec r ON d.user_id = r.user_id AND d.rn = r.rn + 1
+    )
+    SELECT user_id, day, x AS day_value, l AS level, b AS trend,
+           l + b AS forecast_next
+    FROM rec
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear smoothing (alpha={HOLT_ALPHA},
+    gamma={HOLT_GAMMA}) of daily event value sums, with the one-step
+    forecast."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("day_value"))
+
+    def holt_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "day"]).reset_index(drop=True)
+        levels, trends = [], []
+        l = b = 0.0
+        prev_user = None
+        for u, x in zip(pdf["user_id"], pdf["day_value"]):
+            x = float(x)
+            if u != prev_user:
+                l, b = x, 0.0
+            else:
+                l_new = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + b)
+                b = HOLT_GAMMA * (l_new - l) + (1 - HOLT_GAMMA) * b
+                l = l_new
+            prev_user = u
+            levels.append(l)
+            trends.append(b)
+        pdf["level"] = levels
+        pdf["trend"] = trends
+        pdf["forecast_next"] = pdf["level"] + pdf["trend"]
+        return pdf.drop(columns=["bucket"])
+
+    return (
+        daily.withColumn("bucket", (F.col("user_id") % 64).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(
+            holt_bucket,
+            schema=(
+                "user_id bigint, day date, day_value double,"
+                " level double, trend double, forecast_next double"
+            ),
+        )
+    )

@@ -126,6 +126,10 @@ def test_no_python_eval_in_any_registered_query(spark, sf_dir):
         "mm_media_features",
         "mm_frame_sample",
         "ts_ewma_daily",
+        # Holt level+trend: the same genuinely-iterative per-key
+        # recurrence class as ts_ewma_daily, value-checked against a
+        # DuckDB recursive CTE.
+        "ts_holt_linear",
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
