@@ -166,6 +166,8 @@ HEADLINE_R10 = [
     "ev_markov_path_likelihood",
     "ts_holt_linear",
     "mon_category_drift_tvd",
+    "feat_order_value_woe",
+    "cust_survival_km",
 ]
 
 ALL_HEADLINE = (

@@ -722,3 +722,140 @@ def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("secs", F.lit(0.9)), 6).alias("p90_secs"),
         F.max("secs").cast("bigint").alias("max_secs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve over customer lifetimes — the
+# right-censoring-aware churn/retention statistic (medical-trial
+# estimator applied to customer analytics, where it is the standard
+# lifetime-model baseline). A customer whose last order is more than
+# KM_CHURN_GAP days before the corpus watermark is an observed churn
+# EVENT at duration last-first; everyone else is CENSORED at duration
+# watermark-first — dropping censored customers (what a naive
+# "avg lifetime" does) biases survival low, which is exactly what KM
+# corrects.
+#
+#   S(t) = prod over event durations s <= t of (1 - d_s / n_s)
+#
+# with n_s = customers still at risk (neither churned nor censored
+# before s).
+#
+# Exactness: the product becomes a SUM of per-step ln terms quantized
+# to BIGINT fixed-point before accumulation (markov/LM policy), so the
+# curve is identical under any shuffle order. The at-risk counts are
+# exclusive prefix sums over the duration axis — computed with
+# ``global_running_sum`` (range-partitioned 2-pass scan), never a
+# single-partition window; durations are day-grain so the relation is
+# time-bounded, but the shape stays uniform with the scale gate.
+# --------------------------------------------------------------------------
+KM_CHURN_GAP = 90  # days without an order before the watermark = churn
+
+
+@register(
+    "cust_survival_km",
+    oracle=f"""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS w FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS first_d,
+             max(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    labeled AS (
+      SELECT o_custkey,
+             CASE WHEN date_diff('day', last_d, ref.w) > {KM_CHURN_GAP}
+                  THEN 1 ELSE 0 END AS event,
+             CASE WHEN date_diff('day', last_d, ref.w) > {KM_CHURN_GAP}
+                  THEN date_diff('day', first_d, last_d)
+                  ELSE date_diff('day', first_d, ref.w) END AS duration
+      FROM cust CROSS JOIN ref
+    ),
+    per_t AS (
+      SELECT duration,
+             CAST(sum(event) AS BIGINT) AS d,
+             CAST(sum(1 - event) AS BIGINT) AS c
+      FROM labeled GROUP BY duration
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM labeled),
+    risk AS (
+      SELECT duration, d, c,
+             n.total - coalesce(sum(d + c) OVER (
+               ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS at_risk
+      FROM per_t CROSS JOIN n
+    ),
+    steps AS (
+      SELECT duration, d, c, at_risk,
+             CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                  WHEN d = at_risk THEN CAST(-100000000000 AS BIGINT)
+                  ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / at_risk)
+                                  * 1000000 + 0.5) AS BIGINT)
+             END AS fx
+      FROM risk
+    )
+    SELECT CAST(duration AS BIGINT) AS duration_days,
+           d AS n_events, c AS n_censored,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           round(exp(sum(fx) OVER (
+             ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) / 1000000.0), 6) AS survival
+    FROM steps
+    """,
+)
+def cust_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival S(t) over customer lifetimes with
+    {KM_CHURN_GAP}-day churn definition and right-censoring at the
+    corpus watermark."""
+    from ..functions.ranking import global_running_sum
+
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    ref = orders.agg(F.max(d).alias("w"))
+    cust = orders.groupBy("o_custkey").agg(
+        F.min(d).alias("first_d"), F.max(d).alias("last_d")
+    )
+    gap = F.datediff("w", "last_d")
+    labeled = cust.crossJoin(F.broadcast(ref)).select(
+        F.when(gap > KM_CHURN_GAP, 1).otherwise(0).alias("event"),
+        F.when(gap > KM_CHURN_GAP, F.datediff("last_d", "first_d"))
+        .otherwise(F.datediff("w", "first_d"))
+        .alias("duration"),
+    )
+    per_t = labeled.groupBy("duration").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+    )
+    n = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    # exclusive prefix of leavers -> at-risk counts
+    left_before = global_running_sum(
+        per_t,
+        [F.col("duration")],
+        F.col("d") + F.col("c"),
+        "_left",
+        inclusive=False,
+    )
+    risk = left_before.crossJoin(F.broadcast(n)).select(
+        "duration", "d", "c", (F.col("total") - F.col("_left")).alias("at_risk")
+    )
+    fx = (
+        F.when(F.col("d") == 0, F.lit(0).cast("bigint"))
+        .when(F.col("d") == F.col("at_risk"), F.lit(-100000000000).cast("bigint"))
+        .otherwise(
+            F.floor(
+                F.log(1.0 - F.col("d").cast("double") / F.col("at_risk")) * 1000000
+                + 0.5
+            ).cast("bigint")
+        )
+    )
+    steps = risk.withColumn("fx", fx)
+    # inclusive prefix of the ln terms -> survival at each duration
+    curve = global_running_sum(
+        steps, [F.col("duration")], F.col("fx"), "_cum", inclusive=True
+    )
+    return curve.select(
+        F.col("duration").cast("bigint").alias("duration_days"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.round(F.exp(F.col("_cum") / 1000000.0), 6).alias("survival"),
+    )

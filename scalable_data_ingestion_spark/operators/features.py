@@ -100,3 +100,102 @@ def feat_user_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("label_active_next_7d"),
     )
     return feats.filter(F.col("days_since_last").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence binning — the credit-scoring / feature-selection
+# primitive: decile-bin a numeric feature (order value), compute each
+# bin's WOE = ln(event share / non-event share) against a binary label
+# (order contains a returned line), and the feature's total
+# information value (IV). The standard monotonic-risk encoding step
+# before any scorecard/GBM feature freeze.
+#
+# Scale: the decile assignment is ``global_ntile`` (range-partitioned
+# offset ranking — no single-partition ntile window); the label join
+# keys on o_orderkey (the same shuffle any order-grain feature pays);
+# everything after is a 10-row relation. Laplace +0.5 smoothing keeps
+# WOE finite on pure bins.
+# --------------------------------------------------------------------------
+WOE_BINS = 10
+
+
+@register(
+    "feat_order_value_woe",
+    oracle=f"""
+    WITH lab AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS INTEGER) AS is_returned
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, o_totalprice
+    ),
+    binned AS (
+      SELECT is_returned,
+             ntile({WOE_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM lab
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(is_returned) AS BIGINT) AS n_event,
+             CAST(sum(1 - is_returned) AS BIGINT) AS n_nonevent
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(n_event) AS BIGINT) AS t_event,
+             CAST(sum(n_nonevent) AS BIGINT) AS t_nonevent
+      FROM cells
+    ),
+    scored AS (
+      SELECT c.bin, c.n_orders, c.n_event, c.n_nonevent,
+             ln(((c.n_event + 0.5) / (t.t_event + 0.5 * {WOE_BINS}))
+                / ((c.n_nonevent + 0.5) / (t.t_nonevent + 0.5 * {WOE_BINS})))
+               AS woe_raw,
+             ((c.n_event + 0.5) / (t.t_event + 0.5 * {WOE_BINS})
+              - (c.n_nonevent + 0.5) / (t.t_nonevent + 0.5 * {WOE_BINS}))
+               AS share_diff
+      FROM cells c CROSS JOIN tot t
+    )
+    SELECT CAST(bin AS INTEGER) AS bin, n_orders, n_event, n_nonevent,
+           round(woe_raw, 6) AS woe,
+           round(share_diff * woe_raw, 6) AS iv_term
+    FROM scored
+    """,
+)
+def feat_order_value_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile weight-of-evidence and IV terms for order value vs
+    the has-returned-line label (Laplace 0.5 smoothing)."""
+    from ..functions.ranking import global_ntile
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_returnflag") == "R").cast("int").alias("r")
+    )
+    lab = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(F.max("r").cast("int").alias("is_returned"))
+    )
+    binned = global_ntile(
+        lab, [F.col("o_totalprice"), F.col("o_orderkey")], WOE_BINS, "bin"
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("is_returned").cast("bigint").alias("n_event"),
+        F.sum(1 - F.col("is_returned")).cast("bigint").alias("n_nonevent"),
+    )
+    tot = cells.agg(
+        F.sum("n_event").cast("bigint").alias("t_event"),
+        F.sum("n_nonevent").cast("bigint").alias("t_nonevent"),
+    )
+    ev = (F.col("n_event") + 0.5) / (F.col("t_event") + 0.5 * WOE_BINS)
+    ne = (F.col("n_nonevent") + 0.5) / (F.col("t_nonevent") + 0.5 * WOE_BINS)
+    woe = F.log(ev / ne)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_orders",
+        "n_event",
+        "n_nonevent",
+        F.round(woe, 6).alias("woe"),
+        F.round((ev - ne) * woe, 6).alias("iv_term"),
+    )
