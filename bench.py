@@ -168,6 +168,7 @@ HEADLINE_R10 = [
     "mon_category_drift_tvd",
     "feat_order_value_woe",
     "cust_survival_km",
+    "eval_classifier_calibration",
 ]
 
 ALL_HEADLINE = (

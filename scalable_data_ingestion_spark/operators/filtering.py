@@ -425,3 +425,109 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration (reliability diagram + ECE) — the second half
+# of the model-eval story next to eval_classifier_auc: AUC says the
+# ranking is right, calibration says the PROBABILITIES are right,
+# which is what a keep-threshold actually consumes. Ten fixed
+# probability bins; per bin the mean predicted keep-probability vs the
+# empirical positive rate, plus the expected-calibration-error terms.
+#
+# Exactness: predicted probabilities enter as the classifier's own
+# 1e-6-quantized micro-units summed as BIGINT (never a float sum of
+# rounded doubles), and the bin id is integer arithmetic on the same
+# micro value — both engines bin and average identically.
+# --------------------------------------------------------------------------
+CAL_BINS = 10
+
+
+@register(
+    "eval_classifier_calibration",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, {_hex_int_sql("md5(tok)", 1, 2)} - 128 AS w FROM toks
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(w) AS BIGINT) AS score_fx
+      FROM feat GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT a.doc_id,
+             CAST(floor(1000000.0
+                        / (1.0 + exp(-4.0 * a.score_fx / (128.0 * a.n_tokens)))
+                        + 0.5) AS BIGINT) AS p_micro,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM agg a JOIN documents d USING (doc_id)
+    ),
+    binned AS (
+      SELECT least(p_micro // 100000, {CAL_BINS - 1}) AS bin, p_micro, pos
+      FROM scored
+    ),
+    cells AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(p_micro) AS BIGINT) AS sp
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM cells)
+    SELECT CAST(bin AS INTEGER) AS bin, n_docs, n_pos,
+           round(sp / (1000000.0 * n_docs), 6) AS avg_pred,
+           round(CAST(n_pos AS DOUBLE) / n_docs, 6) AS frac_pos,
+           round(abs(sp / (1000000.0 * n_docs)
+                     - CAST(n_pos AS DOUBLE) / n_docs), 6) AS abs_gap,
+           round((CAST(n_docs AS DOUBLE) / tot.n)
+                 * abs(sp / (1000000.0 * n_docs)
+                       - CAST(n_pos AS DOUBLE) / n_docs), 6) AS ece_term
+    FROM cells CROSS JOIN tot
+    """,
+)
+def eval_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the hashed classifier's keep-probability
+    vs the lang='en' label, in {CAL_BINS} fixed bins, with per-bin
+    ECE terms."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    w = F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("bigint") - 128
+    agg = toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("score_fx"),
+    )
+    mean = F.col("score_fx") / (F.lit(128.0) * F.col("n_tokens"))
+    p_micro = (
+        F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(F.lit(-4.0) * mean)) + 0.5)
+    ).cast("bigint")
+    scored = agg.join(docs.select("doc_id", "lang"), "doc_id").select(
+        p_micro.alias("p_micro"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    binned = scored.select(
+        F.least(F.expr("p_micro DIV 100000"), F.lit(CAL_BINS - 1)).alias("bin"),
+        "p_micro",
+        "pos",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("p_micro").cast("bigint").alias("sp"),
+    )
+    tot = cells.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    avg_pred = F.col("sp") / (F.lit(1000000.0) * F.col("n_docs"))
+    frac_pos = F.col("n_pos").cast("double") / F.col("n_docs")
+    gap = F.abs(avg_pred - frac_pos)
+    return cells.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_docs",
+        "n_pos",
+        F.round(avg_pred, 6).alias("avg_pred"),
+        F.round(frac_pos, 6).alias("frac_pos"),
+        F.round(gap, 6).alias("abs_gap"),
+        F.round((F.col("n_docs").cast("double") / F.col("n")) * gap, 6).alias(
+            "ece_term"
+        ),
+    )
