@@ -333,3 +333,34 @@ def test_peak_concurrency_no_self_join(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     # exactly one scan family: events (spine/carry derive from it)
     assert "lineitem" not in p, p
+
+
+def test_skipgram_pair_generation_is_map_side(spark, sf_dir):
+    """Skipgram pairs must come from per-row zip_with (explode), never a
+    positional self-join: no Join before the (a, b) count."""
+    p = plan(registry.QUERIES["txt_skipgram_pmi"](spark, sf_dir), "simple")
+    assert "Generate" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_link_prediction_is_equi_join_only(spark, sf_dir):
+    """Common-neighbor candidates come from hash equi-joins on node ids
+    (wedge + anti + broadcast degrees) — never an all-pairs product."""
+    p = plan(registry.QUERIES["gr_common_neighbor_links"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_markov_scoring_model_broadcasts(spark, sf_dir):
+    """The transition model is |event_types|^2 rows and must broadcast
+    onto the step stream (no shuffle of the event log against it)."""
+    p = plan(registry.QUERIES["ev_markov_path_likelihood"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_survival_curve_no_cartesian(spark, sf_dir):
+    """KM composes broadcast scalar joins + range-partitioned prefix
+    sums — no nested-loop join wider than a 1-row broadcast."""
+    p = plan(registry.QUERIES["cust_survival_km"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
