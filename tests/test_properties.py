@@ -153,3 +153,56 @@ def test_ewma_matches_pandas_ewm(spark, sf_dir):
     for _, g in pdf.groupby("user_id"):
         expected = g["day_value"].ewm(alpha=EWMA_ALPHA, adjust=False).mean()
         assert (g["ewma"] - expected).abs().max() < 1e-9
+
+
+# ---------------------------------------------------------------- round 4
+# Scalable-ranking helpers vs the single-partition windows they replace,
+# on adversarial value distributions (duplicates, negatives, constant
+# runs) — the unit suite (test_ranking_helpers.py) covers structured
+# cases; these throw arbitrary integer multisets at the offset
+# arithmetic.
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=80
+    )
+)
+def test_global_rank_property(spark, values):
+    from pyspark.sql import Window as W
+
+    from scalable_data_ingestion_spark.functions.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], ["id", "v"]
+    )
+    got = global_rank(
+        df, [F.col("v"), F.col("id")], "r", num_partitions=5
+    )
+    want = df.withColumn(
+        "r", F.row_number().over(W.orderBy("v", "id")).cast("bigint")
+    )
+    assert sorted(got.select("id", "r").collect()) == sorted(
+        want.select("id", "r").collect()
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_global_ntile_property(spark, values, k):
+    from pyspark.sql import Window as W
+
+    from scalable_data_ingestion_spark.functions.ranking import global_ntile
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], ["id", "v"]
+    )
+    got = global_ntile(df, [F.col("v"), F.col("id")], k, "t", num_partitions=4)
+    want = df.withColumn("t", F.ntile(k).over(W.orderBy("v", "id")).cast("int"))
+    assert sorted(got.select("id", "t").collect()) == sorted(
+        want.select("id", "t").collect()
+    )
