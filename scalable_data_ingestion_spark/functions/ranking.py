@@ -137,16 +137,44 @@ def global_running_sum(
     without a single-partition window: per-partition running sums
     offset by the (collected, partitions-sized) previous-partition
     totals. ``inclusive=False`` gives the strictly-before prefix."""
+    return global_running_sums(
+        df, order_by, {out_col: value}, inclusive, num_partitions
+    )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    values: dict[str, Column],
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Total-order prefix sums of SEVERAL per-row value columns in ONE
+    range repartition (one slicing, one offsets collect, one sort) —
+    the shape a two-sample CDF comparison (KS statistic: cumulative
+    counts of both samples ordered by value) or a CUSUM scan (running
+    revenue AND running row index) needs. Semantics per entry are
+    identical to :func:`global_running_sum`."""
     sliced = _range_sliced(df, order_by, num_partitions)
-    offsets = _partition_offsets(sliced, F.sum(value))
+    # ONE partitions-sized collect for every value column's totals.
+    aggs = [F.sum(v).alias(name) for name, v in values.items()]
+    rows = sliced.groupBy("_gr_pid").agg(*aggs).collect()
     upper = 0 if inclusive else -1
     frame = W.partitionBy("_gr_pid").orderBy(*order_by).rowsBetween(
         W.unboundedPreceding, upper
     )
-    within = F.coalesce(F.sum(value).over(frame), F.lit(0))
-    return sliced.withColumn(
-        out_col, _offset_expr(offsets) + within
-    ).drop("_gr_pid")
+    out = sliced
+    for name, value in values.items():
+        totals = {row["_gr_pid"]: row[name] for row in rows}
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        offsets[-1] = acc
+        within = F.coalesce(F.sum(value).over(frame), F.lit(0))
+        out = out.withColumn(name, _offset_expr(offsets) + within)
+    return out.drop("_gr_pid")
 
 
 def global_ntile(

@@ -859,3 +859,144 @@ def cust_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("at_risk").cast("bigint").alias("n_at_risk"),
         F.round(F.exp(F.col("_cum") / 1000000.0), 6).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# DAU/MAU stickiness: per month, the average daily-active-user count
+# over the days the product was live divided by the monthly-active
+# count — the standard engagement-density ratio (a stickiness of 1.0
+# means every monthly user shows up every day).
+#
+# Scale shape: ONE (month, day, user) dedup shuffle feeds both legs —
+# the per-day DAU counts and the per-month distinct-user counts reuse
+# the same deduplicated relation, and everything above the dedup is
+# dimension-sized (days, months). No corpus-wide count(DISTINCT)
+# without a preceding key-grain reduction.
+# --------------------------------------------------------------------------
+@register(
+    "ev_stickiness_dau_mau",
+    oracle="""
+    WITH triple AS (
+      SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(ts AS DATE) AS day, user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT month, day, CAST(count(*) AS BIGINT) AS dau
+      FROM triple GROUP BY month, day
+    ),
+    by_month AS (
+      SELECT month,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dau) AS BIGINT) AS user_days
+      FROM dau GROUP BY month
+    ),
+    mau AS (
+      SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+      FROM triple GROUP BY month
+    )
+    SELECT b.month, b.n_days, m.mau,
+           round(b.user_days * 1.0 / b.n_days, 2) AS avg_dau,
+           round(b.user_days * 1.0 / b.n_days / m.mau, 6) AS stickiness
+    FROM by_month b JOIN mau m ON b.month = m.month
+    """,
+)
+def ev_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly DAU/MAU stickiness from one (month, day, user) dedup."""
+    ev = table(spark, sf_dir, "events")
+    triple = ev.select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    ).distinct().persist()
+    dau = triple.groupBy("month", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    by_month = dau.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("user_days"),
+    )
+    mau = triple.groupBy("month").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    j = by_month.join(mau, "month")
+    avg_dau = F.col("user_days") * 1.0 / F.col("n_days")
+    return j.select(
+        "month",
+        "n_days",
+        "mau",
+        F.round(avg_dau, 2).alias("avg_dau"),
+        F.round(avg_dau / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pareto concentration of event volume: users deciled by activity
+# (heaviest first), with each decile's share and cumulative share of
+# total events — the "what fraction of traffic is the top 10%?" audit
+# that decides whether per-user salting is needed downstream.
+#
+# Scale shape: per-user counts (one map-side-combining shuffle), then
+# the decile assignment through ``global_ntile`` (range-partitioned
+# offset ranking — NEVER an unpartitioned ntile window). The cumulative
+# share runs as a triangular join over the 10-row decile rollup —
+# bounded, windowless, gate-clean.
+# --------------------------------------------------------------------------
+PARETO_TILES = 10
+
+
+@register(
+    "ev_pareto_user_share",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    tiled AS (
+      SELECT n, ntile({PARETO_TILES}) OVER (ORDER BY n DESC, user_id) AS tile
+      FROM per_user
+    ),
+    per_tile AS (
+      SELECT tile,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM tiled GROUP BY tile
+    ),
+    tot AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM per_tile)
+    SELECT CAST(t.tile AS INTEGER) AS tile, t.n_users, t.n_events,
+           round(t.n_events * 1.0 / tot.total, 6) AS share,
+           round(sum(t2.n_events) * 1.0 / tot.total, 6) AS cum_share
+    FROM per_tile t
+    JOIN per_tile t2 ON t2.tile <= t.tile, tot
+    GROUP BY t.tile, t.n_users, t.n_events, tot.total
+    """,
+)
+def ev_pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-volume share per activity decile with cumulative share."""
+    from ..functions.ranking import global_ntile
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tiled = global_ntile(
+        per_user, [F.col("n").desc(), F.col("user_id")], PARETO_TILES, "tile"
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    ).persist()
+    tot = per_tile.agg(F.sum("n_events").cast("bigint").alias("total"))
+    t, t2 = per_tile.alias("t"), per_tile.alias("t2")
+    cum = (
+        t.join(F.broadcast(t2), F.col("t2.tile") <= F.col("t.tile"))
+        .groupBy("t.tile", "t.n_users", "t.n_events")
+        .agg(F.sum("t2.n_events").cast("bigint").alias("cum_events"))
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("tile").cast("int").alias("tile"),
+        "n_users",
+        "n_events",
+        F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
+        F.round(F.col("cum_events") * 1.0 / F.col("total"), 6).alias("cum_share"),
+    )

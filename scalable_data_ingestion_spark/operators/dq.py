@@ -485,3 +485,58 @@ def dq_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit: k-anonymity's companion. A quasi-identifier group
+# can be large (k-anonymous) yet still leak — if every record in it
+# shares one sensitive value, membership reveals the attribute. Per
+# (nation, market-segment) equivalence class of order records, the
+# number of DISTINCT sensitive values (order priority) is the class's
+# l; classes with l < required fail the audit.
+#
+# Scale shape: one fact-sized broadcast join to attach the QI columns,
+# then a (QI, sensitive)-grain reduction followed by a QI-grain rollup
+# — both map-side-combining; the distinct count is exact because it
+# counts rows of the already-reduced (QI, sensitive) relation, never a
+# corpus-wide count(DISTINCT) in one pass.
+# --------------------------------------------------------------------------
+L_DIVERSITY_REQUIRED = 3
+
+
+@register(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c_nationkey, c_mktsegment, o_orderpriority
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    grain AS (
+      SELECT c_nationkey, c_mktsegment, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n
+      FROM joined GROUP BY 1, 2, 3
+    )
+    SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey, c_mktsegment,
+           CAST(sum(n) AS BIGINT) AS n_records,
+           CAST(count(*) AS BIGINT) AS l_distinct,
+           CAST(count(*) >= {L_DIVERSITY_REQUIRED} AS BOOLEAN) AS meets_l
+    FROM grain GROUP BY 1, 2
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity of order priority within (nation, segment)
+    quasi-identifier classes."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    grain = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return grain.groupBy(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"), "c_mktsegment"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_records"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        (F.count(F.lit(1)) >= L_DIVERSITY_REQUIRED).alias("meets_l"),
+    )

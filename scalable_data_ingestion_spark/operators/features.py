@@ -199,3 +199,68 @@ def feat_order_value_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe, 6).alias("woe"),
         F.round((ev - ne) * woe, 6).alias("iv_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out target encoding: the categorical-feature encoding that
+# replaces each row's category with the mean target of the OTHER rows
+# in that category — the standard leakage-free variant (plain mean
+# encoding leaks each row's own label into its feature).
+#
+#   enc_i = (sum(target | segment) - target_i) / (n(segment) - 1)
+#
+# Scale shape: the per-segment sums are a 5-row aggregate that
+# broadcasts back onto the fact scan — one map-side-combining shuffle
+# plus a broadcast hash join; the per-row arithmetic runs on exact
+# BIGINT cents (sum-order-proof), divided once into doubles at the
+# end, so per-row outputs hash-match cross-engine at any volume.
+# --------------------------------------------------------------------------
+@register(
+    "feat_target_encoding_loo",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, c_mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    seg AS (
+      SELECT c_mktsegment,
+             CAST(sum(cents) AS BIGINT) AS seg_cents,
+             CAST(count(*) AS BIGINT) AS seg_n
+      FROM base GROUP BY 1
+    )
+    SELECT b.o_orderkey, b.c_mktsegment,
+           round(b.cents / 100.0, 2) AS o_totalprice,
+           round((s.seg_cents - b.cents) * 1.0 / (s.seg_n - 1) / 100.0, 2)
+               AS loo_target_enc
+    FROM base b JOIN seg s ON b.c_mktsegment = s.c_mktsegment
+    """,
+)
+def feat_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free (leave-one-out) mean-price encoding of the customer
+    market segment, on exact integer cents."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    seg = base.groupBy("c_mktsegment").agg(
+        F.sum("cents").cast("bigint").alias("seg_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("seg_n"),
+    )
+    return base.join(F.broadcast(seg), "c_mktsegment").select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.round(F.col("cents") / 100.0, 2).alias("o_totalprice"),
+        F.round(
+            (F.col("seg_cents") - F.col("cents"))
+            * 1.0
+            / (F.col("seg_n") - 1)
+            / 100.0,
+            2,
+        ).alias("loo_target_enc"),
+    )

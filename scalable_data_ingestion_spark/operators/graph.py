@@ -1096,3 +1096,111 @@ def gr_common_neighbor_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deg_b",
         F.round("jac", 6).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neighborhood Jaccard similarity of ADJACENT part pairs: for every
+# support-filtered co-purchase edge (a, b),
+#
+#     J(a, b) = |N(a) ∩ N(b)| / (deg(a) + deg(b) - |N(a) ∩ N(b)|)
+#
+# — the edge-strength score used for graph sparsification (keep only
+# structurally-embedded edges) and as the similarity in Jarvis-Patrick
+# clustering. Complements gr_common_neighbor_links, which scores
+# NON-adjacent pairs for link prediction; here the candidate set is
+# the edge list itself, so output size is |E|, not wedge-bounded.
+#
+# Shape: undirected adjacency = edges ∪ reversed edges (computed once,
+# cached); common-neighbor counts come from the middle-node wedge
+# equi-join restricted to x < y, then LEFT-joined back onto the edge
+# list (edges with zero shared neighbors keep J = 0); degrees are a
+# node-keyed count broadcast onto both endpoints. Every join is a hash
+# equi-join on node ids; all values exact integers until the final
+# division.
+# --------------------------------------------------------------------------
+@register(
+    "gr_neighbor_jaccard",
+    oracle=f"""
+    WITH edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    adj AS (
+      SELECT pa AS node, pb AS nbr FROM edges
+      UNION ALL
+      SELECT pb AS node, pa AS nbr FROM edges
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+    wedge AS (
+      SELECT x.nbr AS pa, y.nbr AS pb, CAST(count(*) AS BIGINT) AS common
+      FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr
+      GROUP BY 1, 2
+    )
+    SELECT e.pa, e.pb, da.deg AS deg_a, db.deg AS deg_b,
+           COALESCE(w.common, 0) AS common,
+           round(COALESCE(w.common, 0) * 1.0
+                 / (da.deg + db.deg - COALESCE(w.common, 0)), 6) AS jaccard
+    FROM edges e
+    LEFT JOIN wedge w ON w.pa = e.pa AND w.pb = e.pb
+    JOIN deg da ON da.node = e.pa
+    JOIN deg db ON db.node = e.pb
+    """,
+)
+def gr_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge neighborhood Jaccard over the co-purchase graph."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+        # edge relation feeds adjacency (x2), wedges and the final
+        # spine: cache so the lineitem self-join runs once
+        .cache()
+    )
+    adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    x, y = adj.alias("x"), adj.alias("y")
+    wedge = (
+        x.join(
+            y,
+            (F.col("x.node") == F.col("y.node"))
+            & (F.col("x.nbr") < F.col("y.nbr")),
+        )
+        .groupBy(F.col("x.nbr").alias("wa"), F.col("y.nbr").alias("wb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("deg_b"))
+    out = (
+        edges.join(
+            wedge,
+            (F.col("pa") == F.col("wa")) & (F.col("pb") == F.col("wb")),
+            "left",
+        )
+        .join(da, "pa")
+        .join(db, "pb")
+    )
+    common = F.coalesce(F.col("common"), F.lit(0)).cast("bigint")
+    return out.select(
+        "pa",
+        "pb",
+        "deg_a",
+        "deg_b",
+        common.alias("common"),
+        F.round(
+            common * 1.0 / (F.col("deg_a") + F.col("deg_b") - common), 6
+        ).alias("jaccard"),
+    )

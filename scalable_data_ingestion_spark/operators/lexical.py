@@ -1,0 +1,131 @@
+"""Lexical-diversity and token-dispersion statistics for corpus QA.
+
+Two signals a training-data curation pass reads before mixing a
+corpus:
+
+- Per-document lexical diversity (type-token ratio, hapax share):
+  degenerate repetition (the boilerplate/spam signature) shows as a
+  very low TTR; templated text shows as a low hapax share. This is the
+  per-document companion to the corpus-level Gopher repetition rules
+  (operators/gopher.py).
+- Per-token burstiness (variance-to-mean ratio of per-document
+  counts): function words distribute ~Poisson (VMR ≈ 1) while topical
+  words are "bursty" (VMR >> 1 — they pile up in few documents). A
+  corpus whose supposed content words all sit at VMR ≈ 1 is synthetic
+  word soup — exactly the kind of degenerate source a mixing pass
+  should down-weight.
+
+Both use the whitespace tokenizer shared with operators/text.py
+(``string_split_regex(trim(text), '\\s+')``), run as explode +
+(doc, tok)-keyed aggregates — fully map-side-combining shuffles, no
+windows, no driver loops — and produce only exact-integer-derived
+values, so the DuckDB twins hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+_TOK_COUNTS = """
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+"""
+
+
+def _tok_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    return toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+@register(
+    "txt_lexical_diversity",
+    oracle=f"""
+    WITH counts AS ({_TOK_COUNTS})
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / sum(c), 6)
+               AS hapax_rate
+    FROM counts GROUP BY doc_id
+    """,
+)
+def txt_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio and hapax-legomenon share.
+
+    explode → (doc, tok) count → doc rollup: two map-side-combining
+    shuffles keyed on composite/doc ids, linear in token volume.
+    """
+    counts = _tok_counts(spark, sf_dir)
+    n_tok = F.sum("c")
+    n_hapax = F.sum((F.col("c") == 1).cast("bigint"))
+    return counts.groupBy("doc_id").agg(
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        n_hapax.cast("bigint").alias("n_hapax"),
+        F.round(F.count(F.lit(1)) * 1.0 / n_tok, 6).alias("ttr"),
+        F.round(n_hapax * 1.0 / n_tok, 6).alias("hapax_rate"),
+    )
+
+
+BURST_MIN_DF = 5  # report tokens seen in at least this many documents
+
+
+@register(
+    "txt_token_burstiness",
+    oracle=f"""
+    WITH counts AS ({_TOK_COUNTS}),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    per_tok AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(c * c) AS BIGINT) AS total_sq
+      FROM counts GROUP BY tok
+      HAVING count(*) >= {BURST_MIN_DF}
+    )
+    SELECT tok, df, total,
+           round((CAST(total_sq AS DOUBLE) / n_docs
+                  - (CAST(total AS DOUBLE) / n_docs)
+                    * (CAST(total AS DOUBLE) / n_docs))
+                 / (CAST(total AS DOUBLE) / n_docs), 6) AS vmr
+    FROM per_tok, n
+    """,
+)
+def txt_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of each token's per-document count
+    (absent documents count as zero, so mean/variance use the corpus
+    document total — folded in as a broadcast 1-row aggregate).
+    Vocabulary-keyed output, df ≥ {BURST_MIN_DF} to keep it meaningful.
+    """
+    counts = _tok_counts(spark, sf_dir)
+    n = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    per_tok = (
+        counts.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("total"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("total_sq"),
+        )
+        .filter(F.col("df") >= BURST_MIN_DF)
+    )
+    j = per_tok.crossJoin(F.broadcast(n))
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    var = F.col("total_sq").cast("double") / F.col("n_docs") - mean * mean
+    return j.select("tok", "df", "total", F.round(var / mean, 6).alias("vmr"))

@@ -415,3 +415,88 @@ def mon_category_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(diff, 6).alias("abs_shift"),
         F.round(0.5 * F.sum(diff).over(col_w), 6).alias("col_tvd"),
     )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon divergence between the token distributions of two
+# ingestion slices (even- vs odd-numbered sources — the stand-in for
+# "yesterday's crawl vs today's"). JSD is the symmetric, bounded
+# ([0, ln 2]) companion to the PSI monitor above: PSI watches a
+# numeric column's histogram, JSD watches the vocabulary itself, so a
+# source that silently switches language or domain trips it even when
+# document lengths look unchanged.
+#
+#   JSD = 0.5·KL(P‖M) + 0.5·KL(Q‖M),  M = (P+Q)/2
+#
+# with P, Q Laplace-smoothed over the union vocabulary (+1 per token,
+# +V on each slice total) so log terms stay finite on slice-exclusive
+# tokens. Scale shape: explode → (token, slice) conditional-count
+# aggregate (vocabulary-keyed, map-side-combining) with the two slice
+# totals and V folded in as a broadcast 1-row aggregate. Per-token
+# JS terms stay in the output so the alarm names WHICH tokens moved;
+# total JSD = sum(js_term).
+# --------------------------------------------------------------------------
+@register(
+    "mon_token_js_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 2 = 0
+                 AS in_a,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    per_tok AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+             CAST(sum(n_b) AS BIGINT) AS tot_b,
+             CAST(count(*) AS BIGINT) AS v
+      FROM per_tok
+    ),
+    smoothed AS (
+      SELECT tok, n_a, n_b,
+             (n_a + 1.0) / (tot_a + v) AS p,
+             (n_b + 1.0) / (tot_b + v) AS q
+      FROM per_tok, tot
+    )
+    SELECT tok, n_a, n_b,
+           round(0.5 * p * ln(p / ((p + q) / 2))
+                 + 0.5 * q * ln(q / ((p + q) / 2)), 8) AS js_term
+    FROM smoothed
+    """,
+)
+def mon_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token Jensen-Shannon divergence terms between two source
+    slices, Laplace-smoothed over the union vocabulary."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.regexp_extract("source", "[0-9]+", 0).cast("int") % 2 == 0).alias(
+            "in_a"
+        ),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("bigint").alias("n_b"),
+    )
+    tot = per_tok.agg(
+        F.sum("n_a").cast("bigint").alias("tot_a"),
+        F.sum("n_b").cast("bigint").alias("tot_b"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    s = per_tok.crossJoin(F.broadcast(tot))
+    p = (F.col("n_a") + 1.0) / (F.col("tot_a") + F.col("v"))
+    q = (F.col("n_b") + 1.0) / (F.col("tot_b") + F.col("v"))
+    m = (p + q) / 2
+    return s.select(
+        "tok",
+        "n_a",
+        "n_b",
+        F.round(0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m), 8).alias(
+            "js_term"
+        ),
+    )

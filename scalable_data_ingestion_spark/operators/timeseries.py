@@ -456,3 +456,195 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation function of the daily-revenue series at lags 1..7 —
+# the seasonality probe a forecasting pipeline runs before picking a
+# model (a weekly cycle shows as a spike at lag 7).
+#
+# Scale shape: one fact-sized aggregate collapses orders to the day
+# grain (calendar-bounded, ~2.5k rows at any corpus size). The series
+# index comes from the range-partitioned offset ranking
+# (``global_rank`` — never a single-partition window); the lag
+# alignment is a hash equi-join on idx+lag over the bounded day
+# relation. Sums of cents/cents² ride in DECIMAL(38,0) (cents² alone
+# can exceed BIGINT), so every aggregate is exact under any shuffle
+# order; the mean-centred ACF arithmetic is derived from those exact
+# sums:
+#   acf(L) = (Σ x_i x_{i+L} - m Σ x_i - m Σ x_{i+L} + c m²) / Σ(x - m)²
+# with m the full-series mean — the standard "fixed-mean" estimator.
+# --------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+_ACF_DAILY = """
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+"""
+
+
+@register(
+    "ts_acf_daily_revenue",
+    oracle=f"""
+    WITH daily AS ({_ACF_DAILY}),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY d) AS idx FROM daily
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DOUBLE)) / count(*) AS m,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
+             CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS sx
+      FROM ranked
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(a.cents AS HUGEINT) * CAST(b.cents AS HUGEINT)) AS sxy,
+             CAST(sum(CAST(a.cents AS HUGEINT)) AS DOUBLE) AS sa,
+             CAST(sum(CAST(b.cents AS HUGEINT)) AS DOUBLE) AS sb
+      FROM lags l
+      JOIN ranked a ON true
+      JOIN ranked b ON b.idx = a.idx + l.lag
+      GROUP BY l.lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+           round((CAST(sxy AS DOUBLE) - m * sa - m * sb + n_pairs * m * m)
+                 / (CAST(sxx AS DOUBLE) - 2 * m * sx + n * m * m), 6) AS acf
+    FROM pairs, stats
+    ORDER BY lag
+    """,
+)
+def ts_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF of daily revenue at lags 1..7 from exact decimal sums."""
+    from ..catalog import table
+    from ..functions.ranking import global_rank
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
+    ranked = ranked.persist()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("cents").cast("double")) / F.count(F.lit(1))).alias("m"),
+        F.sum(dec("cents") * dec("cents")).alias("sxx"),
+        F.sum(dec("cents")).cast("double").alias("sx"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = ranked.alias("a").crossJoin(F.broadcast(lags))
+    b = ranked.alias("b")
+    pairs = (
+        a.join(b, F.col("b.idx") == F.col("a.idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(dec("a.cents") * dec("b.cents")).alias("sxy"),
+            F.sum(dec("a.cents")).cast("double").alias("sa"),
+            F.sum(dec("b.cents")).cast("double").alias("sb"),
+        )
+    )
+    j = pairs.crossJoin(F.broadcast(stats))
+    m = F.col("m")
+    num = (
+        F.col("sxy").cast("double")
+        - m * F.col("sa")
+        - m * F.col("sb")
+        + F.col("n_pairs") * m * m
+    )
+    den = F.col("sxx").cast("double") - 2 * m * F.col("sx") + F.col("n") * m * m
+    return j.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_pairs",
+        F.round(num / den, 6).alias("acf"),
+    ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# CUSUM changepoint scan over daily revenue: cusum_i = P_i - i * (T/n)
+# (prefix sum minus the same-length prefix of the global mean). A level
+# shift in the series shows as a V/Λ extremum; the flagged day is the
+# classic single-changepoint estimate.
+#
+# Scale shape: day-grain aggregate, then ONE range-partitioned
+# prefix-sum pass (``global_running_sums``: running cents AND running
+# index in the same slicing). P_i and i are exact integers; T/n is one
+# deterministic double — both engines compute bit-identical cusum
+# values, so even the argmax flag is hash-stable.
+# --------------------------------------------------------------------------
+@register(
+    "ts_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS ({_ACF_DAILY}),
+    cum AS (
+      SELECT d, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS p,
+             CAST(count(*) OVER w AS BIGINT) AS i
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n
+      FROM daily
+    ),
+    scan AS (
+      SELECT d, cents, (p - i * (t * 1.0 / n)) / 100.0 AS cusum
+      FROM cum, tot
+    ),
+    peak AS (SELECT max(abs(cusum)) AS mx FROM scan)
+    SELECT d, round(cents / 100.0, 2) AS revenue,
+           round(cusum, 2) AS cusum,
+           CAST(abs(cusum) = peak.mx AS BOOLEAN) AS is_changepoint
+    FROM scan, peak
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day CUSUM deviations with the max-|deviation| changepoint
+    flag, from one range-partitioned prefix-sum pass."""
+    from ..catalog import table
+    from ..functions.ranking import global_running_sums
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    cum = global_running_sums(
+        daily, [F.col("d")], {"p": F.col("cents"), "i": F.lit(1)}
+    )
+    tot = daily.agg(
+        F.sum("cents").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    scan = cum.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "cents",
+        ((F.col("p") - F.col("i") * (F.col("t") * 1.0 / F.col("n"))) / 100.0).alias(
+            "cusum"
+        ),
+    ).persist()
+    peak = scan.agg(F.max(F.abs(F.col("cusum"))).alias("mx"))
+    return scan.crossJoin(F.broadcast(peak)).select(
+        "d",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round("cusum", 2).alias("cusum"),
+        (F.abs(F.col("cusum")) == F.col("mx")).alias("is_changepoint"),
+    )

@@ -60,6 +60,8 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.entity",
     "scalable_data_ingestion_spark.operators.pq",
     "scalable_data_ingestion_spark.operators.monitor",
+    "scalable_data_ingestion_spark.operators.stattests",
+    "scalable_data_ingestion_spark.operators.lexical",
     "scalable_data_ingestion_spark.operators.dq",
     "scalable_data_ingestion_spark.operators.timeseries",
     "scalable_data_ingestion_spark.operators.projection",
