@@ -1000,3 +1000,100 @@ def ev_pareto_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
         F.round(F.col("cum_events") * 1.0 / F.col("total"), 6).alias("cum_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test on an A/B assignment: users hash-split into
+# variants (md5 of user_id — deterministic, engine-independent, no
+# RNG), outcome = "ever purchased", pooled-variance z on the rate
+# difference. The experimentation readout every event pipeline ships
+# next to its funnel: not just the two rates, but whether the gap
+# clears sampling noise.
+#
+# Scale shape: ONE user-grain reduction (max of a purchase indicator
+# per user — map-side-combining), then a 2-row conditional-sum
+# aggregate; the z arithmetic runs on exact integer counts. No joins,
+# no windows, no second pass.
+# --------------------------------------------------------------------------
+AB_Z_CRIT = 1.959964
+
+
+@register(
+    "ev_ab_proportion_ztest",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+      FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT CASE WHEN (CASE substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        {" ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))}
+                        END) % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+             converted
+      FROM per_user
+    ),
+    counts AS (
+      SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+             CAST(sum(1 - in_a) AS BIGINT) AS n_b,
+             CAST(sum(in_a * converted) AS BIGINT) AS conv_a,
+             CAST(sum((1 - in_a) * converted) AS BIGINT) AS conv_b
+      FROM tagged
+    ),
+    stats AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             conv_a * 1.0 / n_a AS rate_a,
+             conv_b * 1.0 / n_b AS rate_b,
+             (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pooled
+      FROM counts
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(rate_a, 6) AS rate_a,
+           round(rate_b, 6) AS rate_b,
+           round((rate_a - rate_b)
+                 / sqrt(pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b)), 6)
+               AS z_score,
+           CAST(abs((rate_a - rate_b)
+                    / sqrt(pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b)))
+                > {AB_Z_CRIT} AS BOOLEAN) AS significant
+    FROM stats
+    """,
+)
+def ev_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of purchase conversion between
+    md5-hash-assigned user variants."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    tagged = per_user.select(
+        ((bucket % 2) == 0).cast("int").alias("in_a"), "converted"
+    )
+    counts = tagged.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("converted")).cast("bigint").alias("conv_a"),
+        F.sum((F.lit(1) - F.col("in_a")) * F.col("converted"))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    rate_a = F.col("conv_a") * 1.0 / F.col("n_a")
+    rate_b = F.col("conv_b") * 1.0 / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (rate_a - rate_b) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )

@@ -1204,3 +1204,93 @@ def gr_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             common * 1.0 / (F.col("deg_a") + F.col("deg_b") - common), 6
         ).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (fixed synchronous peel rounds): repeatedly
+# delete nodes of degree < K; what survives R rounds is the
+# (approximate, exact-at-fixed-point) K-core — the densely-embedded
+# backbone used to seed community detection and to prune low-signal
+# nodes before expensive graph features. Same unrolled-superstep
+# policy as LPA/PageRank above: fixed rounds + integer degrees keep
+# the result bit-identical across engines and execution orders, and
+# oracle-checkable as unrolled CTEs.
+#
+# Scale shape per round: one node-keyed degree aggregate + two
+# semi-joins of the adjacency against the survivor set — all hash
+# equi-joins on node ids, shuffle bytes bounded by the (shrinking)
+# adjacency. The adjacency is cached between rounds.
+# --------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    sql = f"""
+    WITH edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    adj0 AS (
+      SELECT pa AS node, pb AS nbr FROM edges
+      UNION ALL
+      SELECT pb AS node, pa AS nbr FROM edges
+    )"""
+    for r in range(KCORE_ROUNDS):
+        sql += f""",
+    keep{r} AS (
+      SELECT node FROM adj{r} GROUP BY node
+      HAVING count(*) >= {KCORE_K}
+    ),
+    adj{r + 1} AS (
+      SELECT a.node, a.nbr FROM adj{r} a
+      JOIN keep{r} k1 ON a.node = k1.node
+      JOIN keep{r} k2 ON a.nbr = k2.node
+    )"""
+    sql += f"""
+    SELECT node AS part_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM adj{KCORE_ROUNDS} GROUP BY node
+    """
+    return sql
+
+
+@register("gr_kcore_decomposition", oracle=_kcore_oracle())
+def gr_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the co-purchase graph after {KCORE_ROUNDS}
+    synchronous peel rounds: surviving parts with their in-core
+    degrees."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    ).cache()
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            adj.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+        )
+        adj = (
+            adj.join(keep, "node", "left_semi")
+            .join(keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi")
+            .cache()
+        )
+    return adj.groupBy(F.col("node").alias("part_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
