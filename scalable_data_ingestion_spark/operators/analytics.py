@@ -1047,17 +1047,19 @@ AB_Z_CRIT = 1.959964
              conv_b * 1.0 / n_b AS rate_b,
              (conv_a + conv_b) * 1.0 / (n_a + n_b) AS pooled
       FROM counts
+    ),
+    with_se AS (
+      SELECT *, sqrt(pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b)) AS se
+      FROM stats
     )
     SELECT n_a, n_b, conv_a, conv_b,
            round(rate_a, 6) AS rate_a,
            round(rate_b, 6) AS rate_b,
-           round((rate_a - rate_b)
-                 / sqrt(pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b)), 6)
-               AS z_score,
-           CAST(abs((rate_a - rate_b)
-                    / sqrt(pooled * (1 - pooled) * (1.0 / n_a + 1.0 / n_b)))
-                > {AB_Z_CRIT} AS BOOLEAN) AS significant
-    FROM stats
+           CASE WHEN se > 0 THEN round((rate_a - rate_b) / se, 6) END AS z_score,
+           CASE WHEN se > 0
+                THEN abs((rate_a - rate_b) / se) > {AB_Z_CRIT}
+                ELSE FALSE END AS significant
+    FROM with_se
     """,
 )
 def ev_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,9 +1086,11 @@ def ev_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate_a = F.col("conv_a") * 1.0 / F.col("n_a")
     rate_b = F.col("conv_b") * 1.0 / F.col("n_b")
     pooled = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
-    z = (rate_a - rate_b) / F.sqrt(
-        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
-    )
+    # Degenerate pools (everyone converts, or nobody does) make the pooled
+    # standard error 0; under ANSI mode the raw division would throw
+    # DIVIDE_BY_ZERO, so the z-score is defined only when se > 0.
+    se = F.sqrt(pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z = F.when(se > 0, (rate_a - rate_b) / se)
     return counts.select(
         "n_a",
         "n_b",
@@ -1095,5 +1099,5 @@ def ev_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_a, 6).alias("rate_a"),
         F.round(rate_b, 6).alias("rate_b"),
         F.round(z, 6).alias("z_score"),
-        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+        F.when(se > 0, F.abs(z) > AB_Z_CRIT).otherwise(F.lit(False)).alias("significant"),
     )

@@ -36,6 +36,57 @@ def test_prefix_join_equals_exhaustive_join(spark, sf_dir):
     assert pref == full
 
 
+def test_prefix_join_equals_exhaustive_on_zipf_corpus(spark):
+    # Same guarantee on the corpus shape AllPairs was designed for: a
+    # Zipf vocabulary with a stop-word head and a discriminative df=1..2
+    # tail (the provided testdata's 31-token uniform vocabulary cannot
+    # produce it — see the strategy note in operators/prefixjoin.py).
+    # tools/jaccard_strategy_bench.py benchmarks this same fixture at
+    # 30k+ docs where the prefix join beats the exhaustive index.
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from jaccard_strategy_bench import make_corpus
+
+    from pyspark.sql import functions as F
+
+    from scalable_data_ingestion_spark.operators.dedup import (
+        SHINGLE_N,
+        _jaccard_pairs,
+    )
+    from scalable_data_ingestion_spark.operators.prefixjoin import (
+        _prefix_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        make_corpus(400, vocab=3000, seed=11), "doc_id: long, text: string"
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SHINGLE_N}), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+        .cache()
+    )
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in _jaccard_pairs(sh, 0.6).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard) for r in _prefix_jaccard(sh).collect()
+    }
+    assert pref == full
+    assert len(pref) > 0  # the injected near-dups actually qualify
+
+
 def test_bm25_plan_is_jvm_side_and_broadcasts_dims(spark, sf_dir):
     p = plan(registry.QUERIES["txt_bm25_topk"](spark, sf_dir))
     assert "BatchEvalPython" not in p
