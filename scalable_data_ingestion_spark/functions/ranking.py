@@ -207,3 +207,45 @@ def global_ntile(
             (n % n_tiles) + F.ceil((rank - cutoff).cast("double") / small)
         )
     return sliced.withColumn(out_col, tile.cast("int")).drop("_gr_pid")
+
+
+def global_median_cont(
+    df: DataFrame,
+    value: Column,
+    n_col: str = "n",
+    med_col: str = "med",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact interpolated median (SQL ``quantile_cont(v, 0.5)``) of one
+    column WITHOUT a single-reducer exact-percentile aggregate.
+
+    Spark's exact ``percentile`` ships every distinct value into one
+    final reduce's hash map — at millions of mostly-distinct doubles
+    (e.g. Theil-Sen's pairwise-slope relation) that merge dominates the
+    query. Here the relation is range-partition ranked instead (each
+    partition sorts only its slice), the two middle positions are
+    filtered out, and the median is interpolated with DuckDB's exact
+    formula ``lo + (hi - lo) * 0.5`` so the cross-engine hash cannot
+    wobble on the last ulp. One scalar ``count()`` job pins the middle
+    ranks as literals (the PageRank node-count pattern).
+
+    Returns a 1-row DataFrame ``(n_col: bigint, med_col: double)``;
+    empty input yields ``n = 0, med = NULL``.
+    """
+    vals = df.select(value.alias("_v")).persist()
+    n = vals.count()
+    if n == 0:
+        return vals.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias(n_col),
+            F.lit(None).cast("double").alias(med_col),
+        )
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    ranked = global_rank(vals, [F.col("_v")], "_rk", num_partitions)
+    return (
+        ranked.filter(F.col("_rk").isin([k1, k2]))
+        .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
+        .select(
+            F.lit(n).cast("bigint").alias(n_col),
+            (F.col("_lo") + (F.col("_hi") - F.col("_lo")) * 0.5).alias(med_col),
+        )
+    )

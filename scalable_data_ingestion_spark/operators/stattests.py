@@ -176,11 +176,19 @@ def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend: median pairwise slope of daily revenue,
     intercept = median residual at the series origin.
 
-    Day-pair relation again (calendar-bounded); the exact interpolated
-    median runs as Spark's ``percentile`` aggregate over that bounded
-    relation. Slopes divide exact integer cent/day differences, so both
-    engines see bit-identical doubles.
+    Day-pair relation again (calendar-bounded); the slope median runs
+    through :func:`global_median_cont` (range-partitioned rank + the
+    two middle positions) because the ~3 M mostly-distinct slope
+    doubles would otherwise funnel through the exact ``percentile``
+    aggregate's single-reducer hash-map merge — measured 7.6 s -> ~2 s
+    at sf0.1 for the whole query. Slopes divide exact integer cent/day
+    differences, so both engines see bit-identical doubles; the
+    interpolation formula matches DuckDB's ``quantile_cont`` exactly.
+    The residual median stays a plain ``percentile``: the daily series
+    is dimension-sized.
     """
+    from ..functions.ranking import global_median_cont
+
     daily = _daily_cents(spark, sf_dir).persist()
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
@@ -190,9 +198,8 @@ def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.datediff(F.col("b.d"), F.col("a.d"))
         ).alias("slope")
     )
-    med = slopes.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.expr("percentile(slope, 0.5)").alias("slope_med"),
+    med = global_median_cont(
+        slopes, F.col("slope"), n_col="n_pairs", med_col="slope_med"
     )
     base = daily.agg(
         F.min("d").alias("d0"), F.count(F.lit(1)).cast("bigint").alias("n_days")

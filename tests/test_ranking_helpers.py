@@ -128,3 +128,36 @@ def test_take_ordered_ranked_plan_uses_take_ordered(spark):
     with contextlib.redirect_stdout(buf):
         got.explain("simple")
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_global_median_cont_matches_duckdb(spark):
+    import duckdb
+
+    from scalable_data_ingestion_spark.functions.ranking import (
+        global_median_cont,
+    )
+
+    for n in (1, 2, 5, 500, 501):
+        df = _seq_df(spark, n).select(
+            (F.conv(F.substring("k", 1, 4), 16, 10).cast("double") / 7.0).alias(
+                "x"
+            )
+        )
+        got = global_median_cont(df, F.col("x"), num_partitions=8).first()
+        vals = [r["x"] for r in df.collect()]
+        want = duckdb.sql(
+            "SELECT quantile_cont(x, 0.5) FROM (SELECT unnest(?) AS x)",
+            params=[vals],
+        ).fetchone()[0]
+        assert got["n"] == n
+        assert got["med"] == want  # bit-exact: same interpolation formula
+
+
+def test_global_median_cont_empty(spark):
+    from scalable_data_ingestion_spark.functions.ranking import (
+        global_median_cont,
+    )
+
+    df = _seq_df(spark).filter(F.lit(False)).select(F.col("v").cast("double"))
+    row = global_median_cont(df, F.col("v")).first()
+    assert row["n"] == 0 and row["med"] is None

@@ -24,10 +24,17 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scaling_sweep.json")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated registered query names (any query, not "
+        "just the bench headline set)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("sdi-scaling-sweep")
     queries = registry.queries()
+    names = args.only.split(",") if args.only else bench.ALL_HEADLINE
 
     def run(name: str, sf_dir: str) -> float:
         t0 = time.monotonic()
@@ -37,7 +44,7 @@ def main() -> None:
     result: dict[str, dict[str, float]] = {}
     for sf_dir in SFS:
         key = sf_dir.rsplit("sf", 1)[-1]
-        for name in bench.ALL_HEADLINE:
+        for name in names:
             run(name, sf_dir)  # cold/codegen pass
             result.setdefault(name, {})[key] = round(run(name, sf_dir), 3)
         print(f"done {sf_dir}", flush=True)
@@ -46,7 +53,7 @@ def main() -> None:
         json.dump(result, fh, indent=1, sort_keys=True)
     print("| query | sf0.001 | sf0.01 | sf0.1 | 0.1/0.01 |")
     print("|---|---|---|---|---|")
-    for name in bench.ALL_HEADLINE:
+    for name in names:
         r = result[name]
         ratio = r["0.1"] / r["0.01"] if r["0.01"] else float("inf")
         print(
