@@ -171,9 +171,20 @@ HEADLINE_R10 = [
     "eval_classifier_calibration",
 ]
 
+# Round-11 additions (build round 5): Kneser-Ney LM scoring (the
+# production n-gram smoothing), C4-style corpus-wide line dedup,
+# cross-label hard-negative mining for contrastive training, and the
+# z-order zone-map relation (2-D data-skipping evidence).
+HEADLINE_R11 = [
+    "txt_kneser_ney_logprob",
+    "dd_line_dedup_stats",
+    "sim_hard_negative_mining",
+    "zo_zonemap_extents",
+]
+
 ALL_HEADLINE = (
     HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
-    + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10
+    + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11
 )
 
 

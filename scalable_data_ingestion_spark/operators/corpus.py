@@ -1158,3 +1158,133 @@ def txt_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_b",
         F.round("pmi_raw", 6).alias("pmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM — the production n-gram smoothing
+# (KenLM-style quality filters score docs with exactly this model, not
+# the simple interpolation of txt_bigram_logprob). Absolute discount
+# D = 0.75 (dyadic, exact in binary):
+#
+#   P_KN(w2|w1) = max(c(w1 w2) - D, 0)/c(w1.)
+#                 + D * N1+(w1 .)/c(w1.) * P_cont(w2)
+#   P_cont(w2)  = N1+(. w2) / |distinct bigram types|
+#
+# Every count is an exact integer aggregate; the per-doc score
+# quantizes each bigram logprob to 1e-6 fixed point (same policy as
+# the other LM scorers) so sums are order-independent cross-engine.
+#
+# Scale shape: two grouped counts over the bigram relation (map-side
+# combining), continuation counts are a distinct-pairs aggregate, and
+# the model tables join back to the doc bigrams broadcast (shuffled
+# hash join at open-vocabulary scale — the join key is the model, not
+# the corpus). Training and scoring in ONE declarative plan.
+# --------------------------------------------------------------------------
+KN_DISCOUNT = 0.75  # dyadic: exact in binary
+
+
+@register(
+    "txt_kneser_ney_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+      WHERE len({_TOKENS_SQL}) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM tok, unnest(range(1, len(t))) AS u(i)
+    ),
+    bgc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+    ctx AS (
+      SELECT w1, sum(cb) AS c1, CAST(count(*) AS BIGINT) AS n_follow
+      FROM bgc GROUP BY w1
+    ),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM bgc GROUP BY w2),
+    types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bgc),
+    lp AS (
+      SELECT b.w1, b.w2,
+             CAST(floor(ln(
+                 (b.cb - {KN_DISCOUNT}) / x.c1
+                 + {KN_DISCOUNT} * x.n_follow / x.c1
+                   * (k.n_prec * 1.0 / ty.n_types)
+             ) * {_FX} + 0.5) AS BIGINT) AS fx
+      FROM bgc b
+      JOIN ctx x USING (w1)
+      JOIN cont k ON k.w2 = b.w2
+      CROSS JOIN types ty
+    ),
+    perdoc AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(l.fx) AS sfx
+      FROM bg g JOIN lp l ON g.w1 = l.w1 AND g.w2 = l.w2
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(sfx / ({_FX}.0 * n_bigrams), 6) AS mean_logprob,
+           round(exp(-sfx / ({_FX}.0 * n_bigrams)), 4) AS perplexity
+    FROM perdoc
+    """,
+)
+def txt_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean Kneser-Ney bigram log-probability and perplexity.
+
+    Trained bigrams always have count >= 1 > D, so the discounted term
+    is positive and the max() clamp is unnecessary for seen bigrams —
+    and scoring here is over the training corpus by construction.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    bg = (
+        docs.select("doc_id", t.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_t, 1, size(_t) - 1),"
+                    "         slice(_t, 2, size(_t) - 1),"
+                    "         (x, y) -> named_struct('w1', x, 'w2', y))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("cb").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_follow"),
+    )
+    cont = bgc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prec")
+    )
+    types = bgc.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    p_kn = (
+        (F.col("cb") - KN_DISCOUNT) / F.col("c1")
+        + KN_DISCOUNT
+        * F.col("n_follow")
+        / F.col("c1")
+        * (F.col("n_prec") * 1.0 / F.col("n_types"))
+    )
+    lp = (
+        bgc.join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.log(p_kn) * int(_FX) + F.lit(0.5))
+            .cast("bigint")
+            .alias("fx"),
+        )
+    )
+    perdoc = bg.join(lp, ["w1", "w2"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("fx").alias("sfx"),
+    )
+    fx = float(_FX)
+    mean_lp = F.col("sfx") / (fx * F.col("n_bigrams"))
+    return perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(mean_lp, 6).alias("mean_logprob"),
+        F.round(F.exp(-mean_lp), 4).alias("perplexity"),
+    )

@@ -136,3 +136,133 @@ def clustered_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --------------------------------------------------------------------------
+# Zone maps of the z-ordered layout as an ORACLE-CHECKED relation.
+# zo_orders_zvalues (above) computes the Morton key and
+# tests/test_scale_features.py verifies file skipping after a real
+# zorder_write; this query makes the layout's effectiveness itself a
+# cross-engine-checkable result: per z-range bucket, the min/max zone
+# map of BOTH dimensions and each extent as a fraction of its domain.
+# A predicate on either column prunes every bucket whose extent misses
+# it — the numbers are the data-skipping figure of merit, not a claim.
+#
+# Both dimensions first normalize to a 10-bit grid over their OWN
+# min/max domain (exact floor arithmetic, identical in both engines),
+# so the bucket count is 64 at every SF instead of depending on where
+# the raw key ranges happen to put their high bits.
+# --------------------------------------------------------------------------
+ZMAP_GRID_BITS = 10
+ZMAP_BUCKET_SHIFT = 2 * ZMAP_GRID_BITS - 6  # keep the top 6 z-bits: 64 buckets
+
+_ZMAP_EXPR = " | ".join(
+    term
+    for k in range(ZMAP_GRID_BITS)
+    for term in (
+        f"(((ckn >> {k}) & 1) << {2 * k})",
+        f"(((dyn >> {k}) & 1) << {2 * k + 1})",
+    )
+)
+
+_ZMAP_GRID = 1 << ZMAP_GRID_BITS
+
+_ZMAP_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey AS ck,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dy
+  FROM orders
+),
+dom AS (
+  SELECT min(ck) AS ck_min, max(ck) - min(ck) + 1 AS ck_dom,
+         min(dy) AS dy_min, max(dy) - min(dy) + 1 AS dy_dom
+  FROM base
+),
+norm AS (
+  SELECT ck, dy,
+         CAST(floor((ck - ck_min) * {_ZMAP_GRID}.0 / ck_dom) AS BIGINT) AS ckn,
+         CAST(floor((dy - dy_min) * {_ZMAP_GRID}.0 / dy_dom) AS BIGINT) AS dyn
+  FROM base CROSS JOIN dom
+),
+b AS (
+  SELECT ck, dy, ({_ZMAP_EXPR}) >> {ZMAP_BUCKET_SHIFT} AS bucket FROM norm
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ck) AS BIGINT) AS ck_lo,
+       CAST(max(ck) AS BIGINT) AS ck_hi,
+       CAST(min(dy) AS BIGINT) AS dy_lo,
+       CAST(max(dy) AS BIGINT) AS dy_hi,
+       round((max(ck) - min(ck) + 1) * 1.0 / (SELECT ck_dom FROM dom), 6)
+           AS ck_extent,
+       round((max(dy) - min(dy) + 1) * 1.0 / (SELECT dy_dom FROM dom), 6)
+           AS dy_extent
+FROM b
+GROUP BY bucket
+"""
+
+
+@register("zo_zonemap_extents", oracle=_ZMAP_ORACLE)
+def zo_zonemap_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket zone maps of the 64-bucket z-ordered orders layout
+    (row count, min/max custkey and day index, extents as domain
+    fractions — both extents stay far below 1, which IS the 2-D
+    skipping property).
+
+    One map-side normalize + bit-interleave projection and one grouped
+    aggregate; the domain stats fold in as a broadcast 1-row join. At
+    scale the bucket id is what ``repartitionByRange(zval)`` + parquet
+    footer min/max produce — same relation, computed declaratively.
+    """
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("dy"),
+    )
+    dom = base.agg(
+        F.min("ck").alias("ck_min"),
+        (F.max("ck") - F.min("ck") + 1).alias("ck_dom"),
+        F.min("dy").alias("dy_min"),
+        (F.max("dy") - F.min("dy") + 1).alias("dy_dom"),
+    )
+    norm = base.crossJoin(F.broadcast(dom)).select(
+        "ck",
+        "dy",
+        "ck_dom",
+        "dy_dom",
+        F.floor((F.col("ck") - F.col("ck_min")) * float(_ZMAP_GRID) / F.col("ck_dom"))
+        .cast("bigint")
+        .alias("ckn"),
+        F.floor((F.col("dy") - F.col("dy_min")) * float(_ZMAP_GRID) / F.col("dy_dom"))
+        .cast("bigint")
+        .alias("dyn"),
+    )
+    b = norm.select(
+        "ck",
+        "dy",
+        "ck_dom",
+        "dy_dom",
+        F.expr(f"({_ZMAP_EXPR}) >> {ZMAP_BUCKET_SHIFT}").alias("bucket"),
+    )
+    return b.groupBy("bucket", "ck_dom", "dy_dom").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("ck").cast("bigint").alias("ck_lo"),
+        F.max("ck").cast("bigint").alias("ck_hi"),
+        F.min("dy").cast("bigint").alias("dy_lo"),
+        F.max("dy").cast("bigint").alias("dy_hi"),
+    ).select(
+        "bucket",
+        "n_rows",
+        "ck_lo",
+        "ck_hi",
+        "dy_lo",
+        "dy_hi",
+        F.round(
+            (F.col("ck_hi") - F.col("ck_lo") + 1) * 1.0 / F.col("ck_dom"), 6
+        ).alias("ck_extent"),
+        F.round(
+            (F.col("dy_hi") - F.col("dy_lo") + 1) * 1.0 / F.col("dy_dom"), 6
+        ).alias("dy_extent"),
+    )

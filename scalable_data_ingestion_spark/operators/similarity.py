@@ -498,3 +498,103 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"recall_at_{TOP_K}"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data prep step: for
+# each query vector, the highest-cosine neighbors of a DIFFERENT label
+# (the negatives the model most confuses), plus the nearest same-label
+# positive and the margin between them. Rows with margin <= 0 are the
+# queries whose hardest negative outranks their best positive — the
+# exact examples a triplet/InfoNCE fine-tune needs.
+#
+# Scale shape: identical to the brute kNN harness — the bounded query
+# side broadcasts, norms project below the join, corpus never
+# shuffles. At open-ended query counts the same mining runs over the
+# IVF cell join (sim_ivf_knn) instead of the cross join; the ranking +
+# margin logic is unchanged.
+# --------------------------------------------------------------------------
+_HARDNEG_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             v.vec_id AS neighbor_id, v.label AS neighbor_label,
+             round(list_dot_product(q.emb, v.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+      FROM e q JOIN e v ON q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+    ),
+    neg AS (
+      SELECT query_id, query_label, neighbor_id, cosine,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS neg_rank
+      FROM pairs WHERE neighbor_label <> query_label
+    ),
+    pos AS (
+      SELECT query_id, max(cosine) AS best_pos_cosine
+      FROM pairs WHERE neighbor_label = query_label
+      GROUP BY query_id
+    )
+    SELECT n.query_id, n.query_label,
+           n.neighbor_id AS hard_neg_id, n.cosine AS neg_cosine, n.neg_rank,
+           p.best_pos_cosine,
+           round(p.best_pos_cosine - n.cosine, 6) AS margin
+    FROM neg n JOIN pos p USING (query_id)
+    WHERE n.neg_rank <= {TOP_K}
+    """
+
+
+@register("sim_hard_negative_mining", oracle=_HARDNEG_ORACLE)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} cross-label hard negatives per query vector with the
+    best same-label positive cosine and the positive-negative margin."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("ve"),
+        _norm("embedding").alias("vn"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    neg = (
+        pairs.filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("neg_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rank") <= TOP_K)
+    )
+    pos = (
+        pairs.filter(F.col("neighbor_label") == F.col("query_label"))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("best_pos_cosine"))
+    )
+    return neg.join(F.broadcast(pos), "query_id").select(
+        "query_id",
+        "query_label",
+        F.col("neighbor_id").alias("hard_neg_id"),
+        F.col("cosine").alias("neg_cosine"),
+        "neg_rank",
+        "best_pos_cosine",
+        F.round(F.col("best_pos_cosine") - F.col("cosine"), 6).alias("margin"),
+    )

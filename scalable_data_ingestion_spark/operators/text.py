@@ -670,3 +670,97 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("rn") - 1) / F.col("cap")).alias("batch_id"),
         ((F.col("rn") - 1) % F.col("cap")).alias("slot"),
     ).orderBy("bucket", "batch_id", "slot")
+
+
+# --------------------------------------------------------------------------
+# C4/RefinedWeb-style LINE-level dedup: the corpus-wide "every
+# repeated line survives only at its first occurrence" pass that web
+# pipelines run before document-level dedup (boilerplate sentences,
+# nav text, license blocks repeat across unrelated pages). The
+# provided docs are single-line, so "lines" are the deterministic
+# non-overlapping 8-token chunks — same operator shape, same keep
+# rule.
+#
+# Keep-first = row_number over (line) ordered by (doc_id, line_idx)
+# == 1: one corpus-wide shuffle on the line hash, exactly the shape
+# the exact-dedup operator uses at document grain. Per-doc survival
+# stats come out of the same pass — no second scan.
+# --------------------------------------------------------------------------
+LINE_TOKENS = 8
+
+
+@register(
+    "dd_line_dedup_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, i AS line_idx,
+             array_to_string(t[i * {LINE_TOKENS} + 1 :
+                               (i + 1) * {LINE_TOKENS}], ' ') AS line,
+             least(len(t) - i * {LINE_TOKENS}, {LINE_TOKENS}) AS line_tokens
+      FROM tok,
+           unnest(range(0, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INTEGER)))
+             AS u(i)
+    ),
+    tagged AS (
+      SELECT doc_id, line_idx, line_tokens,
+             row_number() OVER (PARTITION BY line
+                                ORDER BY doc_id, line_idx) AS occ
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN occ = 1 THEN line_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           round(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS keep_ratio
+    FROM tagged
+    GROUP BY doc_id
+    """,
+)
+def dd_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc survival statistics of corpus-wide keep-first line
+    dedup over deterministic 8-token lines: total lines, kept lines,
+    kept token mass, keep ratio."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    lines = (
+        docs.select("doc_id", t.alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").alias("n_tok"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(t) + {LINE_TOKENS - 1})"
+                    f" div {LINE_TOKENS} - 1), i -> named_struct("
+                    f"'line_idx', i, "
+                    f"'line', concat_ws(' ', slice(t, i * {LINE_TOKENS} + 1,"
+                    f" {LINE_TOKENS}))))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.line_idx").alias("line_idx"),
+            F.col("s.line").alias("line"),
+            F.least(
+                F.col("n_tok") - F.col("s.line_idx") * LINE_TOKENS,
+                F.lit(LINE_TOKENS),
+            ).alias("line_tokens"),
+        )
+    )
+    occ = F.row_number().over(
+        W.partitionBy("line").orderBy("doc_id", "line_idx")
+    )
+    tagged = lines.withColumn("occ", occ)
+    kept = (F.col("occ") == 1).cast("int")
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        F.sum(kept * F.col("line_tokens")).cast("bigint").alias("tokens_kept"),
+        F.round(F.sum(kept) * 1.0 / F.count(F.lit(1)), 6).alias("keep_ratio"),
+    )

@@ -405,3 +405,18 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zonemap_extents_form_tight_grid(spark, sf_dir):
+    """The oracle-checked zone-map relation must show the 2-D skipping
+    property quantitatively: 64 buckets, and every bucket's extent in
+    EACH dimension stays near the ideal 1/8 of the domain (an 8x8
+    Morton grid) — a one-dimensional sort would give ~1.0 extents in
+    the unsorted dimension."""
+    from scalable_data_ingestion_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["zo_zonemap_extents"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert max(r["ck_extent"] for r in rows) < 0.2
+    assert max(r["dy_extent"] for r in rows) < 0.2
