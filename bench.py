@@ -180,6 +180,8 @@ HEADLINE_R11 = [
     "dd_line_dedup_stats",
     "sim_hard_negative_mining",
     "zo_zonemap_extents",
+    "tok_bpe_merges",
+    "stat_winsorized_order_value",
 ]
 
 ALL_HEADLINE = (

@@ -209,6 +209,58 @@ def global_ntile(
     return sliced.withColumn(out_col, tile.cast("int")).drop("_gr_pid")
 
 
+def global_quantiles_cont(
+    df: DataFrame,
+    value: Column,
+    qs: dict[str, float],
+    n_col: str = "n",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact interpolated quantiles (SQL ``quantile_cont``) of one
+    column for several ``q`` values in ONE range-partitioned ranking
+    pass — no single-reducer exact-percentile aggregate.
+
+    For each ``out_col -> q`` entry the continuous quantile is
+    ``v[idx] * (1 - frac) + v[idx+1] * frac`` with
+    ``idx = floor((n-1)q)`` (DuckDB's formula, evaluated with the same
+    IEEE-double steps on both engines — verified bit-exact in
+    tests/test_ranking_helpers.py). One scalar ``count()`` job pins the needed ranks as
+    literals; a single filtered aggregate then reads only the 2·|qs|
+    boundary rows. Returns a 1-row DataFrame ``(n_col, *qs.keys())``;
+    empty input yields ``n = 0`` and NULL quantiles.
+    """
+    vals = df.select(value.alias("_v")).persist()
+    n = vals.count()
+    spark = vals.sparkSession
+    if n == 0:
+        cols = [F.lit(0).cast("bigint").alias(n_col)] + [
+            F.lit(None).cast("double").alias(c) for c in qs
+        ]
+        return spark.range(1).select(*cols)
+    plan: dict[str, tuple[int, int, float]] = {}
+    ranks: set[int] = set()
+    for out_col, q in qs.items():
+        rn = (n - 1) * q  # IEEE double, same steps as the SQL engines
+        idx = int(rn)
+        frac = rn - idx
+        k1 = idx + 1  # 1-based rank of the lower boundary row
+        k2 = min(idx + 2, n)
+        plan[out_col] = (k1, k2, frac)
+        ranks.update((k1, k2))
+    ranked = global_rank(vals, [F.col("_v")], "_rk", num_partitions)
+    boundary = ranked.filter(F.col("_rk").isin(sorted(ranks)))
+    aggs = []
+    for out_col, (k1, k2, frac) in plan.items():
+        lo = F.min(F.when(F.col("_rk") == k1, F.col("_v")))
+        hi = F.min(F.when(F.col("_rk") == k2, F.col("_v")))
+        aggs.append(
+            (lo * F.lit(1.0 - frac) + hi * F.lit(frac)).alias(out_col)
+        )
+    return boundary.agg(*aggs).select(
+        F.lit(n).cast("bigint").alias(n_col), *qs.keys()
+    )
+
+
 def global_median_cont(
     df: DataFrame,
     value: Column,
@@ -225,7 +277,7 @@ def global_median_cont(
     query. Here the relation is range-partition ranked instead (each
     partition sorts only its slice), the two middle positions are
     filtered out, and the median is interpolated with DuckDB's exact
-    formula ``lo + (hi - lo) * 0.5`` so the cross-engine hash cannot
+    formula ``lo * 0.5 + hi * 0.5`` so the cross-engine hash cannot
     wobble on the last ulp. One scalar ``count()`` job pins the middle
     ranks as literals (the PageRank node-count pattern).
 
@@ -246,6 +298,6 @@ def global_median_cont(
         .agg(F.min("_v").alias("_lo"), F.max("_v").alias("_hi"))
         .select(
             F.lit(n).cast("bigint").alias(n_col),
-            (F.col("_lo") + (F.col("_hi") - F.col("_lo")) * 0.5).alias(med_col),
+            (F.col("_lo") * 0.5 + F.col("_hi") * 0.5).alias(med_col),
         )
     )

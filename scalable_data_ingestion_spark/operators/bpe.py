@@ -1,0 +1,133 @@
+"""BPE tokenizer merge training as unrolled declarative rounds.
+
+Byte-pair encoding training is THE tokenizer-prep step of an LLM data
+pipeline: repeatedly find the most frequent adjacent symbol pair in
+the corpus and fuse it into a new symbol. Each round here is pure
+relational algebra — no driver-side loop over words, no Python UDF:
+
+  1. pair counts: explode each word's adjacent symbol pairs, weighted
+     by the word's corpus count (classic BPE trains on the word-count
+     table, not the raw corpus);
+  2. best pair: a 1-row ``ORDER BY count DESC, pair LIMIT 1`` —
+     deterministic total tie-break so both engines always pick the
+     same merge;
+  3. apply: a left-to-right fold over each word's symbols
+     (``aggregate`` in Spark, ``list_reduce`` in DuckDB) joins the
+     pair wherever it occurs non-overlappingly. The fold carries the
+     symbols as a unit-separator-joined string, so "merge" is simply
+     appending the right symbol with no separator — the same
+     greedy-left semantics the reference BPE algorithm uses.
+
+Scale shape: the ONE corpus-sized job is the word-count groupBy
+(map-side combining); every training round then operates on the
+VOCABULARY relation (distinct words x their symbol arrays), which is
+bounded by the word-form universe, not the corpus. ``BPE_ROUNDS``
+unrolled rounds = a linear chain of vocab-sized aggregates — the same
+fixed-point unrolling policy as LPA (operators/graph.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+BPE_ROUNDS = 6
+_SEP = "chr(31)"  # unit separator: never appears in corpus tokens
+
+# Shared (Spark SQL == DuckDB SQL) fold-step condition: the
+# accumulator's LAST symbol equals the merge pair's left element.
+_LAST_IS_A = f"(acc = a OR right(acc, length(a) + 1) = concat({_SEP}, a))"
+_FOLD_DUCK = (
+    f"list_reduce(sym, (acc, x) -> CASE WHEN {_LAST_IS_A} AND x = b "
+    f"THEN acc || x ELSE acc || {_SEP} || x END)"
+)
+_FOLD_SPARK = (
+    f"aggregate(sym, '', (acc, x) -> CASE WHEN acc = '' THEN x "
+    f"WHEN {_LAST_IS_A} AND x = b "
+    f"THEN concat(acc, x) ELSE concat(acc, {_SEP}, x) END)"
+)
+
+
+def _round_sql(i: int) -> str:
+    """DuckDB CTEs for training round ``i`` (1-based)."""
+    return f"""pairs{i} AS (
+      SELECT s.sym[j] AS a, s.sym[j + 1] AS b, CAST(sum(wc) AS BIGINT) AS c
+      FROM seg{i - 1} s, unnest(range(1, len(sym))) AS u(j)
+      GROUP BY 1, 2
+    ),
+    best{i} AS (SELECT a, b, c FROM pairs{i} ORDER BY c DESC, a, b LIMIT 1),
+    seg{i} AS (
+      SELECT word, wc, string_split({_FOLD_DUCK}, {_SEP}) AS sym
+      FROM seg{i - 1} CROSS JOIN best{i}
+    )"""
+
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+seg0 AS (SELECT word, wc, string_split(word, '') AS sym FROM words),
+{",".join(_round_sql(i) for i in range(1, BPE_ROUNDS + 1))}
+{" UNION ALL ".join(
+    f"SELECT {i} AS round, a AS left_sym, b AS right_sym, "
+    f"a || b AS merged, c AS pair_count FROM best{i}"
+    for i in range(1, BPE_ROUNDS + 1)
+)}
+"""
+
+
+@register("tok_bpe_merges", oracle=_BPE_ORACLE)
+def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first {BPE_ROUNDS} BPE merge rules learned from the corpus
+    word-count table: (round, left, right, merged symbol, weighted
+    pair count)."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    seg = words.select("word", "wc", F.expr("split(word, '')").alias("sym"))
+    bests = []
+    for i in range(1, BPE_ROUNDS + 1):
+        pairs = (
+            seg.select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(sym, 1, size(sym) - 1),"
+                        "         slice(sym, 2, size(sym) - 1),"
+                        "         (x, y) -> named_struct('a', x, 'b', y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").cast("bigint").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
+        bests.append(
+            best.select(
+                F.lit(i).alias("round"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        seg = seg.crossJoin(F.broadcast(best)).select(
+            "word",
+            "wc",
+            F.expr(f"split({_FOLD_SPARK}, {_SEP})").alias("sym"),
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

@@ -384,3 +384,91 @@ def stat_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("observed") - expected, 2) / expected, 6
         ).alias("chi2_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean of order value — the robust-mean readout (clip to
+# the exact [p05, p95] band before averaging) every revenue dashboard
+# wants next to the raw mean, because a handful of mega-orders drags
+# the raw number.
+#
+# Exactness policy: order values live as exact BIGINT cents; the two
+# quantile bounds come from global_quantiles_cont (range-partitioned
+# rank selection — no single-reducer percentile, and DuckDB's
+# interpolation formula evaluated with identical IEEE steps). The
+# winsorized sum decomposes into (exact integer sum of in-band cents)
+# + n_below * p05 + n_above * p95 — two double products — so no
+# order-dependent float summation exists anywhere in the query.
+# --------------------------------------------------------------------------
+@register(
+    "stat_winsorized_order_value",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ),
+    q AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(c, 0.05) AS lo,
+             quantile_cont(c, 0.95) AS hi
+      FROM cents
+    )
+    SELECT n,
+           round(lo / 100, 6) AS p05,
+           round(hi / 100, 6) AS p95,
+           round(sum(c) / (100.0 * n), 6) AS mean_raw,
+           round((sum(CASE WHEN c > lo AND c < hi THEN c ELSE 0 END)
+                  + sum(CASE WHEN c <= lo THEN 1 ELSE 0 END) * lo
+                  + sum(CASE WHEN c >= hi THEN 1 ELSE 0 END) * hi)
+                 / (100.0 * n), 6) AS mean_winsorized,
+           CAST(sum(CASE WHEN c <= lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+           CAST(sum(CASE WHEN c >= hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi
+    FROM cents CROSS JOIN q
+    GROUP BY n, lo, hi
+    """,
+)
+def stat_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw vs [p05, p95]-winsorized mean order value with the exact
+    continuous quantile bounds and clip counts."""
+    from ..functions.ranking import global_quantiles_cont
+
+    orders = table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    ).persist()
+    q = global_quantiles_cont(cents, F.col("c"), {"lo": 0.05, "hi": 0.95})
+    in_band = F.when(
+        (F.col("c") > F.col("lo")) & (F.col("c") < F.col("hi")), F.col("c")
+    ).otherwise(F.lit(0))
+    below = (F.col("c") <= F.col("lo")).cast("bigint")
+    above = (F.col("c") >= F.col("hi")).cast("bigint")
+    return (
+        cents.crossJoin(F.broadcast(q))
+        .groupBy("n", "lo", "hi")
+        .agg(
+            F.sum("c").alias("_sum_all"),
+            F.sum(in_band).alias("_sum_mid"),
+            F.sum(below).alias("n_clipped_lo"),
+            F.sum(above).alias("n_clipped_hi"),
+        )
+        .select(
+            "n",
+            F.round(F.col("lo") / 100, 6).alias("p05"),
+            F.round(F.col("hi") / 100, 6).alias("p95"),
+            F.round(F.col("_sum_all") / (100.0 * F.col("n")), 6).alias(
+                "mean_raw"
+            ),
+            F.round(
+                (
+                    F.col("_sum_mid")
+                    + F.col("n_clipped_lo") * F.col("lo")
+                    + F.col("n_clipped_hi") * F.col("hi")
+                )
+                / (100.0 * F.col("n")),
+                6,
+            ).alias("mean_winsorized"),
+            "n_clipped_lo",
+            "n_clipped_hi",
+        )
+    )

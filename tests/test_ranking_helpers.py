@@ -161,3 +161,30 @@ def test_global_median_cont_empty(spark):
     df = _seq_df(spark).filter(F.lit(False)).select(F.col("v").cast("double"))
     row = global_median_cont(df, F.col("v")).first()
     assert row["n"] == 0 and row["med"] is None
+
+
+def test_global_quantiles_cont_matches_duckdb(spark):
+    import duckdb
+
+    from scalable_data_ingestion_spark.functions.ranking import (
+        global_quantiles_cont,
+    )
+
+    for n in (1, 2, 7, 400):
+        df = _seq_df(spark, n).select(
+            (F.conv(F.substring("k", 1, 4), 16, 10).cast("double") / 3.0).alias(
+                "x"
+            )
+        )
+        got = global_quantiles_cont(
+            df, F.col("x"), {"p05": 0.05, "p50": 0.5, "p95": 0.95},
+            num_partitions=8,
+        ).first()
+        vals = [r["x"] for r in df.collect()]
+        want = duckdb.sql(
+            "SELECT quantile_cont(x, 0.05), quantile_cont(x, 0.5),"
+            " quantile_cont(x, 0.95) FROM (SELECT unnest(?) AS x)",
+            params=[vals],
+        ).fetchone()
+        assert got["n"] == n
+        assert (got["p05"], got["p50"], got["p95"]) == want  # bit-exact
