@@ -182,6 +182,8 @@ HEADLINE_R11 = [
     "zo_zonemap_extents",
     "tok_bpe_merges",
     "stat_winsorized_order_value",
+    "ml_logreg_gd_path",
+    "feat_next_event_sequences",
 ]
 
 ALL_HEADLINE = (

@@ -131,3 +131,82 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+_BPE_COMPRESSION_ORACLE = f"""
+WITH words AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY tok
+),
+seg0 AS (SELECT word, wc, string_split(word, '') AS sym FROM words),
+{",".join(_round_sql(i) for i in range(1, BPE_ROUNDS + 1))}
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM words) AS n_word_forms,
+       (SELECT CAST(sum(wc) AS BIGINT) FROM words) AS n_corpus_words,
+       CAST(sum(wc * len(sym)) AS BIGINT) AS tokens_bpe,
+       (SELECT CAST(sum(wc * len(sym)) AS BIGINT) FROM seg0) AS tokens_char,
+       round(CAST((SELECT sum(wc * len(sym)) FROM seg0) AS DOUBLE)
+             / sum(wc * len(sym)), 6) AS compression_ratio
+FROM seg{BPE_ROUNDS}
+"""
+
+
+@register("tok_bpe_compression", oracle=_BPE_COMPRESSION_ORACLE)
+def tok_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokens-per-word compression achieved by the {BPE_ROUNDS}
+    learned BPE merges — THE tokenizer figure of merit (chars-per-token
+    falling is why BPE exists). Same training rounds as
+    :func:`tok_bpe_merges`; the final segmentation's corpus-weighted
+    symbol count is compared against the char baseline."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .persist()
+    )
+    seg = words.select("word", "wc", F.expr("split(word, '')").alias("sym"))
+    for _ in range(BPE_ROUNDS):
+        pairs = (
+            seg.select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(sym, 1, size(sym) - 1),"
+                        "         slice(sym, 2, size(sym) - 1),"
+                        "         (x, y) -> named_struct('a', x, 'b', y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wc").cast("bigint").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
+        seg = seg.crossJoin(F.broadcast(best)).select(
+            "word",
+            "wc",
+            F.expr(f"split({_FOLD_SPARK}, {_SEP})").alias("sym"),
+        )
+    totals = words.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_word_forms"),
+        F.sum("wc").cast("bigint").alias("n_corpus_words"),
+        F.sum(F.col("wc") * F.length("word")).cast("bigint").alias("tokens_char"),
+    )
+    return (
+        seg.agg(
+            F.sum(F.col("wc") * F.size("sym")).cast("bigint").alias("tokens_bpe")
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_word_forms",
+            "n_corpus_words",
+            "tokens_bpe",
+            "tokens_char",
+            F.round(
+                F.col("tokens_char").cast("double") / F.col("tokens_bpe"), 6
+            ).alias("compression_ratio"),
+        )
+    )

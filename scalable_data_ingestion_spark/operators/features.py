@@ -25,7 +25,7 @@ features adds columns, not passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -263,4 +263,62 @@ def feat_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0,
             2,
         ).alias("loo_target_enc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Next-event training-sequence assembly — the dataset-building step of
+# a session-based recommender / next-action model: per user, the most
+# recent event is the LABEL and the up-to-10 events before it
+# (time-ascending) are the CONTEXT sequence. The exact shape an LLM
+# pipeline uses to build "history -> next token" examples from logs.
+#
+# Determinism: (ts, event_id) is a total order, so context membership,
+# order within the sequence, and the label are engine-independent.
+# Scale: one user-keyed ranking window (the shuffle a per-user dataset
+# needs anyway) + one groupBy with an array_sort(collect_list(struct))
+# — no driver-side loops; collect_list is bounded to <= 10 rows per
+# user by the rank filter BEFORE aggregation.
+# --------------------------------------------------------------------------
+SEQ_CONTEXT = 10
+
+
+@register(
+    "feat_next_event_sequences",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS seq_len,
+           COALESCE(string_agg(CASE WHEN rn > 1 THEN event_type END, '>'
+                               ORDER BY ts, event_id), '') AS context_seq,
+           max(CASE WHEN rn = 1 THEN event_type END) AS label
+    FROM ranked
+    WHERE rn <= {SEQ_CONTEXT} + 1
+    GROUP BY user_id
+    """,
+)
+def feat_next_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (context sequence, next-event label) training examples:
+    the latest event is the label, the up-to-{SEQ_CONTEXT} prior events
+    form the time-ascending context string."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") <= SEQ_CONTEXT + 1)
+    ctx = F.expr(
+        "transform(array_sort(collect_list(CASE WHEN rn > 1 THEN "
+        "struct(ts, event_id, event_type) END)), s -> s.event_type)"
+    )
+    return ranked.groupBy("user_id").agg(
+        F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("seq_len"),
+        F.concat_ws(">", ctx).alias("context_seq"),
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("label"),
     )

@@ -1,0 +1,117 @@
+"""In-engine model training: full-batch logistic regression GD as
+unrolled declarative rounds.
+
+The quality-classifier half of a curation pipeline (fastText-style
+filters, Gopher-style learned scorers) needs TRAINING, not just
+scoring, to run on the cluster. Full-batch gradient descent over a
+DataFrame is embarrassingly parallel — each round is one
+map-side-combining aggregate of per-row gradients — and becomes
+bit-deterministic cross-engine with the same fixed-point policy the
+LM scorers use: each row's gradient contribution quantizes to 1e-6
+fixed point BEFORE summation, so the sums are exact BIGINTs under any
+shuffle order, and the weight trajectory is a pure function of the
+data. Learning rate 1/8 (dyadic, exact in binary).
+
+Scale shape: round r = one pass over the fact (crossJoin with the
+broadcast 1-row weight relation, sigmoid + quantize map-side, one
+aggregate). ROUNDS unrolled rounds = a linear chain of such passes —
+the LPA/BPE fixed-point unrolling policy. No driver loop touches row
+data; the driver only builds the lazy plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import register
+
+GD_ROUNDS = 5
+GD_LR = 0.125  # dyadic
+GD_FX = 1_000_000  # gradient fixed-point scale
+X_SCALE = 100_000.0  # o_totalprice / X_SCALE keeps z in a sane range
+
+_FEATS_SQL = f"""
+  SELECT o_totalprice / {X_SCALE} AS x,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+"""
+
+
+def _gd_round_sql(i: int) -> str:
+    return f"""g{i} AS (
+      SELECT
+        CAST(sum(CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * x))) - y)
+                            * {GD_FX} + 0.5) AS BIGINT)) AS BIGINT) AS s0,
+        CAST(sum(CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * x))) - y) * x
+                            * {GD_FX} + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+        CAST(count(*) AS BIGINT) AS n
+      FROM feats CROSS JOIN w{i - 1}
+    ),
+    w{i} AS (
+      SELECT w0 - {GD_LR} * (s0 / ({GD_FX}.0 * n)) AS w0,
+             w1 - {GD_LR} * (s1 / ({GD_FX}.0 * n)) AS w1
+      FROM g{i} CROSS JOIN w{i - 1}
+    )"""
+
+
+_GD_ORACLE = f"""
+WITH feats AS ({_FEATS_SQL}),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1),
+{",".join(_gd_round_sql(i) for i in range(1, GD_ROUNDS + 1))}
+{" UNION ALL ".join(
+    f"SELECT {i} AS round, round(w0, 9) AS w0, round(w1, 9) AS w1 FROM w{i}"
+    for i in range(1, GD_ROUNDS + 1)
+)}
+"""
+
+
+@register("ml_logreg_gd_path", oracle=_GD_ORACLE)
+def ml_logreg_gd_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight trajectory of {GD_ROUNDS} full-batch logistic-regression
+    GD rounds predicting high order priority from scaled order value
+    (intercept + one feature), with exact fixed-point gradient sums."""
+    orders = table(spark, sf_dir, "orders")
+    feats = orders.select(
+        (F.col("o_totalprice") / X_SCALE).alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    ).persist()
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1")
+    )
+    snapshots = []
+    for i in range(1, GD_ROUNDS + 1):
+        joined = feats.crossJoin(F.broadcast(w))
+        resid = 1.0 / (1.0 + F.exp(-(F.col("w0") + F.col("w1") * F.col("x")))) - F.col("y")
+        g = joined.agg(
+            F.sum(F.floor(resid * GD_FX + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("s0"),
+            F.sum(F.floor(resid * F.col("x") * GD_FX + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("s1"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        w = g.crossJoin(F.broadcast(w)).select(
+            (F.col("w0") - GD_LR * (F.col("s0") / (float(GD_FX) * F.col("n"))))
+            .alias("w0"),
+            (F.col("w1") - GD_LR * (F.col("s1") / (float(GD_FX) * F.col("n"))))
+            .alias("w1"),
+        )
+        snapshots.append(
+            w.select(
+                F.lit(i).alias("round"),
+                F.round("w0", 9).alias("w0"),
+                F.round("w1", 9).alias("w1"),
+            )
+        )
+    out = snapshots[0]
+    for s in snapshots[1:]:
+        out = out.unionByName(s)
+    return out

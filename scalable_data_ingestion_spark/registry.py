@@ -72,6 +72,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.skew",
     "scalable_data_ingestion_spark.operators.layout",
     "scalable_data_ingestion_spark.operators.bpe",
+    "scalable_data_ingestion_spark.operators.sgd",
     "scalable_data_ingestion_spark.operators.asof",
     "scalable_data_ingestion_spark.streaming.queries",
     "scalable_data_ingestion_spark.streaming.joins",
