@@ -184,6 +184,7 @@ HEADLINE_R11 = [
     "stat_winsorized_order_value",
     "ml_logreg_gd_path",
     "feat_next_event_sequences",
+    "sim_binary_hamming_recall",
 ]
 
 ALL_HEADLINE = (

@@ -598,3 +598,134 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "best_pos_cosine",
         F.round(F.col("best_pos_cosine") - F.col("cosine"), 6).alias("margin"),
     )
+
+
+# --------------------------------------------------------------------------
+# Binary (sign) quantization + Hamming ANN, with measured recall —
+# the 1-bit-per-dimension compression modern vector stores ship
+# (64 dims -> 8 bytes, 32x smaller than float32; distance = popcount
+# of an XOR). Signatures pack into TWO 32-bit words per vector
+# (shifts stay < 32, so the packing is identical signed-BIGINT
+# arithmetic in both engines); Hamming distance is
+# bit_count(lo XOR lo') + bit_count(hi XOR hi').
+#
+# Ships with its recall eval (same policy as IVF/PQ/Matryoshka): the
+# Hamming top-k per query is compared against the exact float cosine
+# top-k, so the compression's cost is a measured number, not a claim.
+# Candidate ranking is (hamming asc, vec_id) — a total order, so both
+# engines select identical neighbor sets.
+#
+# Scale shape: signatures are one map-side posexplode + bit_or
+# aggregate per vector (map-side combining); the query side broadcasts
+# as in the brute harness; at open query counts the signature join
+# would bucket on a signature prefix (the LSH band pattern) instead.
+# --------------------------------------------------------------------------
+_SIG_SQL_DUCK = f"""
+sig AS (
+  SELECT vec_id,
+         bit_or(CASE WHEN i <= 32 AND e >= 0
+                     THEN 1::BIGINT << (i - 1) ELSE 0 END) AS sig_lo,
+         bit_or(CASE WHEN i > 32 AND e >= 0
+                     THEN 1::BIGINT << (i - 33) ELSE 0 END) AS sig_hi
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+  GROUP BY vec_id
+)
+"""
+
+
+@register(
+    "sim_binary_hamming_recall",
+    oracle=f"""
+    WITH {_SIG_SQL_DUCK},
+    ham AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             bit_count(xor(q.sig_lo, v.sig_lo))
+             + bit_count(xor(q.sig_hi, v.sig_hi)) AS hamming
+      FROM sig q JOIN sig v
+        ON q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rnk
+      FROM ham
+    ),
+    brute AS (SELECT * FROM ({_BRUTE_ORACLE}) t),
+    hits AS (
+      SELECT b.query_id, count(*) AS c
+      FROM brute b JOIN topk t
+        ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+       AND t.rnk <= {TOP_K}
+      GROUP BY b.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.c, 0) AS BIGINT) AS hits,
+           round(COALESCE(h.c, 0) / CAST({TOP_K} AS DOUBLE), 6)
+               AS recall_at_{TOP_K}
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN hits h ON q.query_id = h.query_id
+    """,
+)
+def sim_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of sign-quantized Hamming search vs exact float
+    cosine, per query vector."""
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "e")
+    )
+    sig = exploded.groupBy("vec_id").agg(
+        F.expr(
+            "bit_or(CASE WHEN pos < 32 AND e >= 0 "
+            "THEN shiftleft(CAST(1 AS BIGINT), pos) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        ).alias("sig_lo"),
+        F.expr(
+            "bit_or(CASE WHEN pos >= 32 AND e >= 0 "
+            "THEN shiftleft(CAST(1 AS BIGINT), pos - 32) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        ).alias("sig_hi"),
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("qlo"),
+        F.col("sig_hi").alias("qhi"),
+    )
+    ham = (
+        F.broadcast(q)
+        .crossJoin(sig)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.bit_count(
+                    F.col("qlo").bitwiseXOR(F.col("sig_lo"))
+                )
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("sig_hi")))
+            ).alias("hamming"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    topk = ham.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    brute = sim_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(topk, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("hits"),
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0)) / float(TOP_K), 6
+            ).alias(f"recall_at_{TOP_K}"),
+        )
+    )
