@@ -596,3 +596,48 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE surface (Spark 4 WITH RECURSIVE): bounded-depth BFS
+# reachability over the support-filtered co-purchase graph. ONE SQL
+# text executes verbatim on BOTH engines — the Spark side registers
+# the lineitem view and runs spark.sql on the same string the oracle
+# uses, so this row also pins dialect compatibility of the recursive
+# surface itself.
+#
+# Termination/scale: the recursion is depth-bounded (<= 3 hops) with
+# UNION ALL semantics — each step is one equi-join of the frontier
+# against the cached-shape edge list, the same superstep the iterative
+# DataFrame graph operators (PageRank/LPA/CC) run; the declarative
+# form trades their explicit caching for optimizer-managed iteration.
+# --------------------------------------------------------------------------
+_RECURSIVE_REACH_SQL = """
+WITH RECURSIVE und AS (
+  SELECT a.l_partkey pa, b.l_partkey pb
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+edges AS (SELECT pa src, pb dst FROM und UNION ALL SELECT pb, pa FROM und),
+reach(part_id, depth) AS (
+  SELECT DISTINCT src, 0 FROM edges WHERE src % 100 = 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.part_id
+  WHERE r.depth < 3
+)
+SELECT CAST(part_id AS BIGINT) AS part_id,
+       CAST(min(depth) AS INTEGER) AS hops,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY part_id
+"""
+
+
+@register("sql_recursive_reachability", oracle=_RECURSIVE_REACH_SQL)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<= 3-hop BFS reachability (min hops + path counts) from the
+    part_id % 100 = 0 seed set, via the SAME recursive SQL text both
+    engines execute."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_RECURSIVE_REACH_SQL)
