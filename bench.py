@@ -185,6 +185,9 @@ HEADLINE_R11 = [
     "ml_logreg_gd_path",
     "feat_next_event_sequences",
     "sim_binary_hamming_recall",
+    "sql_recursive_reachability",
+    "ev_cuped_variance_reduction",
+    "opt_equidepth_histogram",
 ]
 
 ALL_HEADLINE = (

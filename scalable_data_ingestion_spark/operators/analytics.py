@@ -1101,3 +1101,120 @@ def ev_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         F.when(se > 0, F.abs(z) > AB_Z_CRIT).otherwise(F.lit(False)).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED variance reduction — the experimentation-platform companion to
+# the A/B z-test above: adjust each user's post-period outcome by
+# their PRE-period covariate (theta = cov(x,y)/var(x)), shrinking
+# metric variance without biasing the treatment effect. The adjusted
+# variance has the closed form var(y) - cov^2/var(x), so the whole
+# readout needs exactly ONE user-grain reduction + one 5-sum
+# aggregate: n, sum(x), sum(y), sum(x^2), sum(y^2), sum(xy) — all
+# exact BIGINTs (counts of events), making theta and both variances
+# bit-deterministic cross-engine.
+# --------------------------------------------------------------------------
+CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "ev_cuped_variance_reduction",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'view'
+                            AND ts < TIMESTAMP '{CUPED_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '{CUPED_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    m AS (
+      SELECT n,
+             (sxx - sx * 1.0 * sx / n) / n AS var_x,
+             (syy - sy * 1.0 * sy / n) / n AS var_y,
+             (sxy - sx * 1.0 * sy / n) / n AS cov_xy
+      FROM s
+    )
+    SELECT n AS n_users,
+           round(var_y, 6) AS var_y,
+           CASE WHEN var_x > 0 THEN round(cov_xy / var_x, 6) END AS theta,
+           CASE WHEN var_x > 0
+                THEN round(var_y - cov_xy * cov_xy / var_x, 6)
+                ELSE round(var_y, 6) END AS var_adjusted,
+           CASE WHEN var_x > 0 AND var_y > 0
+                THEN round(100.0 * (cov_xy * cov_xy / var_x) / var_y, 6)
+                ELSE 0.0 END AS var_reduction_pct
+    FROM m
+    """,
+)
+def ev_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout: theta and the closed-form adjusted metric
+    variance, from pre-period views vs post-period purchases."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            ((F.col("event_type") == "view") & (F.col("ts") < split)).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            (
+                (F.col("event_type") == "purchase") & (F.col("ts") >= split)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    var_x = (F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / F.col("n")) / F.col("n")
+    var_y = (F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / F.col("n")) / F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * 1.0 * F.col("sy") / F.col("n")) / F.col("n")
+    m = s.select(F.col("n").alias("n_users"), var_x.alias("var_x"),
+                 var_y.alias("var_y"), cov.alias("cov_xy"))
+    return m.select(
+        "n_users",
+        F.round("var_y", 6).alias("var_y"),
+        F.when(F.col("var_x") > 0, F.round(F.col("cov_xy") / F.col("var_x"), 6))
+        .alias("theta"),
+        F.when(
+            F.col("var_x") > 0,
+            F.round(
+                F.col("var_y")
+                - F.col("cov_xy") * F.col("cov_xy") / F.col("var_x"),
+                6,
+            ),
+        )
+        .otherwise(F.round(F.col("var_y"), 6))
+        .alias("var_adjusted"),
+        F.when(
+            (F.col("var_x") > 0) & (F.col("var_y") > 0),
+            F.round(
+                100.0
+                * (F.col("cov_xy") * F.col("cov_xy") / F.col("var_x"))
+                / F.col("var_y"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("var_reduction_pct"),
+    )

@@ -818,3 +818,78 @@ def stat_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_decile").cast("double") / F.col("sx").cast("double"), 6
         ).alias("top_decile_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram construction — the ANALYZE TABLE statistic a
+# cost-based optimizer keeps per column (Spark's own
+# `spark.sql.statistics.histogram.enabled` builds exactly this). Eight
+# buckets whose boundaries are the exact continuous octile quantiles
+# of order value; per bucket the row count (≈ n/8 by construction —
+# THE equi-depth property), distinct-value count, and min/max. The
+# boundary quantiles come from global_quantiles_cont: one
+# range-partitioned ranking pass for all seven cut points, no
+# single-reducer percentile.
+# --------------------------------------------------------------------------
+EQD_BUCKETS = 8
+_EQD_QS = {f"b{i}": i / EQD_BUCKETS for i in range(1, EQD_BUCKETS)}
+
+
+def _eqd_bucket_case(val: str) -> str:
+    whens = " ".join(
+        f"WHEN {val} <= b{i} THEN {i - 1}" for i in range(1, EQD_BUCKETS)
+    )
+    return f"CASE {whens} ELSE {EQD_BUCKETS - 1} END"
+
+
+_EQD_ORACLE = f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+),
+q AS (
+  SELECT {", ".join(
+      f"quantile_cont(c, {i}.0 / {EQD_BUCKETS}) AS b{i}"
+      for i in range(1, EQD_BUCKETS)
+  )}
+  FROM cents
+),
+tagged AS (
+  SELECT c, {_eqd_bucket_case("c")} AS bucket FROM cents CROSS JOIN q
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT c) AS BIGINT) AS ndv,
+       round(min(c) / 100.0, 2) AS lo_value,
+       round(max(c) / 100.0, 2) AS hi_value
+FROM tagged
+GROUP BY bucket
+"""
+
+
+@register("opt_equidepth_histogram", oracle=_EQD_ORACLE)
+def opt_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{EQD_BUCKETS}-bucket equi-depth histogram of order value (the
+    CBO column statistic): per bucket the row count, NDV, and value
+    range, with exact continuous quantile boundaries."""
+    from ..functions.ranking import global_quantiles_cont
+
+    orders = table(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    ).persist()
+    q = global_quantiles_cont(cents, F.col("c"), _EQD_QS).drop("n")
+    tagged = cents.crossJoin(F.broadcast(q)).select(
+        "c", F.expr(_eqd_bucket_case("c")).alias("bucket")
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("c").cast("bigint").alias("ndv"),
+        F.round(F.min("c") / 100.0, 2).alias("lo_value"),
+        F.round(F.max("c") / 100.0, 2).alias("hi_value"),
+    ).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_rows",
+        "ndv",
+        "lo_value",
+        "hi_value",
+    )
