@@ -188,6 +188,7 @@ HEADLINE_R11 = [
     "sql_recursive_reachability",
     "ev_cuped_variance_reduction",
     "opt_equidepth_histogram",
+    "txt_heldout_perplexity",
 ]
 
 ALL_HEADLINE = (

@@ -1288,3 +1288,147 @@ def txt_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_lp, 6).alias("mean_logprob"),
         F.round(F.exp(-mean_lp), 4).alias("perplexity"),
     )
+
+
+# --------------------------------------------------------------------------
+# HELD-OUT perplexity — the eval-hygiene version of the LM scorers
+# above: the bigram model trains on the md5-bucket 12/16 TRAIN split
+# and scores only the disjoint EVAL split, so the number measures
+# generalization, not memorization (the difference between in-sample
+# and held-out perplexity IS the overfit gap every data-quality LM
+# pipeline monitors). Unseen eval bigrams back off to the
+# Laplace-smoothed train unigram over the UNION vocabulary (never
+# zero, so logs are always finite); unseen contexts score as pure
+# backoff. Same fixed-point logprob policy as the other scorers.
+# --------------------------------------------------------------------------
+HELDOUT_TRAIN_BUCKETS = 12  # md5 buckets 0-11 train, 12-15 eval
+
+_MD5_BUCKET_SQL = "CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) " + " ".join(
+    f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef")
+) + " END"
+
+
+@register(
+    "txt_heldout_perplexity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_MD5_BUCKET_SQL} AS bucket, {_TOKENS_SQL} AS t
+      FROM documents
+      WHERE len({_TOKENS_SQL}) >= 2
+    ),
+    vocab AS (
+      SELECT CAST(count(DISTINCT u) AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS u FROM tok)
+    ),
+    uni AS (
+      SELECT u AS tok, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(t) AS u FROM tok
+            WHERE bucket < {HELDOUT_TRAIN_BUCKETS})
+      GROUP BY u
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS ta FROM uni),
+    bg AS (
+      SELECT doc_id, bucket, t[i] AS w1, t[i + 1] AS w2
+      FROM tok, unnest(range(1, len(t))) AS u(i)
+    ),
+    bgc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+      FROM bg WHERE bucket < {HELDOUT_TRAIN_BUCKETS} GROUP BY w1, w2
+    ),
+    ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+    scored AS (
+      SELECT e.doc_id,
+             CAST(floor(ln(
+                 {BIGRAM_LAMBDA} * COALESCE(b.cb * 1.0 / x.c1, 0.0)
+                 + {1 - BIGRAM_LAMBDA}
+                   * ((COALESCE(u.c, 0) + 1.0) / (tt.ta + vv.v))
+             ) * {_FX} + 0.5) AS BIGINT) AS fx
+      FROM bg e
+      LEFT JOIN bgc b ON e.w1 = b.w1 AND e.w2 = b.w2
+      LEFT JOIN ctx x ON e.w1 = x.w1
+      LEFT JOIN uni u ON u.tok = e.w2
+      CROSS JOIN tot tt CROSS JOIN vocab vv
+      WHERE e.bucket >= {HELDOUT_TRAIN_BUCKETS}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(fx) / ({_FX}.0 * count(*)), 6) AS mean_logprob,
+           round(exp(-sum(fx) / ({_FX}.0 * count(*))), 4) AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+)
+def txt_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out per-doc bigram perplexity: model trained on the 12/16
+    md5-bucket train split, scored on the disjoint eval split with
+    Laplace-smoothed unigram backoff over the union vocabulary."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    tok = docs.select(
+        "doc_id", bucket.alias("bucket"), t.alias("t")
+    ).filter(F.size("t") >= 2)
+    unigrams = tok.select("bucket", F.explode("t").alias("u"))
+    vocab = unigrams.agg(
+        F.countDistinct("u").cast("bigint").alias("v")
+    )
+    uni = (
+        unigrams.filter(F.col("bucket") < HELDOUT_TRAIN_BUCKETS)
+        .groupBy(F.col("u").alias("tok"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("bigint").alias("ta"))
+    bg = tok.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1),"
+                "         slice(t, 2, size(t) - 1),"
+                "         (x, y) -> named_struct('w1', x, 'w2', y))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "bucket", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bgc = (
+        bg.filter(F.col("bucket") < HELDOUT_TRAIN_BUCKETS)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    ctx = bgc.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("c1"))
+    ev = bg.filter(F.col("bucket") >= HELDOUT_TRAIN_BUCKETS)
+    p = BIGRAM_LAMBDA * F.coalesce(
+        F.col("cb") * 1.0 / F.col("c1"), F.lit(0.0)
+    ) + (1 - BIGRAM_LAMBDA) * (
+        (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("ta") + F.col("v"))
+    )
+    scored = (
+        ev.join(F.broadcast(bgc), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), "c")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(F.log(p) * int(_FX) + F.lit(0.5)).cast("bigint").alias("fx"),
+        )
+    )
+    fx = float(_FX)
+    mean_lp = F.col("sfx") / (fx * F.col("n_bigrams"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("fx").alias("sfx"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(mean_lp, 6).alias("mean_logprob"),
+            F.round(F.exp(-mean_lp), 4).alias("perplexity"),
+        )
+    )
