@@ -115,3 +115,132 @@ def ml_logreg_gd_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in snapshots[1:]:
         out = out.unionByName(s)
     return out
+
+
+# --------------------------------------------------------------------------
+# Learning curve — the scaling-law measurement loop: train the same
+# model on nested md5-hash fractions of the data (25% ⊂ 50% ⊂ 100%)
+# and report the weight trajectory endpoint per fraction. Nested
+# subsets (bucket < 4 ⊂ bucket < 8 ⊂ bucket < 16) mean each point
+# adds data rather than resampling it — the curve is monotone in
+# information, which is what a data-value analysis needs. Same
+# fixed-point gradient policy as ml_logreg_gd_path, fewer rounds per
+# point.
+# --------------------------------------------------------------------------
+LC_ROUNDS = 3
+LC_FRACTIONS = ((4, 25), (8, 50), (16, 100))  # (bucket bound, pct label)
+
+_LC_BUCKET_SQL = "CASE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) " + " ".join(
+    f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef")
+) + " END"
+
+
+def _lc_chain_sql(tag: str, bound: int) -> str:
+    rounds = []
+    for i in range(1, LC_ROUNDS + 1):
+        rounds.append(f"""g{tag}_{i} AS (
+      SELECT
+        CAST(sum(CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * x))) - y)
+                            * {GD_FX} + 0.5) AS BIGINT)) AS BIGINT) AS s0,
+        CAST(sum(CAST(floor((1.0 / (1.0 + exp(-(w0 + w1 * x))) - y) * x
+                            * {GD_FX} + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+        CAST(count(*) AS BIGINT) AS n
+      FROM feats_{tag} CROSS JOIN w{tag}_{i - 1}
+    ),
+    w{tag}_{i} AS (
+      SELECT w0 - {GD_LR} * (s0 / ({GD_FX}.0 * n)) AS w0,
+             w1 - {GD_LR} * (s1 / ({GD_FX}.0 * n)) AS w1
+      FROM g{tag}_{i} CROSS JOIN w{tag}_{i - 1}
+    )""")
+    return f"""feats_{tag} AS (
+      SELECT x, y FROM feats WHERE bucket < {bound}
+    ),
+    w{tag}_0 AS (SELECT 0.0 AS w0, 0.0 AS w1),
+    {",".join(rounds)}"""
+
+
+_LC_ORACLE = f"""
+WITH feats AS (
+  SELECT o_totalprice / {X_SCALE} AS x,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1.0 ELSE 0.0 END AS y,
+         {_LC_BUCKET_SQL} AS bucket
+  FROM orders
+),
+{",".join(_lc_chain_sql(f"f{b}", b) for b, _ in LC_FRACTIONS)}
+{" UNION ALL ".join(
+    f"SELECT {pct} AS fraction_pct, "
+    f"(SELECT CAST(count(*) AS BIGINT) FROM feats_f{b}) AS n_rows, "
+    f"round(w0, 9) AS w0, round(w1, 9) AS w1 FROM wf{b}_{LC_ROUNDS}"
+    for b, pct in LC_FRACTIONS
+)}
+"""
+
+
+@register("ml_logreg_learning_curve", oracle=_LC_ORACLE)
+def ml_logreg_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final GD weights after {LC_ROUNDS} rounds on nested 25/50/100%
+    md5-hash fractions of the orders fact — the learning-curve /
+    data-value readout."""
+    orders = table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    feats_all = orders.select(
+        (F.col("o_totalprice") / X_SCALE).alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("y"),
+        bucket.alias("bucket"),
+    ).persist()
+    points = []
+    for bound, pct in LC_FRACTIONS:
+        feats = feats_all.filter(F.col("bucket") < bound)
+        w = spark.range(1).select(
+            F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1")
+        )
+        for _ in range(LC_ROUNDS):
+            joined = feats.crossJoin(F.broadcast(w))
+            resid = (
+                1.0
+                / (1.0 + F.exp(-(F.col("w0") + F.col("w1") * F.col("x"))))
+                - F.col("y")
+            )
+            g = joined.agg(
+                F.sum(F.floor(resid * GD_FX + F.lit(0.5)).cast("bigint"))
+                .cast("bigint")
+                .alias("s0"),
+                F.sum(
+                    F.floor(resid * F.col("x") * GD_FX + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("s1"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+            )
+            w = g.crossJoin(F.broadcast(w)).select(
+                (
+                    F.col("w0")
+                    - GD_LR * (F.col("s0") / (float(GD_FX) * F.col("n")))
+                ).alias("w0"),
+                (
+                    F.col("w1")
+                    - GD_LR * (F.col("s1") / (float(GD_FX) * F.col("n")))
+                ).alias("w1"),
+            )
+        n_rows = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        points.append(
+            w.crossJoin(F.broadcast(n_rows)).select(
+                F.lit(pct).alias("fraction_pct"),
+                "n_rows",
+                F.round("w0", 9).alias("w0"),
+                F.round("w1", 9).alias("w1"),
+            )
+        )
+    out = points[0]
+    for p_df in points[1:]:
+        out = out.unionByName(p_df)
+    return out
