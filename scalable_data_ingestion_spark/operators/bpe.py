@@ -122,10 +122,17 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c").alias("pair_count"),
             )
         )
-        seg = seg.crossJoin(F.broadcast(best)).select(
-            "word",
-            "wc",
-            F.expr(f"split({_FOLD_SPARK}, {_SEP})").alias("sym"),
+        # Each round references the previous segmentation TWICE (pair
+        # counts AND the fold) — persist per round so the vocab-sized
+        # frame evaluates once per level instead of 2^rounds times.
+        seg = (
+            seg.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "wc",
+                F.expr(f"split({_FOLD_SPARK}, {_SEP})").alias("sym"),
+            )
+            .persist()
         )
     out = bests[0]
     for b in bests[1:]:
@@ -185,10 +192,17 @@ def tok_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("wc").cast("bigint").alias("c"))
         )
         best = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
-        seg = seg.crossJoin(F.broadcast(best)).select(
-            "word",
-            "wc",
-            F.expr(f"split({_FOLD_SPARK}, {_SEP})").alias("sym"),
+        # Each round references the previous segmentation TWICE (pair
+        # counts AND the fold) — persist per round so the vocab-sized
+        # frame evaluates once per level instead of 2^rounds times.
+        seg = (
+            seg.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "wc",
+                F.expr(f"split({_FOLD_SPARK}, {_SEP})").alias("sym"),
+            )
+            .persist()
         )
     totals = words.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_word_forms"),

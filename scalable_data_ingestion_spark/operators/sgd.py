@@ -98,12 +98,14 @@ def ml_logreg_gd_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s1"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
+        # w appears twice per round (gradient join AND update) — persist
+        # the 1-row frame so the chain evaluates linearly, not 2^rounds.
         w = g.crossJoin(F.broadcast(w)).select(
             (F.col("w0") - GD_LR * (F.col("s0") / (float(GD_FX) * F.col("n"))))
             .alias("w0"),
             (F.col("w1") - GD_LR * (F.col("s1") / (float(GD_FX) * F.col("n"))))
             .alias("w1"),
-        )
+        ).persist()
         snapshots.append(
             w.select(
                 F.lit(i).alias("round"),
@@ -230,7 +232,7 @@ def ml_logreg_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("w1")
                     - GD_LR * (F.col("s1") / (float(GD_FX) * F.col("n")))
                 ).alias("w1"),
-            )
+            ).persist()
         n_rows = feats.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         points.append(
             w.crossJoin(F.broadcast(n_rows)).select(

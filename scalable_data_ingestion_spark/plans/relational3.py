@@ -608,19 +608,27 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Termination/scale: the recursion is depth-bounded (<= 3 hops) with
 # UNION ALL semantics — each step is one equi-join of the frontier
-# against the cached-shape edge list, the same superstep the iterative
-# DataFrame graph operators (PageRank/LPA/CC) run; the declarative
-# form trades their explicit caching for optimizer-managed iteration.
+# against the edge list. Spark's recursive execution re-evaluates
+# every CTE the recursion references on EACH iteration, so the heavy
+# edge derivation (lineitem self-join + support filter) is computed
+# once into a persisted DataFrame-backed view and only the recursive
+# step text runs per iteration (measured 9.7 s -> the LPA-class cost
+# at sf0.1 without the cache). The recursive step SQL is identical in
+# both engines; the oracle inlines the same edge derivation as plain
+# CTEs, which DuckDB materializes once anyway.
 # --------------------------------------------------------------------------
-_RECURSIVE_REACH_SQL = """
-WITH RECURSIVE und AS (
+_REACH_EDGE_SQL = """
+und AS (
   SELECT a.l_partkey pa, b.l_partkey pb
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING count(*) >= 2
 ),
-edges AS (SELECT pa src, pb dst FROM und UNION ALL SELECT pb, pa FROM und),
-reach(part_id, depth) AS (
+edges AS (SELECT pa src, pb dst FROM und UNION ALL SELECT pb, pa FROM und)
+"""
+
+_REACH_RECURSIVE_SQL = """
+WITH RECURSIVE reach(part_id, depth) AS (
   SELECT DISTINCT src, 0 FROM edges WHERE src % 100 = 0
   UNION ALL
   SELECT e.dst, r.depth + 1
@@ -633,11 +641,37 @@ SELECT CAST(part_id AS BIGINT) AS part_id,
 FROM reach GROUP BY part_id
 """
 
+_RECURSIVE_REACH_ORACLE = (
+    "WITH RECURSIVE "
+    + _REACH_EDGE_SQL.strip()
+    + ",\n"
+    + _REACH_RECURSIVE_SQL.strip().removeprefix("WITH RECURSIVE ")
+)
 
-@register("sql_recursive_reachability", oracle=_RECURSIVE_REACH_SQL)
+
+@register("sql_recursive_reachability", oracle=_RECURSIVE_REACH_ORACLE)
 def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """<= 3-hop BFS reachability (min hops + path counts) from the
-    part_id % 100 = 0 seed set, via the SAME recursive SQL text both
-    engines execute."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_RECURSIVE_REACH_SQL)
+    part_id % 100 = 0 seed set; the recursive step SQL is the same
+    text both engines execute, over a once-computed cached edge
+    list."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+    edges = (
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()
+    )
+    edges.createOrReplaceTempView("edges")
+    return spark.sql(_REACH_RECURSIVE_SQL)
