@@ -189,6 +189,9 @@ HEADLINE_R11 = [
     "ev_cuped_variance_reduction",
     "opt_equidepth_histogram",
     "txt_heldout_perplexity",
+    "tok_bpe_compression",
+    "ml_logreg_learning_curve",
+    "eval_decile_lift",
 ]
 
 ALL_HEADLINE = (

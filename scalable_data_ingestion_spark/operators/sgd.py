@@ -246,3 +246,123 @@ def ml_logreg_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_df in points[1:]:
         out = out.unionByName(p_df)
     return out
+
+
+# --------------------------------------------------------------------------
+# Decile lift table — the standard "is the model worth deploying"
+# readout: score every row with the trained model, cut the population
+# into score deciles, and compare each decile's positive rate against
+# the base rate. Deciles come from global_ntile (range-partitioned —
+# no single-reducer ntile over the fact). Cross-engine determinism:
+# scores are pure functions of identical (w, x) doubles, and adjacent
+# x values differ by >= 1e-7 of scaled price while engine exp()
+# disagreement is <= 1 ulp, so the score order — and hence decile
+# membership under the (score, o_orderkey) total order — is identical.
+# --------------------------------------------------------------------------
+def _lift_round_sql(i: int) -> str:
+    return _gd_round_sql(i).replace("FROM feats ", "FROM feats_lift ")
+
+
+_LIFT_ORACLE = f"""
+WITH feats_lift AS (
+  SELECT o_orderkey, o_totalprice / {X_SCALE} AS x,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1),
+{",".join(_lift_round_sql(i) for i in range(1, LC_ROUNDS + 1))},
+scored AS (
+  SELECT o_orderkey, y,
+         1.0 / (1.0 + exp(-(w0 + w1 * x))) AS score
+  FROM feats_lift CROSS JOIN w{LC_ROUNDS}
+),
+tiled AS (
+  SELECT y, ntile(10) OVER (ORDER BY score DESC, o_orderkey) AS decile
+  FROM scored
+),
+base AS (SELECT avg(y) AS base_rate FROM tiled)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       round(avg(y), 6) AS pos_rate,
+       round(avg(y) / (SELECT base_rate FROM base), 6) AS lift
+FROM tiled
+GROUP BY decile
+"""
+
+
+@register("eval_decile_lift", oracle=_LIFT_ORACLE)
+def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table of the {LC_ROUNDS}-round GD model: positive
+    rate and lift-vs-base per score decile."""
+    from ..functions.ranking import global_ntile
+
+    orders = table(spark, sf_dir, "orders")
+    feats = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice") / X_SCALE).alias("x"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0
+        )
+        .otherwise(0.0)
+        .alias("y"),
+    ).persist()
+    w = spark.range(1).select(
+        F.lit(0.0).alias("w0"), F.lit(0.0).alias("w1")
+    )
+    for _ in range(LC_ROUNDS):
+        joined = feats.crossJoin(F.broadcast(w))
+        resid = (
+            1.0
+            / (1.0 + F.exp(-(F.col("w0") + F.col("w1") * F.col("x"))))
+            - F.col("y")
+        )
+        g = joined.agg(
+            F.sum(F.floor(resid * GD_FX + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("s0"),
+            F.sum(
+                F.floor(resid * F.col("x") * GD_FX + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("s1"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        w = g.crossJoin(F.broadcast(w)).select(
+            (
+                F.col("w0")
+                - GD_LR * (F.col("s0") / (float(GD_FX) * F.col("n")))
+            ).alias("w0"),
+            (
+                F.col("w1")
+                - GD_LR * (F.col("s1") / (float(GD_FX) * F.col("n")))
+            ).alias("w1"),
+        ).persist()
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "o_orderkey",
+        "y",
+        (1.0 / (1.0 + F.exp(-(F.col("w0") + F.col("w1") * F.col("x"))))).alias(
+            "score"
+        ),
+    )
+    tiled = global_ntile(
+        scored, [F.col("score").desc(), F.col("o_orderkey")], 10, "decile"
+    )
+    base = tiled.agg(F.avg("y").alias("base_rate"))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("y").cast("bigint")).cast("bigint").alias("n_pos"),
+            F.avg("y").alias("_pos_rate"),
+        )
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_rows",
+            "n_pos",
+            F.round("_pos_rate", 6).alias("pos_rate"),
+            F.round(F.col("_pos_rate") / F.col("base_rate"), 6).alias("lift"),
+        )
+    )

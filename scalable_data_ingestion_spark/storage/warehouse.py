@@ -322,6 +322,8 @@ class Warehouse:
                 df.write.mode("overwrite").json(path)
             elif fmt == "parquet":
                 df.write.mode("overwrite").parquet(path)
+            elif fmt == "orc":
+                df.write.mode("overwrite").orc(path)
             else:
                 continue
             out[fmt] = path

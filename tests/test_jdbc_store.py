@@ -64,3 +64,27 @@ def test_batch_internal_duplicates_keep_first(spark, store):
 def test_missing_order_id_rejected(spark, store):
     with pytest.raises(ValueError):
         store.save_orders(spark.createDataFrame([("x",)], ["customer_name"]))
+
+
+def test_export_all_formats_round_trip(spark, tmp_path):
+    # S11 export surface incl. the ORC path: every format writes and
+    # reads back the same rows.
+    from scalable_data_ingestion_spark.storage.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [("A-0001", 10.0), ("A-0002", 20.5)], "order_id: string, total: double"
+    )
+    out = wh.export(df, "orders", formats=("csv", "json", "parquet", "orc"))
+    assert set(out) == {"csv", "json", "parquet", "orc"}
+    for fmt, path in out.items():
+        reader = getattr(spark.read, fmt)
+        back = (
+            spark.read.option("header", True)
+            .option("inferSchema", True)
+            .csv(path)
+            if fmt == "csv"
+            else reader(path)
+        )
+        assert back.count() == 2
+        assert {r["order_id"] for r in back.collect()} == {"A-0001", "A-0002"}
