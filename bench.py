@@ -192,6 +192,7 @@ HEADLINE_R11 = [
     "tok_bpe_compression",
     "ml_logreg_learning_curve",
     "eval_decile_lift",
+    "txt_textrank_keywords",
 ]
 
 ALL_HEADLINE = (

@@ -1432,3 +1432,131 @@ def txt_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-mean_lp), 4).alias("perplexity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction — weighted PageRank over the word
+# co-occurrence graph (window ±2), the classic unsupervised keyword /
+# keyphrase scorer. Same exact-arithmetic policy as the co-purchase
+# PageRank (operators/graph.py): ranks are BIGINT fixed-point, each
+# round's contribution is pr * w(u,v) DIV W(u) in integer division,
+# the damping ratio is exact (85/100), and the vocabulary size folds
+# in via a scalar subquery — so 3 unrolled rounds are bit-identical
+# across engines and execution orders.
+#
+# Scale shape: co-occurrence pairs generate MAP-SIDE (shifted-slice
+# zips, no self-join on positions); the edge relation aggregates once
+# and is vocabulary²-bounded; each round is one edge-keyed join +
+# grouped integer sum. Top-k selection is TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+TR_ITERS = 3
+TR_SCALE = 10**9
+TR_TOPK = 15
+
+
+def _tr_round_sql(i: int) -> str:
+    return f"""tr{i + 1} AS (
+      SELECT e.dst AS tok, CAST(
+          {15 * TR_SCALE} // (100 * nn.n)
+          + (85 * sum(p.pr_fx * e.w // wt.wsum)) // 100 AS BIGINT) AS pr_fx
+      FROM tr_edges e
+      JOIN tr{i} p ON p.tok = e.src
+      JOIN tr_wsum wt ON wt.src = e.src
+      CROSS JOIN tr_nn nn
+      GROUP BY e.dst, nn.n
+    )"""
+
+
+_TEXTRANK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
+  WHERE len({_TOKENS_SQL}) >= 3
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok
+),
+raw AS (
+  SELECT t[i] AS a, t[i + 1] AS b FROM idx WHERE i <= len(t) - 1
+  UNION ALL
+  SELECT t[i], t[i + 2] FROM idx WHERE i <= len(t) - 2
+),
+und AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM raw GROUP BY a, b),
+tr_edges AS (
+  SELECT a AS src, b AS dst, w FROM und
+  UNION ALL
+  SELECT b, a, w FROM und
+),
+tr_wsum AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM tr_edges GROUP BY src),
+tr_nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr_wsum),
+tr0 AS (
+  SELECT src AS tok, CAST({TR_SCALE} // nn.n AS BIGINT) AS pr_fx
+  FROM tr_wsum CROSS JOIN tr_nn nn
+),
+{",".join(_tr_round_sql(i) for i in range(TR_ITERS))}
+SELECT CAST(rnk AS INTEGER) AS rnk, tok, textrank FROM (
+  SELECT tok, round(pr_fx / {TR_SCALE}.0, 9) AS textrank,
+         row_number() OVER (ORDER BY pr_fx DESC, tok) AS rnk
+  FROM tr{TR_ITERS}
+) WHERE rnk <= {TR_TOPK}
+"""
+
+
+@register("txt_textrank_keywords", oracle=_TEXTRANK_ORACLE)
+def txt_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TR_TOPK} corpus keywords by {TR_ITERS}-round weighted
+    TextRank over the ±2-window word co-occurrence graph (exact
+    fixed-point arithmetic)."""
+    from ..functions.ranking import take_ordered_ranked
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    base = docs.select(t.alias("t")).filter(F.size("t") >= 3)
+    raw = base.select(
+        F.explode(
+            F.concat(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    "         slice(t, 2, size(t) - 1),"
+                    "         (x, y) -> named_struct('a', x, 'b', y))"
+                ),
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 2),"
+                    "         slice(t, 3, size(t) - 2),"
+                    "         (x, y) -> named_struct('a', x, 'b', y))"
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    und = raw.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    edges = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .persist()
+    )
+    wsum = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wsum"))
+    n = wsum.count()  # vocabulary size as an exact literal (PageRank policy)
+    base_fx = (15 * TR_SCALE) // (100 * n)
+    pr = wsum.select(
+        F.col("src").alias("tok"),
+        F.lit(TR_SCALE // n).cast("bigint").alias("pr_fx"),
+    )
+    ew = edges.join(F.broadcast(wsum), "src")
+    for _ in range(TR_ITERS):
+        msgs = ew.join(
+            pr.withColumnRenamed("tok", "src"), "src"
+        ).select(
+            "dst", F.expr("pr_fx * w DIV wsum").alias("c")
+        )
+        pr = msgs.groupBy(F.col("dst").alias("tok")).agg(
+            F.expr(
+                f"CAST({base_fx} + (85 * sum(c)) DIV 100 AS BIGINT)"
+            ).alias("pr_fx")
+        ).persist()
+    ranked = take_ordered_ranked(
+        pr, [F.col("pr_fx").desc(), F.col("tok")], TR_TOPK, "rnk"
+    )
+    return ranked.select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "tok",
+        F.round(F.col("pr_fx") / float(TR_SCALE), 9).alias("textrank"),
+    )
