@@ -108,78 +108,74 @@ def load_all() -> None:
 
 # Curated registry ordering. The driver's CORRECTNESS harness checks the
 # first N registered queries (N=50), so the leading entries rotate each
-# round to converge the driver's own record on the full registry
-# (VERDICT r3 item #4: union of r1-r4 driver-green >= 178 distinct).
-# Rounds 1-3 drove 128 distinct queries green; every name below is from
-# the 112 never-driver-checked remainder (all green in the local
-# full-registry DuckDB sweep at sf0.01). The first eleven are the
-# queries whose PLANS changed this round (the VERDICT r3 #3
-# global-window fixes: TakeOrderedAndProject top-k / range-partitioned
-# offset ranking) so the driver re-certifies their values under the new
-# plans; the rest cover the never-checked families breadth-first (dq_*
-# audits, samp_* variants, dd_* remainder, txt_* stats, ev_*
-# behavioral, gr_* round-9 graph ops, sim_*/emb_* ANN evals, monitors,
-# sketches, SCD/PIT). Everything not listed keeps registration order.
+# round to converge the driver's own record on the full registry.
+# Union of driver-green r1-r4 = 178 distinct; every name below is from
+# the 104-query never-driver-checked remainder. Window r5 leads with the
+# round-5 additions (committed after the r4 judge sweep, so they have
+# neither a driver hash nor a judge check yet) — including the FIXED
+# ev_ab_proportion_ztest, whose r4 red must be overwritten by a green
+# driver hash — then the r4-late families the r4 verdict called least
+# exercised (stat_*, ts_*, lexical, gr_neighbor_jaccard/kcore,
+# ev_stickiness/pareto, dq_l_diversity, feat_*, mon_*). Everything not
+# listed keeps registration order and stays covered by
+# tools/parity_sweep.py locally.
 _PRIORITY = (
-    # plans changed this round -> re-certify values first
-    "samp_dsir_gumbel_topk",
-    "txt_zipf_fit",
-    "txt_pmi_pairs",
-    "sim_hybrid_rrf",
-    "gr_negative_edge_samples",
-    "samp_docs_weighted_systematic",
-    "eval_classifier_auc",
-    "mb_association_rules",
-    "stat_revenue_gini",
-    "cust_rfm_segments",
-    "txt_bigram_logprob",
-    # data-quality audit family (operators/dq.py)
-    "dq_split_leakage",
-    "dq_cross_lang_overlap",
-    "dq_benford_price",
-    "dq_key_uniqueness",
-    "dq_k_anonymity",
-    "dq_orders_checksum",
-    "dq_duplicate_orders",
-    # sampling/splits remainder (text.py, splits.py, reweight.py)
-    "samp_orders_hash_slice",
-    "samp_docs_lang_stratified",
-    "er_dirty_registry_entities",
-    "samp_cluster_aware_split",
-    "samp_neyman_allocation",
-    "samp_temperature_mix",
-    # dedup remainder (dedup.py, winnow.py, softdedup.py)
-    "dd_simhash_signatures",
-    "dd_neardup_survivors",
-    "dd_containment_pairs",
-    "dd_softdedup_weights",
-    "dd_dedup_impact",
-    "dd_bloom_decontaminate",
-    # text-analysis remainder (text.py, corpus.py)
-    "txt_token_stats",
-    "txt_oov_rate",
-    "txt_ngram_novelty",
-    "txt_unigram_entropy",
-    # behavioral events remainder (analytics.py, scd.py)
-    "ev_peak_concurrency",
-    "ev_rolling_wau",
-    "ev_session_duration_stats",
-    "ev_attribution_linear",
-    # graph remainder (graph.py)
-    "gr_triangle_counts",
-    "gr_personalized_pagerank",
-    "gr_degree_distribution",
-    # similarity / embedding evals (pq.py, similarity.py, projection.py)
-    "sim_pq_adc_knn",
-    "sim_ivf_multiprobe",
-    "sim_matryoshka_recall",
-    "emb_pca_top_component",
-    "emb_norm_audit",
-    # monitoring + sketches + temporal joins
-    "mon_seasonal_naive_mape",
-    "sk_hll_user_estimate",
-    "pit_orders_with_priority_version",
-    "scd2_apply_delta",
+    # round-5 additions: no driver hash, post-judge-sweep code
+    "ev_ab_proportion_ztest",
+    "sql_recursive_reachability",
+    "opt_equidepth_histogram",
+    "hist_equidepth_price",
+    "dd_line_dedup_stats",
+    "txt_kneser_ney_logprob",
+    "txt_heldout_perplexity",
+    "txt_textrank_keywords",
+    "txt_skipgram_pmi",
+    "sim_hard_negative_mining",
+    "sim_hard_negatives",
+    "sim_binary_hamming_recall",
+    "zo_zonemap_extents",
+    "tok_bpe_merges",
+    "tok_bpe_compression",
+    "ml_logreg_gd_path",
+    "ml_logreg_learning_curve",
+    "eval_decile_lift",
+    "ev_cuped_variance_reduction",
+    "stat_winsorized_order_value",
+    "feat_next_event_sequences",
+    # r4-late statistics family
+    "stat_mann_kendall_trend",
+    "stat_theil_sen_slope",
+    "stat_ks_two_sample",
+    "stat_chi2_segment_priority",
+    "stat_bootstrap_mean_ci",
+    "stat_weighted_median_len",
+    # r4-late time-series family
+    "ts_acf_daily_revenue",
+    "ts_cusum_changepoint",
+    "ts_holt_linear",
+    "ts_dow_seasonality",
+    "ts_rolling_view_purchase_corr",
+    # lexical + behavioral
+    "txt_lexical_diversity",
+    "txt_token_burstiness",
+    "ev_stickiness_dau_mau",
+    "ev_pareto_user_share",
+    "ev_markov_path_likelihood",
+    "cust_survival_km",
+    "eval_classifier_calibration",
+    # graph remainder
+    "gr_neighbor_jaccard",
+    "gr_kcore_decomposition",
+    "gr_clustering_coefficient",
+    "gr_common_neighbor_links",
+    # audits / monitors / features
+    "dq_l_diversity",
+    "mon_token_js_divergence",
+    "mon_embedding_drift_psi",
+    "mon_category_drift_tvd",
+    "feat_target_encoding_loo",
+    "feat_order_value_woe",
+    "er_party_entities",
 )
 
 
