@@ -193,6 +193,7 @@ HEADLINE_R11 = [
     "ml_logreg_learning_curve",
     "eval_decile_lift",
     "txt_textrank_keywords",
+    "emb_silhouette_by_cluster",
 ]
 
 ALL_HEADLINE = (

@@ -92,17 +92,21 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans(corpus: DataFrame) -> DataFrame:
+def _kmeans_centroids(corpus: DataFrame) -> DataFrame:
     """ITERS Lloyd rounds from the deterministic seed; returns the final
-    assignment (vec_id, emb, cluster_id, dist)."""
+    centroid relation (cluster_id, cemb)."""
     cent = corpus.filter(F.col("vec_id") < K).select(
         F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
     )
-    assigned = None
     for _ in range(ITERS):
-        assigned = _assign(corpus, cent)
-        cent = _update(assigned)
-    return _assign(corpus, cent)
+        cent = _update(_assign(corpus, cent))
+    return cent
+
+
+def _kmeans(corpus: DataFrame) -> DataFrame:
+    """ITERS Lloyd rounds from the deterministic seed; returns the final
+    assignment (vec_id, emb, cluster_id, dist)."""
+    return _assign(corpus, _kmeans_centroids(corpus))
 
 
 # --------------------------------------------------------------------------
@@ -516,4 +520,90 @@ def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cluster_id",
         F.round("dist", 6).alias("sq_dist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Simplified (centroid) silhouette — the cluster-quality readout for the
+# k-means / SemDeDup stack above. For each vector, a = distance to its
+# own centroid and b = distance to the nearest OTHER centroid; because
+# the assignment is the argmin, b is simply the second-smallest centroid
+# distance and b >= a always, so the silhouette collapses to
+# s = 1 - sqrt(d1)/sqrt(d2). Medoid-free silhouette costs O(N*K)
+# (the same broadcast-centroid scoring pass the assignment already
+# runs) instead of the O(N^2) pairwise definition — the only silhouette
+# that is computable at corpus scale.
+#
+# Determinism: d1/d2 come from the in-order dimension fold (bit-exact
+# cross-engine, same property the assignment relies on); sqrt and the
+# division are correctly-rounded IEEE scalars; per-point silhouettes are
+# quantized to integers (floor(s*1e9 + .5)) BEFORE the per-cluster sum,
+# so the mean is exact under any shuffle order.
+# --------------------------------------------------------------------------
+SIL_FX = "1000000000.0"
+
+
+@register(
+    "emb_silhouette_by_cluster",
+    oracle=f"""
+    WITH {_RAW_CORPUS_CTE},
+    {_duck_kmeans_body()},
+    ranked AS (
+      SELECT vec_id, cluster_id, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+      FROM fin_sc
+    ),
+    pair AS (
+      SELECT a.vec_id, a.cluster_id,
+             CASE WHEN b.dist > 0
+                  THEN CAST(floor((1 - sqrt(a.dist) / sqrt(b.dist)) * {SIL_FX} + 0.5)
+                       AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS s_fx
+      FROM ranked a JOIN ranked b USING (vec_id)
+      WHERE a.rn = 1 AND b.rn = 2
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(sum(s_fx) / ({SIL_FX} * count(*)), 6) AS mean_silhouette
+    FROM pair GROUP BY cluster_id
+    """,
+)
+def emb_silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster mean simplified silhouette after the exact Lloyd
+    rounds (centroid-based: s = 1 - sqrt(d_own)/sqrt(d_next)).
+
+    Scale shape: one broadcast-centroid scoring pass (map-side, fused
+    into the scan), one vec_id-keyed combine that keeps only the two
+    smallest of the K distances, one K-row hash aggregate. No pairwise
+    joins, no windows over unbounded inputs."""
+    corpus = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+        )
+    )
+    cent = _kmeans_centroids(corpus)
+    scored = corpus.crossJoin(F.broadcast(cent)).withColumn("dist", _sq_dist())
+    top2 = scored.groupBy("vec_id").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("dist", "cluster_id"))), 1, 2
+        ).alias("t")
+    )
+    d1 = F.col("t")[0]["dist"]
+    d2 = F.col("t")[1]["dist"]
+    pair = top2.select(
+        F.col("t")[0]["cluster_id"].alias("cluster_id"),
+        F.when(
+            d2 > 0,
+            F.floor((1 - F.sqrt(d1) / F.sqrt(d2)) * float(SIL_FX) + 0.5),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("s_fx"),
+    )
+    return pair.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(F.sum("s_fx") / (float(SIL_FX) * F.count(F.lit(1))), 6).alias(
+            "mean_silhouette"
+        ),
     )
