@@ -194,6 +194,7 @@ HEADLINE_R11 = [
     "eval_decile_lift",
     "txt_textrank_keywords",
     "emb_silhouette_by_cluster",
+    "txt_ccnet_ppl_buckets",
 ]
 
 ALL_HEADLINE = (

@@ -462,10 +462,9 @@ BIGRAM_LAMBDA = 0.75  # dyadic: exact in binary
 BIGRAM_FLAG = -3.0
 
 
-@register(
-    "txt_bigram_logprob",
-    oracle=f"""
-    WITH tok AS (
+# Shared oracle fragment: interpolated-bigram LM trained on the full
+# corpus, scored per doc -> perdoc(doc_id, n_bigrams, sfx).
+_BIGRAM_PERDOC_CTES = f"""tok AS (
       SELECT doc_id, {_TOKENS_SQL} AS t FROM documents
       WHERE len({_TOKENS_SQL}) >= 2
     ),
@@ -495,7 +494,13 @@ BIGRAM_FLAG = -3.0
       SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(l.fx) AS sfx
       FROM bg g JOIN lp l ON g.w1 = l.w1 AND g.w2 = l.w2
       GROUP BY g.doc_id
-    )
+    )"""
+
+
+@register(
+    "txt_bigram_logprob",
+    oracle=f"""
+    WITH {_BIGRAM_PERDOC_CTES}
     SELECT doc_id, n_bigrams,
            round(sfx / ({_FX}.0 * n_bigrams), 6) AS mean_logprob,
            round(exp(-sfx / ({_FX}.0 * n_bigrams)), 4) AS perplexity,
@@ -514,6 +519,20 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Fixed-point logprob sums keep per-doc scores exact under any
     execution order.
     """
+    perdoc = _bigram_perdoc(spark, sf_dir)
+    mean = F.col("sfx") / (F.lit(float(_FX)) * F.col("n_bigrams"))
+    return perdoc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(mean, 6).alias("mean_logprob"),
+        F.round(F.exp(-mean), 4).alias("perplexity"),
+        F.when(mean < BIGRAM_FLAG, "outlier").otherwise("keep").alias("lm_flag"),
+    )
+
+
+def _bigram_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perdoc(doc_id, n_bigrams, sfx): exact fixed-point per-doc score
+    under the corpus-trained interpolated bigram LM."""
     docs = table(spark, sf_dir, "documents")
     t = F.split(F.trim("text"), r"\s+")
     toks = docs.select("doc_id", F.explode(t).alias("tok"))
@@ -559,7 +578,7 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fx"),
         )
     )
-    perdoc = (
+    return (
         bg.join(F.broadcast(lp), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
@@ -567,13 +586,86 @@ def txt_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("fx").alias("sfx"),
         )
     )
-    mean = F.col("sfx") / (F.lit(float(_FX)) * F.col("n_bigrams"))
-    return perdoc.select(
-        "doc_id",
-        "n_bigrams",
-        F.round(mean, 6).alias("mean_logprob"),
-        F.round(F.exp(-mean), 4).alias("perplexity"),
-        F.when(mean < BIGRAM_FLAG, "outlier").otherwise("keep").alias("lm_flag"),
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020): rank the
+# corpus by LM perplexity and cut it into head / middle / tail thirds —
+# the published recipe for turning a raw web crawl into quality tiers
+# (train on head+middle, drop or downweight tail). Per-doc scores come
+# from the same exact fixed-point bigram LM as txt_bigram_logprob, so
+# the ordering key (a double derived from two BIGINTs by one
+# correctly-rounded division) is bit-identical cross-engine; ties break
+# on doc_id.
+#
+# Scale shape: the per-doc scoring is the LM pipeline above (map-side
+# bigrams + broadcast model join); the tercile cut is the
+# range-partitioned global_ntile helper — NO single-partition window —
+# and the rollup is a 3-row hash aggregate with integer-exact sums.
+# --------------------------------------------------------------------------
+PPL_TIERS = 3
+
+
+@register(
+    "txt_ccnet_ppl_buckets",
+    oracle=f"""
+    WITH {_BIGRAM_PERDOC_CTES},
+    scored AS (
+      SELECT doc_id, n_bigrams, sfx,
+             sfx / ({_FX}.0 * n_bigrams) AS mean_lp,
+             ntile({PPL_TIERS}) OVER (
+               ORDER BY sfx / ({_FX}.0 * n_bigrams) DESC, doc_id) AS tier
+      FROM perdoc
+    )
+    SELECT tier,
+           CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier_label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           round(sum(sfx) / ({_FX}.0 * sum(n_bigrams)), 6) AS mean_logprob,
+           round(min(exp(-mean_lp)), 4) AS min_ppl,
+           round(max(exp(-mean_lp)), 4) AS max_ppl
+    FROM scored GROUP BY tier
+    """,
+)
+def txt_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail corpus tiers by bigram-LM perplexity with
+    per-tier token mass and perplexity range (CCNet quality split)."""
+    from ..functions.ranking import global_ntile
+
+    perdoc = _bigram_perdoc(spark, sf_dir)
+    mean_lp = (F.col("sfx") / (F.lit(float(_FX)) * F.col("n_bigrams"))).alias(
+        "mean_lp"
+    )
+    scored = global_ntile(
+        perdoc.withColumn("mean_lp", mean_lp),
+        [F.col("mean_lp").desc(), F.col("doc_id")],
+        PPL_TIERS,
+        "tier",
+    )
+    return (
+        scored.groupBy(F.col("tier").cast("int").alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum("sfx") / (F.lit(float(_FX)) * F.sum("n_bigrams")), 6
+            ).alias("mean_logprob"),
+            F.round(F.min(F.exp(-F.col("mean_lp"))), 4).alias("min_ppl"),
+            F.round(F.max(F.exp(-F.col("mean_lp"))), 4).alias("max_ppl"),
+        )
+        .select(
+            "tier",
+            F.when(F.col("tier") == 1, "head")
+            .when(F.col("tier") == 2, "middle")
+            .otherwise("tail")
+            .alias("tier_label"),
+            "n_docs",
+            "n_bigrams",
+            "mean_logprob",
+            "min_ppl",
+            "max_ppl",
+        )
     )
 
 
