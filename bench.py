@@ -195,6 +195,7 @@ HEADLINE_R11 = [
     "txt_textrank_keywords",
     "emb_silhouette_by_cluster",
     "txt_ccnet_ppl_buckets",
+    "ev_frequent_trigrams",
 ]
 
 ALL_HEADLINE = (

@@ -1218,3 +1218,88 @@ def ev_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("var_reduction_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# Frequent contiguous event trigrams — sequence-pattern mining over the
+# clickstream (the PrefixSpan-lite readout: which 3-step paths do users
+# actually take, ranked by how many distinct users take them). The
+# companion to the Markov path likelihood: that scores GIVEN paths,
+# this DISCOVERS the dominant ones.
+#
+# Scale shape: trigram extraction is two lead() columns over the one
+# user-keyed shuffle every per-user timeline needs (NO self-joins on
+# the event log — the naive events³ join explodes on power users;
+# lead() is O(events) regardless of fan-out). Support counting is a
+# (trigram, user) dedup that partial-aggregates map-side, then a
+# trigram-keyed count; the key space is |event_type|³-bounded, so the
+# final aggregate is dimension-sized. Top-k is TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+TRIGRAM_TOPK = 20
+
+
+@register(
+    "ev_frequent_trigrams",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT user_id, event_type || '>' || e2 || '>' || e3 AS trigram
+      FROM seq WHERE e3 IS NOT NULL
+    ),
+    agg AS (
+      SELECT trigram,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS support_users,
+             CAST(count(*) AS BIGINT) AS occurrences
+      FROM tri GROUP BY trigram
+    )
+    SELECT CAST(rnk AS INTEGER) AS rnk, trigram, support_users, occurrences
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY support_users DESC, occurrences DESC, trigram) AS rnk
+      FROM agg
+    ) WHERE rnk <= {TRIGRAM_TOPK}
+    """,
+)
+def ev_frequent_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TRIGRAM_TOPK} contiguous 3-event paths by distinct-user
+    support (ties: total occurrences, then trigram)."""
+    from ..functions.ranking import take_ordered_ranked
+
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = seq.select(
+        "user_id",
+        F.concat_ws(">", "event_type", "e2", "e3").alias("trigram"),
+    )
+    agg = tri.groupBy("trigram").agg(
+        F.countDistinct("user_id").cast("bigint").alias("support_users"),
+        F.count(F.lit(1)).cast("bigint").alias("occurrences"),
+    )
+    ranked = take_ordered_ranked(
+        agg,
+        [
+            F.col("support_users").desc(),
+            F.col("occurrences").desc(),
+            F.col("trigram"),
+        ],
+        TRIGRAM_TOPK,
+        "rnk",
+    )
+    return ranked.select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "trigram",
+        "support_users",
+        "occurrences",
+    )
