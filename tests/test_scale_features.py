@@ -420,3 +420,77 @@ def test_zonemap_extents_form_tight_grid(spark, sf_dir):
     assert len(rows) == 64
     assert max(r["ck_extent"] for r in rows) < 0.2
     assert max(r["dy_extent"] for r in rows) < 0.2
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Star join: hive-partitioned fact x filtered dim -> the fact scan
+    carries a dynamicpruning PartitionFilter, so only the dim-selected
+    partitions are read (the 100 TB star-schema read path)."""
+    fact = spark.range(200000).select(
+        F.col("id").alias("f_id"),
+        (F.col("id") % 50).cast("int").alias("part_key"),
+        (F.col("id") % 997).alias("val"),
+    )
+    fact.write.mode("overwrite").partitionBy("part_key").parquet(
+        f"{tmp_path}/fact"
+    )
+    dim = spark.range(50).select(
+        F.col("id").cast("int").alias("d_key"),
+        F.when(F.col("id") < 3, "hot").otherwise("cold").alias("tier"),
+    )
+    dim.write.mode("overwrite").parquet(f"{tmp_path}/dim")
+
+    f = spark.read.parquet(f"{tmp_path}/fact")
+    d = spark.read.parquet(f"{tmp_path}/dim")
+    j = (
+        f.join(d, f.part_key == d.d_key)
+        .filter(d.tier == "hot")
+        .groupBy("part_key")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.count() == 3  # and it actually returns the 3 hot partitions
+
+
+def test_runtime_bloom_filter_join(spark, tmp_path):
+    """Shuffle join with a selective build side -> Spark injects a
+    runtime Bloom filter (bloom_filter_agg / might_contain) that
+    pre-screens the probe side map-side before the shuffle — the
+    semi-join-reduction pattern that cuts shuffled bytes at 100 TB."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = spark.range(500000).select(
+            (F.col("id") % 10000).alias("k"), F.col("id").alias("v")
+        )
+        big.write.mode("overwrite").parquet(f"{tmp_path}/big")
+        small = spark.range(20000).select(
+            F.col("id").alias("k2"), (F.col("id") % 7).alias("grp")
+        )
+        small.write.mode("overwrite").parquet(f"{tmp_path}/small")
+        b = spark.read.parquet(f"{tmp_path}/big")
+        s = spark.read.parquet(f"{tmp_path}/small").filter(F.col("grp") == 3)
+        j = b.join(s, b.k == s.k2).groupBy("grp").count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt
+        assert "might_contain" in opt
+        assert j.count() == 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
