@@ -196,6 +196,8 @@ HEADLINE_R11 = [
     "emb_silhouette_by_cluster",
     "txt_ccnet_ppl_buckets",
     "ev_frequent_trigrams",
+    "tok_fertility_by_lang",
+    "gr_hits_supply_graph",
 ]
 
 ALL_HEADLINE = (

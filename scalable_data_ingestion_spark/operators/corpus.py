@@ -330,6 +330,66 @@ def txt_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Tokenizer fertility by language — the tokenizer-equity readout every
+# multilingual training pipeline reports: subword (pretokenizer) tokens
+# per whitespace word and bytes per token, by language. High-fertility
+# languages pay more compute per word and get a smaller effective
+# context window; this table is what mixture re-weighting and
+# tokenizer-retraining decisions read. Uses the same GPT-2-shaped
+# pretokenizer as txt_bpe_token_stats, so the counts agree with the
+# per-doc budget accounting.
+#
+# Scale: per-doc counts are map-only codegen'd expressions; the rollup
+# is a |lang|-sized hash aggregate over exact integer sums.
+# --------------------------------------------------------------------------
+@register(
+    "tok_fertility_by_lang",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(list_filter(regexp_extract_all(text, '{BPE_RX}', 0),
+                                  x -> regexp_matches(x, '\\S'))) AS BIGINT)
+                 AS n_bpe,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ws) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+           round(sum(n_bpe) * 1.0 / sum(n_ws), 6) AS fertility,
+           round(sum(n_bytes) * 1.0 / sum(n_bpe), 6) AS bytes_per_token
+    FROM t GROUP BY lang
+    """,
+)
+def tok_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language pretokenizer fertility (BPE tokens per whitespace
+    word) and bytes per token — exact integer sums, map-only counting."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_RX), F.lit(0))
+    per = docs.select(
+        "lang",
+        F.size(F.filter(toks, lambda x: x.rlike(r"\S")))
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_ws"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("n_words"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.round(F.sum("n_bpe") * 1.0 / F.sum("n_ws"), 6).alias("fertility"),
+        F.round(F.sum("n_bytes") * 1.0 / F.sum("n_bpe"), 6).alias(
+            "bytes_per_token"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # Weighted systematic sampling by token count: pick documents in
 # proportion to their token mass with EXACT integer arithmetic — the
 # deterministic alternative to weighted reservoir sampling (whose

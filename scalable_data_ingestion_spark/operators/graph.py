@@ -1315,3 +1315,139 @@ def gr_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adj.groupBy(F.col("node").alias("part_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities on the supplier -> part supply graph — the
+# canonical bipartite ranking (Kleinberg 1999): a supplier is a good
+# hub if it supplies high-authority parts, a part is a high authority
+# if good hubs supply it. On a genuinely directed/bipartite relation
+# (unlike the symmetric co-purchase graph, where hubs == authorities),
+# so the two sides carry real information.
+#
+# Exactness policy: HITS needs per-round normalization (scores
+# otherwise grow without bound), and the usual L2 norm is a float
+# kill-switch for cross-engine equality. Instead each round rescales
+# by the MAXIMUM score — an exact integer — via (score * SCALE) DIV
+# max: integer sums, integer max, integer division, all associative /
+# engine-independent, same family as the PageRank fixed-point above.
+# max-normalized HITS converges to the same ranking as L2-normalized
+# HITS (normalization choice rescales, never reorders).
+#
+# Scale shape: edges = DISTINCT (suppkey, partkey) projected off
+# lineitem (linear scan), cached and co-partitioned once; each
+# half-round is one edge-keyed join + one grouped integer sum + one
+# 1-row max folded back as a broadcast cross join. Top-k per side is
+# TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+HITS_ITERS = 2
+HITS_SCALE = 10**6
+HITS_TOPK = 20
+
+
+def _hits_round_sql(i: int) -> str:
+    """One authority+hub update with exact max-rescaling."""
+    return f"""auth{i + 1}_raw AS (
+      SELECT e.part, CAST(sum(h.score) AS BIGINT) AS s
+      FROM edges e JOIN hub{i} h ON h.supp = e.supp GROUP BY e.part
+    ),
+    auth{i + 1} AS (
+      SELECT part, CAST((s * {HITS_SCALE}) // (SELECT max(s) FROM auth{i + 1}_raw)
+                   AS BIGINT) AS score
+      FROM auth{i + 1}_raw
+    ),
+    hub{i + 1}_raw AS (
+      SELECT e.supp, CAST(sum(a.score) AS BIGINT) AS s
+      FROM edges e JOIN auth{i + 1} a ON a.part = e.part GROUP BY e.supp
+    ),
+    hub{i + 1} AS (
+      SELECT supp, CAST((s * {HITS_SCALE}) // (SELECT max(s) FROM hub{i + 1}_raw)
+                   AS BIGINT) AS score
+      FROM hub{i + 1}_raw
+    )"""
+
+
+@register(
+    "gr_hits_supply_graph",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT l_suppkey AS supp, l_partkey AS part FROM lineitem
+    ),
+    hub0 AS (
+      SELECT DISTINCT supp, CAST({HITS_SCALE} AS BIGINT) AS score FROM edges
+    ),
+    {",".join(_hits_round_sql(i) for i in range(HITS_ITERS))},
+    tops AS (
+      SELECT 'hub' AS side, supp AS node_id, score,
+             row_number() OVER (ORDER BY score DESC, supp) AS rnk
+      FROM hub{HITS_ITERS}
+      UNION ALL
+      SELECT 'authority', part, score,
+             row_number() OVER (ORDER BY score DESC, part) AS rnk
+      FROM auth{HITS_ITERS}
+    )
+    SELECT side, CAST(rnk AS INTEGER) AS rnk, node_id,
+           round(score / {HITS_SCALE}.0, 6) AS score
+    FROM tops WHERE rnk <= {HITS_TOPK}
+    """,
+)
+def gr_hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HITS_TOPK} hubs (suppliers) and authorities (parts) after
+    {HITS_ITERS} exact max-rescaled HITS rounds on the supply graph."""
+    from ..functions.ranking import take_ordered_ranked
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")
+    )
+    edges = (
+        li.distinct()
+        .repartition(_shuffle_partitions(spark), "supp")
+        .persist()
+    )
+    hub = edges.select("supp").distinct().select(
+        "supp", F.lit(HITS_SCALE).cast("bigint").alias("score")
+    )
+
+    def _rescale(raw: DataFrame, key: str) -> DataFrame:
+        mx = raw.agg(F.max("s").alias("mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            key, F.expr(f"CAST((s * {HITS_SCALE}) DIV mx AS BIGINT)").alias("score")
+        )
+
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(hub, "supp")
+            .groupBy("part")
+            .agg(F.sum("score").cast("bigint").alias("s"))
+        )
+        auth = _rescale(araw, "part").persist()
+        hraw = (
+            edges.join(auth, "part")
+            .groupBy("supp")
+            .agg(F.sum("score").cast("bigint").alias("s"))
+        )
+        hub = _rescale(hraw, "supp").persist()
+
+    top_h = take_ordered_ranked(
+        hub, [F.col("score").desc(), F.col("supp")], HITS_TOPK, "rnk"
+    ).select(
+        F.lit("hub").alias("side"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("supp").alias("node_id"),
+        "score",
+    )
+    top_a = take_ordered_ranked(
+        auth, [F.col("score").desc(), F.col("part")], HITS_TOPK, "rnk"
+    ).select(
+        F.lit("authority").alias("side"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.col("part").alias("node_id"),
+        "score",
+    )
+    return top_h.unionByName(top_a).select(
+        "side",
+        "rnk",
+        "node_id",
+        F.round(F.col("score") / float(HITS_SCALE), 6).alias("score"),
+    )
