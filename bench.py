@@ -198,6 +198,7 @@ HEADLINE_R11 = [
     "ev_frequent_trigrams",
     "tok_fertility_by_lang",
     "gr_hits_supply_graph",
+    "dd_incremental_lsh_assign",
 ]
 
 ALL_HEADLINE = (

@@ -205,3 +205,226 @@ def _register_cross_source() -> None:
 
 
 _register_cross_source()
+
+
+# --------------------------------------------------------------------------
+# Incremental NEAR-dup assignment against an LSH bucket store — the
+# fuzzy sibling of dd_incremental_new_docs: production crawls check
+# each new batch against the accumulated corpus for near-duplicates
+# (not just exact hashes) by probing a persisted (band, band_hash) ->
+# doc_id bucket table, then exact-verifying only the collisions. Cost
+# is O(|batch| x bucket collisions), never O(|corpus|²) and never even
+# O(|corpus|) per run.
+#
+# Batch = the 25% of docs not yet in the store PLUS perturbed
+# resubmissions of store docs (first token dropped: a true NEAR-dup,
+# high Jaccard but a different md5, which the exact store would
+# wrongly accept). Signatures/bands reuse the dd_minhash_lsh_pairs
+# machinery; the DF cap applies over the combined relation.
+#
+# Scale: at 100 TB the band store is bucketed by (band, bh) on disk, so
+# the probe join shuffles ONLY the batch side; the verify join touches
+# just colliding (batch, store) pairs' shingles. Output is per-batch-doc
+# with its best store match (ties -> lowest store doc_id).
+# --------------------------------------------------------------------------
+_RESUB_PRED = "doc_id % 4 != 0 AND doc_id % 20 = 1"
+
+
+def _inc_lsh_oracle() -> str:
+    from .dedup import (
+        _TOKENS,
+        DF_CAP,
+        LSH_BANDS,
+        MINHASH_K,
+        MINHASH_VERIFY_THRESHOLD,
+        SHINGLE_N,
+    )
+
+    sig_cols = ", ".join(
+        f"min(substr(md5('s{k // 4}|' || sh), {(k % 4) * 8 + 1}, 8)) AS h{k}"
+        for k in range(MINHASH_K)
+    )
+    r = MINHASH_K // LSH_BANDS
+    band_sel = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bh FROM sig".format(
+            b=b, cat=" || ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text, 'store' AS side FROM documents WHERE {_STORE_PRED}
+      UNION ALL
+      SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1), 'batch'
+      FROM documents WHERE {_RESUB_PRED}
+      UNION ALL
+      SELECT doc_id, text, 'batch' FROM documents WHERE {_BATCH_PRED}
+    ),
+    tok AS (
+      SELECT doc_id, {_TOKENS} AS t FROM corpus
+      WHERE len({_TOKENS}) >= {SHINGLE_N}
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - {SHINGLE_N - 1})) AS i
+      FROM tok
+    ),
+    shingle_all AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+    ),
+    shingle AS (
+      SELECT doc_id, sh FROM shingle_all
+      WHERE sh IN (SELECT sh FROM shingle_all GROUP BY sh
+                   HAVING count(*) <= {DF_CAP})
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingle GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig_cols} FROM shingle GROUP BY doc_id),
+    bands AS ({band_sel}),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, s.doc_id AS store_id
+      FROM bands b
+      JOIN corpus cb ON cb.doc_id = b.doc_id AND cb.side = 'batch'
+      JOIN bands s ON s.band = b.band AND s.bh = b.bh
+      JOIN corpus cs ON cs.doc_id = s.doc_id AND cs.side = 'store'
+    ),
+    inter AS (
+      SELECT c.batch_id, c.store_id, count(*) AS i
+      FROM cand c
+      JOIN shingle a ON a.doc_id = c.batch_id
+      JOIN shingle b ON b.doc_id = c.store_id AND b.sh = a.sh
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT i.batch_id, i.store_id,
+             CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS j
+      FROM inter i
+      JOIN sizes sa ON i.batch_id = sa.doc_id
+      JOIN sizes sb ON i.store_id = sb.doc_id
+      WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)
+            >= {MINHASH_VERIFY_THRESHOLD}
+    ),
+    best AS (
+      SELECT batch_id, store_id, j, row_number() OVER (
+        PARTITION BY batch_id ORDER BY j DESC, store_id) AS rn
+      FROM jac
+    )
+    SELECT c.doc_id,
+           CAST(b.batch_id IS NOT NULL AS BOOLEAN) AS is_neardup,
+           CAST(b.store_id AS BIGINT) AS matched_doc,
+           round(b.j, 6) AS jaccard
+    FROM (SELECT doc_id FROM corpus WHERE side = 'batch') c
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON c.doc_id = b.batch_id
+    """
+
+
+def _register_incremental_lsh() -> None:
+    @register("dd_incremental_lsh_assign", oracle=_inc_lsh_oracle())
+    def dd_incremental_lsh_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-batch-doc near-dup verdict against the store's LSH
+        buckets: best store match at Jaccard >= the verify threshold,
+        NULLs when no bucket collision survives verification."""
+        from pyspark.sql import Window as W
+
+        from .dedup import (
+            DF_CAP,
+            MINHASH_VERIFY_THRESHOLD,
+            SHINGLE_N,
+            _bands,
+            _minhash_sig,
+        )
+
+        docs = table(spark, sf_dir, "documents")
+        store = docs.filter(F.expr(_STORE_PRED)).select(
+            "doc_id", "text", F.lit("store").alias("side")
+        )
+        resub = docs.filter(F.expr(_RESUB_PRED)).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+            F.lit("batch").alias("side"),
+        )
+        fresh = docs.filter(F.expr(_BATCH_PRED)).select(
+            "doc_id", "text", F.lit("batch").alias("side")
+        )
+        corpus = store.unionByName(resub).unionByName(fresh)
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        sh_all = (
+            corpus.select("doc_id", toks.alias("t"))
+            .filter(F.size("t") >= SHINGLE_N)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(t) - {SHINGLE_N}), "
+                        "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                    )
+                ).alias("sh"),
+            )
+            .distinct()
+        )
+        df_count = F.count(F.lit(1)).over(W.partitionBy("sh"))
+        sh = (
+            sh_all.withColumn("_df", df_count)
+            .filter(F.col("_df") <= DF_CAP)
+            .drop("_df")
+            .cache()
+        )
+        sides = corpus.select("doc_id", "side")
+        bands = _bands(_minhash_sig(sh)).join(sides, "doc_id")
+        bb = bands.filter(F.col("side") == "batch").select(
+            F.col("doc_id").alias("batch_id"), "band", "bh"
+        )
+        bs = bands.filter(F.col("side") == "store").select(
+            F.col("doc_id").alias("store_id"), "band", "bh"
+        )
+        cand = bb.join(bs, ["band", "bh"]).select("batch_id", "store_id").distinct()
+        sha = sh.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_a"))
+        shb = sh.select(F.col("doc_id").alias("_sid"), F.col("sh").alias("sh_b"))
+        inter = (
+            cand.join(sha, "batch_id")
+            .join(
+                shb,
+                (F.col("store_id") == F.col("_sid"))
+                & (F.col("sh_a") == F.col("sh_b")),
+            )
+            .groupBy("batch_id", "store_id")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        sa = sizes.select(F.col("doc_id").alias("batch_id"), F.col("n").alias("na"))
+        sb2 = sizes.select(F.col("doc_id").alias("store_id"), F.col("n").alias("nb"))
+        jac = (
+            inter.join(F.broadcast(sa), "batch_id")
+            .join(F.broadcast(sb2), "store_id")
+            .select(
+                "batch_id",
+                "store_id",
+                (
+                    F.col("i").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("i"))
+                ).alias("j"),
+            )
+            .filter(F.col("j") >= MINHASH_VERIFY_THRESHOLD)
+        )
+        best = jac.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("batch_id").orderBy(F.desc("j"), F.asc("store_id"))
+            ),
+        ).filter(F.col("rn") == 1)
+        batch_ids = corpus.filter(F.col("side") == "batch").select("doc_id")
+        return batch_ids.join(
+            best.select(
+                F.col("batch_id").alias("doc_id"),
+                F.col("store_id").alias("matched_doc"),
+                "j",
+            ),
+            "doc_id",
+            "left",
+        ).select(
+            "doc_id",
+            F.col("matched_doc").isNotNull().alias("is_neardup"),
+            F.col("matched_doc").cast("bigint"),
+            F.round("j", 6).alias("jaccard"),
+        )
+
+
+_register_incremental_lsh()
