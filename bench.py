@@ -199,6 +199,7 @@ HEADLINE_R11 = [
     "tok_fertility_by_lang",
     "gr_hits_supply_graph",
     "dd_incremental_lsh_assign",
+    "ev_did_estimate",
 ]
 
 ALL_HEADLINE = (

@@ -1303,3 +1303,103 @@ def ev_frequent_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "support_users",
         "occurrences",
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences — the experimentation readout when the
+# treatment turns on at a known date instead of by randomization alone:
+# compare each group's post-minus-pre change, so any shared time trend
+# (seasonality, platform growth) differences out. Completes the
+# platform set next to the z-test (binary outcome) and CUPED
+# (covariate adjustment).
+#
+# Cells are exact: event values quantize to 1e6 fixed point BEFORE the
+# sums (unordered float addition never happens), group/period tags are
+# md5-hash / date-literal expressions, and the four cell means are
+# single correctly-rounded divisions of exact integers. ONE pass over
+# the event log: conditional sums + conditional distinct-user counts
+# in a single aggregate, no joins, no windows.
+# --------------------------------------------------------------------------
+DID_CUTOFF = "2024-01-16"
+DID_FX = 10**6
+
+
+@register(
+    "ev_did_estimate",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN (CASE substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        {" ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))}
+                        END) % 2 = 0 THEN 1 ELSE 0 END AS treat,
+             CASE WHEN ts < TIMESTAMP '{DID_CUTOFF}' THEN 1 ELSE 0 END AS pre,
+             user_id,
+             CAST(floor(value * {DID_FX} + 0.5) AS BIGINT) AS fx
+      FROM events
+    ),
+    cells AS (
+      SELECT CAST(count(DISTINCT CASE WHEN treat = 1 THEN user_id END) AS BIGINT) AS n_treat,
+             CAST(count(DISTINCT CASE WHEN treat = 0 THEN user_id END) AS BIGINT) AS n_control,
+             CAST(sum(CASE WHEN treat = 1 AND pre = 1 THEN fx ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN treat = 1 AND pre = 0 THEN fx ELSE 0 END) AS BIGINT) AS tq,
+             CAST(sum(CASE WHEN treat = 0 AND pre = 1 THEN fx ELSE 0 END) AS BIGINT) AS cp,
+             CAST(sum(CASE WHEN treat = 0 AND pre = 0 THEN fx ELSE 0 END) AS BIGINT) AS cq
+      FROM tagged
+    )
+    SELECT n_treat, n_control,
+           round(tp / ({DID_FX}.0 * n_treat), 6) AS pre_treat_mean,
+           round(tq / ({DID_FX}.0 * n_treat), 6) AS post_treat_mean,
+           round(cp / ({DID_FX}.0 * n_control), 6) AS pre_control_mean,
+           round(cq / ({DID_FX}.0 * n_control), 6) AS post_control_mean,
+           round((tq / ({DID_FX}.0 * n_treat) - tp / ({DID_FX}.0 * n_treat))
+                 - (cq / ({DID_FX}.0 * n_control) - cp / ({DID_FX}.0 * n_control)),
+                 6) AS did_estimate
+    FROM cells
+    """,
+)
+def ev_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences of per-user mean event value around
+    the {DID_CUTOFF} cutoff, hash-assigned treatment vs control."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    treat = (bucket % 2) == 0
+    pre = F.col("ts") < F.lit(DID_CUTOFF).cast("timestamp")
+    fx = F.floor(F.col("value") * DID_FX + 0.5).cast("bigint")
+    tagged = ev.select(
+        treat.alias("treat"), pre.alias("pre"), "user_id", fx.alias("fx")
+    )
+    cells = tagged.agg(
+        F.countDistinct(F.when(F.col("treat"), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.countDistinct(F.when(~F.col("treat"), F.col("user_id")))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum(F.when(F.col("treat") & F.col("pre"), F.col("fx")).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("treat") & ~F.col("pre"), F.col("fx")).otherwise(0))
+        .cast("bigint")
+        .alias("tq"),
+        F.sum(F.when(~F.col("treat") & F.col("pre"), F.col("fx")).otherwise(0))
+        .cast("bigint")
+        .alias("cp"),
+        F.sum(F.when(~F.col("treat") & ~F.col("pre"), F.col("fx")).otherwise(0))
+        .cast("bigint")
+        .alias("cq"),
+    )
+    scale = float(DID_FX)
+    pre_t = F.col("tp") / (scale * F.col("n_treat"))
+    post_t = F.col("tq") / (scale * F.col("n_treat"))
+    pre_c = F.col("cp") / (scale * F.col("n_control"))
+    post_c = F.col("cq") / (scale * F.col("n_control"))
+    return cells.select(
+        "n_treat",
+        "n_control",
+        F.round(pre_t, 6).alias("pre_treat_mean"),
+        F.round(post_t, 6).alias("post_treat_mean"),
+        F.round(pre_c, 6).alias("pre_control_mean"),
+        F.round(post_c, 6).alias("post_control_mean"),
+        F.round((post_t - pre_t) - (post_c - pre_c), 6).alias("did_estimate"),
+    )
