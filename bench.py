@@ -200,6 +200,7 @@ HEADLINE_R11 = [
     "gr_hits_supply_graph",
     "dd_incremental_lsh_assign",
     "ev_did_estimate",
+    "emb_grid_outliers",
 ]
 
 ALL_HEADLINE = (

@@ -720,3 +720,92 @@ def sim_abtt_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"recall_at_{TOP_K}"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Grid-density outlier detection in projected embedding space — the
+# cheap distributed stand-in for LOF/DBSCAN noise flagging: project to
+# the first two sign-random JL components (exact fixed-point, as
+# everywhere in this module), bucket into a fixed grid, and flag
+# vectors whose cell holds <= GRID_MIN_PTS points. Curation uses this
+# to drop embedding-space stragglers (mojibake, truncations, wrong-
+# model vectors) before clustering/dedup.
+#
+# Exactness: cells come from integer division of non-negative shifted
+# integers, so Spark's truncating DIV and DuckDB's flooring // agree.
+# Scale: the projection is map-only codegen; the only shuffle is the
+# cell count (grid-bounded) joined back broadcast.
+# --------------------------------------------------------------------------
+GRID_CELL = 8000
+GRID_OFF = 1_000_000  # shifts projections non-negative: trunc == floor
+GRID_MIN_PTS = 2
+
+
+@register(
+    "emb_grid_outliers",
+    oracle=f"""
+    WITH signs(i, j, s) AS (VALUES {_SIGN_VALUES_SQL}),
+    idx AS (
+      SELECT vec_id, embedding AS e, unnest(range(1, {IN_DIM} + 1)) AS i1
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, i1 - 1 AS i,
+             CAST(floor(CAST(e[i1] AS DOUBLE) * {FX}) AS BIGINT) AS v
+      FROM idx
+    ),
+    p AS (
+      SELECT q.vec_id,
+             CAST(sum(CASE WHEN sg.j = 0 THEN q.v * sg.s ELSE 0 END) AS BIGINT) AS p0,
+             CAST(sum(CASE WHEN sg.j = 1 THEN q.v * sg.s ELSE 0 END) AS BIGINT) AS p1
+      FROM q JOIN signs sg ON q.i = sg.i AND sg.j IN (0, 1)
+      GROUP BY q.vec_id
+    ),
+    cellof AS (
+      SELECT vec_id,
+             CAST((p0 + {GRID_OFF}) // {GRID_CELL} AS BIGINT) AS cell_x,
+             CAST((p1 + {GRID_OFF}) // {GRID_CELL} AS BIGINT) AS cell_y
+      FROM p
+    ),
+    dens AS (
+      SELECT cell_x, cell_y, CAST(count(*) AS BIGINT) AS cell_n
+      FROM cellof GROUP BY cell_x, cell_y
+    )
+    SELECT c.vec_id, c.cell_x, c.cell_y, d.cell_n
+    FROM cellof c JOIN dens d USING (cell_x, cell_y)
+    WHERE d.cell_n <= {GRID_MIN_PTS}
+    """,
+)
+def emb_grid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outliers: vectors in 2-D JL grid cells holding
+    <= {GRID_MIN_PTS} points."""
+    emb = table(spark, sf_dir, "embeddings")
+    quant = F.expr(
+        f"transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * {FX}) AS BIGINT))"
+    )
+
+    def proj(j: int) -> F.Column:
+        return F.expr(
+            "aggregate(zip_with(_q, array({}), (x, s) -> x * s),"
+            " 0L, (acc, x) -> acc + x)".format(",".join(str(s) for s in _SIGNS[j]))
+        )
+
+    cellof = (
+        emb.select("vec_id", quant.alias("_q"))
+        .select("vec_id", proj(0).alias("p0"), proj(1).alias("p1"))
+        .select(
+            "vec_id",
+            F.expr(f"CAST((p0 + {GRID_OFF}) DIV {GRID_CELL} AS BIGINT)").alias(
+                "cell_x"
+            ),
+            F.expr(f"CAST((p1 + {GRID_OFF}) DIV {GRID_CELL} AS BIGINT)").alias(
+                "cell_y"
+            ),
+        )
+    )
+    dens = cellof.groupBy("cell_x", "cell_y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_n")
+    )
+    return cellof.join(F.broadcast(dens), ["cell_x", "cell_y"]).filter(
+        F.col("cell_n") <= GRID_MIN_PTS
+    ).select("vec_id", "cell_x", "cell_y", "cell_n")
