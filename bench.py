@@ -201,6 +201,7 @@ HEADLINE_R11 = [
     "dd_incremental_lsh_assign",
     "ev_did_estimate",
     "emb_grid_outliers",
+    "txt_boilerplate_lines",
 ]
 
 ALL_HEADLINE = (

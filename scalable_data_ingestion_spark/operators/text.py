@@ -764,3 +764,83 @@ def dd_line_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept * F.col("line_tokens")).cast("bigint").alias("tokens_kept"),
         F.round(F.sum(kept) * 1.0 / F.count(F.lit(1)), 6).alias("keep_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source boilerplate lines — the diagnosis view the line-dedup pass
+# above acts on: which repeated lines (deterministic 8-token chunks)
+# recur across DISTINCT documents of the same source. Web pipelines run
+# exactly this to find nav bars, cookie banners, and license blocks
+# before stripping them; per-source because boilerplate is a property
+# of the crawl origin, not the corpus.
+#
+# Scale: line extraction is the same map-side explode as the dedup
+# pass; the (source, line, doc) distinct and the (source, line) count
+# partial-aggregate map-side; the per-source top-k window runs over
+# the repeated-lines relation only (already reduced), partitioned by
+# source — never a global sort.
+# --------------------------------------------------------------------------
+BOILER_MIN_DOCS = 2
+BOILER_TOPK = 10
+
+
+@register(
+    "txt_boilerplate_lines",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    lines AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(t[i * {LINE_TOKENS} + 1 :
+                               (i + 1) * {LINE_TOKENS}], ' ') AS line
+      FROM tok,
+           unnest(range(0, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INTEGER)))
+             AS u(i)
+    ),
+    cnt AS (
+      SELECT source, line, CAST(count(*) AS BIGINT) AS n_docs
+      FROM lines GROUP BY source, line
+      HAVING count(*) >= {BOILER_MIN_DOCS}
+    )
+    SELECT source, CAST(rnk AS INTEGER) AS rnk, line, n_docs FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY n_docs DESC, line) AS rnk
+      FROM cnt
+    ) WHERE rnk <= {BOILER_TOPK}
+    """,
+)
+def txt_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{BOILER_TOPK} lines per source recurring in >=
+    {BOILER_MIN_DOCS} distinct documents (8-token chunk grain)."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    lines = (
+        docs.select("doc_id", "source", t.alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (size(t) + {LINE_TOKENS - 1})"
+                    f" div {LINE_TOKENS} - 1), i -> concat_ws(' ',"
+                    f" slice(t, i * {LINE_TOKENS} + 1, {LINE_TOKENS})))"
+                )
+            ).alias("line"),
+        )
+        .distinct()
+    )
+    cnt = (
+        lines.groupBy("source", "line")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("n_docs"), F.asc("line"))
+    )
+    return (
+        cnt.withColumn("rnk", rnk.cast("int"))
+        .filter(F.col("rnk") <= BOILER_TOPK)
+        .select("source", "rnk", "line", "n_docs")
+    )
