@@ -364,3 +364,54 @@ def test_survival_curve_no_cartesian(spark, sf_dir):
     sums — no nested-loop join wider than a 1-row broadcast."""
     p = plan(registry.QUERIES["cust_survival_km"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in p, p
+
+
+def test_trigram_mining_no_self_join(spark, sf_dir):
+    """Event trigrams come from lead() over one user-keyed window —
+    never the events^3 self-join that explodes on power users."""
+    p = plan(registry.QUERIES["ev_frequent_trigrams"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    assert p.count("FileScan") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_fertility_is_map_side_single_pass(spark, sf_dir):
+    """Per-language fertility: map-only counting into one lang-keyed
+    hash aggregate — no joins, no windows, no Python."""
+    p = plan(registry.QUERIES["tok_fertility_by_lang"](spark, sf_dir), "simple")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "PythonUDF" not in p, p
+
+
+def test_silhouette_centroids_broadcast(spark, sf_dir):
+    """Every centroid-scoring pass in the silhouette plan broadcasts
+    the K-row centroid relation — no shuffled join of the corpus."""
+    p = plan(registry.QUERIES["emb_silhouette_by_cluster"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # K-row centroid cross join
+
+
+def test_grid_outliers_density_broadcasts(spark, sf_dir):
+    """The grid-cell density joins back broadcast; the projection
+    itself is map-only (single scan of embeddings)."""
+    p = plan(registry.QUERIES["emb_grid_outliers"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_ccnet_buckets_no_global_window(spark, sf_dir):
+    """The tercile cut must come from the range-partitioned global
+    ntile, never a single-partition ntile window over the corpus."""
+    import io as _io
+    import contextlib as _ctx
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df = registry.QUERIES["txt_ccnet_ppl_buckets"](spark, sf_dir)
+        df.explain("simple")
+    p = buf.getvalue()
+    # a lone `Window [ntile(...)` with no partition spec would print
+    # `Window [ntile(3)...], [mean_lp DESC...]` (2 brackets, no PARTITION)
+    assert "ntile" not in p.lower() or "_gr_pid" in p, p
