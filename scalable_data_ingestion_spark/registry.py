@@ -118,10 +118,22 @@ def load_all() -> None:
 # exercised (stat_*, ts_*, lexical, gr_neighbor_jaccard/kcore,
 # ev_stickiness/pareto, dq_l_diversity, feat_*, mon_*). Everything not
 # listed keeps registration order and stays covered by
-# tools/parity_sweep.py locally.
+# tools/parity_sweep.py locally. Mid-round update: the nine operators
+# added THIS session lead (they postdate even this round's local
+# sweeps of the original window), displacing nine r4-era entries the
+# r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
     # round-5 additions: no driver hash, post-judge-sweep code
     "ev_ab_proportion_ztest",
+    "txt_ccnet_ppl_buckets",
+    "ev_frequent_trigrams",
+    "tok_fertility_by_lang",
+    "gr_hits_supply_graph",
+    "dd_incremental_lsh_assign",
+    "ev_did_estimate",
+    "emb_grid_outliers",
+    "txt_boilerplate_lines",
+    "emb_silhouette_by_cluster",
     "sql_recursive_reachability",
     "opt_equidepth_histogram",
     "hist_equidepth_price",
@@ -147,35 +159,26 @@ _PRIORITY = (
     "stat_theil_sen_slope",
     "stat_ks_two_sample",
     "stat_chi2_segment_priority",
-    "stat_bootstrap_mean_ci",
-    "stat_weighted_median_len",
     # r4-late time-series family
     "ts_acf_daily_revenue",
     "ts_cusum_changepoint",
     "ts_holt_linear",
-    "ts_dow_seasonality",
-    "ts_rolling_view_purchase_corr",
     # lexical + behavioral
     "txt_lexical_diversity",
     "txt_token_burstiness",
     "ev_stickiness_dau_mau",
     "ev_pareto_user_share",
-    "ev_markov_path_likelihood",
     "cust_survival_km",
     "eval_classifier_calibration",
     # graph remainder
     "gr_neighbor_jaccard",
     "gr_kcore_decomposition",
-    "gr_clustering_coefficient",
-    "gr_common_neighbor_links",
     # audits / monitors / features
     "dq_l_diversity",
     "mon_token_js_divergence",
     "mon_embedding_drift_psi",
-    "mon_category_drift_tvd",
     "feat_target_encoding_loo",
     "feat_order_value_woe",
-    "er_party_entities",
 )
 
 
