@@ -232,6 +232,7 @@ def main() -> None:
     if os.path.isdir(warm_dir):
         for name in ALL_HEADLINE:
             queries[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()  # warmup caches must not feed the timed runs
 
     # Each query runs twice at the target SF: the first (cold) run pays
     # JVM JIT compilation of the generated code's hot loops — a fixed
@@ -243,6 +244,13 @@ def main() -> None:
     for name in ALL_HEADLINE:
         cold[name] = round(run(name), 3)
         per_query[name] = round(run(name), 3)
+        # Drop this query's persisted frames before the next one: with
+        # 100+ queries in a single JVM the accumulated .persist() data
+        # evicts later queries' working sets, making measured time a
+        # function of LIST POSITION (er_dirty_registry_entities read
+        # 11.2s late in the sequence vs 4.3s isolated). Each query
+        # still keeps its own cold-run caches for its warm run.
+        spark.catalog.clearCache()
 
     total = round(sum(per_query.values()), 3)
 
