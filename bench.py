@@ -202,6 +202,7 @@ HEADLINE_R11 = [
     "ev_did_estimate",
     "emb_grid_outliers",
     "txt_boilerplate_lines",
+    "sql_lateral_topn_orders",
 ]
 
 ALL_HEADLINE = (

@@ -675,3 +675,53 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.createOrReplaceTempView("edges")
     return spark.sql(_REACH_RECURSIVE_SQL)
+
+
+# --------------------------------------------------------------------------
+# LATERAL join top-N per group — the SQL-standard correlated-derived-
+# table idiom ("for each customer, their 3 highest-value orders").
+# The point on Spark: Catalyst DECORRELATES the lateral subquery into
+# WindowGroupLimit(partial) -> shuffle -> WindowGroupLimit(final) —
+# the per-partition top-k pruning that ships only <= k rows per group
+# per mapper, strictly better at 100 TB than the naive rank-window
+# formulation users write by hand (which shuffles every row). The
+# plan-quality test pins that shape.
+# --------------------------------------------------------------------------
+LATERAL_TOPN = 3
+
+_LATERAL_SQL = f"""
+SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+FROM customer_v c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders_v o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT {LATERAL_TOPN}
+) t
+"""
+
+
+@register(
+    "sql_lateral_topn_orders",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT {LATERAL_TOPN}
+    ) t
+    """,
+)
+def sql_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's top-{LATERAL_TOPN} orders by value via a
+    LATERAL correlated derived table (decorrelated by Catalyst into
+    partial+final WindowGroupLimit — map-side top-k pruning)."""
+    table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    ).createOrReplaceTempView("customer_v")
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).createOrReplaceTempView("orders_v")
+    return spark.sql(_LATERAL_SQL)

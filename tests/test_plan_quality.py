@@ -415,3 +415,13 @@ def test_ccnet_buckets_no_global_window(spark, sf_dir):
     # a lone `Window [ntile(...)` with no partition spec would print
     # `Window [ntile(3)...], [mean_lp DESC...]` (2 brackets, no PARTITION)
     assert "ntile" not in p.lower() or "_gr_pid" in p, p
+
+
+def test_lateral_topn_uses_window_group_limit(spark, sf_dir):
+    """The LATERAL ... ORDER BY ... LIMIT k derived table must
+    decorrelate into partial+final WindowGroupLimit (map-side top-k
+    pruning), never a correlated nested loop."""
+    p = plan(registry.QUERIES["sql_lateral_topn_orders"](spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in p, p
+    assert "Partial" in p, p
+    assert "CartesianProduct" not in p, p
