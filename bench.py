@@ -203,6 +203,7 @@ HEADLINE_R11 = [
     "emb_grid_outliers",
     "txt_boilerplate_lines",
     "sql_lateral_topn_orders",
+    "pipe_source_scorecard",
 ]
 
 ALL_HEADLINE = (

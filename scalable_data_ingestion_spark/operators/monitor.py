@@ -500,3 +500,100 @@ def mon_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "js_term"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source scorecard — the one-table health readout a curation run
+# publishes per crawl origin: volume (docs, tokens, chars), exact-dup
+# mass (copies beyond the first of each content hash), and language
+# mix entropy. The aggregation every per-source decision (reweight,
+# re-crawl, drop) reads first.
+#
+# Exactness: every count is an integer; the entropy terms
+# -(c/n)·ln(c/n) are scalar doubles from exact integer ratios,
+# quantized to 1e9 fixed point BEFORE the per-source sum (|lang|-
+# bounded, but the policy is uniform: no unordered float sums, ever).
+#
+# Scale: two source-keyed aggregates (one per-(source,lang) then a
+# |source|-sized rollup, one per-(source,hash) dedup rollup) and a
+# broadcast join of dimension-sized results. No windows, no Python.
+# --------------------------------------------------------------------------
+_ENT_FX = 10**9
+
+
+@register(
+    "pipe_source_scorecard",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, lang, n_chars,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tok,
+             md5(text) AS h
+      FROM documents
+    ),
+    vol AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_unique
+      FROM base GROUP BY source
+    ),
+    lc AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM base GROUP BY source, lang
+    ),
+    ent AS (
+      SELECT lc.source,
+             CAST(sum(CAST(floor(-(lc.c * 1.0 / v.n_docs)
+                                 * ln(lc.c * 1.0 / v.n_docs) * {_ENT_FX} + 0.5)
+                           AS BIGINT)) AS BIGINT) AS ent_fx
+      FROM lc JOIN vol v USING (source) GROUP BY lc.source
+    )
+    SELECT v.source, v.n_docs, v.n_tokens, v.n_chars,
+           CAST(v.n_docs - v.n_unique AS BIGINT) AS dup_docs,
+           round((v.n_docs - v.n_unique) * 1.0 / v.n_docs, 6) AS dup_ratio,
+           round(e.ent_fx / {_ENT_FX}.0, 6) AS lang_entropy
+    FROM vol v JOIN ent e USING (source)
+    """,
+)
+def pipe_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source volume, exact-dup mass, and language-mix entropy —
+    the crawl-origin health table."""
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    vol = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("h").cast("bigint").alias("n_unique"),
+    )
+    lc = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    p = F.col("c") * 1.0 / F.col("n_docs")
+    ent = (
+        lc.join(F.broadcast(vol.select("source", "n_docs")), "source")
+        .select(
+            "source",
+            F.floor(-p * F.log(p) * _ENT_FX + 0.5).cast("bigint").alias("t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t").cast("bigint").alias("ent_fx"))
+    )
+    return vol.join(F.broadcast(ent), "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_docs") - F.col("n_unique")).cast("bigint").alias("dup_docs"),
+        F.round((F.col("n_docs") - F.col("n_unique")) * 1.0 / F.col("n_docs"), 6)
+        .alias("dup_ratio"),
+        F.round(F.col("ent_fx") / float(_ENT_FX), 6).alias("lang_entropy"),
+    )
