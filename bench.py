@@ -204,6 +204,7 @@ HEADLINE_R11 = [
     "txt_boilerplate_lines",
     "sql_lateral_topn_orders",
     "pipe_source_scorecard",
+    "gr_triangle_total_degree_oriented",
 ]
 
 ALL_HEADLINE = (

@@ -1451,3 +1451,91 @@ def gr_hits_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_id",
         F.round(F.col("score") / float(HITS_SCALE), 6).alias("score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Degree-oriented triangle TOTAL — the production-scale variant the
+# id-oriented per-node counter above defers to in its docstring. Every
+# undirected edge points at its higher-(degree, id) endpoint, so a
+# node's out-degree in the oriented graph is O(sqrt(|E|)) and the wedge
+# join's fan-out is bounded by that instead of by raw hub degree —
+# THE standard mitigation for hub-quadratic wedge explosion on
+# power-law graphs (Cohen 2009 / GraphX's triangleCount).
+#
+# The oracle counts the SAME triangles with the plain a < b < c
+# formulation: the global total is orientation-invariant, so the hash
+# match verifies the optimized plan preserves semantics — exactly the
+# kind of plan-vs-answer separation the engine exists for. Degrees and
+# the (degree, id) tie-break are integers; no float enters the DAG.
+# --------------------------------------------------------------------------
+@register(
+    "gr_triangle_total_degree_oriented",
+    oracle=f"""
+    WITH edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    tri AS (
+      SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.pb = e2.pa
+      JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri
+    """,
+)
+def gr_triangle_total_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count via degree-oriented wedges (fan-out
+    bounded by O(sqrt(|E|)) per node); hash-equal to the plain
+    id-oriented count because the total is orientation-invariant."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    sym = und.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        und.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # orient each undirected edge at its higher-(degree, id) endpoint
+    du = deg.select(F.col("u").alias("pa"), F.col("d").alias("da"))
+    dv = deg.select(F.col("u").alias("pb"), F.col("d").alias("db"))
+    towards_pb = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = (
+        und.join(F.broadcast(du), "pa")
+        .join(F.broadcast(dv), "pb")
+        .select(
+            F.when(towards_pb, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+            F.when(towards_pb, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+        )
+        .cache()
+    )
+    # wedges from the ORIENTED graph (fan-out O(sqrt|E|) per src) close
+    # against an oriented edge in either direction-consistent form:
+    # for src s with out-neighbors x < y, triangle iff edge x->y or
+    # y->x exists — both endpoints outrank s, so the closing edge is
+    # oriented between them and one lookup on the canonical (min,max)
+    # key suffices.
+    w1 = oriented.select(F.col("src").alias("s"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src").alias("s"), F.col("dst").alias("y"))
+    wedges = w1.join(w2, "s").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("src", "dst").alias("x"), F.greatest("src", "dst").alias("y")
+    ).distinct()
+    tri = wedges.join(closing, ["x", "y"])
+    return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
