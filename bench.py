@@ -205,6 +205,7 @@ HEADLINE_R11 = [
     "sql_lateral_topn_orders",
     "pipe_source_scorecard",
     "gr_triangle_total_degree_oriented",
+    "sk_cms_join_size_estimate",
 ]
 
 ALL_HEADLINE = (

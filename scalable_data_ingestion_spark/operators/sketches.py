@@ -438,3 +438,128 @@ def sk_hll_users_by_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             (corrected - F.col("exact_distinct")) / F.col("exact_distinct"), 6
         ).alias("rel_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sketch-based join-size estimation — the optimizer-statistics use of
+# the count-min sketch (AMS-style inner product): |A JOIN B on k| =
+# sum_k cA(k)·cB(k), estimated as min over sketch rows of the
+# bucket-wise inner product of the two sides' CMS rows. This is what a
+# cost-based optimizer consults before picking a join strategy at
+# 100 TB — computing the exact size IS a join; the sketch costs two
+# map-side-reducible passes of DEPTH×WIDTH counters each, mergeable
+# across partitions and shippable in a few KiB.
+#
+# The estimate is deterministic (md5 bucket hashes), so DuckDB rebuilds
+# the sketch bit-for-bit and the hash check covers the approximation
+# itself, alongside the exact size and the always->=1 inflation ratio.
+# --------------------------------------------------------------------------
+# Join keys are far higher-cardinality than the token heavy-hitter use
+# above, so the join-size sketch uses its own width: 4 hex digits
+# (16 bits) folded mod JSZ_WIDTH. DEPTH x 1024 counters is still a
+# ~24 KiB sketch — trivially broadcastable optimizer state.
+JSZ_WIDTH = 1024
+
+
+def _cms_key_bucket_sql(row: int, key: str) -> str:
+    md5 = f"md5('{row}:' || CAST({key} AS VARCHAR))"
+    hx = (f"4096 * ({_hex_digit_sql(md5, 1)}) + 256 * ({_hex_digit_sql(md5, 2)})"
+          f" + 16 * ({_hex_digit_sql(md5, 3)}) + ({_hex_digit_sql(md5, 4)})")
+    return f"({hx}) % {JSZ_WIDTH}"
+
+
+def _cms_key_bucket_col(row: int, key: str):
+    md5 = F.md5(F.concat(F.lit(f"{row}:"), F.col(key).cast("string")))
+    return (F.conv(F.substring(md5, 1, 4), 16, 10).cast("int") % JSZ_WIDTH).alias("b")
+
+
+def _cms_cells(counted: DataFrame, key: str) -> DataFrame:
+    """(r, b, cell) rows of the CMS over (key, n) counts."""
+    per_row = [
+        counted.select(
+            F.lit(r).alias("r"),
+            _cms_key_bucket_col(r, key),
+            F.col("n").alias("n"),
+        )
+        for r in range(CMS_DEPTH)
+    ]
+    out = per_row[0]
+    for df in per_row[1:]:
+        out = out.unionByName(df)
+    return out.groupBy("r", "b").agg(F.sum("n").cast("bigint").alias("cell"))
+
+
+@register(
+    "sk_cms_join_size_estimate",
+    oracle=f"""
+    WITH ca AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ),
+    cb AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    exact AS (
+      SELECT CAST(sum(ca.n * cb.n) AS BIGINT) AS exact_size
+      FROM ca JOIN cb USING (k)
+    ),
+    cells_a AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS r, {_cms_key_bucket_sql(r, 'k')} AS b, "
+          f"CAST(sum(n) AS BIGINT) AS cell FROM ca GROUP BY 2"
+          for r in range(CMS_DEPTH)
+      )}
+    ),
+    cells_b AS (
+      {" UNION ALL ".join(
+          f"SELECT {r} AS r, {_cms_key_bucket_sql(r, 'k')} AS b, "
+          f"CAST(sum(n) AS BIGINT) AS cell FROM cb GROUP BY 2"
+          for r in range(CMS_DEPTH)
+      )}
+    ),
+    per_row AS (
+      SELECT a.r, CAST(sum(a.cell * b.cell) AS BIGINT) AS est
+      FROM cells_a a JOIN cells_b b ON a.r = b.r AND a.b = b.b
+      GROUP BY a.r
+    ),
+    est AS (SELECT CAST(min(est) AS BIGINT) AS cms_estimate FROM per_row)
+    SELECT e.exact_size, s.cms_estimate,
+           round(s.cms_estimate * 1.0 / e.exact_size, 6) AS inflation
+    FROM exact e CROSS JOIN est s
+    """,
+)
+def sk_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders-x-events join cardinality: exact vs CMS inner-product
+    estimate (always >= exact) with the inflation ratio."""
+    ca = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    cb = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    exact = (
+        ca.join(cb.withColumnRenamed("n", "nb"), "k")
+        .agg(F.sum(F.col("n") * F.col("nb")).cast("bigint").alias("exact_size"))
+    )
+    cells_a = _cms_cells(ca, "k")
+    cells_b = _cms_cells(cb, "k").select(
+        "r", "b", F.col("cell").alias("cell_b")
+    )
+    per_row = (
+        cells_a.join(cells_b, ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cell") * F.col("cell_b")).cast("bigint").alias("est"))
+    )
+    est = per_row.agg(F.min("est").cast("bigint").alias("cms_estimate"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "cms_estimate",
+        F.round(F.col("cms_estimate") * 1.0 / F.col("exact_size"), 6).alias(
+            "inflation"
+        ),
+    )
