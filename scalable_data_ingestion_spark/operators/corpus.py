@@ -1268,14 +1268,16 @@ def txt_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     uni = docs.select(F.explode(t).alias("w"))
-    marg = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    ntok = uni.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
-    npairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("np"))
-    cnt = (
-        pairs.groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
-        .filter(F.col("c_ab") >= SKIP_MIN_COOC)
-    )
+    # totals derive from the GROUPED relations (vocab-/pair-type-sized),
+    # not from a second aggregate over the raw explode streams — the
+    # token and pair subtrees would otherwise each execute twice.
+    marg = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
+    ntok = marg.agg(F.sum("c").cast("bigint").alias("nt"))
+    cnt0 = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    ).persist()
+    npairs = cnt0.agg(F.sum("c_ab").cast("bigint").alias("np"))
+    cnt = cnt0.filter(F.col("c_ab") >= SKIP_MIN_COOC)
     ma = marg.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
     mb = marg.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
     scored = (

@@ -829,6 +829,9 @@ def dd_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         corpus.withColumn("projs", F.expr(projs_expr))
         .select("vec_id", F.posexplode(F.expr(bsig_expr)).alias("band", "bsig"))
+        # feeds both sides of the candidate self-join; uncached, the
+        # 24x64 projection fold (the expensive subtree) runs twice.
+        .cache()
     )
     a = sig.alias("a")
     b = sig.alias("b")

@@ -957,6 +957,10 @@ def gr_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("src")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        # the degree relation feeds BOTH the histogram and the totals
+        # row; without a persist the raw-edge self-join + distinct
+        # (the expensive subtree) executes twice.
+        .persist()
     )
     binned = deg.select(
         (F.length(F.bin("degree")) - 1).alias("bin_log2"), "degree"

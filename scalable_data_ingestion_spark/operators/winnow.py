@@ -196,6 +196,10 @@ def dd_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_rows.withColumn("_df", df_count)
         .filter(F.col("_df") <= WINNOW_DF_CAP)
         .drop("_df")
+        # feeds the size aggregate AND both sides of the pair self-join;
+        # uncached, the per-character md5 fingerprinting (the expensive
+        # subtree) would execute three times.
+        .persist()
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = capped.alias("a"), capped.alias("b")
