@@ -134,6 +134,10 @@ _PRIORITY = (
     "emb_grid_outliers",
     "txt_boilerplate_lines",
     "emb_silhouette_by_cluster",
+    "sql_lateral_topn_orders",
+    "pipe_source_scorecard",
+    "gr_triangle_total_degree_oriented",
+    "sk_cms_join_size_estimate",
     "sql_recursive_reachability",
     "opt_equidepth_histogram",
     "hist_equidepth_price",
@@ -169,16 +173,12 @@ _PRIORITY = (
     "ev_stickiness_dau_mau",
     "ev_pareto_user_share",
     "cust_survival_km",
-    "eval_classifier_calibration",
     # graph remainder
     "gr_neighbor_jaccard",
-    "gr_kcore_decomposition",
     # audits / monitors / features
     "dq_l_diversity",
     "mon_token_js_divergence",
-    "mon_embedding_drift_psi",
     "feat_target_encoding_loo",
-    "feat_order_value_woe",
 )
 
 
