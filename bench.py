@@ -206,6 +206,7 @@ HEADLINE_R11 = [
     "pipe_source_scorecard",
     "gr_triangle_total_degree_oriented",
     "sk_cms_join_size_estimate",
+    "samp_length_matched",
 ]
 
 ALL_HEADLINE = (

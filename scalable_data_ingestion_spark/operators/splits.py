@@ -565,3 +565,113 @@ def samp_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("alloc").cast("bigint").alias("alloc_tokens"),
         (F.col("alloc") >= F.col("supply_tokens")).alias("exhausted"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-matched sampling — draw a fixed-size sample from the
+# WHOLE corpus whose length distribution matches a TARGET slice's (here
+# the English docs): the domain-adaptation sampler ("make the mix look
+# like the target domain") that quota sampling can't express because
+# its quotas are data-derived, not given. Bins are the target's exact
+# length quartiles (global_quantiles_cont — bit-exact vs DuckDB's
+# quantile_cont, pinned in tests/test_ranking_helpers.py); per-bin
+# quotas are integer-exact floor(N * target_share); within-bin
+# selection is md5-ranked so membership is a pure function of the data.
+#
+# Scale: quartile edges come from the range-partitioned quantile
+# helper; binning is a map-side projection; the within-bin rank
+# partitions on the 4 bins — at 100 TB swap it for the global_rank
+# helper applied per bin (same range-partition trick, same contract)
+# or salt the rank key; the quota filter then behaves identically.
+# --------------------------------------------------------------------------
+MATCH_SAMPLE_N = 200
+MATCH_TARGET_LANG = "en"
+
+
+@register(
+    "samp_length_matched",
+    oracle=f"""
+    WITH target AS (
+      SELECT n_chars FROM documents WHERE lang = '{MATCH_TARGET_LANG}'
+    ),
+    edges AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3,
+             CAST(count(*) AS BIGINT) AS nt
+      FROM target
+    ),
+    tbin AS (
+      SELECT 1 + CAST(t.n_chars > e.q1 AS INTEGER)
+               + CAST(t.n_chars > e.q2 AS INTEGER)
+               + CAST(t.n_chars > e.q3 AS INTEGER) AS bin
+      FROM target t CROSS JOIN edges e
+    ),
+    quota AS (
+      SELECT bin, CAST(({MATCH_SAMPLE_N} * count(*)) // max(e.nt) AS BIGINT)
+                 AS n_b
+      FROM tbin CROSS JOIN edges e GROUP BY bin
+    ),
+    cbin AS (
+      SELECT d.doc_id, d.n_chars,
+             1 + CAST(d.n_chars > e.q1 AS INTEGER)
+               + CAST(d.n_chars > e.q2 AS INTEGER)
+               + CAST(d.n_chars > e.q3 AS INTEGER) AS bin
+      FROM documents d CROSS JOIN edges e
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, bin,
+             row_number() OVER (PARTITION BY bin
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+      FROM cbin
+    )
+    SELECT r.doc_id, CAST(r.bin AS INTEGER) AS bin, r.n_chars
+    FROM ranked r JOIN quota q USING (bin)
+    WHERE r.rn <= q.n_b
+    """,
+)
+def samp_length_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{MATCH_SAMPLE_N}-doc corpus sample whose length-quartile mix
+    matches the '{MATCH_TARGET_LANG}' slice (md5-deterministic
+    within-bin selection)."""
+    from ..functions.ranking import global_quantiles_cont
+
+    docs = table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == MATCH_TARGET_LANG)
+    edges = global_quantiles_cont(
+        target, F.col("n_chars").cast("double"),
+        {"q1": 0.25, "q2": 0.50, "q3": 0.75}, n_col="nt",
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        return df.crossJoin(F.broadcast(edges)).withColumn(
+            "bin",
+            (
+                F.lit(1)
+                + (F.col("n_chars") > F.col("q1")).cast("int")
+                + (F.col("n_chars") > F.col("q2")).cast("int")
+                + (F.col("n_chars") > F.col("q3")).cast("int")
+            ),
+        )
+    quota = (
+        binned(target.select("n_chars"))
+        .groupBy("bin")
+        .agg(
+            F.expr(f"CAST(({MATCH_SAMPLE_N} * count(1)) DIV max(nt) AS BIGINT)")
+            .alias("n_b")
+        )
+    )
+    ranked = binned(docs.select("doc_id", "n_chars")).withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("bin").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(quota), "bin")
+        .filter(F.col("rn") <= F.col("n_b"))
+        .select("doc_id", F.col("bin").cast("int").alias("bin"), "n_chars")
+    )
