@@ -138,6 +138,7 @@ _PRIORITY = (
     "pipe_source_scorecard",
     "gr_triangle_total_degree_oriented",
     "sk_cms_join_size_estimate",
+    "samp_length_matched",
     "sql_recursive_reachability",
     "opt_equidepth_histogram",
     "hist_equidepth_price",
@@ -168,7 +169,6 @@ _PRIORITY = (
     "ts_cusum_changepoint",
     "ts_holt_linear",
     # lexical + behavioral
-    "txt_lexical_diversity",
     "txt_token_burstiness",
     "ev_stickiness_dau_mau",
     "ev_pareto_user_share",
