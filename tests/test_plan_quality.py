@@ -425,3 +425,19 @@ def test_lateral_topn_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in p, p
     assert "Partial" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_hits_rescale_broadcasts_and_no_cartesian(spark, sf_dir):
+    """Each HITS half-round joins edges to scores by key and rescales
+    via a broadcast 1-row max — no cartesian wider than that."""
+    p = plan(registry.QUERIES["gr_hits_supply_graph"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # the 1-row max rescale
+
+
+def test_incremental_lsh_is_equi_join_only(spark, sf_dir):
+    """Store probe and verification are hash equi-joins on
+    (band, bh) / doc ids — never an all-pairs product."""
+    p = plan(registry.QUERIES["dd_incremental_lsh_assign"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
