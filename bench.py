@@ -207,6 +207,7 @@ HEADLINE_R11 = [
     "gr_triangle_total_degree_oriented",
     "sk_cms_join_size_estimate",
     "samp_length_matched",
+    "txt_trigram_coverage_curve",
 ]
 
 ALL_HEADLINE = (

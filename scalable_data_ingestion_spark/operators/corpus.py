@@ -1714,3 +1714,87 @@ def txt_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
         F.round(F.col("pr_fx") / float(TR_SCALE), 9).alias("textrank"),
     )
+
+
+# --------------------------------------------------------------------------
+# N-gram coverage curve — what fraction of the corpus's trigram MASS do
+# the top-k trigram TYPES cover, for a ladder of k. The vocabulary-
+# sizing readout (tokenizer vocab, cache sizing, stopword cutoffs):
+# a steep curve says a small phrase inventory covers most of the
+# corpus; a flat one says the tail matters.
+#
+# Scale: trigram extraction is the map-side shifted-zip; the type
+# counts partial-aggregate; the rank and the prefix sum both come from
+# the range-partitioned helpers (no single-partition window over the
+# type inventory); the ladder filter keeps 3 rows.
+# --------------------------------------------------------------------------
+COVERAGE_KS = (10, 100, 1000)
+
+
+@register(
+    "txt_trigram_coverage_curve",
+    oracle=f"""
+    WITH tok AS (
+      SELECT {_TOKENS_SQL} AS t FROM documents
+      WHERE len({_TOKENS_SQL}) >= 3
+    ),
+    tg AS (
+      SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM tok, unnest(generate_series(1, len(t) - 2)) AS u(i)
+    ),
+    cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY g),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_count,
+                   CAST(count(*) AS BIGINT) AS n_types FROM cnt),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, g) AS rnk,
+             sum(c) OVER (ORDER BY c DESC, g
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cnt
+    )
+    SELECT CAST(r.rnk AS BIGINT) AS k, t.n_types, t.total_count,
+           CAST(r.cum AS BIGINT) AS cum_count,
+           round(r.cum * 1.0 / t.total_count, 6) AS coverage
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rnk IN ({", ".join(str(k) for k in COVERAGE_KS)})
+    """,
+)
+def txt_trigram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus trigram-mass coverage of the top-k trigram types at
+    k in {COVERAGE_KS} (range-partitioned rank + prefix sum)."""
+    from ..functions.ranking import global_rank, global_running_sum
+
+    docs = table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), r"\s+")
+    tg = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("g")
+        )
+    )
+    cnt = tg.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("c")).persist()
+    tot = cnt.agg(
+        F.sum("c").cast("bigint").alias("total_count"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    order = [F.col("c").desc(), F.col("g")]
+    ranked = global_rank(cnt, order, "rnk")
+    curve = global_running_sum(ranked, order, F.col("c"), "cum")
+    return (
+        curve.filter(F.col("rnk").isin(*COVERAGE_KS))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rnk").cast("bigint").alias("k"),
+            "n_types",
+            "total_count",
+            F.col("cum").cast("bigint").alias("cum_count"),
+            F.round(F.col("cum") * 1.0 / F.col("total_count"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
