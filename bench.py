@@ -208,6 +208,7 @@ HEADLINE_R11 = [
     "sk_cms_join_size_estimate",
     "samp_length_matched",
     "txt_trigram_coverage_curve",
+    "ts_stl_daily_revenue",
 ]
 
 ALL_HEADLINE = (

@@ -648,3 +648,114 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cusum", 2).alias("cusum"),
         (F.abs(F.col("cusum")) == F.col("mx")).alias("is_changepoint"),
     )
+
+
+# --------------------------------------------------------------------------
+# STL-lite additive decomposition of daily revenue: trend = 7-day
+# centered moving average (defined only on full windows), seasonal =
+# day-of-week mean of the detrended series, residual = the rest. The
+# classic decomposition readout an anomaly monitor subtracts before
+# alerting (companions: ts_dow_seasonality's indices, ts_holt_linear's
+# forecast, ts_cusum_changepoint's level shifts).
+#
+# Exactness: daily cents are BIGINT; the 7-day window SUM is an integer
+# (division by 7.0 is one correctly-rounded step); detrended values
+# quantize to 1e6 fixed point before the per-DOW mean. Windows run over
+# the POST-AGGREGATION daily series (calendar-bounded by construction —
+# the documented dimension-sized-window policy).
+# --------------------------------------------------------------------------
+STL_FX = 10**6
+
+
+@register(
+    "ts_stl_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ),
+    w AS (
+      SELECT day, cents,
+             ((date_diff('day', DATE '1970-01-01', day) + 3) % 7) + 1 AS dow,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN sum(cents) OVER w7 / 7.0 END AS trend_c
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT *, CASE WHEN trend_c IS NOT NULL
+                     THEN CAST(floor((cents - trend_c) * {STL_FX} + 0.5)
+                          AS BIGINT) END AS det_fx
+      FROM w
+    ),
+    seas AS (
+      SELECT dow, CAST(sum(det_fx) AS BIGINT) AS sfx,
+             CAST(count(det_fx) AS BIGINT) AS n
+      FROM det WHERE det_fx IS NOT NULL GROUP BY dow
+    )
+    SELECT d.day,
+           round(d.cents / 100.0, 2) AS revenue,
+           round(d.trend_c / 100.0, 6) AS trend,
+           CASE WHEN d.trend_c IS NOT NULL
+                THEN round(s.sfx / ({STL_FX}.0 * s.n) / 100.0, 6) END AS seasonal,
+           CASE WHEN d.trend_c IS NOT NULL
+                THEN round((d.cents - d.trend_c
+                            - s.sfx / ({STL_FX}.0 * s.n)) / 100.0, 6)
+           END AS residual
+    FROM det d JOIN seas s USING (dow)
+    """,
+)
+def ts_stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend / day-of-week seasonal / residual decomposition
+    of daily order revenue (7-day centered MA trend, exact-arithmetic
+    seasonal means)."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    dow = ((F.datediff("day", F.to_date(F.lit("1970-01-01"))) + 3) % 7 + 1).cast(
+        "int"
+    )
+    wd = daily.select(
+        "day",
+        "cents",
+        dow.alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.sum("cents").over(w7) / 7.0
+        ).alias("trend_c"),
+    )
+    det = wd.withColumn(
+        "det_fx",
+        F.when(
+            F.col("trend_c").isNotNull(),
+            F.floor((F.col("cents") - F.col("trend_c")) * STL_FX + 0.5).cast(
+                "bigint"
+            ),
+        ),
+    )
+    seas = (
+        det.filter(F.col("det_fx").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.sum("det_fx").cast("bigint").alias("sfx"),
+            F.count("det_fx").cast("bigint").alias("n"),
+        )
+    )
+    seas_c = F.col("sfx") / (F.lit(float(STL_FX)) * F.col("n"))
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("trend_c") / 100.0, 6).alias("trend"),
+        F.when(F.col("trend_c").isNotNull(), F.round(seas_c / 100.0, 6)).alias(
+            "seasonal"
+        ),
+        F.when(
+            F.col("trend_c").isNotNull(),
+            F.round((F.col("cents") - F.col("trend_c") - seas_c) / 100.0, 6),
+        ).alias("residual"),
+    )
