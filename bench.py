@@ -209,6 +209,7 @@ HEADLINE_R11 = [
     "samp_length_matched",
     "txt_trigram_coverage_curve",
     "ts_stl_daily_revenue",
+    "dq_profile_drift",
 ]
 
 ALL_HEADLINE = (

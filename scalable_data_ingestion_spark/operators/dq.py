@@ -540,3 +540,70 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
         (F.count(F.lit(1)) >= L_DIVERSITY_REQUIRED).alias("meets_l"),
     )
+
+
+# --------------------------------------------------------------------------
+# Column profile drift — the dbt/Great-Expectations-style audit: for
+# each monitored column, per-snapshot-half row count, null count,
+# distinct count, and min/max, side by side. Run between yesterday's
+# and today's partition (here: even/odd orderkey halves as the two
+# snapshots), it catches schema rot the row-level checks miss — a
+# feed that silently starts sending NULL priorities, a code change
+# that collapses status cardinality, a unit change that shifts the
+# price range.
+#
+# Scale: ONE pass per half over the fact table computing every
+# column's stats as conditional aggregates (no per-column scans); the
+# output is |columns| x 2 rows. min/max stringify through types both
+# engines print identically (VARCHAR, DATE, BIGINT, and sub-1e7
+# doubles use shortest-repr in both).
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+@register(
+    "dq_profile_drift",
+    oracle=f"""
+    WITH halves AS (
+      SELECT *, CAST(o_orderkey % 2 AS INTEGER) AS half FROM orders
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS col_name, half,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+             CAST(min({c}) AS VARCHAR) AS min_val,
+             CAST(max({c}) AS VARCHAR) AS max_val
+      FROM halves GROUP BY half''' for c in _PROFILE_COLS
+    )}
+    """,
+)
+def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column, per-snapshot-half profile (rows, nulls, distincts,
+    min/max) over the even/odd orderkey halves."""
+    halves = table(spark, sf_dir, "orders").withColumn(
+        "half", (F.col("o_orderkey") % 2).cast("int")
+    )
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            halves.groupBy("half").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_null"),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
+                F.min(c).cast("string").alias("min_val"),
+                F.max(c).cast("string").alias("max_val"),
+            ).select(
+                F.lit(c).alias("col_name"),
+                "half",
+                "n_rows",
+                "n_null",
+                "n_distinct",
+                "min_val",
+                "max_val",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
