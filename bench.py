@@ -210,6 +210,7 @@ HEADLINE_R11 = [
     "txt_trigram_coverage_curve",
     "ts_stl_daily_revenue",
     "dq_profile_drift",
+    "ev_ab_power_analysis",
 ]
 
 ALL_HEADLINE = (

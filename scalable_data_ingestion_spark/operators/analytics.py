@@ -1403,3 +1403,102 @@ def ev_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(post_c, 6).alias("post_control_mean"),
         F.round((post_t - pre_t) - (post_c - pre_c), 6).alias("did_estimate"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B power analysis — the pre-readout design check next to the z-test:
+# given the CURRENT hash-split sample sizes and base conversion rate,
+# (a) the minimum detectable absolute effect at alpha = .05 / power
+# = .80, and (b) the per-arm sample size needed to detect a +2 pp
+# lift. Tells the experimenter whether the readout can possibly
+# conclude anything BEFORE they stare at the z-score. Conversion here
+# is a high-value purchase (value >= PWR_VALUE_MIN), chosen to be
+# non-degenerate (~0.8) at every test SF.
+#
+# Shape: the same ONE user-grain reduction + one 1-row conditional
+# aggregate as the z-test; the power arithmetic is scalar IEEE ops on
+# exact integer counts, so it is bit-identical cross-engine.
+# --------------------------------------------------------------------------
+PWR_VALUE_MIN = 95
+PWR_Z_ALPHA = 1.959964  # two-sided alpha = .05
+PWR_Z_BETA = 0.841621  # power = .80
+PWR_LIFT = 0.02  # +2 pp target lift
+
+
+@register(
+    "ev_ab_power_analysis",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value >= {PWR_VALUE_MIN}
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT CASE WHEN (CASE substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        {" ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))}
+                        END) % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+             converted
+      FROM per_user
+    ),
+    counts AS (
+      SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+             CAST(sum(1 - in_a) AS BIGINT) AS n_b,
+             CAST(sum(converted) AS BIGINT) AS conv
+      FROM tagged
+    ),
+    stats AS (
+      SELECT n_a, n_b, conv * 1.0 / (n_a + n_b) AS p FROM counts
+    )
+    SELECT n_a, n_b,
+           round(p, 6) AS pooled_rate,
+           CASE WHEN p > 0 AND p < 1 THEN
+             round(({PWR_Z_ALPHA} + {PWR_Z_BETA})
+                   * sqrt(p * (1 - p) * (1.0 / n_a + 1.0 / n_b)), 6)
+           END AS mde_abs,
+           CASE WHEN p > 0 AND p < 1 THEN
+             CAST(ceil(({PWR_Z_ALPHA} + {PWR_Z_BETA}) * ({PWR_Z_ALPHA} + {PWR_Z_BETA})
+                  * (p * (1 - p) + (p + {PWR_LIFT}) * (1 - p - {PWR_LIFT}))
+                  / ({PWR_LIFT} * {PWR_LIFT})) AS BIGINT)
+           END AS n_per_arm_2pp
+    FROM stats
+    """,
+)
+def ev_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the current hash split and the
+    per-arm n needed for a +{PWR_LIFT:.0%} lift (alpha .05, power .80)."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= PWR_VALUE_MIN)
+            ).cast("int")
+        ).alias("converted")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    tagged = per_user.select(
+        ((bucket % 2) == 0).cast("int").alias("in_a"), "converted"
+    )
+    counts = tagged.agg(
+        F.sum("in_a").cast("bigint").alias("n_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("n_b"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    p = F.col("conv") * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z2 = PWR_Z_ALPHA + PWR_Z_BETA
+    ok = (p > 0) & (p < 1)
+    mde = z2 * F.sqrt(p * (1 - p) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    n_req = F.ceil(
+        z2 * z2 * (p * (1 - p) + (p + PWR_LIFT) * (1 - p - PWR_LIFT))
+        / (PWR_LIFT * PWR_LIFT)
+    ).cast("bigint")
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(p, 6).alias("pooled_rate"),
+        F.when(ok, F.round(mde, 6)).alias("mde_abs"),
+        F.when(ok, n_req).alias("n_per_arm_2pp"),
+    )
