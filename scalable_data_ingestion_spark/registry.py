@@ -139,6 +139,10 @@ _PRIORITY = (
     "gr_triangle_total_degree_oriented",
     "sk_cms_join_size_estimate",
     "samp_length_matched",
+    "txt_trigram_coverage_curve",
+    "ts_stl_daily_revenue",
+    "dq_profile_drift",
+    "ev_ab_power_analysis",
     "sql_recursive_reachability",
     "opt_equidepth_histogram",
     "hist_equidepth_price",
@@ -169,12 +173,8 @@ _PRIORITY = (
     "ts_cusum_changepoint",
     "ts_holt_linear",
     # lexical + behavioral
-    "txt_token_burstiness",
-    "ev_stickiness_dau_mau",
-    "ev_pareto_user_share",
     "cust_survival_km",
     # graph remainder
-    "gr_neighbor_jaccard",
     # audits / monitors / features
     "dq_l_diversity",
     "mon_token_js_divergence",
