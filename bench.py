@@ -211,6 +211,7 @@ HEADLINE_R11 = [
     "ts_stl_daily_revenue",
     "dq_profile_drift",
     "ev_ab_power_analysis",
+    "ts_stl_residual_anomalies",
 ]
 
 ALL_HEADLINE = (

@@ -667,10 +667,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 STL_FX = 10**6
 
 
-@register(
-    "ts_stl_daily_revenue",
-    oracle=f"""
-    WITH daily AS (
+_STL_CTES = f"""daily AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                  AS cents
@@ -694,7 +691,13 @@ STL_FX = 10**6
       SELECT dow, CAST(sum(det_fx) AS BIGINT) AS sfx,
              CAST(count(det_fx) AS BIGINT) AS n
       FROM det WHERE det_fx IS NOT NULL GROUP BY dow
-    )
+    )"""
+
+
+@register(
+    "ts_stl_daily_revenue",
+    oracle=f"""
+    WITH {_STL_CTES}
     SELECT d.day,
            round(d.cents / 100.0, 2) AS revenue,
            round(d.trend_c / 100.0, 6) AS trend,
@@ -711,6 +714,24 @@ def ts_stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive trend / day-of-week seasonal / residual decomposition
     of daily order revenue (7-day centered MA trend, exact-arithmetic
     seasonal means)."""
+    det, seas = _stl_parts(spark, sf_dir)
+    seas_c = F.col("sfx") / (F.lit(float(STL_FX)) * F.col("n"))
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("trend_c") / 100.0, 6).alias("trend"),
+        F.when(F.col("trend_c").isNotNull(), F.round(seas_c / 100.0, 6)).alias(
+            "seasonal"
+        ),
+        F.when(
+            F.col("trend_c").isNotNull(),
+            F.round((F.col("cents") - F.col("trend_c") - seas_c) / 100.0, 6),
+        ).alias("residual"),
+    )
+
+
+def _stl_parts(spark: SparkSession, sf_dir: str):
+    """(det, seas) relations of the STL-lite pipeline (exact cents)."""
     orders = table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
@@ -746,16 +767,73 @@ def ts_stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("det_fx").cast("bigint").alias("n"),
         )
     )
-    seas_c = F.col("sfx") / (F.lit(float(STL_FX)) * F.col("n"))
-    return det.join(F.broadcast(seas), "dow").select(
-        "day",
-        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
-        F.round(F.col("trend_c") / 100.0, 6).alias("trend"),
-        F.when(F.col("trend_c").isNotNull(), F.round(seas_c / 100.0, 6)).alias(
-            "seasonal"
-        ),
-        F.when(
-            F.col("trend_c").isNotNull(),
-            F.round((F.col("cents") - F.col("trend_c") - seas_c) / 100.0, 6),
-        ).alias("residual"),
+    return det, seas
+
+
+# --------------------------------------------------------------------------
+# STL-residual anomaly days — the detector the decomposition above
+# exists for: a day is anomalous when its residual (what trend and
+# day-of-week seasonality CANNOT explain) exceeds 3 robust sigmas
+# (MAD-scaled) of the residual distribution. Subtracting structure
+# first is what separates "Tuesday is always slow" from "something
+# broke on this Tuesday"; the MAD threshold keeps the anomalies from
+# inflating their own gate (same robust policy as
+# dq_price_outliers_mad).
+# --------------------------------------------------------------------------
+STL_MAD_K = 1.4826
+STL_MAD_THRESHOLD = 3.0
+
+
+@register(
+    "ts_stl_residual_anomalies",
+    oracle=f"""
+    WITH {_STL_CTES},
+    resid AS (
+      SELECT d.day, d.cents,
+             d.cents - d.trend_c - s.sfx / ({STL_FX}.0 * s.n) AS r_c
+      FROM det d JOIN seas s USING (dow)
+      WHERE d.trend_c IS NOT NULL
+    ),
+    gate AS (
+      SELECT quantile_cont(abs(r_c), 0.5) AS mad_c FROM resid
+    )
+    SELECT r.day,
+           round(r.cents / 100.0, 2) AS revenue,
+           round(r.r_c / 100.0, 6) AS residual,
+           round({STL_MAD_THRESHOLD} * {STL_MAD_K} * g.mad_c / 100.0, 6)
+               AS threshold,
+           CASE WHEN r.r_c > 0 THEN 'high' ELSE 'low' END AS direction
+    FROM resid r CROSS JOIN gate g
+    WHERE abs(r.r_c) > {STL_MAD_THRESHOLD} * {STL_MAD_K} * g.mad_c
+    """,
+)
+def ts_stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose STL residual exceeds {STL_MAD_THRESHOLD} MAD-scaled
+    robust sigmas — structure-adjusted revenue anomalies."""
+    det, seas = _stl_parts(spark, sf_dir)
+    resid = (
+        det.join(F.broadcast(seas), "dow")
+        .filter(F.col("trend_c").isNotNull())
+        .select(
+            "day",
+            "cents",
+            (
+                F.col("cents")
+                - F.col("trend_c")
+                - F.col("sfx") / (F.lit(float(STL_FX)) * F.col("n"))
+            ).alias("r_c"),
+        )
+    )
+    gate = resid.agg(F.percentile(F.abs("r_c"), F.lit(0.5)).alias("mad_c"))
+    thr = STL_MAD_THRESHOLD * STL_MAD_K * F.col("mad_c")
+    return (
+        resid.crossJoin(F.broadcast(gate))
+        .filter(F.abs("r_c") > thr)
+        .select(
+            "day",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("r_c") / 100.0, 6).alias("residual"),
+            F.round(thr / 100.0, 6).alias("threshold"),
+            F.when(F.col("r_c") > 0, "high").otherwise("low").alias("direction"),
+        )
     )
