@@ -212,6 +212,7 @@ HEADLINE_R11 = [
     "dq_profile_drift",
     "ev_ab_power_analysis",
     "ts_stl_residual_anomalies",
+    "gr_community_conductance",
 ]
 
 ALL_HEADLINE = (

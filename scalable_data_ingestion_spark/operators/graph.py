@@ -262,6 +262,23 @@ def gr_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ITERS = 3
 
 
+def _lpa_labels(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Final (node, label) relation after LPA_ITERS synchronous rounds
+    over a co-partitioned directed edge relation."""
+    lab = pairs.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ITERS):
+        msgs = pairs.join(lab, pairs.dst == lab.node).select(
+            F.col("src").alias("v"), "label"
+        )
+        counts = msgs.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        lab = counts.groupBy("v").agg(
+            F.expr("min_by(label, struct(-c, label))").alias("label")
+        ).select(F.col("v").alias("node"), "label")
+    return lab
+
+
 def _lpa_round_sql(i: int) -> str:
     return f"""lab{i + 1} AS (
       SELECT v AS node, label FROM (
@@ -333,17 +350,7 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(_shuffle_partitions(spark), "dst")
         .persist()
     )
-    lab = pairs.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(LPA_ITERS):
-        msgs = pairs.join(lab, pairs.dst == lab.node).select(
-            F.col("src").alias("v"), "label"
-        )
-        counts = msgs.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
-        lab = counts.groupBy("v").agg(
-            F.expr("min_by(label, struct(-c, label))").alias("label")
-        ).select(F.col("v").alias("node"), "label")
+    lab = _lpa_labels(spark, pairs)
     from pyspark.sql import Window as W
 
     return lab.select(
@@ -1543,3 +1550,112 @@ def gr_triangle_total_degree_oriented(spark: SparkSession, sf_dir: str) -> DataF
     ).distinct()
     tri = wedges.join(closing, ["x", "y"])
     return tri.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+# --------------------------------------------------------------------------
+# Community conductance — the quality eval for the LPA communities
+# (the graph-side analogue of the k-means silhouette): for each
+# community, the fraction of its edge volume that leaves it,
+# phi(C) = cut(C) / min(vol(C), 2|E| - vol(C)). Low conductance =
+# a real community (dense inside, few escaping edges); phi near 1 =
+# an arbitrary label. Evaluating the clustering rather than assuming
+# it is what makes the community op usable in a curation pipeline.
+#
+# Exactness/scale: labels come from the same unrolled synchronous LPA
+# (integer tie-breaks); volume and cut are integer counts from ONE
+# pass over the directed edge relation joined to the label relation on
+# each endpoint (two node-keyed hash joins, no new graph pass); the
+# rollup is |communities|-sized.
+# --------------------------------------------------------------------------
+@register(
+    "gr_community_conductance",
+    oracle=f"""
+    WITH und AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    pairs AS (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM und
+    ),
+    lab0 AS (SELECT DISTINCT src AS node, src AS label FROM pairs),
+    {",".join(_lpa_round_sql(i) for i in range(LPA_ITERS))},
+    lab AS (SELECT node, label FROM lab{LPA_ITERS}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM pairs),
+    tagged AS (
+      SELECT ls.label AS community,
+             CASE WHEN ls.label <> ld.label THEN 1 ELSE 0 END AS is_cut
+      FROM pairs e
+      JOIN lab ls ON ls.node = e.src
+      JOIN lab ld ON ld.node = e.dst
+    ),
+    percomm AS (
+      SELECT community,
+             CAST(count(*) AS BIGINT) AS volume,
+             CAST(sum(is_cut) AS BIGINT) AS cut_edges
+      FROM tagged GROUP BY community
+    ),
+    sizes AS (
+      SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM lab GROUP BY label
+    )
+    SELECT p.community, s.n_nodes, p.volume, p.cut_edges,
+           CASE WHEN least(p.volume, t.m2 - p.volume) > 0
+                THEN round(p.cut_edges * 1.0
+                           / least(p.volume, t.m2 - p.volume), 6)
+           END AS conductance
+    FROM percomm p
+    JOIN sizes s USING (community)
+    CROSS JOIN tot t
+    """,
+)
+def gr_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LPA-community volume, escaping-edge count, and conductance
+    phi = cut / min(vol, 2E - vol)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    pairs = (
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .repartition(_shuffle_partitions(spark), "dst")
+        .persist()
+    )
+    lab = _lpa_labels(spark, pairs).persist()
+    m2 = pairs.count()  # materializes both caches; 2|E| as an exact literal
+    ls = lab.select(F.col("node").alias("src"), F.col("label").alias("community"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("dlab"))
+    tagged = pairs.join(ls, "src").join(ld, "dst").select(
+        "community", (F.col("community") != F.col("dlab")).cast("int").alias("is_cut")
+    )
+    percomm = tagged.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("volume"),
+        F.sum("is_cut").cast("bigint").alias("cut_edges"),
+    )
+    sizes = lab.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    denom = F.least(F.col("volume"), F.lit(m2) - F.col("volume"))
+    return percomm.join(F.broadcast(sizes), "community").select(
+        "community",
+        "n_nodes",
+        "volume",
+        "cut_edges",
+        F.when(denom > 0, F.round(F.col("cut_edges") * 1.0 / denom, 6)).alias(
+            "conductance"
+        ),
+    )
