@@ -213,6 +213,7 @@ HEADLINE_R11 = [
     "ev_ab_power_analysis",
     "ts_stl_residual_anomalies",
     "gr_community_conductance",
+    "ev_sprt_monitor",
 ]
 
 ALL_HEADLINE = (

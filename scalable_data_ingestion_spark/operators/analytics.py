@@ -1502,3 +1502,107 @@ def ev_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(mde, 6)).alias("mde_abs"),
         F.when(ok, n_req).alias("n_per_arm_2pp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequential probability ratio test (SPRT) monitor — the always-valid
+# alternative to the fixed-horizon z-test above: as users arrive, the
+# cumulative Bernoulli log-likelihood ratio between a design baseline
+# p0 and a target lift p1 is compared against Wald's thresholds
+# ln((1-beta)/alpha) / ln(beta/(1-alpha)); the experiment may stop the
+# day the path crosses either bound. This is the daily readout an
+# experimentation platform renders as the "sequential monitoring"
+# chart.
+#
+# Determinism: users sequence by their FIRST activity day; daily
+# conversion counts are integers; the LLR is (two scalar ln constants)
+# x (exact cumulative integer counts) — every product and sum is a
+# correctly-rounded scalar op, no unordered float accumulation. The
+# cumulative window runs over the POST-AGGREGATION daily series
+# (calendar-bounded; documented policy).
+# --------------------------------------------------------------------------
+SPRT_P0 = 0.05  # design baseline daily conversion propensity
+SPRT_P1 = 0.07  # smallest daily-propensity lift worth detecting
+SPRT_ALPHA = 0.025
+SPRT_BETA = 0.05
+
+
+@register(
+    "ev_sprt_monitor",
+    oracle=f"""
+    WITH per_user_day AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             max(CASE WHEN event_type = 'purchase' AND value >= {PWR_VALUE_MIN}
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    daily AS (
+      SELECT day,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv
+      FROM per_user_day GROUP BY day
+    ),
+    cum AS (
+      SELECT day, n_users, n_conv,
+             CAST(sum(n_users) OVER w AS BIGINT) AS cum_users,
+             CAST(sum(n_conv) OVER w AS BIGINT) AS cum_conv
+      FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT day, n_users, cum_users, cum_conv,
+           round(cum_conv * ln({SPRT_P1} / {SPRT_P0})
+                 + (cum_users - cum_conv)
+                   * ln({1 - SPRT_P1} / {1 - SPRT_P0}), 6) AS llr,
+           CASE
+             WHEN cum_conv * ln({SPRT_P1} / {SPRT_P0})
+                  + (cum_users - cum_conv) * ln({1 - SPRT_P1} / {1 - SPRT_P0})
+                  >= ln({(1 - SPRT_BETA)} / {SPRT_ALPHA}) THEN 'accept_h1'
+             WHEN cum_conv * ln({SPRT_P1} / {SPRT_P0})
+                  + (cum_users - cum_conv) * ln({1 - SPRT_P1} / {1 - SPRT_P0})
+                  <= ln({SPRT_BETA} / {(1 - SPRT_ALPHA)}) THEN 'accept_h0'
+             ELSE 'continue'
+           END AS decision
+    FROM cum
+    """,
+)
+def ev_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Wald-SPRT path of (user, day) high-value-conversion
+    trials against the p0={SPRT_P0} / p1={SPRT_P1} design, with the
+    stop/continue decision per day."""
+    ev = table(spark, sf_dir, "events")
+    per_user_day = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= PWR_VALUE_MIN)
+            ).cast("int")
+        ).alias("converted"),
+    )
+    daily = per_user_day.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        "n_users",
+        F.sum("n_users").over(w).cast("bigint").alias("cum_users"),
+        F.sum("n_conv").over(w).cast("bigint").alias("cum_conv"),
+    )
+    import math as _math
+
+    l1 = _math.log(SPRT_P1 / SPRT_P0)
+    l0 = _math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    llr = F.col("cum_conv") * l1 + (F.col("cum_users") - F.col("cum_conv")) * l0
+    hi = _math.log((1 - SPRT_BETA) / SPRT_ALPHA)
+    lo = _math.log(SPRT_BETA / (1 - SPRT_ALPHA))
+    return cum.select(
+        "day",
+        "n_users",
+        "cum_users",
+        "cum_conv",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= hi, "accept_h1")
+        .when(llr <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
