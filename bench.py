@@ -214,6 +214,7 @@ HEADLINE_R11 = [
     "ts_stl_residual_anomalies",
     "gr_community_conductance",
     "ev_sprt_monitor",
+    "gr_partition_modularity",
 ]
 
 ALL_HEADLINE = (

@@ -1659,3 +1659,111 @@ def gr_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conductance"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Partition modularity — the single-number companion to the per-
+# community conductance above: Q = sum_c [ intra_c/m2 - (vol_c/m2)^2 ]
+# over directed edge counts (m2 = 2|E|). Q near 0 = the partition is
+# no better than random wiring; the standard community-quality scalar
+# (Newman 2006) reported next to any clustering.
+#
+# Exactness: intra/vol/m2 are exact integers; each community's term is
+# two correctly-rounded scalar ops, quantized to 1e12 fixed point
+# BEFORE the |communities|-sized sum (the uniform policy — even a
+# hundreds-sized float sum is order-dependent).
+# --------------------------------------------------------------------------
+_MOD_FX = 10**12
+
+
+@register(
+    "gr_partition_modularity",
+    oracle=f"""
+    WITH und AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    pairs AS (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM und
+    ),
+    lab0 AS (SELECT DISTINCT src AS node, src AS label FROM pairs),
+    {",".join(_lpa_round_sql(i) for i in range(LPA_ITERS))},
+    lab AS (SELECT node, label FROM lab{LPA_ITERS}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM pairs),
+    percomm AS (
+      SELECT ls.label AS community,
+             CAST(count(*) AS BIGINT) AS volume,
+             CAST(sum(CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END)
+                  AS BIGINT) AS intra
+      FROM pairs e
+      JOIN lab ls ON ls.node = e.src
+      JOIN lab ld ON ld.node = e.dst
+      GROUP BY ls.label
+    ),
+    terms AS (
+      SELECT CAST(floor((intra * 1.0 / t.m2
+                         - (volume * 1.0 / t.m2) * (volume * 1.0 / t.m2))
+                        * {_MOD_FX} + 0.5) AS BIGINT) AS qfx
+      FROM percomm CROSS JOIN tot t
+    )
+    SELECT CAST((SELECT count(*) FROM percomm) AS BIGINT) AS n_communities,
+           CAST((SELECT m2 FROM tot) AS BIGINT) AS m2,
+           round(sum(qfx) / {_MOD_FX}.0, 6) AS modularity
+    FROM terms
+    """,
+)
+def gr_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA partition (exact integer counts,
+    fixed-point term sum)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    pairs = (
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .repartition(_shuffle_partitions(spark), "dst")
+        .persist()
+    )
+    lab = _lpa_labels(spark, pairs).persist()
+    m2 = pairs.count()
+    ls = lab.select(F.col("node").alias("src"), F.col("label").alias("community"))
+    ld = lab.select(F.col("node").alias("dst"), F.col("label").alias("dlab"))
+    percomm = (
+        pairs.join(ls, "src")
+        .join(ld, "dst")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("volume"),
+            F.sum((F.col("community") == F.col("dlab")).cast("int"))
+            .cast("bigint")
+            .alias("intra"),
+        )
+    )
+    term = F.floor(
+        (
+            F.col("intra") * 1.0 / m2
+            - (F.col("volume") * 1.0 / m2) * (F.col("volume") * 1.0 / m2)
+        )
+        * _MOD_FX
+        + 0.5
+    ).cast("bigint")
+    return percomm.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.lit(m2).cast("bigint").alias("m2"),
+        F.round(F.sum(term) / float(_MOD_FX), 6).alias("modularity"),
+    )

@@ -143,6 +143,10 @@ _PRIORITY = (
     "ts_stl_daily_revenue",
     "dq_profile_drift",
     "ev_ab_power_analysis",
+    "ts_stl_residual_anomalies",
+    "gr_community_conductance",
+    "ev_sprt_monitor",
+    "gr_partition_modularity",
     "sql_recursive_reachability",
     "opt_equidepth_histogram",
     "hist_equidepth_price",
@@ -164,20 +168,16 @@ _PRIORITY = (
     "stat_winsorized_order_value",
     "feat_next_event_sequences",
     # r4-late statistics family
-    "stat_mann_kendall_trend",
-    "stat_theil_sen_slope",
     "stat_ks_two_sample",
     "stat_chi2_segment_priority",
     # r4-late time-series family
     "ts_acf_daily_revenue",
     "ts_cusum_changepoint",
-    "ts_holt_linear",
     # lexical + behavioral
     "cust_survival_km",
     # graph remainder
     # audits / monitors / features
     "dq_l_diversity",
-    "mon_token_js_divergence",
     "feat_target_encoding_loo",
 )
 
