@@ -215,6 +215,7 @@ HEADLINE_R11 = [
     "gr_community_conductance",
     "ev_sprt_monitor",
     "gr_partition_modularity",
+    "sim_pq_distortion",
 ]
 
 ALL_HEADLINE = (

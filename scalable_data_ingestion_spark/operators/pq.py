@@ -419,3 +419,59 @@ def _register_ivfpq() -> None:
 
 
 _register_ivfpq()
+
+
+# --------------------------------------------------------------------------
+# PQ quantization distortion — the codebook-quality eval next to the
+# ADC/IVF-PQ search ops: per subspace, the mean squared distance
+# between the true sub-vectors and their assigned codewords. This is
+# the number a PQ deployment tracks when choosing S x K (more
+# centroids = less distortion = better recall at the same probe
+# budget) and when deciding a codebook has gone stale after corpus
+# drift. Per-vector distances quantize to fixed point before the
+# per-subspace mean (uniform exact-sums policy).
+#
+# Scale: encode is the usual broadcast-codebook map pass; the eval
+# adds one S-sized aggregate. No new shuffles beyond the training's.
+# --------------------------------------------------------------------------
+@register(
+    "sim_pq_distortion",
+    oracle=f"""
+    WITH {_sub_corpus_sql().strip()},
+    {_duck_codebook()},
+    dists AS (
+      SELECT co.s,
+             CAST(floor({_duck_sqdist("sub.se", "c.ce")} * {_FX} + 0.5)
+                  AS BIGINT) AS dfx
+      FROM codes co
+      JOIN sub ON sub.vec_id = co.vec_id AND sub.s = co.s
+      JOIN cb c ON c.s = co.s AND c.cid = co.cid
+    )
+    SELECT CAST(s AS INTEGER) AS s,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(dfx) / ({_FX} * count(*)), 6) AS mean_sq_dist
+    FROM dists GROUP BY s
+    """,
+)
+def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace mean squared quantization error of the trained PQ
+    codebooks (exact fixed-point means)."""
+    sub = _sub_corpus(spark, sf_dir)
+    cent, codes = _codebook(sub)
+    dists = (
+        codes.join(sub, ["vec_id", "s"])
+        .join(F.broadcast(cent), ["s", "cid"])
+        .withColumn("dist", _sqdist())
+        .select(
+            "s",
+            F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("dfx"),
+        )
+    )
+    return dists.groupBy(F.col("s").cast("int").alias("s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.sum("dfx") / (F.lit(float(_FX)) * F.count(F.lit(1))), 6).alias(
+            "mean_sq_dist"
+        ),
+    )

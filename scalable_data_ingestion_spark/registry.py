@@ -147,6 +147,7 @@ _PRIORITY = (
     "gr_community_conductance",
     "ev_sprt_monitor",
     "gr_partition_modularity",
+    "sim_pq_distortion",
     "sql_recursive_reachability",
     "opt_equidepth_histogram",
     "hist_equidepth_price",
@@ -168,7 +169,6 @@ _PRIORITY = (
     "stat_winsorized_order_value",
     "feat_next_event_sequences",
     # r4-late statistics family
-    "stat_ks_two_sample",
     "stat_chi2_segment_priority",
     # r4-late time-series family
     "ts_acf_daily_revenue",
