@@ -291,9 +291,17 @@ def _iter_logical_nodes(jnode):
 #   the day spine is time-bounded (10^3-10^4 rows for years of data),
 #   not data-volume-bounded; a sliding value-range frame has no
 #   Limit-shaped equivalent.
+# - ts_stl_daily_revenue / ts_stl_residual_anomalies / ev_sprt_monitor:
+#   centered-MA and cumulative frames over the POST-AGGREGATION daily
+#   series (one row per calendar day by construction) — same
+#   calendar-bounded class as the rolling correlation above; the
+#   sliding/cumulative frames have no Limit-shaped equivalent.
 GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     "w_nation_revenue_rank",
     "ts_rolling_view_purchase_corr",
+    "ts_stl_daily_revenue",
+    "ts_stl_residual_anomalies",
+    "ev_sprt_monitor",
 }
 
 
