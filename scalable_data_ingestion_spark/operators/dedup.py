@@ -1119,3 +1119,61 @@ def dd_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sig_mae_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shingle document-frequency profile — the measured evidence behind
+# DF_CAP: log2-binned histogram of how many documents each distinct
+# shingle appears in, with the shingle-type and posting mass above the
+# cap. The inverted-index join's cost is sum(df^2) over shingles, so
+# this table IS the join's cost model — and shows what fraction of
+# postings the skew guard actually drops.
+#
+# Scale: one grouped count over the shingle relation (partial-
+# aggregating), one log2 bin projection, a bin-sized rollup.
+# --------------------------------------------------------------------------
+@register(
+    "dd_shingle_df_profile",
+    oracle=f"""
+    WITH {_SHINGLES_CTE.replace("shingle AS (", "shingle_capped AS (")},
+    df AS (
+      SELECT sh, CAST(count(*) AS BIGINT) AS df
+      FROM shingle_all GROUP BY sh
+    )
+    SELECT CAST(length(bin(df)) - 1 AS INTEGER) AS bin_log2,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS postings,
+           CAST(sum(df * df) AS BIGINT) AS join_cost,
+           CAST(sum(CASE WHEN df > {DF_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_capped
+    FROM df GROUP BY 1
+    """,
+)
+def dd_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 document-frequency histogram of distinct shingles with
+    posting mass, quadratic join cost, and above-cap counts."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh_all = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= SHINGLE_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {SHINGLE_N}), "
+                    "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    df = sh_all.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return df.groupBy(
+        (F.length(F.bin("df")) - 1).cast("int").alias("bin_log2")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("postings"),
+        F.sum(F.col("df") * F.col("df")).cast("bigint").alias("join_cost"),
+        F.sum((F.col("df") > DF_CAP).cast("int")).cast("bigint").alias("n_capped"),
+    )

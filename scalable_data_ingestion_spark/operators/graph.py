@@ -1767,3 +1767,108 @@ def gr_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(m2).cast("bigint").alias("m2"),
         F.round(F.sum(term) / float(_MOD_FX), 6).alias("modularity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity — Pearson correlation of endpoint degrees over
+# the directed edge relation (Newman 2002): positive = hubs attach to
+# hubs (the join-skew nightmare topology: hot keys join hot keys),
+# negative = hub-and-spoke. The one-number diagnostic that tells a
+# planner whether degree-based salting will pay off.
+#
+# Exactness: degrees are integers, so ALL five correlation moments
+# (sum x, sum y, sum xy, sum x^2, sum y^2) are exact BIGINT sums over
+# the edge relation — no float enters until the closed-form r at the
+# end (a handful of correctly-rounded scalar ops on exact integers).
+# Scale: one degree aggregate joined onto the edges (node-keyed hash
+# joins), one 1-row moment reduce.
+# --------------------------------------------------------------------------
+@register(
+    "gr_degree_assortativity",
+    oracle=f"""
+    WITH und AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    pairs AS (
+      SELECT pa AS src, pb AS dst FROM und
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM und
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM pairs GROUP BY src),
+    ed AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM pairs e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM ed
+    )
+    SELECT m AS n_directed_edges,
+           CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+                THEN round((m * sxy - sx * sy)
+                           / sqrt((m * sxx - sx * sx) * 1.0)
+                           / sqrt((m * syy - sy * sy) * 1.0), 6)
+           END AS assortativity
+    FROM mom
+    """,
+)
+def gr_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson degree-degree correlation over directed co-purchase
+    edges (exact integer moments, closed-form r)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    pairs = (
+        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist()
+    )
+    deg = pairs.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))
+    mom = (
+        pairs.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        )
+    )
+    vx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.select(
+        F.col("m").alias("n_directed_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * 1.0) / F.sqrt(vy * 1.0), 6),
+        ).alias("assortativity"),
+    )
