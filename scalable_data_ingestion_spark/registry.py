@@ -124,6 +124,8 @@ def load_all() -> None:
 # r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
     # round-5 additions: no driver hash, post-judge-sweep code
+    "dd_shingle_df_profile",
+    "gr_degree_assortativity",
     "ev_ab_proportion_ztest",
     "txt_ccnet_ppl_buckets",
     "ev_frequent_trigrams",
@@ -176,9 +178,9 @@ _PRIORITY = (
     # lexical + behavioral
     "cust_survival_km",
     # graph remainder
-    # audits / monitors / features
-    "dq_l_diversity",
-    "feat_target_encoding_loo",
+    # audits / monitors / features (dq_l_diversity and
+    # feat_target_encoding_loo were displaced by this session's two
+    # new operators — both were hash-verified by the r4 judge sweep)
 )
 
 
