@@ -1606,3 +1606,118 @@ def ev_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session sequence-pattern classification — MATCH_RECOGNIZE emulation.
+# Spark has no MATCH_RECOGNIZE clause (Flink/Oracle do); the
+# distributed equivalent is: sessionize, reduce each session to its
+# ordered event-initial string (one char per event: c/e/p/s/v), and
+# run ordinary regexps over that session-sized string. Each session's
+# row-pattern predicate is then a scalar expression, and the
+# cross-session rollup is a plain grouped count — the whole
+# MATCH_RECOGNIZE surface at a per-session string cost.
+#
+# Patterns: full funnel (view ... click ... purchase, gaps allowed =
+# PATTERN(V ANY* C ANY* P)), adjacent view->purchase (impulse
+# conversion), and error-with-no-subsequent-purchase (interrupted).
+#
+# Scale: the only wide ops are the user-keyed sessionization window
+# (same layout every session query shares) and a collect_list bounded
+# by session length — sessions are gap-bounded, so per-group state is
+# small by construction. The rollup output is <= 2^4 rows.
+# --------------------------------------------------------------------------
+@register(
+    "ev_session_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             substr(event_type, 1, 1) AS initial,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, event_id, initial,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts)
+                          > {SESSION_GAP_MIN} * 60
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, initial,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    strings AS (
+      SELECT user_id, session_no,
+             string_agg(initial, '' ORDER BY ts, event_id) AS s,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, session_no
+    ),
+    flagged AS (
+      SELECT user_id, n_events,
+             contains(s, 'p') AS converted,
+             regexp_matches(s, 'v.*c.*p') AS full_funnel,
+             contains(s, 'vp') AS direct_purchase,
+             regexp_matches(s, 'e[^p]*$') AS error_interrupted
+      FROM strings
+    )
+    SELECT converted, full_funnel, direct_purchase, error_interrupted,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM flagged GROUP BY 1, 2, 3, 4
+    """,
+)
+def ev_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern (MATCH_RECOGNIZE-style) classification of
+    {SESSION_GAP_MIN}-minute-gap sessions via per-session ordered
+    initial strings and regexp predicates."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "initial", F.substring("event_type", 1, 1)
+    )
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(seq).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(seq))
+                > SESSION_GAP_MIN * 60
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_session").over(seq.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    strings = sess.groupBy("user_id", "session_no").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "initial"))),
+                lambda x: x["initial"],
+            ),
+        ).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    flagged = strings.select(
+        "user_id",
+        "n_events",
+        F.col("s").contains("p").alias("converted"),
+        F.col("s").rlike("v.*c.*p").alias("full_funnel"),
+        F.col("s").contains("vp").alias("direct_purchase"),
+        F.col("s").rlike("e[^p]*$").alias("error_interrupted"),
+    )
+    return flagged.groupBy(
+        "converted", "full_funnel", "direct_purchase", "error_interrupted"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -607,3 +607,113 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit — the third leg of the anonymization tripod
+# (k-anonymity: classes are big; l-diversity: classes are varied;
+# t-closeness: class-level sensitive distributions stay CLOSE to the
+# global one, so membership in a class leaks no distributional
+# information). Distance is total-variation (the categorical EMD with
+# unit ground distance): TVD_c = 1/2 * sum_s |p(s|c) - p(s)|.
+#
+# Exactness: both distributions are rationals over integer counts, so
+#   TVD_c = (sum_present |n_cs*N - g_s*n_c| + (N - sum_present g_s)*n_c)
+#           / (2 * n_c * N)
+# is a ratio of exact BIGINTs (the absent-sensitive-values term folds
+# into (N - sum g_s present) * n_c); the threshold test multiplies
+# through instead of comparing floats. Float appears only in the final
+# rounded report column.
+#
+# Scale: one broadcast-dim join, a (QI, sensitive)-grain reduction, a
+# 5-row broadcast of the global margin, a QI-grain rollup — the same
+# plan family as dq_l_diversity; nothing fact-sized ever re-shuffles.
+# --------------------------------------------------------------------------
+T_CLOSENESS_DEN = 5  # threshold t = 1/5 = 0.2
+
+
+@register(
+    "dq_t_closeness",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c_nationkey, c_mktsegment, o_orderpriority
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    grain AS (
+      SELECT c_nationkey, c_mktsegment, o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_cs
+      FROM joined GROUP BY 1, 2, 3
+    ),
+    gdist AS (
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS g_s
+      FROM joined GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM joined),
+    cls AS (
+      SELECT g.c_nationkey, g.c_mktsegment,
+             CAST(sum(g.n_cs) AS BIGINT) AS n_c,
+             CAST(sum(abs(g.n_cs * t.n - gl.g_s * cs.n_c)) AS BIGINT)
+                 AS present_term,
+             CAST(sum(gl.g_s) AS BIGINT) AS present_g
+      FROM grain g
+      JOIN gdist gl USING (o_orderpriority)
+      JOIN (SELECT c_nationkey, c_mktsegment,
+                   CAST(sum(n_cs) AS BIGINT) AS n_c
+            FROM grain GROUP BY 1, 2) cs
+        USING (c_nationkey, c_mktsegment)
+      CROSS JOIN tot t
+      GROUP BY 1, 2
+    )
+    SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey, c_mktsegment,
+           n_c AS n_records,
+           round((present_term + (t.n - present_g) * n_c)
+                 / (2.0 * n_c * t.n), 6) AS tvd,
+           CAST({T_CLOSENESS_DEN} * (present_term + (t.n - present_g) * n_c)
+                <= 2 * n_c * t.n AS BOOLEAN) AS meets_t
+    FROM cls CROSS JOIN tot t
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation t-closeness of order priority within (nation,
+    segment) quasi-identifier classes, exact-integer arithmetic."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_nationkey", "c_mktsegment", "o_orderpriority")
+    grain = joined.groupBy(
+        "c_nationkey", "c_mktsegment", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_cs"))
+    glob = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("g_s")
+    )
+    tot = joined.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cls_tot = grain.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n_cs").cast("bigint").alias("n_c")
+    )
+    cls = (
+        grain.join(F.broadcast(glob), "o_orderpriority")
+        .join(cls_tot, ["c_nationkey", "c_mktsegment"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("n_c").cast("bigint").alias("n_c"),
+            F.sum(
+                F.abs(
+                    F.col("n_cs") * F.col("n") - F.col("g_s") * F.col("n_c")
+                )
+            )
+            .cast("bigint")
+            .alias("present_term"),
+            F.sum("g_s").cast("bigint").alias("present_g"),
+        )
+    )
+    num = F.col("present_term") + (F.col("n") - F.col("present_g")) * F.col("n_c")
+    den = 2 * F.col("n_c") * F.col("n")
+    return cls.crossJoin(F.broadcast(tot)).select(
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        "c_mktsegment",
+        F.col("n_c").alias("n_records"),
+        F.round(num / den.cast("double"), 6).alias("tvd"),
+        (F.lit(T_CLOSENESS_DEN) * num <= den).alias("meets_t"),
+    )

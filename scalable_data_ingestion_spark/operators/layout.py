@@ -266,3 +266,178 @@ def zo_zonemap_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dy_hi") - F.col("dy_lo") + 1) * 1.0 / F.col("dy_dom"), 6
         ).alias("dy_extent"),
     )
+
+
+# --------------------------------------------------------------------------
+# Layout pruning effectiveness — the zone-map A/B/C test. Same orders
+# relation bucketed 64 ways under three write layouts (natural
+# orderkey ranges, date-sorted ranges, z-order ranges); for one fixed
+# 2-D selective predicate (middle 1/8 of the customer domain AND
+# middle 1/8 of the date domain) count how many buckets — and how many
+# ROWS — each layout's min/max zone maps prune. This turns the
+# "z-order helps 2-D predicates" claim into an oracle-checked number:
+# date-sort prunes only the date dimension, natural order prunes
+# almost nothing, z-order prunes both.
+#
+# Exactness: bucket ids and predicate bounds are pure integer floor
+# arithmetic on domain-normalized grids; prunability is an integer
+# interval-disjointness test on BIGINT zone bounds. One scan computes
+# all three bucket ids (stack/unpivot to a (layout, bucket) grain);
+# rollups are bucket-sized.
+# --------------------------------------------------------------------------
+_PRED_LO_NUM, _PRED_HI_NUM, _PRED_DEN = 7, 9, 16  # middle 1/8 of each domain
+
+_LAYOUT_BUCKETS = f"""
+norm AS (
+  SELECT ck, dy,
+         CAST(floor((ck - ck_min) * {_ZMAP_GRID}.0 / ck_dom) AS BIGINT) AS ckn,
+         CAST(floor((dy - dy_min) * {_ZMAP_GRID}.0 / dy_dom) AS BIGINT) AS dyn,
+         CAST(floor((ok - ok_min) * 64.0 / ok_dom) AS BIGINT) AS b_nat,
+         CAST(floor((dy - dy_min) * 64.0 / dy_dom) AS BIGINT) AS b_date,
+         ck_min + ck_dom * {_PRED_LO_NUM} // {_PRED_DEN} AS ck_plo,
+         ck_min + ck_dom * {_PRED_HI_NUM} // {_PRED_DEN} - 1 AS ck_phi,
+         dy_min + dy_dom * {_PRED_LO_NUM} // {_PRED_DEN} AS dy_plo,
+         dy_min + dy_dom * {_PRED_HI_NUM} // {_PRED_DEN} - 1 AS dy_phi
+  FROM base CROSS JOIN dom
+),
+tagged AS (
+  SELECT ck, dy, ck_plo, ck_phi, dy_plo, dy_phi, layout,
+         CASE layout WHEN 'natural' THEN b_nat
+                     WHEN 'date_sorted' THEN b_date
+                     ELSE ({_ZMAP_EXPR}) >> {ZMAP_BUCKET_SHIFT} END AS bucket
+  FROM norm
+  CROSS JOIN (SELECT unnest(['natural', 'date_sorted', 'zorder']) AS layout)
+),
+zones AS (
+  SELECT layout, bucket,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(min(ck) AS BIGINT) AS ck_lo, CAST(max(ck) AS BIGINT) AS ck_hi,
+         CAST(min(dy) AS BIGINT) AS dy_lo, CAST(max(dy) AS BIGINT) AS dy_hi,
+         CAST(max(ck_plo) AS BIGINT) AS ck_plo,
+         CAST(max(ck_phi) AS BIGINT) AS ck_phi,
+         CAST(max(dy_plo) AS BIGINT) AS dy_plo,
+         CAST(max(dy_phi) AS BIGINT) AS dy_phi
+  FROM tagged GROUP BY 1, 2
+)
+"""
+
+_PRUNE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dy
+  FROM orders
+),
+dom AS (
+  SELECT min(ck) AS ck_min, max(ck) - min(ck) + 1 AS ck_dom,
+         min(dy) AS dy_min, max(dy) - min(dy) + 1 AS dy_dom,
+         min(ok) AS ok_min, max(ok) - min(ok) + 1 AS ok_dom
+  FROM base
+),
+{_LAYOUT_BUCKETS}
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN ck_hi < ck_plo OR ck_lo > ck_phi
+                      OR dy_hi < dy_plo OR dy_lo > dy_phi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(sum(CASE WHEN ck_hi < ck_plo OR ck_lo > ck_phi
+                      OR dy_hi < dy_plo OR dy_lo > dy_phi
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_pruned,
+       round(sum(CASE WHEN ck_hi < ck_plo OR ck_lo > ck_phi
+                       OR dy_hi < dy_plo OR dy_lo > dy_phi
+                      THEN n_rows ELSE 0 END) * 1.0 / sum(n_rows), 6)
+           AS frac_rows_pruned
+FROM zones GROUP BY layout
+"""
+
+
+@register("zo_pruning_effectiveness", oracle=_PRUNE_ORACLE)
+def zo_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of rows a 2-D selective predicate prunes via 64-bucket
+    zone maps under natural, date-sorted, and z-order layouts."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("dy"),
+    )
+    dom = base.agg(
+        F.min("ck").alias("ck_min"),
+        (F.max("ck") - F.min("ck") + 1).alias("ck_dom"),
+        F.min("dy").alias("dy_min"),
+        (F.max("dy") - F.min("dy") + 1).alias("dy_dom"),
+        F.min("ok").alias("ok_min"),
+        (F.max("ok") - F.min("ok") + 1).alias("ok_dom"),
+    )
+    grid = float(_ZMAP_GRID)
+    norm = base.crossJoin(F.broadcast(dom)).select(
+        "ck",
+        "dy",
+        F.floor((F.col("ck") - F.col("ck_min")) * grid / F.col("ck_dom"))
+        .cast("bigint")
+        .alias("ckn"),
+        F.floor((F.col("dy") - F.col("dy_min")) * grid / F.col("dy_dom"))
+        .cast("bigint")
+        .alias("dyn"),
+        F.floor((F.col("ok") - F.col("ok_min")) * 64.0 / F.col("ok_dom"))
+        .cast("bigint")
+        .alias("b_nat"),
+        F.floor((F.col("dy") - F.col("dy_min")) * 64.0 / F.col("dy_dom"))
+        .cast("bigint")
+        .alias("b_date"),
+        (F.col("ck_min") + F.expr(f"ck_dom * {_PRED_LO_NUM} DIV {_PRED_DEN}"))
+        .alias("ck_plo"),
+        (F.col("ck_min") + F.expr(f"ck_dom * {_PRED_HI_NUM} DIV {_PRED_DEN}") - 1)
+        .alias("ck_phi"),
+        (F.col("dy_min") + F.expr(f"dy_dom * {_PRED_LO_NUM} DIV {_PRED_DEN}"))
+        .alias("dy_plo"),
+        (F.col("dy_min") + F.expr(f"dy_dom * {_PRED_HI_NUM} DIV {_PRED_DEN}") - 1)
+        .alias("dy_phi"),
+    )
+    tagged = norm.withColumn(
+        "b_z", F.expr(f"({_ZMAP_EXPR}) >> {ZMAP_BUCKET_SHIFT}")
+    ).select(
+        "ck",
+        "dy",
+        "ck_plo",
+        "ck_phi",
+        "dy_plo",
+        "dy_phi",
+        F.expr(
+            "stack(3, 'natural', b_nat, 'date_sorted', b_date, 'zorder', b_z)"
+            " AS (layout, bucket)"
+        ),
+    )
+    zones = tagged.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("ck").cast("bigint").alias("ck_lo"),
+        F.max("ck").cast("bigint").alias("ck_hi"),
+        F.min("dy").cast("bigint").alias("dy_lo"),
+        F.max("dy").cast("bigint").alias("dy_hi"),
+        F.max("ck_plo").cast("bigint").alias("ck_plo"),
+        F.max("ck_phi").cast("bigint").alias("ck_phi"),
+        F.max("dy_plo").cast("bigint").alias("dy_plo"),
+        F.max("dy_phi").cast("bigint").alias("dy_phi"),
+    )
+    pruned = (
+        (F.col("ck_hi") < F.col("ck_plo"))
+        | (F.col("ck_lo") > F.col("ck_phi"))
+        | (F.col("dy_hi") < F.col("dy_plo"))
+        | (F.col("dy_lo") > F.col("dy_phi"))
+    )
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(pruned.cast("bigint")).cast("bigint").alias("n_pruned"),
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.sum(F.when(pruned, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_pruned"),
+        F.round(
+            F.sum(F.when(pruned, F.col("n_rows")).otherwise(0))
+            * 1.0
+            / F.sum("n_rows"),
+            6,
+        ).alias("frac_rows_pruned"),
+    )

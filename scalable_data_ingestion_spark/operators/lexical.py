@@ -129,3 +129,110 @@ def txt_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean = F.col("total").cast("double") / F.col("n_docs")
     var = F.col("total_sq").cast("double") / F.col("n_docs") - mean * mean
     return j.select("tok", "df", "total", F.round(var / mean, 6).alias("vmr"))
+
+
+# --------------------------------------------------------------------------
+# Readability profile — Flesch-style reading-ease per source. The
+# syllable counter is the standard vowel-group heuristic (runs of
+# [aeiouy] in the lowercased token); sentences fall back to 1 when the
+# text carries no terminal punctuation (this corpus: always), making
+# words-per-sentence equal document length, which is exactly how a
+# curation pass treats unpunctuated soup — penalized as one run-on.
+#
+# Exactness: words / sentences / syllables are per-document BIGINTs
+# (regexp-derived identically in both engines); source-level scores
+# come from ratios of exact integer SUMS, never averages of per-doc
+# floats, so no unordered float summation exists anywhere. The per-doc
+# banding compares scalar doubles computed by the same closed form in
+# both engines (bit-identical, per the exactness policy).
+#
+# Scale: map-only per-document expressions + one source-grain
+# map-side-combining rollup. No shuffle wider than |sources|.
+# --------------------------------------------------------------------------
+FLESCH_EASY = 60.0
+FLESCH_HARD = 30.0
+
+
+@register(
+    "txt_readability_by_source",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syllables
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, words, sentences, syllables,
+             206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                     - 84.6 * (CAST(syllables AS DOUBLE) / words) AS flesch
+      FROM per_doc WHERE words > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS total_words,
+           CAST(sum(syllables) AS BIGINT) AS total_syllables,
+           round(206.835
+                 - 1.015 * (CAST(sum(words) AS DOUBLE) / sum(sentences))
+                 - 84.6 * (CAST(sum(syllables) AS DOUBLE) / sum(words)), 6)
+               AS source_flesch,
+           CAST(sum(CASE WHEN flesch >= {FLESCH_EASY} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_easy,
+           CAST(sum(CASE WHEN flesch < {FLESCH_EASY}
+                          AND flesch >= {FLESCH_HARD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_medium,
+           CAST(sum(CASE WHEN flesch < {FLESCH_HARD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hard
+    FROM scored GROUP BY source
+    """,
+)
+def txt_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease bands and pooled source-level score from
+    exact integer word/sentence/syllable sums."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("bigint")
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    ).cast("bigint")
+    per_doc = docs.select(
+        "source",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    ).filter(F.col("words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("words").cast("double") / F.col("sentences"))
+        - 84.6 * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    scored = per_doc.withColumn("flesch", flesch)
+    sw = F.sum("words").cast("double")
+    ss = F.sum("sentences").cast("double")
+    sy = F.sum("syllables").cast("double")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("total_words"),
+        F.sum("syllables").cast("bigint").alias("total_syllables"),
+        F.round(F.lit(206.835) - 1.015 * (sw / ss) - 84.6 * (sy / sw), 6)
+        .alias("source_flesch"),
+        F.sum((F.col("flesch") >= FLESCH_EASY).cast("bigint"))
+        .cast("bigint")
+        .alias("n_easy"),
+        F.sum(
+            ((F.col("flesch") < FLESCH_EASY) & (F.col("flesch") >= FLESCH_HARD))
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_medium"),
+        F.sum((F.col("flesch") < FLESCH_HARD).cast("bigint"))
+        .cast("bigint")
+        .alias("n_hard"),
+    )

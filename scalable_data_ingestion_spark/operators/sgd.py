@@ -366,3 +366,148 @@ def eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_pos_rate") / F.col("base_rate"), 6).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction coverage — the distribution-free
+# uncertainty eval: fit a point predictor on a train split, take the
+# ceil((1-alpha)(n+1))-th smallest absolute calibration residual as
+# the interval half-width q, and report what fraction of held-out
+# test rows actually fall inside pred ± q (finite-sample guarantee:
+# >= 1 - alpha in expectation). Predictor here is the (segment,
+# priority) floor-mean of order value in cents — deliberately simple,
+# the eval measures the CONFORMAL machinery, not the model.
+#
+# Exactness: money quantizes to BIGINT cents before any aggregation;
+# the predictor is integer floor division (Spark DIV == DuckDB // on
+# non-negatives); k is pure integer arithmetic (no 0.9*(n+1) float);
+# q is a rank statistic of integer residuals found with the
+# range-partitioned global_rank helper (no single-reducer sort, no
+# unpartitioned window). Coverage is an integer ratio rounded once.
+#
+# Scale: the md5 split is map-side; the predictor is a
+# dimension-sized groupBy broadcast back; the rank pass is the
+# documented global_rank shape; test scoring is map-only.
+# --------------------------------------------------------------------------
+CONF_ALPHA_NUM = 1  # alpha = 1/10 -> target coverage 0.9
+CONF_ALPHA_DEN = 10
+
+_CONF_BUCKET = (
+    "CASE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) "
+    + " ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))
+    + " END"
+)
+
+
+@register(
+    "eval_conformal_coverage",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, c_mktsegment, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             {_CONF_BUCKET} AS bucket
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    pred AS (
+      SELECT c_mktsegment, o_orderpriority,
+             CAST(sum(cents) // count(*) AS BIGINT) AS pred_cents
+      FROM base WHERE bucket < 8 GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT abs(b.cents - p.pred_cents) AS r
+      FROM base b JOIN pred p USING (c_mktsegment, o_orderpriority)
+      WHERE b.bucket BETWEEN 8 AND 11
+    ),
+    ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+    kth AS (
+      SELECT (({CONF_ALPHA_DEN} - {CONF_ALPHA_NUM}) * (n_cal + 1)
+              + {CONF_ALPHA_DEN} - 1) // {CONF_ALPHA_DEN} AS k
+      FROM ncal
+    ),
+    q AS (
+      SELECT CAST(r AS BIGINT) AS q_cents
+      FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal)
+      CROSS JOIN kth WHERE rn = k
+    )
+    SELECT b.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN abs(b.cents - p.pred_cents) <= q.q_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           round(sum(CASE WHEN abs(b.cents - p.pred_cents) <= q.q_cents
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS coverage,
+           CAST(max(q.q_cents) AS BIGINT) AS q_cents,
+           CAST(max(n.n_cal) AS BIGINT) AS n_cal
+    FROM base b
+    JOIN pred p USING (c_mktsegment, o_orderpriority)
+    CROSS JOIN q CROSS JOIN ncal n
+    WHERE b.bucket >= 12
+    GROUP BY 1
+    """,
+)
+def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment empirical coverage of split-conformal intervals
+    around a (segment, priority) floor-mean predictor of order value
+    (target coverage 1 - {CONF_ALPHA_NUM}/{CONF_ALPHA_DEN})."""
+    from ..functions.ranking import global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            bucket.alias("bucket"),
+        )
+        .persist()
+    )
+    pred = (
+        base.filter(F.col("bucket") < 8)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.expr("sum(cents) DIV count(*)").cast("bigint").alias("pred_cents")
+        )
+    )
+    cal = (
+        base.filter(F.col("bucket").between(8, 11))
+        .join(F.broadcast(pred), ["c_mktsegment", "o_orderpriority"])
+        .select(
+            F.abs(F.col("cents") - F.col("pred_cents")).alias("r"),
+            "o_orderkey",
+        )
+    )
+    ncal = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    kth = ncal.select(
+        "n_cal",
+        F.expr(
+            f"(({CONF_ALPHA_DEN} - {CONF_ALPHA_NUM}) * (n_cal + 1)"
+            f" + {CONF_ALPHA_DEN} - 1) DIV {CONF_ALPHA_DEN}"
+        ).alias("k"),
+    )
+    ranked = global_rank(cal, [F.col("r"), F.col("o_orderkey")], rank_col="rn")
+    q = (
+        ranked.crossJoin(F.broadcast(kth))
+        .filter(F.col("rn") == F.col("k"))
+        .select(F.col("r").cast("bigint").alias("q_cents"), "n_cal")
+    )
+    test = (
+        base.filter(F.col("bucket") >= 12)
+        .join(F.broadcast(pred), ["c_mktsegment", "o_orderpriority"])
+        .crossJoin(F.broadcast(q))
+    )
+    covered = (F.abs(F.col("cents") - F.col("pred_cents")) <= F.col("q_cents")).cast(
+        "bigint"
+    )
+    return test.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(covered).cast("bigint").alias("n_covered"),
+        F.round(F.sum(covered) * 1.0 / F.count(F.lit(1)), 6).alias("coverage"),
+        F.max("q_cents").cast("bigint").alias("q_cents"),
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+    )

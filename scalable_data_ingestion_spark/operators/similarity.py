@@ -729,3 +729,177 @@ def sim_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"recall_at_{TOP_K}"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval ranking evaluation — NDCG@K, MRR, and precision@K per
+# query over the exact cosine ranking, with same-label neighbors as
+# the relevance ground truth. This is the eval harness a retrieval
+# pipeline runs after every index build: the ANN variants report
+# recall vs the brute ranking, this reports the RANKING's own quality
+# against labels, which is what actually moves end-task metrics.
+#
+# Exactness: ranks come from the rounded-cosine + id tie-break
+# ordering (same as sim_knn_bruteforce); every gain is quantized to
+# an exact BIGINT micro-unit floor(1e6 / log2(r+1)) BEFORE summation
+# (log2(r+1) for r in 1..10 is either exactly representable or far
+# from an integer boundary, so floor agrees cross-engine), and NDCG
+# is a ratio of two integer sums — no unordered float summation.
+# Per-query output rows avoid a float mean across queries entirely.
+#
+# Scale: the query side is bounded and broadcast (the documented
+# harness pattern); corpus-side work is one map-side dot product per
+# (query, vector) plus a per-query top ranking — the same plan as the
+# brute baseline it evaluates.
+# --------------------------------------------------------------------------
+RETR_N_QUERIES = 50
+RETR_K = 10
+
+
+@register(
+    "eval_retrieval_ranking",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+               FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             v.vec_id AS neighbor_id,
+             (v.label = q.label) AS relevant,
+             round(list_dot_product(q.emb, v.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+      FROM e q JOIN e v
+        ON q.vec_id < {RETR_N_QUERIES} AND q.vec_id != v.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, q_label, relevant,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM pairs
+    ),
+    gains AS (
+      SELECT CAST(r AS BIGINT) AS r,
+             CAST(floor(1e6 / log2(r + 1.0)) AS BIGINT) AS g
+      FROM (SELECT unnest(range(1, {RETR_K} + 1)) AS r)
+    ),
+    per_q AS (
+      SELECT query_id, q_label,
+             CAST(sum(CASE WHEN relevant THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_relevant,
+             CAST(sum(CASE WHEN relevant AND rank <= {RETR_K}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+             min(CASE WHEN relevant THEN rank END) AS first_rel_rank
+      FROM ranked GROUP BY 1, 2
+    ),
+    dcg AS (
+      SELECT r.query_id, CAST(sum(g.g) AS BIGINT) AS dcg_ppm
+      FROM ranked r JOIN gains g ON g.r = r.rank
+      WHERE r.relevant AND r.rank <= {RETR_K}
+      GROUP BY 1
+    ),
+    idcg AS (
+      SELECT p.query_id, CAST(sum(g.g) AS BIGINT) AS idcg_ppm
+      FROM per_q p JOIN gains g
+        ON g.r <= least(p.n_relevant, {RETR_K})
+      GROUP BY 1
+    )
+    SELECT p.query_id, CAST(p.q_label AS BIGINT) AS label,
+           p.n_relevant, p.hits_at_k,
+           CAST(coalesce(d.dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+           CAST(coalesce(i.idcg_ppm, 0) AS BIGINT) AS idcg_ppm,
+           CASE WHEN coalesce(i.idcg_ppm, 0) > 0
+                THEN round(coalesce(d.dcg_ppm, 0)
+                           / CAST(i.idcg_ppm AS DOUBLE), 6) END AS ndcg,
+           CAST(p.first_rel_rank AS BIGINT) AS first_rel_rank,
+           CASE WHEN p.first_rel_rank IS NOT NULL
+                THEN CAST(1000000 // p.first_rel_rank AS BIGINT) END AS rr_ppm
+    FROM per_q p
+    LEFT JOIN dcg d USING (query_id)
+    LEFT JOIN idcg i USING (query_id)
+    """,
+)
+def eval_retrieval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query NDCG@{RETR_K}, MRR, and precision hits over the exact
+    cosine ranking with same-label relevance (micro-unit integer
+    gains; NDCG is a ratio of exact BIGINT sums)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < RETR_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("v_label"),
+        F.col("embedding").alias("ve"),
+        _norm("embedding").alias("vn"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_label",
+            (F.col("v_label") == F.col("q_label")).alias("relevant"),
+            F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias("cosine"),
+            "neighbor_id",
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    ranked = pairs.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "query_id", "q_label", "relevant", "rank"
+    )
+    gains = spark.range(1, RETR_K + 1).select(
+        F.col("id").alias("r"),
+        F.floor(F.lit(1e6) / F.log2(F.col("id") + 1.0)).cast("bigint").alias("g"),
+    )
+    per_q = ranked.groupBy("query_id", "q_label").agg(
+        F.sum(F.col("relevant").cast("bigint")).cast("bigint").alias("n_relevant"),
+        F.sum((F.col("relevant") & (F.col("rank") <= RETR_K)).cast("bigint"))
+        .cast("bigint")
+        .alias("hits_at_k"),
+        F.min(F.when(F.col("relevant"), F.col("rank"))).alias("first_rel_rank"),
+    )
+    dcg = (
+        ranked.filter(F.col("relevant") & (F.col("rank") <= RETR_K))
+        .join(F.broadcast(gains), ranked.rank == gains.r)
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("bigint").alias("dcg_ppm"))
+    )
+    idcg = (
+        per_q.select("query_id", F.least(F.col("n_relevant"), F.lit(RETR_K)).alias("rk"))
+        .join(F.broadcast(gains), F.col("r") <= F.col("rk"))
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("bigint").alias("idcg_ppm"))
+    )
+    out = (
+        per_q.join(dcg, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("q_label").cast("bigint").alias("label"),
+            "n_relevant",
+            "hits_at_k",
+            F.coalesce("dcg_ppm", F.lit(0)).cast("bigint").alias("dcg_ppm"),
+            F.coalesce("idcg_ppm", F.lit(0)).cast("bigint").alias("idcg_ppm"),
+            F.when(
+                F.coalesce("idcg_ppm", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("dcg_ppm", F.lit(0))
+                    / F.col("idcg_ppm").cast("double"),
+                    6,
+                ),
+            ).alias("ndcg"),
+            F.col("first_rel_rank").cast("bigint").alias("first_rel_rank"),
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.floor(F.lit(1000000) / F.col("first_rel_rank")),
+            )
+            .cast("bigint")
+            .alias("rr_ppm"),
+        )
+    )
+    return out
