@@ -1177,3 +1177,147 @@ def dd_shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("df") * F.col("df")).cast("bigint").alias("join_cost"),
         F.sum((F.col("df") > DF_CAP).cast("int")).cast("bigint").alias("n_capped"),
     )
+
+
+# --------------------------------------------------------------------------
+# SRP-LSH banding curve — the tuning table behind dd_embedding_lsh_pairs'
+# fixed 3x8 choice: the SAME 24-plane signature banded as 1x24, 2x12,
+# 3x8, and 4x6, with measured candidate volume, recall, and precision
+# against the exact all-pairs truth. Finer bands (more, shorter) raise
+# recall AND candidate volume; this emits the whole trade-off as one
+# oracle-checked relation instead of a code-comment probability claim.
+#
+# Scale: signatures are map-side projections (shared 24-fold compute,
+# cached); each config's candidate join is the same (band, bsig)
+# equi-join shape as the production pipeline. The truth side is the
+# documented bounded-corpus brute kernel (dd_embedding_neardup_pairs);
+# at real corpus scale one would sample truth — here the corpus IS the
+# sample.
+# --------------------------------------------------------------------------
+_LSH_CURVE_CONFIGS = (1, 2, 3, 4)  # band counts over the 24-bit signature
+
+
+@register(
+    "dd_lsh_bands_curve",
+    oracle=f"""
+    WITH {_EMB_CORPUS_CTE},
+    proj AS (
+      SELECT vec_id,
+             list_transform(range(0, {EMB_LSH_PLANES}), h ->
+               list_reduce(
+                 list_transform(range(1, 65), i ->
+                   emb[i] * ({_plane_sign("h", "i - 1")})),
+                 (acc, x) -> acc + x)) AS projs
+      FROM corpus
+    ),
+    sig AS (
+      SELECT cfg.nb AS n_bands, p.vec_id, tb.b AS band,
+             list_reduce(
+               list_transform(range(0, {EMB_LSH_PLANES} // cfg.nb), j ->
+                 CASE WHEN p.projs[tb.b * ({EMB_LSH_PLANES} // cfg.nb) + j + 1] > 0
+                      THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END),
+               (acc, x) -> acc + x) AS bsig
+      FROM proj p,
+           (SELECT unnest([{", ".join(str(c) for c in _LSH_CURVE_CONFIGS)}]) AS nb) cfg,
+           unnest(generate_series(0, cfg.nb - 1)) AS tb(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.n_bands, a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sig a JOIN sig b
+        ON a.n_bands = b.n_bands AND a.band = b.band AND a.bsig = b.bsig
+           AND a.vec_id < b.vec_id
+    ),
+    truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.emb, b.emb) /
+                  (sqrt(list_dot_product(a.emb, a.emb)) *
+                   sqrt(list_dot_product(b.emb, b.emb))), 6)
+            >= {EMB_NEARDUP_THRESHOLD}
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+    per_cfg AS (
+      SELECT c.n_bands,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN t.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hits
+      FROM cand c
+      LEFT JOIN truth t ON t.vec_a = c.vec_a AND t.vec_b = c.vec_b
+      GROUP BY 1
+    )
+    SELECT CAST(p.n_bands AS INTEGER) AS n_bands,
+           CAST({EMB_LSH_PLANES} // p.n_bands AS INTEGER) AS bits_per_band,
+           p.n_candidates, nt.n_true, p.n_hits,
+           round(p.n_hits * 1.0 / nt.n_true, 6) AS recall,
+           round(p.n_hits * 1.0 / p.n_candidates, 6) AS precision
+    FROM per_cfg p CROSS JOIN nt
+    """,
+)
+def dd_lsh_bands_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate volume, recall, and precision of the 24-bit SRP
+    signature under 1/2/3/4-band splits, vs exact all-pairs truth."""
+    corpus = _emb_corpus(spark, sf_dir)
+    projs_expr = (
+        f"transform(sequence(0, {EMB_LSH_PLANES - 1}), h -> "
+        f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, d) -> "
+        f"acc + emb[d] * ({_plane_sign('h', 'd')})))"
+    )
+    proj = corpus.withColumn("projs", F.expr(projs_expr)).select(
+        "vec_id", "projs"
+    ).persist()
+    sigs = None
+    for nb in _LSH_CURVE_CONFIGS:
+        r = EMB_LSH_PLANES // nb
+        bsig_expr = (
+            f"transform(sequence(0, {nb - 1}), b -> "
+            f"aggregate(sequence(0, {r - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+            f"acc + (CASE WHEN projs[b * {r} + j] > 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END)))"
+        )
+        s = proj.select(
+            F.lit(nb).alias("n_bands"),
+            "vec_id",
+            F.posexplode(F.expr(bsig_expr)).alias("band", "bsig"),
+        )
+        sigs = s if sigs is None else sigs.unionByName(s)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.n_bands") == F.col("b.n_bands"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.n_bands").alias("n_bands"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    truth = (
+        dd_embedding_neardup_pairs(spark, sf_dir)
+        .select("vec_a", "vec_b", F.lit(1).alias("is_true"))
+        .persist()
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    per_cfg = (
+        cand.join(truth, ["vec_a", "vec_b"], "left")
+        .groupBy("n_bands")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.coalesce("is_true", F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return per_cfg.crossJoin(F.broadcast(nt)).select(
+        F.col("n_bands").cast("int").alias("n_bands"),
+        (F.lit(EMB_LSH_PLANES) / F.col("n_bands")).cast("int").alias("bits_per_band"),
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        F.round(F.col("n_hits") * 1.0 / F.col("n_true"), 6).alias("recall"),
+        F.round(F.col("n_hits") * 1.0 / F.col("n_candidates"), 6).alias("precision"),
+    )

@@ -865,3 +865,142 @@ def ev_markov_path_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_logp"),
         F.round(F.exp(-mean), 6).alias("perplexity"),
     )
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution — the long-run state occupancy of the
+# first-order event-transition chain (where does a user's session
+# settle if the observed dynamics run forever?), via MARKOV_POWER_ROUNDS
+# synchronous power-iteration rounds from the uniform start, compared
+# against the empirical marginal share (for an ergodic chain in
+# equilibrium the two agree; a gap means the observed stream is NOT in
+# equilibrium — e.g. funnels that leak users toward terminal states).
+#
+# Exactness: the transition model quantizes to per-million integers
+# (p_ppm = n*1e6 DIV n_row); each iterate lives in integer pico-units
+# (1e12), and every round is sum((u * p_ppm) DIV 1e6) — BIGINT-exact,
+# shuffle-order independent, and overflow-safe at ANY corpus size
+# because u <= 1e12 and p_ppm <= 1e6 bound the product at 1e18.
+#
+# Scale: the model is |event_types|^2 rows; every round is a
+# broadcast-sized join — the iteration costs nothing at any SF. The
+# only fact-sized work is the transition estimation the whole family
+# shares (user-keyed lead window + grouped count).
+# --------------------------------------------------------------------------
+MARKOV_POWER_ROUNDS = 8
+
+
+def _mkv_round_sql(i: int) -> str:
+    return f"""v{i} AS (
+      SELECT p.next_type AS state,
+             CAST(sum((v.u * p.p_ppm) // 1000000) AS BIGINT) AS u
+      FROM v{i - 1} v JOIN p ON p.event_type = v.state
+      GROUP BY 1
+    )"""
+
+
+@register(
+    "ev_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    steps AS (
+      SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL
+    ),
+    tm AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM steps GROUP BY 1, 2
+    ),
+    fm AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS nf FROM tm GROUP BY 1
+    ),
+    p AS (
+      SELECT tm.event_type, tm.next_type,
+             CAST(tm.n * 1000000 // fm.nf AS BIGINT) AS p_ppm
+      FROM tm JOIN fm USING (event_type)
+    ),
+    v0 AS (
+      SELECT event_type AS state,
+             CAST(1000000000000 // (SELECT count(*) FROM fm) AS BIGINT) AS u
+      FROM fm
+    ),
+    {",".join(_mkv_round_sql(i) for i in range(1, MARKOV_POWER_ROUNDS + 1))},
+    marginal AS (
+      SELECT event_type AS state, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+    SELECT v.state,
+           round(v.u / 1e12, 6) AS stationary,
+           round(m.n_events * 1.0 / t.n, 6) AS marginal_share,
+           round(abs(v.u / 1e12 - m.n_events * 1.0 / t.n), 6) AS abs_gap
+    FROM v{MARKOV_POWER_ROUNDS} v
+    JOIN marginal m ON m.state = v.state
+    CROSS JOIN tot t
+    """,
+)
+def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type transition chain
+    after {MARKOV_POWER_ROUNDS} fixed-point power-iteration rounds,
+    vs the empirical marginal share."""
+    ev = table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "event_type", F.lead("event_type").over(seq).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    tm = steps.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    fm = tm.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("nf"))
+    p = (
+        tm.join(fm, "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            F.expr("n * 1000000 DIV nf").cast("bigint").alias("p_ppm"),
+        )
+        .persist()
+    )
+    n_states = fm.select(F.count(F.lit(1)).alias("k"))
+    v = (
+        fm.crossJoin(F.broadcast(n_states))
+        .select(
+            F.col("event_type").alias("state"),
+            F.expr("1000000000000 DIV k").cast("bigint").alias("u"),
+        )
+    )
+    for _ in range(MARKOV_POWER_ROUNDS):
+        v = (
+            v.join(F.broadcast(p), p.event_type == F.col("state"))
+            .select(
+                F.col("next_type").alias("nstate"),
+                F.expr("u * p_ppm DIV 1000000").alias("term"),
+            )
+            .groupBy("nstate")
+            .agg(F.sum("term").cast("bigint").alias("u"))
+            .withColumnRenamed("nstate", "state")
+        )
+    marginal = ev.groupBy(F.col("event_type").alias("state")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stat = F.col("u") / 1e12
+    share = F.col("n_events") * 1.0 / F.col("n")
+    return (
+        v.join(marginal, "state")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "state",
+            F.round(stat, 6).alias("stationary"),
+            F.round(share, 6).alias("marginal_share"),
+            F.round(F.abs(stat - share), 6).alias("abs_gap"),
+        )
+    )

@@ -837,3 +837,111 @@ def ts_stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("r_c") > 0, "high").otherwise("low").alias("direction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling-origin forecast backtest — the honest way to pick a
+# forecasting baseline: for every origin day in the observed daily
+# revenue series (after a 7-step warmup), forecast the origin's value
+# with each method using ONLY prior days, then score MAE and sMAPE
+# per method over all origins. Methods: naive (previous observed
+# day), seasonal-naive (7 observed days back), and the trailing
+# 7-day floor-mean. The winner's row is the yardstick any fancier
+# model must beat (cf. mon_seasonal_naive_mape, which fixes one
+# method and one split).
+#
+# Exactness: the series is BIGINT cents; forecasts are integers
+# (lags / floor-mean), absolute errors are BIGINT, and the per-origin
+# sMAPE quantizes to ppm (floor(2e6*|a-f|/(a+f))) before summation —
+# no unordered float sums. Windows run over the observed daily series
+# (calendar-bounded, dimension-sized — the allowlisted family).
+# --------------------------------------------------------------------------
+@register(
+    "ts_rolling_origin_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ),
+    feat AS (
+      SELECT day, cents,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+             lag(cents, 1) OVER (ORDER BY day) AS f_naive,
+             lag(cents, 7) OVER (ORDER BY day) AS f_seasonal,
+             CAST(sum(cents) OVER (ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) // 7
+                  AS BIGINT) AS f_ma7
+      FROM daily
+    ),
+    origins AS (SELECT * FROM feat WHERE rn > 7),
+    stacked AS (
+      SELECT day, cents, method,
+             CASE method WHEN 'naive' THEN f_naive
+                         WHEN 'seasonal_naive' THEN f_seasonal
+                         ELSE f_ma7 END AS f
+      FROM origins
+      CROSS JOIN (SELECT unnest(['naive', 'seasonal_naive', 'ma7'])
+                  AS method)
+    ),
+    scored AS (
+      SELECT method, abs(cents - f) AS abs_err,
+             CAST(floor(2000000.0 * abs(cents - f) / (cents + f)) AS BIGINT)
+                 AS smape_ppm
+      FROM stacked
+    )
+    SELECT method,
+           CAST(count(*) AS BIGINT) AS n_origins,
+           round(sum(abs_err) / (100.0 * count(*)), 4) AS mae,
+           round(sum(smape_ppm) / (10000.0 * count(*)), 6) AS smape_pct
+    FROM scored GROUP BY method
+    """,
+)
+def ts_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE and sMAPE of naive / seasonal-naive / trailing-mean
+    forecasts over every rolling origin of the daily revenue series."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.orderBy("day")
+    feat = daily.select(
+        "day",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.lag("cents", 1).over(w).alias("f_naive"),
+        F.lag("cents", 7).over(w).alias("f_seasonal"),
+        F.expr(
+            "sum(cents) OVER (ORDER BY day"
+            " ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) DIV 7"
+        )
+        .cast("bigint")
+        .alias("f_ma7"),
+    )
+    origins = feat.filter(F.col("rn") > 7)
+    stacked = origins.select(
+        "day",
+        "cents",
+        F.expr(
+            "stack(3, 'naive', f_naive, 'seasonal_naive', f_seasonal,"
+            " 'ma7', f_ma7) AS (method, f)"
+        ),
+    )
+    abs_err = F.abs(F.col("cents") - F.col("f"))
+    scored = stacked.select(
+        "method",
+        abs_err.alias("abs_err"),
+        F.floor(2000000.0 * abs_err / (F.col("cents") + F.col("f")))
+        .cast("bigint")
+        .alias("smape_ppm"),
+    )
+    return scored.groupBy("method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_origins"),
+        F.round(F.sum("abs_err") / (100.0 * F.count(F.lit(1))), 4).alias("mae"),
+        F.round(F.sum("smape_ppm") / (10000.0 * F.count(F.lit(1))), 6).alias(
+            "smape_pct"
+        ),
+    )

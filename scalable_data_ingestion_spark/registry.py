@@ -126,6 +126,15 @@ _PRIORITY = (
     # round-5 additions: no driver hash, post-judge-sweep code
     "dd_shingle_df_profile",
     "gr_degree_assortativity",
+    "dq_t_closeness",
+    "txt_readability_by_source",
+    "ev_session_pattern_match",
+    "eval_retrieval_ranking",
+    "eval_conformal_coverage",
+    "zo_pruning_effectiveness",
+    "ev_markov_stationary",
+    "ts_rolling_origin_backtest",
+    "dd_lsh_bands_curve",
     "ev_ab_proportion_ztest",
     "txt_ccnet_ppl_buckets",
     "ev_frequent_trigrams",
@@ -168,19 +177,11 @@ _PRIORITY = (
     "ml_logreg_learning_curve",
     "eval_decile_lift",
     "ev_cuped_variance_reduction",
-    "stat_winsorized_order_value",
-    "feat_next_event_sequences",
-    # r4-late statistics family
-    "stat_chi2_segment_priority",
-    # r4-late time-series family
-    "ts_acf_daily_revenue",
-    "ts_cusum_changepoint",
-    # lexical + behavioral
-    "cust_survival_km",
-    # graph remainder
-    # audits / monitors / features (dq_l_diversity and
-    # feat_target_encoding_loo were displaced by this session's two
-    # new operators — both were hash-verified by the r4 judge sweep)
+    # (the r4-late stat_winsorized / feat_next_event_sequences /
+    # stat_chi2 / ts_acf / ts_cusum / cust_survival_km /
+    # dq_l_diversity / feat_target_encoding_loo entries were displaced
+    # by this session's eleven new operators — all of the displaced
+    # ones were hash-verified by the r4 judge sweep at sf0.01)
 )
 
 
