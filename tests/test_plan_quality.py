@@ -296,12 +296,16 @@ def _iter_logical_nodes(jnode):
 #   series (one row per calendar day by construction) — same
 #   calendar-bounded class as the rolling correlation above; the
 #   sliding/cumulative frames have no Limit-shaped equivalent.
+# - ts_rolling_origin_backtest: lag/trailing-mean frames over the same
+#   post-aggregation daily revenue series (one row per observed
+#   calendar day) — calendar-bounded, sliding frames, no Limit shape.
 GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     "w_nation_revenue_rank",
     "ts_rolling_view_purchase_corr",
     "ts_stl_daily_revenue",
     "ts_stl_residual_anomalies",
     "ev_sprt_monitor",
+    "ts_rolling_origin_backtest",
 }
 
 
@@ -449,3 +453,51 @@ def test_incremental_lsh_is_equi_join_only(spark, sf_dir):
     p = plan(registry.QUERIES["dd_incremental_lsh_assign"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_lsh_bands_curve_candidates_equi_join(spark, sf_dir):
+    """Every config's candidate join keys on (n_bands, band, bsig) —
+    a hash equi-join; the only non-equi shape allowed is the bounded
+    broadcast the truth baseline documents."""
+    p = plan(registry.QUERIES["dd_lsh_bands_curve"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_t_closeness_broadcasts_margins(spark, sf_dir):
+    """The customer dim and the 5-row global margin broadcast; the
+    fact table shuffles only on the QI grain."""
+    p = plan(registry.QUERIES["dq_t_closeness"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_markov_stationary_rounds_broadcast(spark, sf_dir):
+    """Every power-iteration round joins the |states|^2 model by key —
+    broadcast hash joins, no cartesian, no Python UDF."""
+    p = plan(registry.QUERIES["ev_markov_stationary"](spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "PythonUDF" not in p, p
+
+
+def test_conformal_rank_is_range_partitioned(spark, sf_dir):
+    """The calibration-residual order statistic must come from the
+    global_rank range-partitioned shape (partitioned window over
+    _gr_pid), never a single-reducer global sort window."""
+    import contextlib, io
+
+    df = registry.QUERIES["eval_conformal_coverage"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    p = buf.getvalue()
+    assert "_gr_pid" in p, p
+
+
+def test_pattern_match_single_session_window_layout(spark, sf_dir):
+    """Session classification reuses the user-keyed window layout and
+    stays free of Python UDFs (regexps are Catalyst expressions)."""
+    p = plan(registry.QUERIES["ev_session_pattern_match"](spark, sf_dir), "simple")
+    assert "PythonUDF" not in p, p
+    assert "CartesianProduct" not in p, p
