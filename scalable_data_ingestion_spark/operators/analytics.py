@@ -1721,3 +1721,75 @@ def ev_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("total_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: per-user activity streaks. The classic SQL
+# pattern — group a user's distinct active days into maximal runs of
+# consecutive calendar days with the day_index - row_number trick
+# (constant within a run, jumps at every gap), no self-join, no
+# iteration. Output is the per-user streak profile (islands, longest
+# streak, active days, span) — the engagement-consistency features a
+# retention model consumes.
+#
+# Exactness: day indexes and row numbers are integers; every output
+# is a BIGINT count/max. Scale: one user-keyed distinct + one
+# user-keyed window — the same single-shuffle layout every session
+# query shares; islands aggregate map-side after the grouping.
+# --------------------------------------------------------------------------
+@register(
+    "ev_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2001-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS di
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, di,
+             di - row_number() OVER (PARTITION BY user_id ORDER BY di)
+                 AS island
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island,
+             CAST(count(*) AS BIGINT) AS len,
+             CAST(min(di) AS BIGINT) AS start_di,
+             CAST(max(di) AS BIGINT) AS end_di
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           CAST(max(end_di) - min(start_di) + 1 AS BIGINT) AS span_days
+    FROM islands GROUP BY user_id
+    """,
+)
+def ev_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal consecutive-day activity runs per user via the
+    day-index-minus-row-number islands trick (one window, no joins)."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2001-01-01").cast("date")
+        ).alias("di"),
+    ).distinct()
+    tagged = days.withColumn(
+        "island",
+        F.col("di")
+        - F.row_number().over(W.partitionBy("user_id").orderBy("di")),
+    )
+    islands = tagged.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("di").cast("bigint").alias("start_di"),
+        F.max("di").cast("bigint").alias("end_di"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("active_days"),
+        (F.max("end_di") - F.min("start_di") + 1).cast("bigint").alias("span_days"),
+    )

@@ -1798,3 +1798,146 @@ def txt_trigram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps' law fit — vocabulary growth V(n) ~ K * n^beta, Zipf's
+# companion diagnostic: natural text grows its vocabulary
+# sub-linearly (beta ~ 0.4-0.6); templated/synthetic corpora flatten
+# early (tiny beta, vocabulary saturates) and open-vocabulary noise
+# pushes beta toward 1. Checkpoints are the corpus prefix at 8
+# doc-id thresholds (token count n_k = tokens in docs <= t_k; vocab
+# V_k = types whose FIRST occurrence doc is <= t_k), so the curve
+# needs no per-doc running distinct — first-occurrence reduces the
+# problem to one vocab-grain min and two checkpoint-conditional
+# aggregates.
+#
+# Exactness: n_k / V_k are exact BIGINTs; the 8 log-log coordinates
+# quantize to 1e-9 fixed point before the regression sums (the
+# txt_zipf_fit policy); slope/intercept are closed-form over exact
+# sums.
+# --------------------------------------------------------------------------
+HEAPS_CHECKPOINTS = 8
+
+
+@register(
+    "txt_heaps_law_fit",
+    oracle=rf"""
+    WITH dtok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      FROM dtok GROUP BY doc_id
+    ),
+    fo AS (
+      SELECT tok, CAST(min(doc_id) AS BIGINT) AS fo_doc
+      FROM dtok GROUP BY tok
+    ),
+    mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mid FROM documents),
+    cks AS (
+      SELECT k, mx.mid * k // {HEAPS_CHECKPOINTS} AS t
+      FROM (SELECT unnest(range(1, {HEAPS_CHECKPOINTS} + 1)) AS k), mx
+    ),
+    pts AS (
+      SELECT c.k,
+             (SELECT CAST(sum(n_tok) AS BIGINT) FROM per_doc
+              WHERE doc_id <= c.t) AS n_k,
+             (SELECT CAST(count(*) AS BIGINT) FROM fo
+              WHERE fo_doc <= c.t) AS v_k
+      FROM cks c
+    ),
+    fx AS (
+      SELECT CAST(floor(ln(n_k) * 1000000000) AS DECIMAL(38,0)) AS x,
+             CAST(floor(ln(v_k) * 1000000000) AS DECIMAL(38,0)) AS y
+      FROM pts
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM fx
+    ),
+    fin AS (
+      SELECT m,
+             (m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (m * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 AS beta,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM sums
+    )
+    SELECT f.m AS n_checkpoints,
+           (SELECT max(n_k) FROM pts) AS total_tokens,
+           (SELECT max(v_k) FROM pts) AS total_vocab,
+           round(f.beta, 6) AS heaps_beta,
+           round(exp((f.syd - f.beta * f.sxd) / (f.m * 1000000000.0)), 4)
+               AS heaps_k
+    FROM fin f
+    """,
+)
+def txt_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(vocab) on ln(tokens) over {HEAPS_CHECKPOINTS}
+    corpus-prefix checkpoints (first-occurrence reduction, fixed-point
+    regression sums)."""
+    docs = table(spark, sf_dir, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    per_doc = dtok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    fo = dtok.groupBy("tok").agg(F.min("doc_id").cast("bigint").alias("fo_doc"))
+    mx = docs.agg(F.max("doc_id").cast("bigint").alias("mid"))
+    cks = (
+        spark.range(1, HEAPS_CHECKPOINTS + 1)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(mx))
+        .select("k", F.expr(f"mid * k DIV {HEAPS_CHECKPOINTS}").alias("t"))
+    )
+    n_pts = (
+        per_doc.crossJoin(F.broadcast(cks))
+        .filter(F.col("doc_id") <= F.col("t"))
+        .groupBy("k")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_k"))
+    )
+    v_pts = (
+        fo.crossJoin(F.broadcast(cks))
+        .filter(F.col("fo_doc") <= F.col("t"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v_k"))
+    )
+    pts = n_pts.join(v_pts, "k").persist()
+    fx = pts.select(
+        F.floor(F.log(F.col("n_k").cast("double")) * 1000000000)
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.floor(F.log(F.col("v_k").cast("double")) * 1000000000)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    sums = fx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = pts.agg(
+        F.max("n_k").cast("bigint").alias("total_tokens"),
+        F.max("v_k").cast("bigint").alias("total_vocab"),
+    )
+    m = F.col("m")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    beta = (m * F.col("sxy").cast("double") - sxd * syd) / (
+        m * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return sums.crossJoin(F.broadcast(tot)).select(
+        m.alias("n_checkpoints"),
+        "total_tokens",
+        "total_vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp((syd - beta * sxd) / (m * 1000000000.0)), 4).alias("heaps_k"),
+    )

@@ -893,3 +893,91 @@ def opt_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo_value",
         "hi_value",
     )
+
+
+# --------------------------------------------------------------------------
+# Higher distribution moments — per-segment skewness and excess
+# kurtosis of order value, the two numbers that say WHY a mean/stddev
+# pair misleads (heavy right tail? fat tails?). Computed from the four
+# raw power sums in one grouped pass (the distributed-moments shape:
+# partial-aggregating, no percentile, no second scan).
+#
+# Exactness: values quantize to integer DOLLARS; S1..S4 accumulate in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — d^4 <= ~1e23 and corpus
+# sums stay far under 1e38, so every moment sum is EXACT in both
+# engines and converts to the identical IEEE double once; the central-
+# moment algebra then runs the same closed form in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "stat_skew_kurtosis_by_segment",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment,
+             CAST(round(o_totalprice) AS BIGINT) AS d
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    sums AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS s1,
+             CAST(CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS DOUBLE) AS s2,
+             CAST(CAST(sum(CAST(d AS HUGEINT) * d * d) AS HUGEINT) AS DOUBLE)
+                 AS s3,
+             CAST(CAST(sum(CAST(d AS HUGEINT) * d * d * d) AS HUGEINT)
+                  AS DOUBLE) AS s4
+      FROM base GROUP BY 1
+    )
+    SELECT c_mktsegment, n,
+           round(s1 / n, 6) AS mean_dollars,
+           round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS stddev_pop,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+                  * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3, 6)
+               AS excess_kurtosis
+    FROM sums
+    """,
+)
+def stat_skew_kurtosis_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment skewness and excess kurtosis of order value from
+    exact 128-bit raw power sums (integer-dollar grid)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", F.round("o_totalprice").cast("bigint").alias("d")
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    sums = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dd).cast("decimal(38,0)").cast("double").alias("s1"),
+        F.sum(dd * F.col("d")).cast("decimal(38,0)").cast("double").alias("s2"),
+        F.sum(dd * F.col("d") * F.col("d"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("s3"),
+        F.sum(dd * F.col("d") * F.col("d") * F.col("d"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * mu * mu * (F.col("s2") / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return sums.select(
+        "c_mktsegment",
+        "n",
+        F.round(mu, 6).alias("mean_dollars"),
+        F.round(F.sqrt(m2), 6).alias("stddev_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2.0) - 3, 6).alias("excess_kurtosis"),
+    )

@@ -135,6 +135,9 @@ _PRIORITY = (
     "ev_markov_stationary",
     "ts_rolling_origin_backtest",
     "dd_lsh_bands_curve",
+    "ev_activity_streaks",
+    "stat_skew_kurtosis_by_segment",
+    "txt_heaps_law_fit",
     "ev_ab_proportion_ztest",
     "txt_ccnet_ppl_buckets",
     "ev_frequent_trigrams",
