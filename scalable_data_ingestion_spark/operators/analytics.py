@@ -1793,3 +1793,108 @@ def ev_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("bigint").alias("active_days"),
         (F.max("end_di") - F.min("start_di") + 1).cast("bigint").alias("span_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Off-policy evaluation by replay — inverse-propensity scoring. The
+# logged policy is the uniform md5 hash split (propensity exactly 1/2
+# per arm — known by construction, the ideal IPS setting); the target
+# policy is a deterministic rule ("users whose FIRST event is a view
+# get A, everyone else B"). IPS reweights logged conversions of users
+# whose logged arm AGREES with the target arm by 1/propensity; SNIPS
+# self-normalizes away the weight to cut variance. This answers "what
+# conversion rate WOULD the rule-based policy get?" from purely
+# logged data — the counterfactual readout next to the factual z-test
+# (ev_ab_proportion_ztest) and the causal panel (ev_did_estimate).
+#
+# Exactness: propensity is the rational 1/2; IPS/SNIPS are ratios of
+# exact BIGINT counts (matched conversions, matched users), so no
+# float enters until the final rounded report.
+#
+# Scale: one user-grain reduction (first event via min(struct), max
+# purchase flag) — the same single-shuffle shape as the z-test; the
+# policy arithmetic is a 1-row aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "ev_ips_policy_value",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             arg_min(event_type, ts || '|' ||
+                     lpad(CAST(event_id AS VARCHAR), 12, '0')) AS first_event,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+      FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT CASE WHEN (CASE substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        {" ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))}
+                        END) % 2 = 0 THEN 'A' ELSE 'B' END AS logged_arm,
+             CASE WHEN first_event = 'view' THEN 'A' ELSE 'B' END
+                 AS target_arm,
+             converted
+      FROM per_user
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted,
+             CAST(sum(CASE WHEN logged_arm = target_arm THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_matched,
+             CAST(sum(CASE WHEN logged_arm = target_arm THEN converted
+                           ELSE 0 END) AS BIGINT) AS matched_conv
+      FROM tagged
+    )
+    SELECT n_users, n_matched, n_converted, matched_conv,
+           round(n_converted * 1.0 / n_users, 6) AS logged_value,
+           round(2.0 * matched_conv / n_users, 6) AS ips_value,
+           round(matched_conv * 1.0 / n_matched, 6) AS snips_value
+    FROM counts
+    """,
+)
+def ev_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS and SNIPS estimates of the rule-based target policy's
+    conversion value from the uniformly-logged hash split."""
+    ev = table(spark, sf_dir, "events")
+    first_key = F.concat(
+        F.col("ts").cast("string"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by("event_type", first_key).alias("first_event"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    tagged = per_user.select(
+        F.when(bucket % 2 == 0, "A").otherwise("B").alias("logged_arm"),
+        F.when(F.col("first_event") == "view", "A").otherwise("B").alias(
+            "target_arm"
+        ),
+        "converted",
+    )
+    matched = (F.col("logged_arm") == F.col("target_arm")).cast("bigint")
+    counts = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.sum(matched).cast("bigint").alias("n_matched"),
+        F.sum(matched * F.col("converted")).cast("bigint").alias("matched_conv"),
+    )
+    return counts.select(
+        "n_users",
+        "n_matched",
+        "n_converted",
+        "matched_conv",
+        F.round(F.col("n_converted") * 1.0 / F.col("n_users"), 6).alias(
+            "logged_value"
+        ),
+        F.round(2.0 * F.col("matched_conv") / F.col("n_users"), 6).alias(
+            "ips_value"
+        ),
+        F.round(F.col("matched_conv") * 1.0 / F.col("n_matched"), 6).alias(
+            "snips_value"
+        ),
+    )

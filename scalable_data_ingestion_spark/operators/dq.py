@@ -717,3 +717,99 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / den.cast("double"), 6).alias("tvd"),
         (F.lit(T_CLOSENESS_DEN) * num <= den).alias("meets_t"),
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency discovery — the data-profiling pass that finds
+# which column determines which (key candidates, denormalization
+# opportunities, constraint regressions after a bad backfill). For a
+# fixed candidate set over the orders⨝customer relation, A→B holds
+# iff every A-group carries exactly one B value; the report gives the
+# violating-group count and the confidence (share of A-groups that
+# are single-valued), so a 99.9%-FD (one corrupt feed row) is visible
+# next to a true FD.
+#
+# Scale: ONE pass over the fact relation stacks all candidates into a
+# (fd, a, b) grain — both reductions are map-side-combining grouped
+# counts; no per-candidate rescans, no count(DISTINCT) over the raw
+# fact. Values stringify so one relation carries all candidates.
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = (
+    ("o_orderkey->o_custkey", "o_orderkey", "o_custkey"),
+    ("o_custkey->c_mktsegment", "o_custkey", "c_mktsegment"),
+    ("o_custkey->c_nationkey", "o_custkey", "c_nationkey"),
+    ("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"),
+    ("c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"),
+)
+
+
+@register(
+    "dq_functional_dependencies",
+    oracle=f"""
+    WITH joined AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             c_mktsegment, c_nationkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    stacked AS (
+      {" UNION ALL ".join(
+          f"SELECT '{name}' AS fd, CAST({a} AS VARCHAR) AS a_val,"
+          f" CAST({b} AS VARCHAR) AS b_val FROM joined"
+          for name, a, b in _FD_CANDIDATES
+      )}
+    ),
+    grain AS (
+      SELECT fd, a_val, b_val, CAST(count(*) AS BIGINT) AS n
+      FROM stacked GROUP BY 1, 2, 3
+    ),
+    per_a AS (
+      SELECT fd, a_val, CAST(count(*) AS BIGINT) AS ndv_b,
+             CAST(sum(n) AS BIGINT) AS n_rows
+      FROM grain GROUP BY 1, 2
+    )
+    SELECT fd,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+           round(sum(CASE WHEN ndv_b = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS confidence,
+           CAST(sum(CASE WHEN ndv_b > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+               AS holds
+    FROM per_a GROUP BY fd
+    """,
+)
+def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violating-group counts and confidence for a candidate set of
+    functional dependencies, in one stacked pass."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "c_mktsegment", "c_nationkey"
+    )
+    stack_args = ", ".join(
+        f"'{name}', CAST({a} AS STRING), CAST({b} AS STRING)"
+        for name, a, b in _FD_CANDIDATES
+    )
+    stacked = joined.select(
+        F.expr(
+            f"stack({len(_FD_CANDIDATES)}, {stack_args}) AS (fd, a_val, b_val)"
+        )
+    )
+    grain = stacked.groupBy("fd", "a_val", "b_val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_a = grain.groupBy("fd", "a_val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndv_b"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    viol = F.sum((F.col("ndv_b") > 1).cast("bigint"))
+    return per_a.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        viol.cast("bigint").alias("violating_groups"),
+        F.round(
+            F.sum((F.col("ndv_b") == 1).cast("bigint")) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("confidence"),
+        (viol == 0).alias("holds"),
+    )

@@ -441,3 +441,88 @@ def zo_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_rows_pruned"),
     )
+
+
+# --------------------------------------------------------------------------
+# Compaction planning — the small-files maintenance pass: treat each
+# calendar month of orders as one input file (the write pattern a
+# daily/monthly ingest leaves behind), and bin-pack files IN KEY ORDER
+# into ~COMPACT_TARGET_BINS equal-row output files via an exclusive
+# prefix sum (bin = running_rows DIV target). Order-preserving packing
+# keeps the date clustering (and so the date zone maps) intact —
+# exactly what OPTIMIZE/compaction jobs do, computed declaratively.
+#
+# Exactness: all integers (prefix sums, floor division). Scale: the
+# file inventory is calendar-bounded; the prefix sum uses the
+# range-partitioned global_running_sum helper, so no single-reducer
+# window even if the inventory were huge.
+# --------------------------------------------------------------------------
+COMPACT_TARGET_BINS = 8
+
+
+@register(
+    "opt_compaction_plan",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                 AS file_month,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST((sum(n_rows) + {COMPACT_TARGET_BINS} - 1)
+                  // {COMPACT_TARGET_BINS} AS BIGINT) AS target
+      FROM files
+    ),
+    packed AS (
+      SELECT f.file_month, f.n_rows, t.target,
+             CAST((sum(f.n_rows) OVER (ORDER BY f.file_month
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   ) // t.target AS BIGINT) AS bin
+      FROM files f CROSS JOIN tot t
+    )
+    SELECT CAST(coalesce(bin, 0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_input_files,
+           CAST(sum(n_rows) AS BIGINT) AS rows,
+           min(file_month) AS first_month,
+           max(file_month) AS last_month,
+           round(sum(n_rows) * 1.0 / max(target), 6) AS fill_ratio
+    FROM packed GROUP BY 1
+    """,
+)
+def opt_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving bin-packing of monthly order files into
+    ~{COMPACT_TARGET_BINS} equal-row compaction outputs."""
+    from ..functions.ranking import global_running_sum
+
+    orders = table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("file_month")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    tot = files.agg(
+        F.sum("n_rows").cast("bigint").alias("total"),
+        F.expr(
+            f"CAST((sum(n_rows) + {COMPACT_TARGET_BINS} - 1)"
+            f" DIV {COMPACT_TARGET_BINS} AS BIGINT)"
+        ).alias("target"),
+    )
+    run = global_running_sum(
+        files, [F.col("file_month")], F.col("n_rows"), "run_before",
+        inclusive=False,
+    )
+    packed = run.crossJoin(F.broadcast(tot)).select(
+        "file_month",
+        "n_rows",
+        "target",
+        F.expr("run_before DIV target").cast("bigint").alias("bin"),
+    )
+    return packed.groupBy(F.coalesce("bin", F.lit(0)).cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input_files"),
+        F.sum("n_rows").cast("bigint").alias("rows"),
+        F.min("file_month").alias("first_month"),
+        F.max("file_month").alias("last_month"),
+        F.round(F.sum("n_rows") * 1.0 / F.max("target"), 6).alias("fill_ratio"),
+    )

@@ -981,3 +981,105 @@ def stat_skew_kurtosis_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(m2, 2.0) - 3, 6).alias("excess_kurtosis"),
     )
+
+
+# --------------------------------------------------------------------------
+# Column encoding statistics — the write-side advisor behind parquet
+# encoding choices: per column, cardinality, skew of the value
+# histogram (top share), Shannon entropy, the dictionary code width
+# ceil(log2 ndv), and the average literal width. entropy_bits <<
+# plain width and small ndv → dictionary/RLE wins; entropy near the
+# literal width → leave it plain. The same numbers drive sort-key
+# choice (low-entropy columns first maximizes run length).
+#
+# Exactness: one stacked (col, value) grain pass; entropy comes from
+# H = ln N - (Σ n_v ln n_v)/N with each n_v ln n_v floored into 1e-6
+# fixed point (BIGINT-summed, shuffle-order independent); every other
+# stat is an integer count. No per-column rescans.
+# --------------------------------------------------------------------------
+_ENC_COLUMNS = (
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+    "o_custkey",
+    "o_totalprice",
+)
+
+
+@register(
+    "opt_column_encoding_stats",
+    oracle=f"""
+    WITH stacked AS (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS val FROM orders"
+          for c in _ENC_COLUMNS
+      )}
+    ),
+    grain AS (
+      SELECT col_name, val, CAST(count(*) AS BIGINT) AS n
+      FROM stacked GROUP BY 1, 2
+    ),
+    per_col AS (
+      SELECT col_name,
+             CAST(sum(n) AS BIGINT) AS n_values,
+             CAST(count(*) AS BIGINT) AS ndv,
+             CAST(max(n) AS BIGINT) AS max_freq,
+             CAST(sum(CAST(floor(n * ln(n) * 1000000) AS BIGINT)) AS BIGINT)
+                 AS s_nlogn_fx,
+             CAST(sum(CAST(length(val) AS BIGINT) * n) AS BIGINT) AS s_chars
+      FROM grain GROUP BY 1
+    )
+    SELECT col_name, n_values, ndv, max_freq,
+           round(max_freq * 1.0 / n_values, 6) AS top_share,
+           round((ln(n_values) - s_nlogn_fx / (1000000.0 * n_values))
+                 / ln(2), 6) AS entropy_bits,
+           CAST(ceil(ln(ndv) / ln(2)) AS BIGINT) AS dict_bits,
+           round(s_chars * 1.0 / n_values, 2) AS avg_val_chars
+    FROM per_col
+    """,
+)
+def opt_column_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column cardinality / skew / entropy / code-width stats for
+    encoding and sort-key decisions, in one stacked pass over orders."""
+    orders = table(spark, sf_dir, "orders")
+    stack_args = ", ".join(
+        f"'{c}', CAST({c} AS STRING)" for c in _ENC_COLUMNS
+    )
+    stacked = orders.select(
+        F.expr(f"stack({len(_ENC_COLUMNS)}, {stack_args}) AS (col_name, val)")
+    )
+    grain = stacked.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_col = grain.groupBy("col_name").agg(
+        F.sum("n").cast("bigint").alias("n_values"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.max("n").cast("bigint").alias("max_freq"),
+        F.sum(
+            F.floor(F.col("n") * F.log(F.col("n").cast("double")) * 1000000).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("s_nlogn_fx"),
+        F.sum(F.length("val").cast("bigint") * F.col("n"))
+        .cast("bigint")
+        .alias("s_chars"),
+    )
+    n = F.col("n_values")
+    return per_col.select(
+        "col_name",
+        "n_values",
+        "ndv",
+        "max_freq",
+        F.round(F.col("max_freq") * 1.0 / n, 6).alias("top_share"),
+        F.round(
+            (F.log(n.cast("double")) - F.col("s_nlogn_fx") / (1000000.0 * n))
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("entropy_bits"),
+        F.ceil(F.log(F.col("ndv").cast("double")) / F.log(F.lit(2.0)))
+        .cast("bigint")
+        .alias("dict_bits"),
+        F.round(F.col("s_chars") * 1.0 / n, 2).alias("avg_val_chars"),
+    )

@@ -138,6 +138,10 @@ _PRIORITY = (
     "ev_activity_streaks",
     "stat_skew_kurtosis_by_segment",
     "txt_heaps_law_fit",
+    "dq_functional_dependencies",
+    "opt_column_encoding_stats",
+    "ev_ips_policy_value",
+    "opt_compaction_plan",
     "ev_ab_proportion_ztest",
     "txt_ccnet_ppl_buckets",
     "ev_frequent_trigrams",
