@@ -181,3 +181,102 @@ def rj_orders_in_promo_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("promo_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Binned interval join — the scale path for interval tables too large
+# to broadcast-theta (rj_orders_in_promo_periods handles the 3-row
+# case; at millions of intervals a theta join is O(n*m)). Standard
+# rewrite: expand every interval to the fixed-width time buckets it
+# overlaps (explode over a sequence — each interval spans <= 3 buckets
+# because bucket width 64d > max length 90d / 2), equi-join facts on
+# (key, bucket), then apply the exact bounds as a post-filter. The
+# shuffle keys on (nation, bucket) — a hash equi-join at any scale.
+#
+# The 200-interval campaign table derives from pure integer
+# arithmetic (no RNG), so BOTH engines construct it identically — and
+# the DuckDB oracle deliberately uses the NAIVE theta-join
+# formulation: the hash match proves the binned rewrite is
+# semantics-preserving, not just fast.
+# --------------------------------------------------------------------------
+RJ_BUCKET_DAYS = 64
+RJ_PER_NATION = 8
+
+
+@register(
+    "rj_binned_interval_revenue",
+    oracle=f"""
+    WITH ivals AS (
+      SELECT n * 100 + i AS promo_id, n AS nationkey,
+             (n * 37 + i * 293) % 2400 AS start_dy,
+             (n * 37 + i * 293) % 2400 + 10 + (n * 7 + i * 13) % 80 AS end_dy
+      FROM (SELECT unnest(range(0, 25)) AS n),
+           (SELECT unnest(range(0, {RJ_PER_NATION})) AS i)
+    ),
+    fact AS (
+      SELECT c.c_nationkey AS nationkey,
+             date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+                 AS dy,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT iv.promo_id,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(f.cents) / 100.0, 2) AS revenue
+    FROM fact f JOIN ivals iv
+      ON f.nationkey = iv.nationkey
+     AND f.dy >= iv.start_dy AND f.dy <= iv.end_dy
+    GROUP BY 1
+    """,
+)
+def rj_binned_interval_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-campaign order count/revenue via the bucketed interval-join
+    rewrite (interval explode to {RJ_BUCKET_DAYS}-day buckets +
+    (nation, bucket) equi-join + exact bounds filter); oracle is the
+    naive theta join."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    spark_ = orders.sparkSession
+    ivals = (
+        spark_.range(0, 25)
+        .select(F.col("id").alias("n"))
+        .crossJoin(spark_.range(0, RJ_PER_NATION).select(F.col("id").alias("i")))
+        .select(
+            (F.col("n") * 100 + F.col("i")).alias("promo_id"),
+            F.col("n").alias("nationkey"),
+            ((F.col("n") * 37 + F.col("i") * 293) % 2400).alias("start_dy"),
+            (
+                (F.col("n") * 37 + F.col("i") * 293) % 2400
+                + 10
+                + (F.col("n") * 7 + F.col("i") * 13) % 80
+            ).alias("end_dy"),
+        )
+    )
+    binned = ivals.select(
+        "promo_id",
+        "nationkey",
+        "start_dy",
+        "end_dy",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_dy DIV {RJ_BUCKET_DAYS}"),
+                F.expr(f"end_dy DIV {RJ_BUCKET_DAYS}"),
+            )
+        ).alias("bucket"),
+    )
+    fact = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("dy"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    joined = fact.withColumn(
+        "bucket", F.expr(f"dy DIV {RJ_BUCKET_DAYS}")
+    ).join(binned, ["nationkey", "bucket"]).filter(  # equi-keyed: Catalyst/AQE picks broadcast vs shuffle by size
+        (F.col("dy") >= F.col("start_dy")) & (F.col("dy") <= F.col("end_dy"))
+    )
+    return joined.groupBy("promo_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+    )

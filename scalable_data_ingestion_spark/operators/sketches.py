@@ -24,7 +24,7 @@ error bound of the exact answer computed by the same engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -561,5 +561,190 @@ def sk_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         F.round(F.col("cms_estimate") * 1.0 / F.col("exact_size"), 6).alias(
             "inflation"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rolling-window HLL merge — the time-axis mergeability demo: per
+# observed day, the trailing-7-day distinct-user estimate comes from
+# MERGING the per-day register files (register-wise max over a RANGE
+# frame), never from re-scanning 7 days of raw events. This is
+# exactly how a production metrics store serves rolling uniques (one
+# sketch per (day, bucket) cell; any window = a register-wise max),
+# and the per-day realized error vs the exact rolling distinct is
+# reported alongside.
+#
+# Exactness: the register file is the same md5-derived deterministic
+# build as sk_hll_user_estimate, densified onto the (day-spine x 256
+# buckets) grid (calendar x m — bounded), merged with a per-bucket
+# RANGE window; the reduction ships 2^(53-r) BIGINT fixed point. The
+# exact twin contributes each (user, day) pair to its 7 covered days
+# via a sequence explode — grouped exact counts, no correlated rescan.
+# --------------------------------------------------------------------------
+HLL_ROLL_DAYS = 7
+
+
+@register(
+    "sk_hll_rolling_7d_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '2001-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS dy
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT dy FROM ud),
+    hashed AS (
+      SELECT dy,
+             (16 * ({_hex_digit_sql("md5(CAST(user_id AS VARCHAR))", 1)})
+              + ({_hex_digit_sql("md5(CAST(user_id AS VARCHAR))", 2)}))
+                 AS bucket,
+             ({" + ".join(
+                 f"({_hex_digit_sql('md5(CAST(user_id AS VARCHAR))', 3 + i)})"
+                 f" * {16 ** (12 - i)}::BIGINT" for i in range(13)
+             )}) AS w
+      FROM ud
+    ),
+    rho AS (
+      SELECT dy, bucket,
+             CASE WHEN strpos(lpad(bin(w), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      FROM hashed
+    ),
+    day_regs AS (
+      SELECT dy, bucket, CAST(max(rho) AS INTEGER) AS r
+      FROM rho GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT s.dy, b.bucket, d.r
+      FROM spine s
+      CROSS JOIN (SELECT unnest(range(0, {HLL_M})) AS bucket) b
+      LEFT JOIN day_regs d ON d.dy = s.dy AND d.bucket = b.bucket
+    ),
+    merged AS (
+      SELECT dy, bucket,
+             max(r) OVER (PARTITION BY bucket ORDER BY dy
+                          RANGE BETWEEN {HLL_ROLL_DAYS - 1} PRECEDING
+                          AND CURRENT ROW) AS r7
+      FROM dense
+    ),
+    red AS (
+      SELECT dy,
+             CAST(count(r7) AS INTEGER) AS n_present,
+             CAST(sum(CASE WHEN r7 IS NOT NULL
+                           THEN 1::BIGINT << (53 - r7) ELSE 0 END)
+                  AS BIGINT) AS s_present
+      FROM merged GROUP BY dy
+    ),
+    contrib AS (
+      SELECT DISTINCT u.user_id, s.dy
+      FROM ud u JOIN spine s
+        ON s.dy BETWEEN u.dy AND u.dy + {HLL_ROLL_DAYS - 1}
+    ),
+    exact AS (
+      SELECT dy, CAST(count(*) AS BIGINT) AS exact_7d FROM contrib GROUP BY dy
+    ),
+    est AS (
+      SELECT r.dy, r.n_present,
+             r.s_present + ({HLL_M} - r.n_present)::BIGINT * {_POW53} AS s_fx,
+             e.exact_7d
+      FROM red r JOIN exact e USING (dy)
+    ),
+    fin AS (
+      SELECT dy, {HLL_M} - n_present AS n_zero, s_fx, exact_7d,
+             CASE WHEN {HLL_M} - n_present > 0
+                       AND (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0
+                            * {HLL_M}.0 * {_POW53}.0) / s_fx
+                           <= 2.5 * {HLL_M}
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_present))
+                  ELSE (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0
+                        * {HLL_M}.0 * {_POW53}.0) / s_fx
+             END AS est
+      FROM est
+    )
+    SELECT CAST(dy AS BIGINT) AS dy,
+           CAST(n_zero AS INTEGER) AS n_zero_registers,
+           exact_7d,
+           round(est, 6) AS hll_estimate,
+           round((est - exact_7d) / exact_7d, 6) AS rel_err
+    FROM fin
+    """,
+)
+def sk_hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{HLL_ROLL_DAYS}-day distinct-user HLL estimates by
+    register-wise window merge of per-day sketches, vs the exact
+    rolling distinct."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2001-01-01").cast("date")
+        ).alias("dy"),
+    ).distinct()
+    spine = ud.select("dy").distinct()
+    md5 = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(md5, 3, 13), 16, 10).cast("bigint")
+    pos = F.instr(F.lpad(F.bin(w), 52, "0"), "1")
+    rho = F.when(pos == 0, 53).otherwise(pos)
+    day_regs = (
+        ud.select("dy", bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("dy", "bucket")
+        .agg(F.max("rho").cast("int").alias("r"))
+    )
+    buckets = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    dense = (
+        spine.crossJoin(F.broadcast(buckets))
+        .join(day_regs, ["dy", "bucket"], "left")
+    )
+    win = (
+        W.partitionBy("bucket")
+        .orderBy("dy")
+        .rangeBetween(-(HLL_ROLL_DAYS - 1), 0)
+    )
+    merged = dense.withColumn("r7", F.max("r").over(win))
+    red = merged.groupBy("dy").agg(
+        F.count("r7").cast("int").alias("n_present"),
+        F.sum(
+            F.when(
+                F.col("r7").isNotNull(),
+                F.expr("shiftleft(CAST(1 AS BIGINT), 53 - r7)"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    contrib = (
+        ud.select(
+            "user_id", F.explode(F.sequence("dy", F.col("dy") + HLL_ROLL_DAYS - 1)).alias("dy")
+        )
+        .join(spine, "dy", "left_semi")
+        .distinct()
+    )
+    exact = contrib.groupBy("dy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_7d")
+    )
+    est = red.join(exact, "dy").select(
+        "dy",
+        (F.lit(HLL_M) - F.col("n_present")).cast("int").alias("n_zero"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("n_present")).cast("bigint") * F.lit(_POW53)
+        ).alias("s_fx"),
+        "exact_7d",
+    )
+    raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M * float(_POW53) / F.col("s_fx")
+    corrected = F.when(
+        (F.col("n_zero") > 0) & (raw <= 2.5 * HLL_M),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return est.select(
+        F.col("dy").cast("bigint").alias("dy"),
+        F.col("n_zero").alias("n_zero_registers"),
+        "exact_7d",
+        F.round(corrected, 6).alias("hll_estimate"),
+        F.round((corrected - F.col("exact_7d")) / F.col("exact_7d"), 6).alias(
+            "rel_err"
         ),
     )

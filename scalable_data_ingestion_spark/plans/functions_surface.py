@@ -467,3 +467,87 @@ def stat_price_qty_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy / n - slope * sx / n) / 100.0, 4).alias("intercept"),
         F.round(F.pow(cov_n, 2) / (var_x * var_y), 6).alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Array / higher-order-function lab: transform, filter, exists,
+# forall, aggregate (fold), zip_with, sequence, slice, distinct,
+# sort, element_at — the Catalyst lambda-function surface in one
+# relation, value-checked against DuckDB's list_* family. Every
+# output column folds to a SCALAR (sums, counts, joined strings), so
+# the cross-engine hash needs no array-comparison semantics. Arrays
+# build per order from the sorted line quantities (order-keyed
+# grouping; group size bounded by the 7-line order shape).
+# --------------------------------------------------------------------------
+@register(
+    "fn_array_lab",
+    oracle="""
+    WITH arr AS (
+      SELECT l_orderkey,
+             list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qs) AS BIGINT) AS n_lines,
+           CAST(list_reduce(list_transform(qs, x -> x * 2),
+                            (a, x) -> a + x) AS BIGINT) AS sum_doubled,
+           CAST(len(list_filter(qs, x -> x > 10)) AS BIGINT) AS n_over10,
+           CAST(len(list_filter(qs, x -> x > 40)) > 0 AS BOOLEAN)
+               AS has_over40,
+           CAST(len(list_filter(qs, x -> x <= 0)) = 0 AS BOOLEAN)
+               AS all_positive,
+           CAST(list_reduce(list_transform(range(1, len(qs) + 1),
+                              i -> qs[i] * qs[len(qs) - i + 1]),
+                            (a, x) -> a + x) AS BIGINT) AS zip_rev_dot,
+           CAST(list_reduce(range(1, CAST(len(qs) AS INTEGER) + 1),
+                            (a, x) -> a + x) AS BIGINT) AS seq_sum,
+           CAST(len(list_distinct(qs)) AS BIGINT) AS n_distinct_qty,
+           array_to_string(list_slice(qs, 1, 3), ',') AS first3_csv,
+           CAST(qs[(len(qs) + 1) // 2] AS BIGINT) AS lower_median_qty,
+           CAST(qs[len(qs)] AS BIGINT) AS max_qty
+    FROM arr
+    """,
+)
+def fn_array_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface folded to scalars per
+    order (see oracle for the DuckDB list_* twins)."""
+    li = table(spark, sf_dir, "lineitem")
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list(F.col("l_quantity").cast("bigint"))).alias("qs")
+    )
+    qs = F.col("qs")
+    n = F.size(qs)
+    return arr.select(
+        "l_orderkey",
+        n.cast("bigint").alias("n_lines"),
+        F.aggregate(
+            F.transform(qs, lambda x: x * 2),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        .cast("bigint")
+        .alias("sum_doubled"),
+        F.size(F.filter(qs, lambda x: x > 10)).cast("bigint").alias("n_over10"),
+        F.exists(qs, lambda x: x > 40).alias("has_over40"),
+        F.forall(qs, lambda x: x > 0).alias("all_positive"),
+        F.aggregate(
+            F.zip_with(qs, F.reverse(qs), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+        .cast("bigint")
+        .alias("zip_rev_dot"),
+        F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x.cast("bigint"),
+        )
+        .cast("bigint")
+        .alias("seq_sum"),
+        F.size(F.array_distinct(qs)).cast("bigint").alias("n_distinct_qty"),
+        F.array_join(F.slice(qs, 1, 3), ",").alias("first3_csv"),
+        F.element_at(qs, ((n + 1) / 2).cast("int")).cast("bigint").alias(
+            "lower_median_qty"
+        ),
+        F.element_at(qs, n).cast("bigint").alias("max_qty"),
+    )

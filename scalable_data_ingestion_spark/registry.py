@@ -142,6 +142,9 @@ _PRIORITY = (
     "opt_column_encoding_stats",
     "ev_ips_policy_value",
     "opt_compaction_plan",
+    "rj_binned_interval_revenue",
+    "fn_array_lab",
+    "sk_hll_rolling_7d_users",
     "ev_ab_proportion_ztest",
     "txt_ccnet_ppl_buckets",
     "ev_frequent_trigrams",
