@@ -218,9 +218,36 @@ HEADLINE_R11 = [
     "sim_pq_distortion",
 ]
 
+# round-5 third-session additions: anonymization trio completion,
+# ranking/uncertainty evals, layout A/B/C + compaction, pattern SQL,
+# sketch windows, and the stacked one-pass profilers.
+HEADLINE_R12 = [
+    "dd_shingle_df_profile",
+    "gr_degree_assortativity",
+    "dq_t_closeness",
+    "txt_readability_by_source",
+    "ev_session_pattern_match",
+    "eval_retrieval_ranking",
+    "eval_conformal_coverage",
+    "zo_pruning_effectiveness",
+    "ev_markov_stationary",
+    "ts_rolling_origin_backtest",
+    "dd_lsh_bands_curve",
+    "ev_activity_streaks",
+    "stat_skew_kurtosis_by_segment",
+    "txt_heaps_law_fit",
+    "dq_functional_dependencies",
+    "opt_column_encoding_stats",
+    "ev_ips_policy_value",
+    "opt_compaction_plan",
+    "rj_binned_interval_revenue",
+    "fn_array_lab",
+    "sk_hll_rolling_7d_users",
+]
+
 ALL_HEADLINE = (
     HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
-    + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11
+    + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12
 )
 
 

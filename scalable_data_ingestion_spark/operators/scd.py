@@ -1004,3 +1004,80 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(stat - share), 6).alias("abs_gap"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance for a JOIN view — the delta-join
+# algebra: with base relations R (orders) and S (customer) each
+# receiving a delta, the view over (R ∪ ΔR) ⋈ (S ∪ ΔS) equals the old
+# view PLUS the three delta joins ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS — an update
+# whose cost is delta-sized, not base-sized (the reason warehouses
+# can keep join MVs fresh at 100 TB). Here the view is revenue per
+# nation; orders split old/new on a date cutoff, customers old/new on
+# an md5 hash; Spark computes the view INCREMENTALLY (base + three
+# delta joins, additive merge), while the DuckDB oracle recomputes
+# from scratch — the hash match is the IVM-correctness proof.
+#
+# Exactness: money in BIGINT cents; the merge is an additive grouped
+# sum. Scale: each delta join keys on custkey (ΔR⋈S broadcasts the
+# dimension; R⋈ΔS broadcasts the customer delta); the merge
+# aggregates nation-sized partials.
+# --------------------------------------------------------------------------
+IVM_CUTOFF = "1997-01-01"
+
+
+@register(
+    "ivm_join_delta_parity",
+    oracle=f"""
+    WITH tagged_c AS (
+      SELECT c_custkey, c_nationkey FROM customer
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o JOIN tagged_c c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def ivm_join_delta_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-per-nation join view maintained incrementally via the
+    three delta joins; oracle recomputes from scratch."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_orderdate") < F.lit(IVM_CUTOFF).cast("date")).alias("is_old_o"),
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        (
+            F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1), 16, 10)
+            .cast("int")
+            < 12
+        ).alias("is_old_c"),
+    )
+    r_old = orders.filter(F.col("is_old_o"))
+    r_new = orders.filter(~F.col("is_old_o"))
+    s_old = cust.filter(F.col("is_old_c"))
+    s_new = cust.filter(~F.col("is_old_c"))
+
+    def view(o, c):
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum("cents").cast("bigint").alias("revenue_cents"),
+            )
+        )
+
+    base = view(r_old, s_old)          # the stored MV
+    d1 = view(r_new, s_old)            # ΔR ⋈ S
+    d2 = view(r_old, s_new)            # R ⋈ ΔS
+    d3 = view(r_new, s_new)            # ΔR ⋈ ΔS
+    merged = base.unionByName(d1).unionByName(d2).unionByName(d3)
+    return merged.groupBy("nationkey").agg(
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+    )

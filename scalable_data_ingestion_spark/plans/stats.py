@@ -1083,3 +1083,205 @@ def opt_column_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dict_bits"),
         F.round(F.col("s_chars") * 1.0 / n, 2).alias("avg_val_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation q-error — the CBO sanity report: the
+# textbook uniformity estimate |R ⋈ S| ≈ |R|·|S| / max(ndv_R, ndv_S)
+# for two real joins (orders⋈lineitem on orderkey — a PK/FK join the
+# estimator nails; lineitem⋈lineitem on partkey — a self-join whose
+# skew the uniformity assumption underestimates), next to the exact
+# size and the q-error max(est/actual, actual/est). The q-error
+# quantifies how much a plan picked from these stats can be off —
+# this is the number optimizer papers report, computed on the
+# engine's own data.
+#
+# Exactness: NDVs and actual sizes are exact grouped counts (the
+# actual self-join size is sum over keys of cnt^2 — computed from the
+# key histogram, never by materializing the join); the estimate is
+# integer floor division; q-error is one rounded scalar.
+# Scale: two key-grain reductions; nothing joins.
+# --------------------------------------------------------------------------
+@register(
+    "opt_join_qerror",
+    oracle="""
+    WITH ok AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    pk AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    orders_side AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_orders
+      FROM orders
+    ),
+    li_ok AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_li,
+             CAST(count(*) AS BIGINT) AS ndv_ok,
+             CAST(sum(c * c) AS BIGINT) AS self_ok
+      FROM ok
+    ),
+    li_pk AS (
+      SELECT CAST(count(*) AS BIGINT) AS ndv_pk,
+             CAST(sum(c * c) AS BIGINT) AS self_pk,
+             CAST(sum(c) AS BIGINT) AS n_li2
+      FROM pk
+    ),
+    joins AS (
+      SELECT 'orders_lineitem_orderkey' AS join_name,
+             o.n_orders * l.n_li // greatest(o.ndv_orders, l.ndv_ok)
+                 AS est_rows,
+             l.n_li AS actual_rows
+      FROM orders_side o CROSS JOIN li_ok l
+      UNION ALL
+      SELECT 'lineitem_self_partkey' AS join_name,
+             p.n_li2 * p.n_li2 // p.ndv_pk AS est_rows,
+             p.self_pk AS actual_rows
+      FROM li_pk p
+    )
+    SELECT join_name,
+           CAST(est_rows AS BIGINT) AS est_rows,
+           CAST(actual_rows AS BIGINT) AS actual_rows,
+           round(greatest(est_rows * 1.0 / actual_rows,
+                          actual_rows * 1.0 / est_rows), 6) AS q_error
+    FROM joins
+    """,
+)
+def opt_join_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniformity-assumption join-size estimates vs exact sizes (from
+    key histograms, never a materialized join) with q-errors."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ok = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    pk = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    orders_side = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("ndv_orders"),
+    )
+    li_ok = ok.agg(
+        F.sum("c").cast("bigint").alias("n_li"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv_ok"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("self_ok"),
+    )
+    li_pk = pk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndv_pk"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("self_pk"),
+        F.sum("c").cast("bigint").alias("n_li2"),
+    )
+    j1 = (
+        orders_side.crossJoin(F.broadcast(li_ok))
+        .select(
+            F.lit("orders_lineitem_orderkey").alias("join_name"),
+            F.expr("n_orders * n_li DIV greatest(ndv_orders, ndv_ok)").alias(
+                "est_rows"
+            ),
+            F.col("n_li").alias("actual_rows"),
+        )
+    )
+    j2 = li_pk.select(
+        F.lit("lineitem_self_partkey").alias("join_name"),
+        F.expr("n_li2 * n_li2 DIV ndv_pk").alias("est_rows"),
+        F.col("self_pk").alias("actual_rows"),
+    )
+    joins = j1.unionByName(j2)
+    return joins.select(
+        "join_name",
+        F.col("est_rows").cast("bigint").alias("est_rows"),
+        F.col("actual_rows").cast("bigint").alias("actual_rows"),
+        F.round(
+            F.greatest(
+                F.col("est_rows") * 1.0 / F.col("actual_rows"),
+                F.col("actual_rows") * 1.0 / F.col("est_rows"),
+            ),
+            6,
+        ).alias("q_error"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Business-day lead time — sla_ship_leadtime counts calendar days;
+# contractual SLAs count WEEKDAYS. The weekday count is pure integer
+# arithmetic on the epoch day index (1992-01-01 is a Wednesday, so
+# wd = (dy + 2) % 7 with 0 = Monday; each 7-block holds 5 weekdays at
+# positions {0,1,2,5,6} of the dy%7 cycle, so weekdays_before(d) =
+# 5*(d DIV 7) + prefix_lut(d % 7)) — no date functions, no engine
+# dow-convention mismatch, exact in both engines.
+#
+# Scale: the same orderkey join layout as the calendar-day SLA; all
+# new math is map-side projection.
+# --------------------------------------------------------------------------
+def _weekdays_before(col: str) -> str:
+    # prefix counts of weekday flags within the dy%7 cycle 2,3,4,5,6,0,1
+    lut = "CASE ({c}) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 " \
+          "WHEN 3 THEN 3 WHEN 4 THEN 3 WHEN 5 THEN 3 ELSE 4 END"
+    return f"(5 * (({col}) DIV 7) + {lut.format(c=col)})"
+
+
+def _weekdays_before_duck(col: str) -> str:
+    lut = "CASE ({c}) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 " \
+          "WHEN 3 THEN 3 WHEN 4 THEN 3 WHEN 5 THEN 3 ELSE 4 END"
+    return f"(5 * (({col}) // 7) + {lut.format(c=col)})"
+
+
+@register(
+    "sla_business_day_leadtime",
+    oracle=f"""
+    WITH lt AS (
+      SELECT o.o_orderpriority AS priority,
+             date_diff('day', DATE '1992-01-01', CAST(o.o_orderdate AS DATE))
+                 AS c_dy,
+             date_diff('day', DATE '1992-01-01', CAST(l.l_shipdate AS DATE))
+                 AS s_dy
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    biz AS (
+      SELECT priority,
+             {_weekdays_before_duck("s_dy + 1")}
+             - {_weekdays_before_duck("c_dy + 1")} AS biz_days
+      FROM lt
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(biz_days) * 1.0 / count(*), 6) AS mean_biz_days,
+           round(quantile_cont(biz_days, 0.5), 6) AS p50_biz_days,
+           round(quantile_cont(biz_days, 0.9), 6) AS p90_biz_days,
+           CAST(max(biz_days) AS BIGINT) AS max_biz_days
+    FROM biz GROUP BY priority
+    """,
+)
+def sla_business_day_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order->ship lead time in WEEKDAYS per priority (pure integer
+    epoch-day arithmetic; exact percentiles over 5 groups)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    epoch = F.lit("1992-01-01").cast("date")
+    lt = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("c_dy"),
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("s_dy"),
+    )
+    biz = lt.select(
+        "priority",
+        (
+            F.expr(_weekdays_before("s_dy + 1"))
+            - F.expr(_weekdays_before("c_dy + 1"))
+        ).alias("biz_days"),
+    )
+    return biz.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.sum("biz_days") * 1.0 / F.count(F.lit(1)), 6).alias(
+            "mean_biz_days"
+        ),
+        F.round(F.percentile("biz_days", F.lit(0.5)), 6).alias("p50_biz_days"),
+        F.round(F.percentile("biz_days", F.lit(0.9)), 6).alias("p90_biz_days"),
+        F.max("biz_days").cast("bigint").alias("max_biz_days"),
+    )

@@ -145,6 +145,9 @@ _PRIORITY = (
     "rj_binned_interval_revenue",
     "fn_array_lab",
     "sk_hll_rolling_7d_users",
+    "opt_join_qerror",
+    "sla_business_day_leadtime",
+    "ivm_join_delta_parity",
     "ev_ab_proportion_ztest",
     "txt_ccnet_ppl_buckets",
     "ev_frequent_trigrams",
