@@ -1898,3 +1898,81 @@ def ev_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snips_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user engagement trend — an OLS slope of event value against the
+# user's own event sequence index, one slope per user (the churn
+# feature: negative slope = declining engagement). Unlike the global
+# regressions (stat_price_qty_regression, stat_theil_sen_slope) this
+# is a GROUPED regression: five integer moment sums per user in one
+# map-side-combining aggregate after the sequence-index window — no
+# per-user iteration, millions of regressions in one pass.
+#
+# Exactness: y quantizes to BIGINT cents, x is the 1-based row index;
+# all five moments are exact integer sums; the slope is one scalar
+# division per user, rounded once.
+# --------------------------------------------------------------------------
+EV_TREND_MIN_EVENTS = 5
+
+
+@register(
+    "ev_user_value_trend",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    mom AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM seq GROUP BY user_id
+      HAVING count(*) >= {EV_TREND_MIN_EVENTS}
+    )
+    SELECT user_id, n,
+           round((n * sxy - sx * sy) * 1.0
+                 / ((n * sxx - sx * sx) * 100.0), 6) AS slope_per_event,
+           round(sy / (100.0 * n), 6) AS mean_value,
+           CAST((n * sxy - sx * sy) < 0 AS BOOLEAN) AS declining
+    FROM mom
+    """,
+)
+def ev_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS slope of event value over the user's sequence
+    index (grouped regression from exact integer moments)."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    mom = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+        .filter(F.col("n") >= EV_TREND_MIN_EVENTS)
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mom.select(
+        "user_id",
+        "n",
+        F.round(num * 1.0 / (den * 100.0), 6).alias("slope_per_event"),
+        F.round(F.col("sy") / (100.0 * F.col("n")), 6).alias("mean_value"),
+        (num < 0).alias("declining"),
+    )

@@ -292,3 +292,105 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sample,
         "media_id bigint, n_frames int, frame_idx bigint, frame_md5 string",
     )
+
+
+# --------------------------------------------------------------------------
+# Patch-grid planning — the ViT-preprocessing plumbing computed
+# relationally from METADATA ONLY: each media row expands to its
+# 64x64-pixel patch grid (explode over the (i, j) index space) with
+# the byte offset each patch's first pixel would have in a row-major
+# RGB layout. The decode itself stays behind the documented codec
+# stub; what a 100 TB preprocessing job actually schedules — which
+# byte ranges to read for which patch — is exactly this relation, and
+# it never touches the payload column.
+#
+# Exactness: all integer arithmetic on metadata. Scale: map-side
+# sequence explode (patch count bounded by metadata), one mime-grain
+# rollup.
+# --------------------------------------------------------------------------
+MM_PATCH_PX = 64
+MM_BYTES_PER_PIXEL = 3
+
+
+@register(
+    "mm_patch_grid",
+    oracle=f"""
+    WITH media AS (
+      SELECT id AS media_id,
+             CASE WHEN id % 3 = 0 THEN 'image/png'
+                  ELSE 'image/jpeg' END AS mime,
+             CAST((id % 16 + 1) * 64 AS BIGINT) AS width,
+             CAST((id % 9 + 1) * 64 AS BIGINT) AS height
+      FROM (SELECT unnest(range(0, 100)) AS id)
+    ),
+    grid AS (
+      SELECT media_id, mime, width, height,
+             width // {MM_PATCH_PX} AS px, height // {MM_PATCH_PX} AS py
+      FROM media
+    ),
+    patches AS (
+      SELECT g.media_id, g.mime,
+             (j.j * {MM_PATCH_PX} * g.width + i.i * {MM_PATCH_PX})
+                 * {MM_BYTES_PER_PIXEL} AS byte_offset
+      FROM grid g,
+           unnest(generate_series(0, g.px - 1)) AS i(i),
+           unnest(generate_series(0, g.py - 1)) AS j(j)
+    )
+    SELECT mime,
+           CAST(count(DISTINCT media_id) AS BIGINT) AS n_media,
+           CAST(count(*) AS BIGINT) AS total_patches,
+           round(count(*) * 1.0 / count(DISTINCT media_id), 2)
+               AS avg_patches_per_media,
+           CAST(max(byte_offset) AS BIGINT) AS max_patch_offset
+    FROM patches GROUP BY mime
+    """,
+)
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-mime {MM_PATCH_PX}px patch-grid plan (patch counts and
+    byte-range offsets) from media metadata only — the preprocessing
+    scheduler's relation; payload never read."""
+    media = synthetic_media(spark)
+    grid = media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.width").cast("bigint").alias("width"),
+        F.col("meta.height").cast("bigint").alias("height"),
+    ).select(
+        "media_id",
+        "mime",
+        "width",
+        F.expr(f"width DIV {MM_PATCH_PX}").alias("px"),
+        F.expr(f"height DIV {MM_PATCH_PX}").alias("py"),
+    )
+    patches = (
+        grid.select(
+            "media_id",
+            "mime",
+            "width",
+            F.explode(F.sequence(F.lit(0), F.col("px") - 1)).alias("i"),
+            "py",
+        )
+        .select(
+            "media_id",
+            "mime",
+            "width",
+            "i",
+            F.explode(F.sequence(F.lit(0), F.col("py") - 1)).alias("j"),
+        )
+        .select(
+            "media_id",
+            "mime",
+            (
+                (F.col("j") * MM_PATCH_PX * F.col("width") + F.col("i") * MM_PATCH_PX)
+                * MM_BYTES_PER_PIXEL
+            ).alias("byte_offset"),
+        )
+    )
+    return patches.groupBy("mime").agg(
+        F.countDistinct("media_id").cast("bigint").alias("n_media"),
+        F.count(F.lit(1)).cast("bigint").alias("total_patches"),
+        F.round(F.count(F.lit(1)) * 1.0 / F.countDistinct("media_id"), 2).alias(
+            "avg_patches_per_media"
+        ),
+        F.max("byte_offset").cast("bigint").alias("max_patch_offset"),
+    )

@@ -551,3 +551,58 @@ def fn_array_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.element_at(qs, n).cast("bigint").alias("max_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Window-function surface lab: percent_rank, cume_dist, nth_value,
+# first/last in frame, lag/lead with defaults — the analytic-function
+# breadth beyond the ranking/running-sum operators, in ONE
+# nation-partitioned pass over customers (dimension-keyed partitions,
+# deterministic (acctbal, custkey) total order inside each).
+# percent_rank/cume_dist are exact rationals of integer ranks; the
+# money columns are per-row scalars — no rounding games needed beyond
+# the documented 2dp money grid.
+# --------------------------------------------------------------------------
+@register(
+    "fn_window_lab",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_nationkey AS INTEGER) AS nation,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(nth_value(c_acctbal, 2) OVER
+                 (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                 2) AS second_lowest_bal,
+           round(first_value(c_acctbal) OVER w, 2) AS min_bal,
+           round(last_value(c_acctbal) OVER
+                 (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                 2) AS max_bal,
+           round(lag(c_acctbal, 1, -1.0) OVER w, 2) AS prev_bal,
+           round(lead(c_acctbal, 1, -1.0) OVER w, 2) AS next_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def fn_window_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function surface over nation-partitioned
+    customers (see oracle for the SQL twins)."""
+    cust = table(spark, sf_dir, "customer")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.nth_value("c_acctbal", 2).over(wfull), 2).alias(
+            "second_lowest_bal"
+        ),
+        F.round(F.first("c_acctbal").over(w), 2).alias("min_bal"),
+        F.round(F.last("c_acctbal").over(wfull), 2).alias("max_bal"),
+        F.round(F.lag("c_acctbal", 1, -1.0).over(w), 2).alias("prev_bal"),
+        F.round(F.lead("c_acctbal", 1, -1.0).over(w), 2).alias("next_bal"),
+    )

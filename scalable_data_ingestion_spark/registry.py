@@ -148,6 +148,9 @@ _PRIORITY = (
     "opt_join_qerror",
     "sla_business_day_leadtime",
     "ivm_join_delta_parity",
+    "ev_user_value_trend",
+    "fn_window_lab",
+    "mm_patch_grid",
     "ev_ab_proportion_ztest",
     "txt_ccnet_ppl_buckets",
     "ev_frequent_trigrams",
