@@ -813,3 +813,145 @@ def dq_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("confidence"),
         (viol == 0).alias("holds"),
     )
+
+
+# --------------------------------------------------------------------------
+# Expectation suite — the Great-Expectations-style declarative rule
+# runner: a suite is DATA (rule name, kind, column, params), compiled
+# to Column predicates and evaluated as conditional counts in ONE
+# pass over the table; uniqueness rules (which need a key grain)
+# evaluate in one extra grain pass and union in. A pipeline gates a
+# batch on `all(passed)`; the per-rule violation counts are the
+# triage report.
+#
+# Rule kinds: not_null / non_negative / in_set / matches_regex /
+# between_dates / unique_key. Adding a kind = one entry in the
+# compiler below; suites stay declarative.
+# --------------------------------------------------------------------------
+ORDERS_EXPECTATIONS = (
+    ("orderkey_not_null", "not_null", "o_orderkey", None),
+    ("custkey_not_null", "not_null", "o_custkey", None),
+    ("price_non_negative", "non_negative", "o_totalprice", None),
+    (
+        "priority_in_set",
+        "in_set",
+        "o_orderpriority",
+        ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+    ),
+    ("status_matches", "matches_regex", "o_orderstatus", "^[FOP]$"),
+    ("date_in_range", "between_dates", "o_orderdate", ("1992-01-01", "2001-12-31")),
+    ("orderkey_unique", "unique_key", "o_orderkey", None),
+)
+
+
+def _expectation_predicate(kind: str, col: str, params):
+    """Compile one rule to a Column predicate (True = row passes)."""
+    c = F.col(col)
+    if kind == "not_null":
+        return c.isNotNull()
+    if kind == "non_negative":
+        return c >= 0
+    if kind == "in_set":
+        return c.isin(*params)
+    if kind == "matches_regex":
+        return c.rlike(params)
+    if kind == "between_dates":
+        lo, hi = params
+        d = c.cast("date")
+        return (d >= F.lit(lo).cast("date")) & (d <= F.lit(hi).cast("date"))
+    raise ValueError(f"unknown expectation kind: {kind}")
+
+
+def _expectation_sql(kind: str, col: str, params) -> str:
+    if kind == "not_null":
+        return f"{col} IS NOT NULL"
+    if kind == "non_negative":
+        return f"{col} >= 0"
+    if kind == "in_set":
+        vals = ", ".join(f"'{v}'" for v in params)
+        return f"{col} IN ({vals})"
+    if kind == "matches_regex":
+        return f"regexp_matches({col}, '{params}')"
+    if kind == "between_dates":
+        lo, hi = params
+        return (
+            f"CAST({col} AS DATE) >= DATE '{lo}'"
+            f" AND CAST({col} AS DATE) <= DATE '{hi}'"
+        )
+    raise ValueError(kind)
+
+
+@register(
+    "dq_expectation_suite",
+    oracle=f"""
+    WITH rowrules AS (
+      {" UNION ALL ".join(
+          f"SELECT '{name}' AS rule_name,"
+          f" CAST(count(*) AS BIGINT) AS n_rows,"
+          f" CAST(sum(CASE WHEN {_expectation_sql(kind, col, params)}"
+          f" THEN 0 ELSE 1 END) AS BIGINT) AS n_violations"
+          f" FROM orders"
+          for name, kind, col, params in ORDERS_EXPECTATIONS
+          if kind != "unique_key"
+      )}
+    ),
+    uniq AS (
+      SELECT 'orderkey_unique' AS rule_name,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_violations
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+    )
+    SELECT rule_name, n_rows, n_violations,
+           CAST(n_violations = 0 AS BOOLEAN) AS passed
+    FROM (SELECT * FROM rowrules UNION ALL SELECT * FROM uniq)
+    """,
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over orders: row rules compile to
+    one conditional-count pass; key-uniqueness adds one grain pass."""
+    orders = table(spark, sf_dir, "orders")
+    aggs = []
+    for name, kind, col, params in ORDERS_EXPECTATIONS:
+        if kind == "unique_key":
+            continue
+        pred = _expectation_predicate(kind, col, params)
+        aggs.append(
+            F.sum(F.when(pred, 0).otherwise(1))
+            .cast("bigint")
+            .alias(f"v_{name}")
+        )
+    one_pass = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"), *aggs
+    )
+    row_rules = one_pass.select(
+        F.expr(
+            "stack("
+            + str(len(ORDERS_EXPECTATIONS) - 1)
+            + ", "
+            + ", ".join(
+                f"'{name}', v_{name}"
+                for name, kind, _, _ in ORDERS_EXPECTATIONS
+                if kind != "unique_key"
+            )
+            + ") AS (rule_name, n_violations)"
+        ),
+        "n_rows",
+    ).select("rule_name", "n_rows", "n_violations")
+    grain = orders.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    uniq = grain.agg(
+        F.lit("orderkey_unique").alias("rule_name"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    out = row_rules.unionByName(uniq)
+    return out.select(
+        "rule_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -151,6 +151,7 @@ _PRIORITY = (
     "ev_user_value_trend",
     "fn_window_lab",
     "mm_patch_grid",
+    "dq_expectation_suite",
     "ev_ab_proportion_ztest",
     "txt_ccnet_ppl_buckets",
     "ev_frequent_trigrams",
