@@ -472,3 +472,343 @@ def stat_winsorized_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clipped_hi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+# location test a pipeline reaches for when order values are too
+# heavy-tailed for the t-test. Same two-segment shape as the KS scan
+# (different segment pair so the two tests exercise different data).
+#
+# Scale shape: one fact-sized groupBy collapses the tagged sample to
+# the distinct-cents grain; midranks come from the range-partitioned
+# prefix-sum helper (ONE slicing carries both samples' counts — never
+# a single-partition window); everything after is a scalar reduce.
+# Exactness: 2*midrank = 2*cum_before + t + 1 is an exact integer, so
+# the rank sum rides in DECIMAL(38,0); U, the tie-corrected variance
+# and z are derived from those exact integers in identical double
+# expressions on both engines.
+# --------------------------------------------------------------------------
+MW_SEG_A = "MACHINERY"
+MW_SEG_B = "FURNITURE"
+MW_Z_CRIT = 1.959964
+
+
+@register(
+    "stat_mann_whitney_u",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(c_mktsegment = '{MW_SEG_A}' AS INTEGER) AS in_a
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{MW_SEG_A}', '{MW_SEG_B}')
+    ),
+    per_value AS (
+      SELECT cents,
+             CAST(sum(in_a) AS BIGINT) AS cnt_a,
+             CAST(sum(1 - in_a) AS BIGINT) AS cnt_b
+      FROM tagged GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents, cnt_a, cnt_b, cnt_a + cnt_b AS t,
+             CAST(sum(cnt_a + cnt_b) OVER (
+               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cum_t
+      FROM per_value
+    ),
+    parts AS (
+      SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+             CAST(sum(cnt_b) AS BIGINT) AS n_b,
+             CAST(sum(CAST(cnt_a AS HUGEINT)
+                      * (2 * (cum_t - t) + t + 1)) AS HUGEINT) AS r2_a,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tie3
+      FROM cum
+    ),
+    stat AS (
+      SELECT n_a, n_b,
+             CAST(r2_a AS DOUBLE) / 2
+               - CAST(n_a AS DOUBLE) * (n_a + 1) / 2 AS u_a,
+             CAST(n_a AS DOUBLE) * n_b / 2 AS mu_u,
+             (CAST(n_a AS DOUBLE) * n_b / 12)
+               * ((n_a + n_b + 1)
+                  - CAST(tie3 AS DOUBLE)
+                    / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+               AS var_u
+      FROM parts
+    )
+    SELECT n_a, n_b,
+           round(u_a, 2) AS u_stat,
+           round(CASE WHEN u_a > mu_u THEN (u_a - mu_u - 0.5) / sqrt(var_u)
+                      WHEN u_a < mu_u THEN (u_a - mu_u + 0.5) / sqrt(var_u)
+                      ELSE 0.0 END, 6) AS z_score,
+           abs(CASE WHEN u_a > mu_u THEN (u_a - mu_u - 0.5) / sqrt(var_u)
+                    WHEN u_a < mu_u THEN (u_a - mu_u + 0.5) / sqrt(var_u)
+                    ELSE 0.0 END) > {MW_Z_CRIT} AS significant
+    FROM stat
+    """,
+)
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between {MW_SEG_A} and {MW_SEG_B} order prices.
+
+    Midranks over the combined sample come from cumulative counts on
+    the distinct-cents grain: 2*midrank = 2*cum_before + t + 1 (exact
+    integer). U_a = R_a - n_a(n_a+1)/2, with the normal approximation
+    z carrying the tie correction and +-0.5 continuity correction.
+    """
+    from ..functions.ranking import global_running_sums
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(MW_SEG_A, MW_SEG_B)
+    )
+    tagged = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("c_mktsegment") == MW_SEG_A).cast("int").alias("in_a"),
+    )
+    per_value = tagged.groupBy("cents").agg(
+        F.sum("in_a").cast("bigint").alias("cnt_a"),
+        F.sum(F.lit(1) - F.col("in_a")).cast("bigint").alias("cnt_b"),
+    )
+    t = F.col("cnt_a") + F.col("cnt_b")
+    cum = global_running_sums(
+        per_value.withColumn("t", t),
+        [F.col("cents")],
+        {"cum_t": F.col("t")},
+    )
+    parts = cum.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("cnt_a").cast("decimal(38,0)")
+            * (2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1)
+        )
+        .cast("decimal(38,0)")
+        .alias("r2_a"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = (
+        F.col("r2_a").cast("double") / 2
+        - n_a.cast("double") * (n_a + 1) / 2
+    )
+    mu_u = n_a.cast("double") * n_b / 2
+    var_u = (n_a.cast("double") * n_b / 12) * (
+        (n_a + n_b + 1)
+        - F.col("tie3").cast("double")
+        / ((n_a + n_b).cast("double") * (n_a + n_b - 1))
+    )
+    z = (
+        F.when(u_a > mu_u, (u_a - mu_u - 0.5) / F.sqrt(var_u))
+        .when(u_a < mu_u, (u_a - mu_u + 0.5) / F.sqrt(var_u))
+        .otherwise(F.lit(0.0))
+    )
+    return parts.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 2).alias("u_stat"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) > MW_Z_CRIT).alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA — does mean order value differ across the five market
+# segments? F-statistic + eta-squared effect size.
+#
+# Scale shape: ONE fact-sized groupBy produces per-segment exact power
+# sums (integer-dollar grid, DECIMAL(38,0) — the skew/kurtosis
+# pattern); the cross-group combination folds the 5-element sorted
+# group array left-to-right, so the only double summation in the whole
+# query runs in a fixed order on both engines (in-order array folds
+# are bit-exact cross-engine; an unordered SUM over per-group doubles
+# would not be).
+# --------------------------------------------------------------------------
+@register(
+    "stat_anova_f_segments",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment,
+             CAST(round(o_totalprice) AS BIGINT) AS d
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    grp AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS s1_g
+      FROM base GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS k,
+             CAST(CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS s1,
+             CAST(CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS DOUBLE)
+                 AS s2
+      FROM base
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(s1_g * s1_g / n_g ORDER BY c_mktsegment)),
+               (a, b) -> a + b) AS t_between
+      FROM grp
+    )
+    SELECT k AS k_groups, n,
+           round(t_between - s1 * s1 / n, 2) AS ss_between,
+           round(s2 - t_between, 2) AS ss_within,
+           round(((t_between - s1 * s1 / n) / (k - 1))
+                 / ((s2 - t_between) / (n - k)), 6) AS f_stat,
+           round((t_between - s1 * s1 / n) / (s2 - s1 * s1 / n), 6)
+               AS eta_sq
+    FROM folded, tot
+    """,
+)
+def stat_anova_f_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value (integer-dollar grid) across
+    market segments: F = (SSB/(k-1)) / (SSW/(n-k)), eta^2 = SSB/SST.
+
+    SSB and SSW both derive from T = sum_g s1_g^2/n_g, folded over the
+    segment-sorted group array so the double addition order is fixed.
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", F.round("o_totalprice").cast("bigint").alias("d"))
+    dd = F.col("d").cast("decimal(38,0)")
+    grp = base.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(dd).cast("decimal(38,0)").cast("double").alias("s1_g"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("k"),
+        F.sum(dd).cast("decimal(38,0)").cast("double").alias("s1"),
+        F.sum(dd * F.col("d")).cast("decimal(38,0)").cast("double").alias("s2"),
+    )
+    folded = grp.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("c_mktsegment", "n_g", "s1_g"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s1_g"] * x["s1_g"] / x["n_g"],
+        ).alias("t_between")
+    )
+    j = folded.crossJoin(F.broadcast(tot))
+    ssb = F.col("t_between") - F.col("s1") * F.col("s1") / F.col("n")
+    ssw = F.col("s2") - F.col("t_between")
+    sst = F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+    return j.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(ssw, 2).alias("ss_within"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation between line-item quantity and extended
+# price — the monotone-association check that survives the heavy tail
+# Pearson chokes on. rho = Pearson correlation of midranks.
+#
+# Scale shape: each variable collapses to its distinct-value grain
+# (one fact-sized groupBy each); midranks come from the
+# range-partitioned prefix-sum helper; the rank join back to the fact
+# table is a broadcast for the 50-value quantity side and a hash
+# equi-join on cents for the price side; ONE final aggregate carries
+# every cross sum in DECIMAL(38,0) (2*midrank is an exact integer, so
+# rank products are exact — the scale factor 2 cancels in rho).
+# --------------------------------------------------------------------------
+@register(
+    "stat_spearman_qty_price",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      FROM lineitem
+    ),
+    qrank AS (
+      SELECT q,
+             2 * (CAST(sum(count(*)) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - count(*)) + count(*) + 1 AS rq
+      FROM base GROUP BY q
+    ),
+    prank AS (
+      SELECT p,
+             2 * (CAST(sum(count(*)) OVER (ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - count(*)) + count(*) + 1 AS rp
+      FROM base GROUP BY p
+    ),
+    ranked AS (
+      SELECT CAST(rq AS HUGEINT) AS rq, CAST(rp AS HUGEINT) AS rp
+      FROM base JOIN qrank USING (q) JOIN prank USING (p)
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(CAST(sum(rq) AS HUGEINT) AS DOUBLE) AS sx,
+             CAST(CAST(sum(rp) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(sum(rq * rq) AS HUGEINT) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(rp * rp) AS HUGEINT) AS DOUBLE) AS syy,
+             CAST(CAST(sum(rq * rp) AS HUGEINT) AS DOUBLE) AS sxy
+      FROM ranked
+    )
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS rho_spearman
+    FROM sums
+    """,
+)
+def stat_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between l_quantity and l_extendedprice via exact
+    integer midranks (2*midrank = 2*cum_before + t + 1)."""
+    from ..functions.ranking import global_running_sums
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.round("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+    )
+
+    def midranks(df: DataFrame, col: str, out: str) -> DataFrame:
+        per = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        cum = global_running_sums(per, [F.col(col)], {"cum_t": F.col("t")})
+        return cum.select(
+            col,
+            (
+                2 * (F.col("cum_t") - F.col("t")) + F.col("t") + 1
+            ).alias(out),
+        )
+
+    qrank = midranks(li, "q", "rq")
+    prank = midranks(li, "p", "rp")
+    ranked = li.join(F.broadcast(qrank), "q").join(prank, "p")
+    rq = F.col("rq").cast("decimal(38,0)")
+    rp = F.col("rp").cast("decimal(38,0)")
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rq).cast("decimal(38,0)").cast("double").alias("sx"),
+        F.sum(rp).cast("decimal(38,0)").cast("double").alias("sy"),
+        F.sum(rq * F.col("rq")).cast("decimal(38,0)").cast("double").alias("sxx"),
+        F.sum(rp * F.col("rp")).cast("decimal(38,0)").cast("double").alias("syy"),
+        F.sum(rq * F.col("rp")).cast("decimal(38,0)").cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("n", F.round(num / den, 6).alias("rho_spearman"))
