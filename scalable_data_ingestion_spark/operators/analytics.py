@@ -1976,3 +1976,231 @@ def ev_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sy") / (100.0 * F.col("n")), 6).alias("mean_value"),
         (num < 0).alias("declining"),
     )
+
+
+# --------------------------------------------------------------------------
+# Doubly-robust ATE — the estimator an experimentation platform
+# publishes when either the outcome model OR the propensity model may
+# be misspecified: per-arm linear outcome models (y ~ pre-period
+# views, closed-form OLS) combined with stratum-level empirical
+# propensities (pre-view buckets), via the augmented-IPW form. With
+# exact per-stratum sums the per-unit residual terms collapse
+# algebraically to stratum totals, so the whole estimator is a
+# dimension-sized combination of ONE user-grain reduction.
+#
+# Exactness: every input sum (counts, view/purchase sums, cross
+# products) is an exact BIGINT; the OLS coefficients are fixed double
+# expressions of them; the final sum over the ~5 strata folds a
+# stratum-sorted array left-to-right so even that double addition has
+# a fixed order in both engines.
+# --------------------------------------------------------------------------
+DR_STRATA_CAP = 4  # pre-view count buckets 0,1,2,3,4+
+
+
+@register(
+    "ev_doubly_robust_ate",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'view'
+                            AND ts < TIMESTAMP '{CUPED_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                            AND ts >= TIMESTAMP '{CUPED_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT CASE WHEN (CASE substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        {" ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))}
+                        END) % 2 = 0 THEN 1 ELSE 0 END AS t,
+             x, y, least(x, {DR_STRATA_CAP}) AS s
+      FROM per_user
+    ),
+    arm AS (
+      SELECT t,
+             CAST(count(*) AS BIGINT) AS n_t,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM tagged GROUP BY t
+    ),
+    model AS (
+      SELECT
+        max(CASE WHEN t = 1 THEN n_t END) AS n1,
+        max(CASE WHEN t = 0 THEN n_t END) AS n0,
+        max(CASE WHEN t = 1 THEN
+          CASE WHEN n_t * sxx - sx * sx > 0
+               THEN (n_t * 1.0 * sxy - sx * 1.0 * sy)
+                    / (n_t * 1.0 * sxx - sx * 1.0 * sx)
+               ELSE 0.0 END END) AS b1,
+        max(CASE WHEN t = 0 THEN
+          CASE WHEN n_t * sxx - sx * sx > 0
+               THEN (n_t * 1.0 * sxy - sx * 1.0 * sy)
+                    / (n_t * 1.0 * sxx - sx * 1.0 * sx)
+               ELSE 0.0 END END) AS b0,
+        max(CASE WHEN t = 1 THEN sy END) AS sy1,
+        max(CASE WHEN t = 0 THEN sy END) AS sy0,
+        max(CASE WHEN t = 1 THEN sx END) AS sx1,
+        max(CASE WHEN t = 0 THEN sx END) AS sx0
+      FROM arm
+    ),
+    coefs AS (
+      SELECT n1, n0, b1, b0, sy1, sy0,
+             (sy1 - b1 * sx1) / n1 AS a1,
+             (sy0 - b0 * sx0) / n0 AS a0
+      FROM model
+    ),
+    strat AS (
+      SELECT s,
+             CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(t) AS BIGINT) AS n1_s,
+             CAST(sum(1 - t) AS BIGINT) AS n0_s,
+             CAST(sum(x) AS BIGINT) AS sx_s,
+             CAST(sum(t * x) AS BIGINT) AS sx1_s,
+             CAST(sum((1 - t) * x) AS BIGINT) AS sx0_s,
+             CAST(sum(t * y) AS BIGINT) AS sy1_s,
+             CAST(sum((1 - t) * y) AS BIGINT) AS sy0_s
+      FROM tagged GROUP BY s
+    ),
+    terms AS (
+      SELECT s,
+             n_s * (a1 - a0) + (b1 - b0) * sx_s
+             + CASE WHEN n1_s > 0 AND n0_s > 0 THEN
+                 (CAST(n_s AS DOUBLE) / n1_s)
+                   * (sy1_s - n1_s * a1 - b1 * sx1_s)
+                 - (CAST(n_s AS DOUBLE) / n0_s)
+                   * (sy0_s - n0_s * a0 - b0 * sx0_s)
+               ELSE 0.0 END AS term
+      FROM strat, coefs
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY s)),
+               (a, b) -> a + b) AS total
+      FROM terms
+    )
+    SELECT n1 + n0 AS n_users,
+           round(total / (n1 + n0), 6) AS ate_dr,
+           round(sy1 * 1.0 / n1 - sy0 * 1.0 / n0, 6) AS ate_naive,
+           round(b1, 6) AS slope_treated,
+           round(b0, 6) AS slope_control
+    FROM folded, coefs
+    """,
+)
+def ev_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust (AIPW) average treatment effect of the md5-hash
+    variant on post-period purchases, with per-arm linear outcome
+    models over pre-period views and pre-view-bucket propensities."""
+    ev = table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            ((F.col("event_type") == "view") & (F.col("ts") < split)).cast(
+                "int"
+            )
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            (
+                (F.col("event_type") == "purchase") & (F.col("ts") >= split)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    tagged = per_user.select(
+        ((bucket % 2) == 0).cast("int").alias("t"),
+        "x",
+        "y",
+        F.least(F.col("x"), F.lit(DR_STRATA_CAP)).alias("s"),
+    ).persist()
+    arm = tagged.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    slope = F.when(
+        F.col("n_t") * F.col("sxx") - F.col("sx") * F.col("sx") > 0,
+        (F.col("n_t") * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy"))
+        / (F.col("n_t") * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")),
+    ).otherwise(F.lit(0.0))
+    model = arm.withColumn("b_t", slope).agg(
+        F.max(F.when(F.col("t") == 1, F.col("n_t"))).alias("n1"),
+        F.max(F.when(F.col("t") == 0, F.col("n_t"))).alias("n0"),
+        F.max(F.when(F.col("t") == 1, F.col("b_t"))).alias("b1"),
+        F.max(F.when(F.col("t") == 0, F.col("b_t"))).alias("b0"),
+        F.max(F.when(F.col("t") == 1, F.col("sy"))).alias("sy1"),
+        F.max(F.when(F.col("t") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("t") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("t") == 0, F.col("sx"))).alias("sx0"),
+    )
+    coefs = model.select(
+        "n1",
+        "n0",
+        "b1",
+        "b0",
+        "sy1",
+        "sy0",
+        ((F.col("sy1") - F.col("b1") * F.col("sx1")) / F.col("n1")).alias("a1"),
+        ((F.col("sy0") - F.col("b0") * F.col("sx0")) / F.col("n0")).alias("a0"),
+    )
+    strat = tagged.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("t").cast("bigint").alias("n1_s"),
+        F.sum(F.lit(1) - F.col("t")).cast("bigint").alias("n0_s"),
+        F.sum("x").cast("bigint").alias("sx_s"),
+        F.sum(F.col("t") * F.col("x")).cast("bigint").alias("sx1_s"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("x")).cast("bigint").alias("sx0_s"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sy1_s"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("y")).cast("bigint").alias("sy0_s"),
+    )
+    term = (
+        F.col("n_s") * (F.col("a1") - F.col("a0"))
+        + (F.col("b1") - F.col("b0")) * F.col("sx_s")
+        + F.when(
+            (F.col("n1_s") > 0) & (F.col("n0_s") > 0),
+            (F.col("n_s").cast("double") / F.col("n1_s"))
+            * (
+                F.col("sy1_s")
+                - F.col("n1_s") * F.col("a1")
+                - F.col("b1") * F.col("sx1_s")
+            )
+            - (F.col("n_s").cast("double") / F.col("n0_s"))
+            * (
+                F.col("sy0_s")
+                - F.col("n0_s") * F.col("a0")
+                - F.col("b0") * F.col("sx0_s")
+            ),
+        ).otherwise(F.lit(0.0))
+    )
+    terms = strat.crossJoin(F.broadcast(coefs)).select(
+        "s", term.alias("term"), "n1", "n0", "sy1", "sy0", "b1", "b0"
+    )
+    folded = terms.groupBy("n1", "n0", "sy1", "sy0", "b1", "b0").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("s", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("total")
+    )
+    return folded.select(
+        (F.col("n1") + F.col("n0")).alias("n_users"),
+        F.round(F.col("total") / (F.col("n1") + F.col("n0")), 6).alias(
+            "ate_dr"
+        ),
+        F.round(
+            F.col("sy1") * 1.0 / F.col("n1")
+            - F.col("sy0") * 1.0 / F.col("n0"),
+            6,
+        ).alias("ate_naive"),
+        F.round("b1", 6).alias("slope_treated"),
+        F.round("b0", 6).alias("slope_control"),
+    )

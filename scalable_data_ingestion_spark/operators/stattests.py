@@ -812,3 +812,241 @@ def stat_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return sums.select("n", F.round(num / den, 6).alias("rho_spearman"))
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b between the daily order count and the daily revenue —
+# the rank-concordance companion to Mann-Kendall (which tests ONE
+# series against time; tau-b tests two series against each other,
+# with the tie correction in both margins).
+#
+# Scale shape: identical to Mann-Kendall — one fact-sized groupBy to
+# the calendar-bounded day grain, then an O(days^2) broadcast pair
+# join whose cost is independent of corpus size. S and both tie sums
+# are exact BIGINTs; tau_b's sqrt runs once on exact integers.
+# --------------------------------------------------------------------------
+@register(
+    "stat_kendall_tau_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)
+                      * CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+    tx AS (
+      SELECT CAST(COALESCE(sum(t * (t - 1) / 2), 0) AS BIGINT) AS n1
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x) g
+      WHERE t > 1
+    ),
+    ty AS (
+      SELECT CAST(COALESCE(sum(t * (t - 1) / 2), 0) AS BIGINT) AS n2
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y) g
+      WHERE t > 1
+    )
+    SELECT n_days, s_stat, n1 AS ties_x, n2 AS ties_y,
+           round(s_stat / sqrt(
+             (CAST(n_days AS DOUBLE) * (n_days - 1) / 2 - n1)
+             * (CAST(n_days AS DOUBLE) * (n_days - 1) / 2 - n2)), 6)
+               AS tau_b
+    FROM s, n, tx, ty
+    """,
+)
+def stat_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily order volume and daily revenue."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .persist()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).agg(
+        F.sum(
+            F.signum(F.col("b.x") - F.col("a.x")).cast("bigint")
+            * F.signum(F.col("b.y") - F.col("a.y")).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+
+    def tie_sum(col: str, out: str) -> DataFrame:
+        return (
+            daily.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .filter(F.col("t") > 1)
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("bigint"),
+                    F.lit(0),
+                ).alias(out)
+            )
+        )
+
+    j = (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tie_sum("x", "n1")))
+        .crossJoin(F.broadcast(tie_sum("y", "n2")))
+    )
+    n0 = F.col("n_days").cast("double") * (F.col("n_days") - 1) / 2
+    return j.select(
+        "n_days",
+        "s_stat",
+        F.col("n1").alias("ties_x"),
+        F.col("n2").alias("ties_y"),
+        F.round(
+            F.col("s_stat")
+            / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR across the per-segment urgency tests — the
+# multiple-comparisons control an experimentation platform applies
+# when it screens MANY segments at once: each segment's two-proportion
+# z (urgent-order share in the segment vs the rest), ranked by
+# evidence, rejected by the BH step-up rule at FDR alpha=0.05.
+#
+# BH compares the i-th smallest p-value against alpha*i/m; because the
+# two-sided p is a monotone function of |z|, the comparison is done
+# entirely in z-space against PRECOMPUTED normal quantiles (module
+# import time, statistics.NormalDist — the same literals are baked
+# into both engines' SQL, so no erf/cdf evaluation happens in either
+# engine and the hash cannot drift).
+#
+# Scale shape: one fact-sized conditional-count groupBy to the
+# 5-segment grain; ranking and the step-up scan are windows over that
+# dimension-sized relation. Counts are exact; z is a fixed double
+# expression of them.
+# --------------------------------------------------------------------------
+from statistics import NormalDist as _ND
+
+BH_ALPHA = 0.05
+BH_M = 5  # market segments in the fixture
+# z-threshold for the i-th BH critical p: |z| >= thr(i)  <=>  p_i <= alpha*i/m
+BH_THR = tuple(
+    round(_ND().inv_cdf(1 - BH_ALPHA * i / BH_M / 2), 6)
+    for i in range(1, BH_M + 1)
+)
+
+
+@register(
+    "stat_bh_fdr_segments",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_seg,
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS u_seg
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_seg) AS BIGINT) AS n,
+             CAST(sum(u_seg) AS BIGINT) AS u
+      FROM seg
+    ),
+    z AS (
+      SELECT c_mktsegment, n_seg, u_seg,
+             (u_seg * 1.0 / n_seg - (u - u_seg) * 1.0 / (n - n_seg))
+             / sqrt((u * 1.0 / n) * (1 - u * 1.0 / n)
+                    * (1.0 / n_seg + 1.0 / (n - n_seg))) AS z_score
+      FROM seg, tot
+    ),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (
+               ORDER BY abs(z_score) DESC, c_mktsegment) AS BIGINT) AS p_rank
+      FROM z
+    ),
+    flagged AS (
+      SELECT *,
+             CASE p_rank {' '.join(f"WHEN {i + 1} THEN {t}" for i, t in enumerate(BH_THR))}
+             END AS bh_thr_z,
+             CASE WHEN abs(z_score) >= (CASE p_rank
+               {' '.join(f"WHEN {i + 1} THEN {t}" for i, t in enumerate(BH_THR))}
+             END) THEN p_rank ELSE 0 END AS hit_rank
+      FROM ranked
+    )
+    SELECT c_mktsegment, n_seg, u_seg,
+           round(z_score, 6) AS z_score,
+           p_rank,
+           round(bh_thr_z, 6) AS bh_thr_z,
+           p_rank <= max(hit_rank) OVER () AS rejected
+    FROM flagged
+    """,
+)
+def stat_bh_fdr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment urgent-share z-tests with Benjamini-Hochberg
+    step-up FDR control, evaluated in z-space against precomputed
+    normal quantiles."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    seg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_seg"),
+            F.sum((F.col("o_orderpriority") == "1-URGENT").cast("int"))
+            .cast("bigint")
+            .alias("u_seg"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n_seg").cast("bigint").alias("n"),
+        F.sum("u_seg").cast("bigint").alias("u"),
+    )
+    z_expr = (
+        F.col("u_seg") * 1.0 / F.col("n_seg")
+        - (F.col("u") - F.col("u_seg")) * 1.0 / (F.col("n") - F.col("n_seg"))
+    ) / F.sqrt(
+        (F.col("u") * 1.0 / F.col("n"))
+        * (1 - F.col("u") * 1.0 / F.col("n"))
+        * (1.0 / F.col("n_seg") + 1.0 / (F.col("n") - F.col("n_seg")))
+    )
+    z = seg.crossJoin(F.broadcast(tot)).withColumn("z_score", z_expr)
+    # dimension-sized (5 segments): unpartitioned windows are bounded
+    rank_w = W.orderBy(F.abs(F.col("z_score")).desc(), F.col("c_mktsegment"))
+    ranked = z.withColumn(
+        "p_rank", F.row_number().over(rank_w).cast("bigint")
+    )
+    thr = F.col("p_rank")
+    thr_expr = F.lit(None).cast("double")
+    for i, t in enumerate(BH_THR):
+        thr_expr = F.when(thr == i + 1, F.lit(t)).otherwise(thr_expr)
+    flagged = ranked.withColumn("bh_thr_z", thr_expr).withColumn(
+        "hit_rank",
+        F.when(
+            F.abs(F.col("z_score")) >= F.col("bh_thr_z"), F.col("p_rank")
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.select(
+        "c_mktsegment",
+        "n_seg",
+        "u_seg",
+        F.round("z_score", 6).alias("z_score"),
+        "p_rank",
+        F.round("bh_thr_z", 6).alias("bh_thr_z"),
+        (
+            F.col("p_rank")
+            <= F.max("hit_rank").over(
+                W.partitionBy().rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+        ).alias("rejected"),
+    )

@@ -123,7 +123,15 @@ def load_all() -> None:
 # sweeps of the original window), displacing nine r4-era entries the
 # r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
-    # round-5 additions: no driver hash, post-judge-sweep code
+    # round-5 additions: no driver hash, post-judge-sweep code.
+    # Newest first — the six stat/causal queries below were written in
+    # the final round-5 session and have only local sweep checks.
+    "stat_mann_whitney_u",
+    "stat_anova_f_segments",
+    "stat_spearman_qty_price",
+    "stat_kendall_tau_daily",
+    "stat_bh_fdr_segments",
+    "ev_doubly_robust_ate",
     "dd_shingle_df_profile",
     "gr_degree_assortativity",
     "dq_t_closeness",

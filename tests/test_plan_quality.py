@@ -303,6 +303,9 @@ def _iter_logical_nodes(jnode):
 # - ts_rolling_origin_backtest: lag/trailing-mean frames over the same
 #   post-aggregation daily revenue series (one row per observed
 #   calendar day) — calendar-bounded, sliding frames, no Limit shape.
+# - stat_bh_fdr_segments: rank + step-up max over the per-mktsegment
+#   z-test aggregate — the segment dimension is 5 values at any scale
+#   factor (same class as w_nation_revenue_rank).
 GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     "w_nation_revenue_rank",
     "ts_rolling_view_purchase_corr",
@@ -310,6 +313,7 @@ GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     "ts_stl_residual_anomalies",
     "ev_sprt_monitor",
     "ts_rolling_origin_backtest",
+    "stat_bh_fdr_segments",
 }
 
 
