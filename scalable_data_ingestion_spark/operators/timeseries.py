@@ -945,3 +945,354 @@ def ts_rolling_origin_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "smape_pct"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Harmonic periodogram at candidate periods — "how much of the daily
+# revenue variance does a single sine wave at period P explain?" for
+# P in {weekly, fortnightly, monthly, quarterly}. This is the DFT
+# power at selected frequencies, computed as an exact two-regressor
+# OLS (cos, sin at period P) against the daily series, so the output
+# is a true R^2 per period rather than an un-normalized spectrum bin.
+#
+# Trig determinism: cos/sin values are PRECOMPUTED at module import
+# (math.cos over the P distinct phase residues) and quantized to 1e6
+# fixed point; both engines consume the SAME integer table (a
+# broadcast literal relation on the Spark side, an inline VALUES list
+# in the oracle), so no libm call happens in either engine and the
+# hash cannot drift. The statistic is defined BY the quantized table.
+#
+# Exactness: daily cents, the day counter, and every sum the OLS
+# needs (x, x^2, x*cos_fx, cos_fx, cos_fx^2, cos_fx*sin_fx, ...) are
+# exact integers (the x-weighted quadratic sums run in
+# decimal(38)/HUGEINT so daily-cents magnitudes never overflow, then
+# take ONE deterministic rounding to double at the aggregate output);
+# the normal-equation solve and R^2 are fixed double expressions of
+# those aggregates. The calendar, not the data volume, bounds the day
+# count, so only per-day cents magnitude grows with scale — decimal
+# sums keep exactness at any SF.
+#
+# Scale shape: one fact-sized groupBy to the calendar-bounded daily
+# grain, a broadcast join against the 142-row harmonics literal, and
+# a 4-group aggregate. No shuffle beyond the daily rollup.
+# --------------------------------------------------------------------------
+import math as _math
+
+PGRAM_FX = 10**6
+PGRAM_PERIODS = (7, 14, 30, 91)
+_PGRAM_ROWS: list[tuple[int, int, int, int]] = [
+    (
+        p,
+        r,
+        round(_math.cos(2.0 * _math.pi * r / p) * PGRAM_FX),
+        round(_math.sin(2.0 * _math.pi * r / p) * PGRAM_FX),
+    )
+    for p in PGRAM_PERIODS
+    for r in range(p)
+]
+_PGRAM_VALUES = ", ".join(f"({p}, {r}, {c}, {s})" for p, r, c, s in _PGRAM_ROWS)
+
+
+@register(
+    "ts_harmonic_periodogram",
+    oracle=f"""
+    WITH harmonics_raw(period, r, cos_raw, sin_raw) AS (
+      VALUES {_PGRAM_VALUES}
+    ),
+    harmonics AS (
+      SELECT period, r, CAST(cos_raw AS BIGINT) AS cos_fx,
+             CAST(sin_raw AS BIGINT) AS sin_fx
+      FROM harmonics_raw
+    ),
+    daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                 AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ),
+    joined AS (
+      SELECT h.period, d.cents, h.cos_fx, h.sin_fx
+      FROM daily d JOIN harmonics h ON d.d % h.period = h.r
+    ),
+    sums AS (
+      SELECT period,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(cents AS HUGEINT) * cos_fx) AS DOUBLE) AS sxc,
+             CAST(sum(CAST(cents AS HUGEINT) * sin_fx) AS DOUBLE) AS sxs,
+             CAST(sum(cos_fx) AS BIGINT) AS cc,
+             CAST(sum(sin_fx) AS BIGINT) AS cs,
+             CAST(sum(cos_fx * cos_fx) AS BIGINT) AS ccc,
+             CAST(sum(sin_fx * sin_fx) AS BIGINT) AS css,
+             CAST(sum(cos_fx * sin_fx) AS BIGINT) AS ccs
+      FROM joined GROUP BY period
+    ),
+    ols AS (
+      SELECT period, n,
+             sxc / {PGRAM_FX}.0 - (sx * 1.0 / n) * (cc / {PGRAM_FX}.0) AS a,
+             sxs / {PGRAM_FX}.0 - (sx * 1.0 / n) * (cs / {PGRAM_FX}.0) AS b,
+             ccc / ({PGRAM_FX}.0 * {PGRAM_FX}.0)
+               - (cc / {PGRAM_FX}.0) * (cc / {PGRAM_FX}.0) / n AS gcc,
+             css / ({PGRAM_FX}.0 * {PGRAM_FX}.0)
+               - (cs / {PGRAM_FX}.0) * (cs / {PGRAM_FX}.0) / n AS gss,
+             ccs / ({PGRAM_FX}.0 * {PGRAM_FX}.0)
+               - (cc / {PGRAM_FX}.0) * (cs / {PGRAM_FX}.0) / n AS gcs,
+             sxx - (sx * 1.0 / n) * sx AS sxx_c
+      FROM sums
+    ),
+    beta AS (
+      SELECT period, n, a, b, sxx_c,
+             (gss * a - gcs * b) / (gcc * gss - gcs * gcs) AS beta_c,
+             (gcc * b - gcs * a) / (gcc * gss - gcs * gcs) AS beta_s
+      FROM ols
+    )
+    SELECT period,
+           n AS n_days,
+           round((beta_c * a + beta_s * b) / sxx_c, 6) AS r2,
+           round(sqrt(beta_c * beta_c + beta_s * beta_s) / 100.0, 4)
+               AS amplitude_usd
+    FROM beta
+    ORDER BY period
+    """,
+)
+def ts_harmonic_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-period harmonic R^2 of daily revenue (quantized-trig OLS at
+    periods 7/14/30/91 days) with the fitted sine amplitude."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    harmonics = spark.createDataFrame(
+        _PGRAM_ROWS, "period int, r int, cos_fx bigint, sin_fx bigint"
+    )
+    joined = daily.join(
+        F.broadcast(harmonics), daily.d % harmonics.period == harmonics.r
+    )
+    sums = joined.groupBy("period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cos_fx"))
+        .cast("double")
+        .alias("sxc"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("sin_fx"))
+        .cast("double")
+        .alias("sxs"),
+        F.sum("cos_fx").cast("bigint").alias("cc"),
+        F.sum("sin_fx").cast("bigint").alias("cs"),
+        F.sum(F.col("cos_fx") * F.col("cos_fx")).cast("bigint").alias("ccc"),
+        F.sum(F.col("sin_fx") * F.col("sin_fx")).cast("bigint").alias("css"),
+        F.sum(F.col("cos_fx") * F.col("sin_fx")).cast("bigint").alias("ccs"),
+    )
+    fx = float(PGRAM_FX)
+    a = F.col("sxc") / fx - (F.col("sx") * 1.0 / F.col("n")) * (F.col("cc") / fx)
+    b = F.col("sxs") / fx - (F.col("sx") * 1.0 / F.col("n")) * (F.col("cs") / fx)
+    gcc = F.col("ccc") / (fx * fx) - (F.col("cc") / fx) * (F.col("cc") / fx) / F.col("n")
+    gss = F.col("css") / (fx * fx) - (F.col("cs") / fx) * (F.col("cs") / fx) / F.col("n")
+    gcs = F.col("ccs") / (fx * fx) - (F.col("cc") / fx) * (F.col("cs") / fx) / F.col("n")
+    sxx_c = F.col("sxx") - (F.col("sx") * 1.0 / F.col("n")) * F.col("sx")
+    ols = sums.select("period", "n", a.alias("a"), b.alias("b"),
+                      gcc.alias("gcc"), gss.alias("gss"), gcs.alias("gcs"),
+                      sxx_c.alias("sxx_c"))
+    det = F.col("gcc") * F.col("gss") - F.col("gcs") * F.col("gcs")
+    beta = ols.select(
+        "period", "n", "a", "b", "sxx_c",
+        ((F.col("gss") * F.col("a") - F.col("gcs") * F.col("b")) / det).alias("beta_c"),
+        ((F.col("gcc") * F.col("b") - F.col("gcs") * F.col("a")) / det).alias("beta_s"),
+    )
+    return beta.select(
+        "period",
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("beta_c") * F.col("a") + F.col("beta_s") * F.col("b"))
+            / F.col("sxx_c"),
+            6,
+        ).alias("r2"),
+        F.round(
+            F.sqrt(
+                F.col("beta_c") * F.col("beta_c")
+                + F.col("beta_s") * F.col("beta_s")
+            )
+            / 100.0,
+            4,
+        ).alias("amplitude_usd"),
+    ).orderBy("period")
+
+
+# --------------------------------------------------------------------------
+# Per-region additive Holt-Winters (weekly season) over daily order
+# revenue — the seasonal upgrade of ts_holt_linear: level + trend +
+# a 7-slot seasonal state, one state machine per region key. The
+# genuinely-iterative recurrence class (output depends on previous
+# output through THREE coupled states) that window frames cannot
+# express; runs as an Arrow-batched applyInPandas over each region's
+# day-sorted series, value-checked against a DuckDB recursive CTE
+# that carries the seven seasonal slots as columns.
+#
+# Init (standard): l0 = mean of the first week, b0 = 0, s_i = x_i -
+# l0 for the first seven observations; the recurrence starts at the
+# eighth day and emits (fitted-before-update, level, trend, seasonal).
+# The seasonal index is the OBSERVATION counter mod 7, not the
+# calendar weekday, so calendar gaps cannot desynchronize the slots.
+#
+# Determinism: x is cents/100.0 (one correctly-rounded division from
+# the exact BIGINT daily cents); every recurrence step is the same
+# literal double expression in both engines, so the trajectories are
+# bit-identical and ship UNROUNDED (ts_ewma_daily precedent — Python
+# round() is half-even, engine round() is half-away, so rounding in
+# the kernel would be the one way to BREAK parity).
+#
+# Scale shape: one fact-sized groupBy to the (region, day) grain
+# (broadcast dimension joins), then per-key sequential work whose
+# length is calendar-bounded (~10^3 rows per key); keys fan out
+# across executors — 1e6 store/region/SKU keys is the realistic
+# deployment shape and parallelizes perfectly.
+# --------------------------------------------------------------------------
+HW_ALPHA = 0.3
+HW_BETA = 0.05
+HW_GAMMA = 0.2
+
+
+def _hw_step_sql() -> str:
+    """Recursive step columns shared by the oracle's seven slots."""
+    slot = "((d.rn - 1) % 7)"
+    s_cur = " ".join(
+        f"WHEN {i} THEN r.s{i}" for i in range(7)
+    )
+    l_new = (
+        f"{HW_ALPHA} * (d.x - (CASE {slot} {s_cur} END))"
+        f" + {1 - HW_ALPHA} * (r.l + r.b)"
+    )
+    return slot, s_cur, l_new
+
+
+_HW_SLOT, _HW_SCUR, _HW_LNEW = _hw_step_sql()
+_HW_SUPD = ", ".join(
+    f"CASE WHEN {_HW_SLOT} = {i} THEN {HW_GAMMA} * (d.x - ({_HW_LNEW}))"
+    f" + {1 - HW_GAMMA} * r.s{i} ELSE r.s{i} END AS s{i}"
+    for i in range(7)
+)
+
+
+@register(
+    "ts_holt_winters_weekly",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT r_name AS region, CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT region, day, cents / 100.0 AS x,
+             CAST(row_number() OVER (
+               PARTITION BY region ORDER BY day) AS INTEGER) AS rn
+      FROM daily
+    ),
+    init AS (
+      SELECT region,
+             sum(CASE WHEN rn <= 7 THEN x END) / 7.0 AS l0,
+             {", ".join(f"max(CASE WHEN rn = {i + 1} THEN x END) AS x{i}"
+                        for i in range(7))}
+      FROM seq GROUP BY region
+    ),
+    rec AS (
+      SELECT region, 7 AS rn, CAST(NULL AS DATE) AS day,
+             CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE) AS fitted,
+             l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+             {", ".join(f"x{i} - l0 AS s{i}" for i in range(7))}
+      FROM init
+      UNION ALL
+      SELECT d.region, d.rn, d.day, d.x,
+             r.l + r.b + (CASE {_HW_SLOT} {_HW_SCUR} END) AS fitted,
+             {_HW_LNEW} AS l,
+             {HW_BETA} * (({_HW_LNEW}) - r.l) + {1 - HW_BETA} * r.b AS b,
+             {_HW_SUPD}
+      FROM seq d JOIN rec r ON d.region = r.region AND d.rn = r.rn + 1
+    )
+    SELECT region, day, x AS revenue, fitted, l AS level, b AS trend,
+           fitted - x AS fit_error
+    FROM rec WHERE rn > 7
+    """,
+)
+def ts_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region additive Holt-Winters (alpha={HW_ALPHA},
+    beta={HW_BETA}, gamma={HW_GAMMA}, weekly season) over daily
+    revenue, with the one-step-ahead fit and its error."""
+    import pandas as pd
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+
+    def hw_region(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out = []
+        xs = [c / 100.0 for c in pdf["cents"]]
+        if len(xs) >= 8:
+            l = sum(xs[:7]) / 7.0
+            b = 0.0
+            s = [xs[i] - l for i in range(7)]
+            for t in range(7, len(xs)):
+                x = xs[t]
+                slot = t % 7
+                fitted = l + b + s[slot]
+                l_new = HW_ALPHA * (x - s[slot]) + (1 - HW_ALPHA) * (l + b)
+                b = HW_BETA * (l_new - l) + (1 - HW_BETA) * b
+                s[slot] = HW_GAMMA * (x - l_new) + (1 - HW_GAMMA) * s[slot]
+                l = l_new
+                out.append(
+                    (
+                        pdf["region"].iat[t],
+                        pdf["day"].iat[t],
+                        x,
+                        fitted,
+                        l,
+                        b,
+                        fitted - x,
+                    )
+                )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "region", "day", "revenue", "fitted",
+                "level", "trend", "fit_error",
+            ],
+        )
+
+    return daily.groupBy("region").applyInPandas(
+        hw_region,
+        schema=(
+            "region string, day date, revenue double, fitted double,"
+            " level double, trend double, fit_error double"
+        ),
+    )

@@ -130,6 +130,10 @@ def test_no_python_eval_in_any_registered_query(spark, sf_dir):
         # recurrence class as ts_ewma_daily, value-checked against a
         # DuckDB recursive CTE.
         "ts_holt_linear",
+        # Holt-Winters level+trend+7-slot season: same per-key
+        # recurrence class, value-checked against a recursive CTE
+        # carrying the seasonal slots as columns.
+        "ts_holt_winters_weekly",
         # banding curve evaluates recall against the exact all-pairs
         # truth, which is dd_embedding_neardup_pairs' allowlisted
         # broadcast-numpy kernel — same justification, same kernel.
