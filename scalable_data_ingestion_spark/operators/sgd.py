@@ -511,3 +511,306 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("q_cents").cast("bigint").alias("q_cents"),
         F.max("n_cal").cast("bigint").alias("n_cal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Closed-form ridge regression path — the L2-regularized linear model
+# (revenue ~ quantity + discount) solved EXACTLY from one pass of
+# sufficient statistics, at four per-sample regularization strengths.
+# This is how a 100 TB deployment fits small linear models: the only
+# fact-sized work is ONE map-side-combining aggregate of the Gram /
+# moment sums; the (2+1)-parameter normal-equation solve per lambda is
+# a fixed scalar expression of those sums (no iteration, no driver
+# loop, no per-lambda data pass — the whole path costs one scan).
+#
+# Exactness: y quantizes to the 4dp revenue grid (extendedprice *
+# (1-discount) is exact there), features are integer quantity and
+# integer discount bps; every moment sum is exact (BIGINT, or
+# decimal(38)/HUGEINT for the y-weighted quadratics with ONE
+# deterministic rounding to double at aggregate output); the solve and
+# R^2 are fixed double expressions. Lambda scales with n (per-sample
+# penalty), so the statistic is SF-consistent.
+# --------------------------------------------------------------------------
+RIDGE_Y_FX = 10_000  # 4dp revenue grid
+RIDGE_LAMBDAS = (0.0, 0.01, 1.0, 100.0)  # per-sample L2 strengths
+
+
+@register(
+    "ml_ridge_path",
+    oracle=f"""
+    WITH feats AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * (1 - l_discount) * {RIDGE_Y_FX})
+                  AS BIGINT) AS y
+      FROM lineitem
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS s11,
+             CAST(sum(x1 * x2) AS BIGINT) AS s12,
+             CAST(sum(x2 * x2) AS BIGINT) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM feats
+    ),
+    centered AS (
+      SELECT n,
+             s11 - (s1 * 1.0 / n) * s1 AS c11,
+             s12 - (s1 * 1.0 / n) * s2 AS c12,
+             s22 - (s2 * 1.0 / n) * s2 AS c22,
+             s1y - (s1 * 1.0 / n) * sy AS c1y,
+             s2y - (s2 * 1.0 / n) * sy AS c2y,
+             syy - (sy * 1.0 / n) * sy AS cyy,
+             s1 * 1.0 / n AS m1, s2 * 1.0 / n AS m2, sy * 1.0 / n AS my
+      FROM sums
+    ),
+    lambdas(lam) AS (VALUES {", ".join(f"({v})" for v in RIDGE_LAMBDAS)}),
+    solved AS (
+      SELECT lam, n, c1y, c2y, cyy, c11, c12, c22, m1, m2, my,
+             ((c22 + lam * n) * c1y - c12 * c2y)
+               / ((c11 + lam * n) * (c22 + lam * n) - c12 * c12) AS b1,
+             ((c11 + lam * n) * c2y - c12 * c1y)
+               / ((c11 + lam * n) * (c22 + lam * n) - c12 * c12) AS b2
+      FROM centered CROSS JOIN lambdas
+    )
+    SELECT lam AS lambda_per_sample,
+           n AS n_rows,
+           round(b1 / {RIDGE_Y_FX}, 6) AS beta_qty_usd,
+           round(b2 / {RIDGE_Y_FX}, 6) AS beta_disc_bp_usd,
+           round((my - b1 * m1 - b2 * m2) / {RIDGE_Y_FX}, 6) AS intercept_usd,
+           round(1.0 - (cyy - 2 * (b1 * c1y + b2 * c2y)
+                        + b1 * b1 * c11 + 2 * b1 * b2 * c12
+                        + b2 * b2 * c22) / cyy, 6) AS r2
+    FROM solved
+    ORDER BY lam
+    """,
+)
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge path (lambda in {RIDGE_LAMBDAS} per sample)
+    for revenue ~ quantity + discount, from one moment-sum pass."""
+    li = table(spark, sf_dir, "lineitem")
+    feats = li.select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("x2"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * RIDGE_Y_FX
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(dec("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(dec("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    centered = sums.select(
+        "n",
+        (F.col("s11") - (F.col("s1") * 1.0 / n) * F.col("s1")).alias("c11"),
+        (F.col("s12") - (F.col("s1") * 1.0 / n) * F.col("s2")).alias("c12"),
+        (F.col("s22") - (F.col("s2") * 1.0 / n) * F.col("s2")).alias("c22"),
+        (F.col("s1y") - (F.col("s1") * 1.0 / n) * F.col("sy")).alias("c1y"),
+        (F.col("s2y") - (F.col("s2") * 1.0 / n) * F.col("sy")).alias("c2y"),
+        (F.col("syy") - (F.col("sy") * 1.0 / n) * F.col("sy")).alias("cyy"),
+        (F.col("s1") * 1.0 / n).alias("m1"),
+        (F.col("s2") * 1.0 / n).alias("m2"),
+        (F.col("sy") * 1.0 / n).alias("my"),
+    )
+    lambdas = spark.createDataFrame(
+        [(v,) for v in RIDGE_LAMBDAS], "lam double"
+    )
+    det = (F.col("c11") + F.col("lam") * F.col("n")) * (
+        F.col("c22") + F.col("lam") * F.col("n")
+    ) - F.col("c12") * F.col("c12")
+    b1 = (
+        (F.col("c22") + F.col("lam") * F.col("n")) * F.col("c1y")
+        - F.col("c12") * F.col("c2y")
+    ) / det
+    b2 = (
+        (F.col("c11") + F.col("lam") * F.col("n")) * F.col("c2y")
+        - F.col("c12") * F.col("c1y")
+    ) / det
+    solved = centered.crossJoin(F.broadcast(lambdas)).select(
+        "lam", "n", "c1y", "c2y", "cyy", "c11", "c12", "c22",
+        "m1", "m2", "my", b1.alias("b1"), b2.alias("b2"),
+    )
+    sse = (
+        F.col("cyy")
+        - 2 * (F.col("b1") * F.col("c1y") + F.col("b2") * F.col("c2y"))
+        + F.col("b1") * F.col("b1") * F.col("c11")
+        + 2 * F.col("b1") * F.col("b2") * F.col("c12")
+        + F.col("b2") * F.col("b2") * F.col("c22")
+    )
+    return solved.select(
+        F.col("lam").alias("lambda_per_sample"),
+        F.col("n").alias("n_rows"),
+        F.round(F.col("b1") / RIDGE_Y_FX, 6).alias("beta_qty_usd"),
+        F.round(F.col("b2") / RIDGE_Y_FX, 6).alias("beta_disc_bp_usd"),
+        F.round(
+            (F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2"))
+            / RIDGE_Y_FX,
+            6,
+        ).alias("intercept_usd"),
+        F.round(1.0 - sse / F.col("cyy"), 6).alias("r2"),
+    ).orderBy("lambda_per_sample")
+
+
+# --------------------------------------------------------------------------
+# Bernoulli naive Bayes on the urgent-order label (features: market
+# segment x order quarter), trained on the md5-even half and scored
+# on the md5-odd half — the in-engine classifier-eval harness shape:
+# TRAINING is pure counting (exact BIGINT conditional counts with
+# Laplace +1), and SCORING avoids log-space entirely by comparing the
+# two class posteriors as cross-multiplied products (one fixed-order
+# double product per row — IEEE multiplication is correctly rounded,
+# so both engines compute the identical value; no libm call at all).
+#
+# Scale shape: train = one fact-sized conditional-count groupBy per
+# feature (5-row and 4-row outputs); test scoring = two BROADCAST
+# joins against those count tables + one confusion-matrix aggregate.
+# Nothing shuffles except the two tiny count rollups.
+# --------------------------------------------------------------------------
+def _nb_split_sql(expr: str) -> str:
+    return "CASE substr(md5(CAST(" + expr + " AS VARCHAR)), 1, 1) " + " ".join(
+        f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef")
+    ) + " END"
+
+
+@register(
+    "ml_naive_bayes_urgent",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_mktsegment AS seg, quarter(CAST(o_orderdate AS DATE)) AS q,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u,
+             ({_nb_split_sql("o_orderkey")}) % 2 AS fold
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    train AS (SELECT * FROM base WHERE fold = 0),
+    test AS (SELECT * FROM base WHERE fold = 1),
+    tot AS (
+      SELECT CAST(sum(u) AS BIGINT) AS n1,
+             CAST(sum(1 - u) AS BIGINT) AS n0
+      FROM train
+    ),
+    seg_c AS (
+      SELECT seg, CAST(sum(u) AS BIGINT) AS c1s,
+             CAST(sum(1 - u) AS BIGINT) AS c0s
+      FROM train GROUP BY seg
+    ),
+    q_c AS (
+      SELECT q, CAST(sum(u) AS BIGINT) AS c1q,
+             CAST(sum(1 - u) AS BIGINT) AS c0q
+      FROM train GROUP BY q
+    ),
+    scored AS (
+      SELECT t.u,
+             CASE WHEN
+               CAST(n1 AS DOUBLE) * (c1s + 1) * (c1q + 1)
+                 * (n0 + 5) * (n0 + 4)
+               > CAST(n0 AS DOUBLE) * (c0s + 1) * (c0q + 1)
+                 * (n1 + 5) * (n1 + 4)
+             THEN 1 ELSE 0 END AS pred
+      FROM test t
+      JOIN seg_c ON t.seg = seg_c.seg
+      JOIN q_c ON t.q = q_c.q
+      CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(u * pred) AS BIGINT) AS tp,
+           CAST(sum((1 - u) * pred) AS BIGINT) AS fp,
+           CAST(sum(u * (1 - pred)) AS BIGINT) AS fn,
+           CAST(sum((1 - u) * (1 - pred)) AS BIGINT) AS tn,
+           round((sum(u * pred) + sum((1 - u) * (1 - pred))) * 1.0
+                 / count(*), 6) AS accuracy,
+           round(sum(u * pred) * 1.0
+                 / nullif(sum(u * pred) + sum((1 - u) * pred), 0), 6)
+               AS precision_1,
+           round(sum(u * pred) * 1.0 / nullif(sum(u), 0), 6) AS recall_1
+    FROM scored
+    """,
+)
+def ml_naive_bayes_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli naive Bayes (segment x quarter -> urgent) trained on
+    the md5-even fold, confusion-matrix scored on the md5-odd fold."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10
+        ).cast("int")
+        % 2
+    )
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.quarter(F.col("o_orderdate").cast("date")).alias("q"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("u"),
+        fold.alias("fold"),
+    )
+    train = base.filter(F.col("fold") == 0)
+    test = base.filter(F.col("fold") == 1)
+    tot = train.agg(
+        F.sum("u").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("u")).cast("bigint").alias("n0"),
+        F.count(F.lit(1)).cast("bigint").alias("n_train"),
+    )
+    seg_c = train.groupBy("seg").agg(
+        F.sum("u").cast("bigint").alias("c1s"),
+        F.sum(F.lit(1) - F.col("u")).cast("bigint").alias("c0s"),
+    )
+    q_c = train.groupBy("q").agg(
+        F.sum("u").cast("bigint").alias("c1q"),
+        F.sum(F.lit(1) - F.col("u")).cast("bigint").alias("c0q"),
+    )
+    l1 = (
+        F.col("n1").cast("double")
+        * (F.col("c1s") + 1)
+        * (F.col("c1q") + 1)
+        * (F.col("n0") + 5)
+        * (F.col("n0") + 4)
+    )
+    l0 = (
+        F.col("n0").cast("double")
+        * (F.col("c0s") + 1)
+        * (F.col("c0q") + 1)
+        * (F.col("n1") + 5)
+        * (F.col("n1") + 4)
+    )
+    scored = (
+        test.join(F.broadcast(seg_c), "seg")
+        .join(F.broadcast(q_c), "q")
+        .crossJoin(F.broadcast(tot))
+        .select("u", "n_train", F.when(l1 > l0, 1).otherwise(0).alias("pred"))
+    )
+    tp = F.sum(F.col("u") * F.col("pred"))
+    fp = F.sum((F.lit(1) - F.col("u")) * F.col("pred"))
+    fn = F.sum(F.col("u") * (F.lit(1) - F.col("pred")))
+    tn = F.sum((F.lit(1) - F.col("u")) * (F.lit(1) - F.col("pred")))
+    return scored.groupBy("n_train").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        F.round((tp + tn) * 1.0 / F.count(F.lit(1)), 6).alias("accuracy"),
+        F.round(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias("precision_1"),
+        F.round(tp * 1.0 / F.nullif(F.sum("u"), F.lit(0)), 6).alias("recall_1"),
+    ).select(
+        "n_train", "n_test", "tp", "fp", "fn", "tn",
+        "accuracy", "precision_1", "recall_1",
+    )
