@@ -1050,3 +1050,360 @@ def stat_bh_fdr_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rejected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe test (the median-centered Levene variant) for
+# variance homogeneity of order value across market segments — the
+# robustness companion to stat_anova_f_segments: ANOVA assumes equal
+# group variances; this IS the test of that assumption, run as a
+# one-way ANOVA on the absolute deviations from each group's median.
+#
+# Exactness: group medians interpolate identically cross-engine
+# (Spark percentile == DuckDB quantile_cont) and land on the
+# half-cent grid, so 2*median is an exact integer; the per-row
+# deviation d = |2*cents - med2| is an exact BIGINT; from there the
+# query is literally the ANOVA pattern (exact/HUGEINT moment sums,
+# cross-group double terms folded in segment order).
+#
+# Scale shape: two fact-sized aggregates (the median rollup, then the
+# deviation moment rollup after a broadcast join of the 5-row median
+# table) — no window over the fact, no sort.
+# --------------------------------------------------------------------------
+BF_F_CRIT_4INF_95 = 2.372  # F(4, inf) upper 5% point, public tables
+
+
+@register(
+    "stat_brown_forsythe_segments",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    med AS (
+      SELECT c_mktsegment,
+             CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT) AS med2
+      FROM base GROUP BY 1
+    ),
+    dev AS (
+      SELECT b.c_mktsegment, abs(2 * b.cents - m.med2) AS d
+      FROM base b JOIN med m USING (c_mktsegment)
+    ),
+    grp AS (
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS s1_g
+      FROM dev GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS k,
+             CAST(CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS s1,
+             CAST(CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS DOUBLE)
+                 AS s2
+      FROM dev
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list(s1_g * s1_g / n_g ORDER BY c_mktsegment)),
+               (a, b) -> a + b) AS t_between
+      FROM grp
+    )
+    SELECT k AS k_groups, n,
+           round(((t_between - s1 * s1 / n) / (k - 1))
+                 / ((s2 - t_between) / (n - k)), 6) AS f_bf,
+           ((t_between - s1 * s1 / n) / (k - 1))
+             / ((s2 - t_between) / (n - k)) > {BF_F_CRIT_4INF_95}
+               AS heteroscedastic
+    FROM folded, tot
+    """,
+)
+def stat_brown_forsythe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) F for order-value
+    variance homogeneity across market segments."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    med = base.groupBy("c_mktsegment").agg(
+        F.round(2 * F.percentile("cents", F.lit(0.5)))
+        .cast("bigint")
+        .alias("med2")
+    )
+    dev = base.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        F.abs(2 * F.col("cents") - F.col("med2")).alias("d"),
+    )
+    dd = F.col("d").cast("decimal(38,0)")
+    grp = dev.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(dd).cast("decimal(38,0)").cast("double").alias("s1_g"),
+    )
+    tot = dev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("k"),
+        F.sum(dd).cast("decimal(38,0)").cast("double").alias("s1"),
+        F.sum(dd * F.col("d")).cast("decimal(38,0)").cast("double").alias("s2"),
+    )
+    folded = grp.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("c_mktsegment", "n_g", "s1_g"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s1_g"] * x["s1_g"] / x["n_g"],
+        ).alias("t_between")
+    )
+    j = folded.crossJoin(F.broadcast(tot))
+    f_bf = (
+        (F.col("t_between") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("k") - 1)
+    ) / ((F.col("s2") - F.col("t_between")) / (F.col("n") - F.col("k")))
+    return j.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        F.round(f_bf, 6).alias("f_bf"),
+        (f_bf > BF_F_CRIT_4INF_95).alias("heteroscedastic"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between event type and (arithmetic) day-of-week
+# — "does WHAT users do depend on WHEN in the week they do it?" as a
+# single information-theoretic number, with the normalized variant
+# (MI / min(H_type, H_dow)) for cross-dataset comparability.
+#
+# Exactness: the contingency table and both margins are exact BIGINT
+# counts from ONE fact-sized groupBy (margins roll up from the 28-cell
+# table, not from re-scans); each cell's p*ln term quantizes to 1e-9
+# fixed point before the (exact BIGINT) sum — the txt_unigram_entropy
+# policy, so the result is invariant to aggregation order. Day-of-week
+# is epoch-day arithmetic, not engine dayofweek() (convention-free).
+# --------------------------------------------------------------------------
+MI_FX = 10**9
+
+
+@register(
+    "stat_event_dow_mutual_info",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type,
+             ((date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) + 3) % 7) + 1
+                 AS dow,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rx AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY 1),
+    ry AS (SELECT dow, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    mi_terms AS (
+      SELECT CAST(floor((c * 1.0 / n)
+                        * ln((n * 1.0 * c) / (CAST(cx AS DOUBLE) * cy))
+                        * {MI_FX}) AS BIGINT) AS t_fx
+      FROM cells JOIN rx USING (event_type) JOIN ry USING (dow) CROSS JOIN n
+    ),
+    hx_terms AS (
+      SELECT CAST(floor(-(cx * 1.0 / n) * ln(cx * 1.0 / n) * {MI_FX})
+                  AS BIGINT) AS t_fx
+      FROM rx CROSS JOIN n
+    ),
+    hy_terms AS (
+      SELECT CAST(floor(-(cy * 1.0 / n) * ln(cy * 1.0 / n) * {MI_FX})
+                  AS BIGINT) AS t_fx
+      FROM ry CROSS JOIN n
+    )
+    SELECT (SELECT n FROM n) AS n_events,
+           (SELECT CAST(count(*) AS BIGINT) FROM cells) AS n_cells,
+           round((SELECT sum(t_fx) FROM mi_terms) / {MI_FX}.0, 6) AS mi_nats,
+           round((SELECT sum(t_fx) FROM mi_terms) * 1.0
+                 / least((SELECT sum(t_fx) FROM hx_terms),
+                         (SELECT sum(t_fx) FROM hy_terms)), 6) AS nmi
+    """,
+)
+def stat_event_dow_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) and min-entropy-normalized MI between
+    event type and arithmetic day-of-week."""
+    ev = table(spark, sf_dir, "events")
+    dow = (
+        (
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.to_date(F.lit("1970-01-01")),
+            )
+            + 3
+        )
+        % 7
+        + 1
+    )
+    cells = ev.groupBy(
+        "event_type", dow.alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cells = cells.persist()
+    rx = cells.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("cx")
+    )
+    ry = cells.groupBy("dow").agg(F.sum("c").cast("bigint").alias("cy"))
+    n = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    mi_t = (
+        cells.join(F.broadcast(rx), "event_type")
+        .join(F.broadcast(ry), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                (F.col("c") * 1.0 / F.col("n"))
+                * F.log(
+                    (F.col("n") * 1.0 * F.col("c"))
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+                * MI_FX
+            )
+            .cast("bigint")
+            .alias("t_fx")
+        )
+        .agg(F.sum("t_fx").alias("mi_fx"))
+    )
+    hx = (
+        rx.crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                -(F.col("cx") * 1.0 / F.col("n"))
+                * F.log(F.col("cx") * 1.0 / F.col("n"))
+                * MI_FX
+            )
+            .cast("bigint")
+            .alias("t_fx")
+        )
+        .agg(F.sum("t_fx").alias("hx_fx"))
+    )
+    hy = (
+        ry.crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                -(F.col("cy") * 1.0 / F.col("n"))
+                * F.log(F.col("cy") * 1.0 / F.col("n"))
+                * MI_FX
+            )
+            .cast("bigint")
+            .alias("t_fx")
+        )
+        .agg(F.sum("t_fx").alias("hy_fx"))
+    )
+    n_cells = cells.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    return (
+        n.crossJoin(F.broadcast(n_cells))
+        .crossJoin(F.broadcast(mi_t))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").alias("n_events"),
+            "n_cells",
+            F.round(F.col("mi_fx") / float(MI_FX), 6).alias("mi_nats"),
+            F.round(
+                F.col("mi_fx") * 1.0 / F.least(F.col("hx_fx"), F.col("hy_fx")),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cramer's V association between market segment and order priority —
+# the effect-size companion to a chi-square independence test:
+# bounded [0,1], comparable across tables of different size, the
+# number a data-quality monitor tracks to catch upstream drift in
+# categorical couplings.
+#
+# Exactness: contingency and margin counts are exact BIGINT from one
+# fact-sized groupBy; each cell's o^2/(r*c) contribution quantizes to
+# 1e-12 fixed point before the exact sum (chi2 = n*(sum - 1) needs no
+# per-cell expected-count division).
+# --------------------------------------------------------------------------
+CV_FX = 10**12
+
+
+@register(
+    "stat_cramers_v_priority_segment",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    rx AS (SELECT seg, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ry AS (SELECT pri, CAST(sum(c) AS BIGINT) AS col_n FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    dims AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM rx) AS nr,
+             (SELECT CAST(count(*) AS BIGINT) FROM ry) AS nc
+    ),
+    terms AS (
+      SELECT CAST(floor((c * 1.0 * c) / (CAST(r AS DOUBLE) * col_n)
+                        * {CV_FX}) AS BIGINT) AS t_fx
+      FROM cells JOIN rx USING (seg) JOIN ry USING (pri)
+    )
+    SELECT n.n AS n_orders, dims.nr AS n_segments, dims.nc AS n_priorities,
+           round(n.n * ((SELECT sum(t_fx) FROM terms) / {CV_FX}.0 - 1.0), 4)
+               AS chi2,
+           round(sqrt(((SELECT sum(t_fx) FROM terms) / {CV_FX}.0 - 1.0)
+                      / (least(dims.nr, dims.nc) - 1)), 6) AS cramers_v
+    FROM n, dims
+    """,
+)
+def stat_cramers_v_priority_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cramer's V (with the underlying chi-square) for the market
+    segment x order priority contingency table."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    rx = cells.groupBy("seg").agg(F.sum("c").cast("bigint").alias("r"))
+    ry = cells.groupBy("pri").agg(F.sum("c").cast("bigint").alias("col_n"))
+    n = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    dims = rx.agg(F.count(F.lit(1)).cast("bigint").alias("nr")).crossJoin(
+        F.broadcast(ry.agg(F.count(F.lit(1)).cast("bigint").alias("nc")))
+    )
+    terms = (
+        cells.join(F.broadcast(rx), "seg")
+        .join(F.broadcast(ry), "pri")
+        .select(
+            F.floor(
+                (F.col("c") * 1.0 * F.col("c"))
+                / (F.col("r").cast("double") * F.col("col_n"))
+                * CV_FX
+            )
+            .cast("bigint")
+            .alias("t_fx")
+        )
+        .agg(F.sum("t_fx").alias("s_fx"))
+    )
+    j = (
+        n.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(terms))
+    )
+    phi2 = F.col("s_fx") / float(CV_FX) - 1.0
+    return j.select(
+        F.col("n").alias("n_orders"),
+        F.col("nr").alias("n_segments"),
+        F.col("nc").alias("n_priorities"),
+        F.round(F.col("n") * phi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(phi2 / (F.least(F.col("nr"), F.col("nc")) - 1)), 6
+        ).alias("cramers_v"),
+    )
