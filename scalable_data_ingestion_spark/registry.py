@@ -124,8 +124,16 @@ def load_all() -> None:
 # r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
     # round-5 additions: no driver hash, post-judge-sweep code.
-    # Newest first — the six stat/causal queries below were written in
-    # the final round-5 session and have only local sweep checks.
+    # Newest first — the thirteen stat/causal/forecast/ML queries
+    # below were written in the final round-5 sessions and have only
+    # local sweep checks.
+    "ts_harmonic_periodogram",
+    "ts_holt_winters_weekly",
+    "ml_ridge_path",
+    "ml_naive_bayes_urgent",
+    "stat_brown_forsythe_segments",
+    "stat_event_dow_mutual_info",
+    "stat_cramers_v_priority_segment",
     "stat_mann_whitney_u",
     "stat_anova_f_segments",
     "stat_spearman_qty_price",
