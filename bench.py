@@ -245,9 +245,26 @@ HEADLINE_R12 = [
     "sk_hll_rolling_7d_users",
 ]
 
+HEADLINE_R13 = [
+    "stat_mann_whitney_u",
+    "stat_anova_f_segments",
+    "stat_spearman_qty_price",
+    "stat_kendall_tau_daily",
+    "stat_bh_fdr_segments",
+    "ev_doubly_robust_ate",
+    "ts_harmonic_periodogram",
+    "ts_holt_winters_weekly",
+    "ml_ridge_path",
+    "ml_naive_bayes_urgent",
+    "stat_brown_forsythe_segments",
+    "stat_event_dow_mutual_info",
+    "stat_cramers_v_priority_segment",
+]
+
 ALL_HEADLINE = (
     HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
     + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12
+    + HEADLINE_R13
 )
 
 

@@ -2204,3 +2204,325 @@ def ev_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b1", 6).alias("slope_treated"),
         F.round("b0", 6).alias("slope_control"),
     )
+
+
+# --------------------------------------------------------------------------
+# Qini / uplift-by-decile curve — the targeting-model evaluation an
+# experimentation platform runs on top of its A/B machinery: users
+# deciled by a targeting score (activity volume), and within each
+# decile the INCREMENTAL conversion of treated over control, plus the
+# cumulative Qini statistic Q(k) = convT_cum - convC_cum * nT_cum /
+# nC_cum. A flat uplift curve says the score does not identify
+# persuadable users; Qini's area is the standard uplift model metric.
+#
+# Scale shape: one user-grain reduction, decile assignment through
+# global_ntile (range-partitioned offset ranking — never a global
+# ntile window), then a 10-row rollup with a triangular cumulative
+# join. Exactness: every count is BIGINT; rates are fixed double
+# ratios of them.
+# --------------------------------------------------------------------------
+QINI_TILES = 10
+
+
+@register(
+    "ev_qini_uplift",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS converted
+      FROM events GROUP BY user_id
+    ),
+    tagged AS (
+      SELECT user_id, n_events, converted,
+             CASE WHEN (CASE substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        {" ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))}
+                        END) % 2 = 0 THEN 1 ELSE 0 END AS t
+      FROM per_user
+    ),
+    tiled AS (
+      SELECT t, converted,
+             ntile({QINI_TILES}) OVER (ORDER BY n_events DESC, user_id)
+                 AS tile
+      FROM tagged
+    ),
+    per_tile AS (
+      SELECT tile,
+             CAST(sum(t) AS BIGINT) AS n_t,
+             CAST(sum(1 - t) AS BIGINT) AS n_c,
+             CAST(sum(t * converted) AS BIGINT) AS conv_t,
+             CAST(sum((1 - t) * converted) AS BIGINT) AS conv_c
+      FROM tiled GROUP BY tile
+    )
+    SELECT CAST(p.tile AS INTEGER) AS tile,
+           p.n_t, p.n_c, p.conv_t, p.conv_c,
+           CASE WHEN p.n_t > 0 AND p.n_c > 0
+                THEN round(p.conv_t * 1.0 / p.n_t
+                           - p.conv_c * 1.0 / p.n_c, 6) END AS uplift_rate,
+           CASE WHEN sum(p2.n_c) > 0
+                THEN round(sum(p2.conv_t)
+                           - sum(p2.conv_c)
+                             * (sum(p2.n_t) * 1.0 / sum(p2.n_c)), 4)
+           END AS qini_cum
+    FROM per_tile p JOIN per_tile p2 ON p2.tile <= p.tile
+    GROUP BY p.tile, p.n_t, p.n_c, p.conv_t, p.conv_c
+    """,
+)
+def ev_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift and cumulative Qini by activity-score decile for the
+    md5-hash treatment assignment."""
+    from ..functions.ranking import global_ntile
+
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    tagged = per_user.select(
+        "user_id",
+        "n_events",
+        "converted",
+        ((bucket % 2) == 0).cast("int").alias("t"),
+    )
+    tiled = global_ntile(
+        tagged,
+        [F.col("n_events").desc(), F.col("user_id")],
+        QINI_TILES,
+        "tile",
+    )
+    per_tile = (
+        tiled.groupBy("tile")
+        .agg(
+            F.sum("t").cast("bigint").alias("n_t"),
+            F.sum(F.lit(1) - F.col("t")).cast("bigint").alias("n_c"),
+            F.sum(F.col("t") * F.col("converted"))
+            .cast("bigint")
+            .alias("conv_t"),
+            F.sum((F.lit(1) - F.col("t")) * F.col("converted"))
+            .cast("bigint")
+            .alias("conv_c"),
+        )
+        .persist()
+    )
+    p, p2 = per_tile.alias("p"), per_tile.alias("p2")
+    return (
+        p.join(F.broadcast(p2), F.col("p2.tile") <= F.col("p.tile"))
+        .groupBy("p.tile", "p.n_t", "p.n_c", "p.conv_t", "p.conv_c")
+        .agg(
+            F.sum("p2.conv_t").cast("bigint").alias("ct_cum"),
+            F.sum("p2.conv_c").cast("bigint").alias("cc_cum"),
+            F.sum("p2.n_t").cast("bigint").alias("nt_cum"),
+            F.sum("p2.n_c").cast("bigint").alias("nc_cum"),
+        )
+        .select(
+            F.col("tile").cast("int").alias("tile"),
+            "n_t",
+            "n_c",
+            "conv_t",
+            "conv_c",
+            F.when(
+                (F.col("n_t") > 0) & (F.col("n_c") > 0),
+                F.round(
+                    F.col("conv_t") * 1.0 / F.col("n_t")
+                    - F.col("conv_c") * 1.0 / F.col("n_c"),
+                    6,
+                ),
+            ).alias("uplift_rate"),
+            F.when(
+                F.col("nc_cum") > 0,
+                F.round(
+                    F.col("ct_cum")
+                    - F.col("cc_cum")
+                    * (F.col("nt_cum") * 1.0 / F.col("nc_cum")),
+                    4,
+                ),
+            ).alias("qini_cum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Synthetic control — the observational-causal companion to the DiD
+# estimator: reconstruct the treated region's PRE-period daily
+# revenue as an affine combination of two donor regions (closed-form
+# centered OLS, the ml_ridge_path machinery at lambda=0), then read
+# the average post-period gap between actual and synthetic as the
+# treatment effect. The whole estimator is TWO aggregates over the
+# calendar-bounded 3-region daily relation: one pre-period moment
+# pass, one post-period sum pass (the synthetic series is linear, so
+# its post-period mean needs only the donor column sums).
+#
+# Exactness: daily cents are BIGINT; cross-moment sums run in
+# decimal(38)/HUGEINT with one deterministic rounding to double; the
+# 2x2 solve, intercept, pre-R^2 and ATT are fixed double expressions.
+# --------------------------------------------------------------------------
+SC_TREATED = "ASIA"
+SC_DONOR_A = "EUROPE"
+SC_DONOR_B = "AMERICA"
+SC_SPLIT = "1996-01-01"
+
+
+@register(
+    "ev_synthetic_control",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CASE WHEN r_name = '{SC_TREATED}'
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y,
+             CAST(sum(CASE WHEN r_name = '{SC_DONOR_A}'
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN r_name = '{SC_DONOR_B}'
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x2
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name IN ('{SC_TREATED}', '{SC_DONOR_A}', '{SC_DONOR_B}')
+      GROUP BY 1
+    ),
+    pre AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM daily WHERE day < DATE '{SC_SPLIT}'
+    ),
+    post AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_p,
+             CAST(sum(y) AS BIGINT) AS sy_p,
+             CAST(sum(x1) AS BIGINT) AS s1_p,
+             CAST(sum(x2) AS BIGINT) AS s2_p
+      FROM daily WHERE day >= DATE '{SC_SPLIT}'
+    ),
+    cen AS (
+      SELECT n,
+             s11 - (s1 * 1.0 / n) * s1 AS c11,
+             s12 - (s1 * 1.0 / n) * s2 AS c12,
+             s22 - (s2 * 1.0 / n) * s2 AS c22,
+             s1y - (s1 * 1.0 / n) * sy AS c1y,
+             s2y - (s2 * 1.0 / n) * sy AS c2y,
+             syy - (sy * 1.0 / n) * sy AS cyy,
+             s1 * 1.0 / n AS m1, s2 * 1.0 / n AS m2, sy * 1.0 / n AS my
+      FROM pre
+    ),
+    fit AS (
+      SELECT n, cyy, c1y, c2y, m1, m2, my,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS w1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS w2
+      FROM cen
+    )
+    SELECT n AS n_pre_days, n_p AS n_post_days,
+           round(w1, 6) AS w_{SC_DONOR_A.lower()},
+           round(w2, 6) AS w_{SC_DONOR_B.lower()},
+           round((my - w1 * m1 - w2 * m2) / 100.0, 4) AS intercept_usd,
+           round((w1 * c1y + w2 * c2y) / cyy, 6) AS pre_r2,
+           round((sy_p - (my - w1 * m1 - w2 * m2) * n_p
+                  - w1 * s1_p - w2 * s2_p) / (100.0 * n_p), 4)
+               AS att_daily_usd
+    FROM fit, post
+    """,
+)
+def ev_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-control ATT for {SC_TREATED} daily revenue with
+    {SC_DONOR_A}/{SC_DONOR_B} donors, split at {SC_SPLIT}."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin(SC_TREATED, SC_DONOR_A, SC_DONOR_B))
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("r_name") == SC_TREATED, cents).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+            F.sum(F.when(F.col("r_name") == SC_DONOR_A, cents).otherwise(0))
+            .cast("bigint")
+            .alias("x1"),
+            F.sum(F.when(F.col("r_name") == SC_DONOR_B, cents).otherwise(0))
+            .cast("bigint")
+            .alias("x2"),
+        )
+        .persist()
+    )
+    split = F.lit(SC_SPLIT).cast("date")
+    d1 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    pre = daily.filter(F.col("day") < split).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(d1("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(d1("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(d1("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum(d1("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(d1("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(d1("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    post = daily.filter(F.col("day") >= split).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_p"),
+        F.sum("y").cast("bigint").alias("sy_p"),
+        F.sum("x1").cast("bigint").alias("s1_p"),
+        F.sum("x2").cast("bigint").alias("s2_p"),
+    )
+    n = F.col("n")
+    cen = pre.select(
+        "n",
+        (F.col("s11") - (F.col("s1") * 1.0 / n) * F.col("s1")).alias("c11"),
+        (F.col("s12") - (F.col("s1") * 1.0 / n) * F.col("s2")).alias("c12"),
+        (F.col("s22") - (F.col("s2") * 1.0 / n) * F.col("s2")).alias("c22"),
+        (F.col("s1y") - (F.col("s1") * 1.0 / n) * F.col("sy")).alias("c1y"),
+        (F.col("s2y") - (F.col("s2") * 1.0 / n) * F.col("sy")).alias("c2y"),
+        (F.col("syy") - (F.col("sy") * 1.0 / n) * F.col("sy")).alias("cyy"),
+        (F.col("s1") * 1.0 / n).alias("m1"),
+        (F.col("s2") * 1.0 / n).alias("m2"),
+        (F.col("sy") * 1.0 / n).alias("my"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    fit = cen.select(
+        "n", "cyy", "c1y", "c2y", "m1", "m2", "my",
+        ((F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det).alias("w1"),
+        ((F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det).alias("w2"),
+    )
+    icept = F.col("my") - F.col("w1") * F.col("m1") - F.col("w2") * F.col("m2")
+    return fit.crossJoin(F.broadcast(post)).select(
+        F.col("n").alias("n_pre_days"),
+        F.col("n_p").alias("n_post_days"),
+        F.round("w1", 6).alias(f"w_{SC_DONOR_A.lower()}"),
+        F.round("w2", 6).alias(f"w_{SC_DONOR_B.lower()}"),
+        F.round(icept / 100.0, 4).alias("intercept_usd"),
+        F.round(
+            (F.col("w1") * F.col("c1y") + F.col("w2") * F.col("c2y"))
+            / F.col("cyy"),
+            6,
+        ).alias("pre_r2"),
+        F.round(
+            (
+                F.col("sy_p")
+                - icept * F.col("n_p")
+                - F.col("w1") * F.col("s1_p")
+                - F.col("w2") * F.col("s2_p")
+            )
+            / (100.0 * F.col("n_p")),
+            4,
+        ).alias("att_daily_usd"),
+    )

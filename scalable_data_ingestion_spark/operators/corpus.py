@@ -1941,3 +1941,95 @@ def txt_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("heaps_beta"),
         F.round(F.exp((syd - beta * sxd) / (m * 1000000000.0)), 4).alias("heaps_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Renyi entropy spectrum per source — the four standard orders in one
+# pass over the (source, token) grain: H0 = ln V (richness), H1 =
+# Shannon, H2 = -ln(sum p^2) (collision entropy, the diversity number
+# dedup cares about), Hinf = -ln(max p) (min-entropy, the
+# worst-case-guessability number). A corpus whose H2/Hinf collapse
+# while H0 stays flat is template-dominated — the spectrum separates
+# "many types" from "evenly used types" in a way no single entropy
+# does.
+#
+# Exactness: token counts and their squares are exact (BIGINT /
+# decimal-HUGEINT with one rounding to double); the Shannon terms
+# quantize at 1e-9 before the exact sum (txt_unigram_entropy policy);
+# H0/H2/Hinf take ONE final ln per source on identical inputs.
+# --------------------------------------------------------------------------
+@register(
+    "txt_renyi_spectrum",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, t, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS c2,
+             CAST(max(c) AS BIGINT) AS cmax
+      FROM tf GROUP BY source
+    ),
+    h1 AS (
+      SELECT tf.source,
+             CAST(sum(CAST(floor(-(tf.c * 1.0 / a.n)
+                                 * ln(tf.c * 1.0 / a.n)
+                                 * {ENT_FX}) AS BIGINT)) AS BIGINT) AS h1_fx
+      FROM tf JOIN agg a ON tf.source = a.source
+      GROUP BY tf.source
+    )
+    SELECT a.source, a.n AS n_tokens, a.vocab,
+           round(ln(a.vocab), 6) AS h0,
+           round(h1.h1_fx / {ENT_FX}.0, 6) AS h1,
+           round(-ln(a.c2 / (a.n * 1.0 * a.n)), 6) AS h2,
+           round(-ln(a.cmax * 1.0 / a.n), 6) AS h_inf
+    FROM agg a JOIN h1 ON a.source = h1.source
+    """,
+)
+def txt_renyi_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renyi entropy spectrum (H0, H1, H2, Hinf in nats) of the token
+    distribution per source."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t"),
+    )
+    tf = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    agg = tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("c2"),
+        F.max("c").cast("bigint").alias("cmax"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    h1 = (
+        tf.join(F.broadcast(agg.select("source", "n")), "source")
+        .select(
+            "source",
+            F.floor(-p * F.log(p) * ENT_FX).cast("bigint").alias("t_fx"),
+        )
+        .groupBy("source")
+        .agg(F.sum("t_fx").cast("bigint").alias("h1_fx"))
+    )
+    return agg.join(h1, "source").select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        F.round(F.log("vocab"), 6).alias("h0"),
+        F.round(F.col("h1_fx") / float(ENT_FX), 6).alias("h1"),
+        F.round(-F.log(F.col("c2") / (F.col("n") * 1.0 * F.col("n"))), 6).alias(
+            "h2"
+        ),
+        F.round(-F.log(F.col("cmax") * 1.0 / F.col("n")), 6).alias("h_inf"),
+    )

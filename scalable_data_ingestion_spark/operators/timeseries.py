@@ -1296,3 +1296,130 @@ def ts_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             " level double, trend double, fit_error double"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Croston's method for intermittent demand — per-part demand-size and
+# demand-interval EWMAs over the part's order-occurrence sequence,
+# with the demand-rate forecast z/p. Classic supply-chain forecasting
+# for sparse series (most parts sell on a few scattered days), where
+# plain EWMA systematically lags: Croston smooths the SIZES and the
+# GAPS separately.
+#
+# Recurrence class: per-key iterative (two coupled states over the
+# occurrence sequence) — the ts_ewma_daily Arrow escape hatch, bucket-
+# grouped so one applyInPandas call handles many parts; value-checked
+# against a DuckDB recursive CTE. States are doubles with identical
+# literal expressions in both engines; demand sums and day intervals
+# are exact integers. Output is the FINAL state per part (one row per
+# part with >= 2 occurrences), rounded engine-side in both engines.
+#
+# Scale shape: one (part, day) fact rollup, then per-key sequential
+# work over occurrence counts (tens per part); millions of parts fan
+# out across executors — the per-SKU forecasting deployment shape.
+# --------------------------------------------------------------------------
+CROSTON_ALPHA = 0.2
+
+
+@register(
+    "ts_croston_intermittent",
+    oracle=f"""
+    WITH RECURSIVE occ AS (
+      SELECT l_partkey AS part, CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(row_number() OVER (
+               PARTITION BY l_partkey ORDER BY CAST(o_orderdate AS DATE)
+             ) AS INTEGER) AS rn,
+             date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY l_partkey ORDER BY CAST(o_orderdate AS DATE)),
+               CAST(o_orderdate AS DATE)) AS gap
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ),
+    rec AS (
+      SELECT part, rn, CAST(q AS DOUBLE) AS z, CAST(NULL AS DOUBLE) AS p
+      FROM occ WHERE rn = 1
+      UNION ALL
+      SELECT o.part, o.rn,
+             {CROSTON_ALPHA} * o.q + {1 - CROSTON_ALPHA} * r.z,
+             CASE WHEN r.p IS NULL THEN CAST(o.gap AS DOUBLE)
+                  ELSE {CROSTON_ALPHA} * o.gap
+                       + {1 - CROSTON_ALPHA} * r.p END
+      FROM occ o JOIN rec r ON o.part = r.part AND o.rn = r.rn + 1
+    ),
+    last_n AS (
+      SELECT part, CAST(max(rn) AS BIGINT) AS n_occ FROM occ GROUP BY part
+    )
+    SELECT r.part AS partkey, l.n_occ,
+           round(r.z, 6) AS demand_size_ewma,
+           round(r.p, 6) AS interval_ewma_days,
+           round(r.z / r.p, 6) AS demand_rate_per_day
+    FROM rec r JOIN last_n l ON r.part = l.part AND r.rn = l.n_occ
+    WHERE l.n_occ >= 2
+    """,
+)
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand state (size EWMA, interval EWMA,
+    rate forecast) per part, alpha={CROSTON_ALPHA}."""
+    import pandas as pd
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    occ = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    )
+
+    def croston_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["part", "day"]).reset_index(drop=True)
+        out = []
+        z = p = 0.0
+        prev_part = None
+        prev_day = None
+        n_occ = 0
+        def flush():
+            if prev_part is not None and n_occ >= 2:
+                out.append((prev_part, n_occ, z, p, z / p))
+        for part, day, q in zip(pdf["part"], pdf["day"], pdf["q"]):
+            q = float(q)
+            if part != prev_part:
+                flush()
+                z, p, n_occ = q, float("nan"), 1
+            else:
+                gap = float((day - prev_day).days)
+                z = CROSTON_ALPHA * q + (1 - CROSTON_ALPHA) * z
+                p = (
+                    gap
+                    if n_occ == 1
+                    else CROSTON_ALPHA * gap + (1 - CROSTON_ALPHA) * p
+                )
+                n_occ += 1
+            prev_part, prev_day = part, day
+        flush()
+        return pd.DataFrame(
+            out, columns=["partkey", "n_occ", "z", "p", "rate"]
+        )
+
+    final = (
+        occ.withColumn("bucket", (F.col("part") % 64).cast("int"))
+        .groupBy("bucket")
+        .applyInPandas(
+            croston_bucket,
+            schema=(
+                "partkey bigint, n_occ bigint, z double, p double,"
+                " rate double"
+            ),
+        )
+    )
+    return final.select(
+        "partkey",
+        "n_occ",
+        F.round("z", 6).alias("demand_size_ewma"),
+        F.round("p", 6).alias("interval_ewma_days"),
+        F.round("rate", 6).alias("demand_rate_per_day"),
+    )

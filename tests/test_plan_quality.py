@@ -134,6 +134,9 @@ def test_no_python_eval_in_any_registered_query(spark, sf_dir):
         # recurrence class, value-checked against a recursive CTE
         # carrying the seasonal slots as columns.
         "ts_holt_winters_weekly",
+        # Croston: two coupled per-key EWMA states over the occurrence
+        # sequence — same recurrence class, recursive-CTE checked.
+        "ts_croston_intermittent",
         # banding curve evaluates recall against the exact all-pairs
         # truth, which is dd_embedding_neardup_pairs' allowlisted
         # broadcast-numpy kernel — same justification, same kernel.
