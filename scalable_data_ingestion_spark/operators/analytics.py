@@ -2526,3 +2526,87 @@ def ev_synthetic_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("att_daily_usd"),
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution — credit each purchase to the user's most
+# recent non-purchase interaction within a 3-day lookback (interval
+# arithmetic on the NTZ timestamps — timezone-free in both engines;
+# else 'direct'), then roll credited purchase counts and credited
+# value up per channel. The marketing-analytics staple a behavioral pipeline
+# ships next to its funnel: the funnel says WHERE users drop, this
+# says WHICH interaction gets revenue credit.
+#
+# Scale shape: ONE user-keyed window (ordered by ts, event_id) carries
+# the last non-purchase (ts, type) forward via last(ignorenulls) —
+# no self-join of purchases against events; then a 6-row channel
+# rollup. Purchase value quantizes to cents BEFORE the channel sum so
+# the credited-value totals are exact under any shuffle order.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ev_last_touch_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS) OVER w AS prev_ts,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type
+                             END IGNORE NULLS) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    credited AS (
+      SELECT CASE WHEN prev_ts IS NOT NULL
+                   AND ts - prev_ts <= INTERVAL 3 DAY
+                  THEN prev_type ELSE 'direct' END AS channel,
+             cents
+      FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(cents) / 100.0, 2) AS credited_value
+    FROM credited GROUP BY channel
+    """,
+)
+def ev_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch channel attribution of purchases (3-day lookback,
+    'direct' when no prior interaction qualifies)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    nonp_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    nonp_type = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.last(nonp_ts, ignorenulls=True).over(w).alias("prev_ts"),
+        F.last(nonp_type, ignorenulls=True).over(w).alias("prev_type"),
+    )
+    credited = seq.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("prev_ts").isNotNull()
+            & (
+                F.col("ts") - F.col("prev_ts")
+                <= F.expr("INTERVAL 3 DAYS")
+            ),
+            F.col("prev_type"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "cents",
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(F.sum("cents") / 100.0, 2).alias("credited_value"),
+    )

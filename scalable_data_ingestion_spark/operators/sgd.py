@@ -814,3 +814,116 @@ def ml_naive_bayes_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train", "n_test", "tp", "fp", "fn", "tn",
         "accuracy", "precision_1", "recall_1",
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram-based decision-stump split scan — the primitive every
+# distributed GBDT engine (XGBoost/LightGBM "hist" mode) runs per
+# tree node: collapse the fact to the feature's VALUE GRAIN with
+# per-class counts, prefix-sum the histogram, and score every split
+# threshold from the cumulative counts alone. One fact-sized groupBy
+# + a 50-row triangular rollup evaluates ALL thresholds — the reason
+# hist-mode training scales is exactly this shape, and the whole scan
+# is integer-exact (Gini impurity is rational in the counts; no logs).
+#
+# Output: every candidate threshold with its left/right class counts
+# and weighted-Gini gain (parent Gini minus split impurity), so the
+# argmax AND the full gain curve are visible.
+# --------------------------------------------------------------------------
+@register(
+    "ml_stump_split_scan",
+    oracle="""
+    WITH hist AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS c0
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS t1,
+             CAST(sum(c0) AS BIGINT) AS t0
+      FROM hist
+    ),
+    cum AS (
+      SELECT h.v AS threshold,
+             CAST(sum(h2.c1) AS BIGINT) AS l1,
+             CAST(sum(h2.c0) AS BIGINT) AS l0
+      FROM hist h JOIN hist h2 ON h2.v <= h.v
+      GROUP BY h.v
+    ),
+    scored AS (
+      SELECT threshold, l1, l0, t1 - l1 AS r1, t0 - l0 AS r0,
+             t1, t0, l1 + l0 AS nl, (t1 - l1) + (t0 - l0) AS nr,
+             t1 + t0 AS n
+      FROM cum, tot
+    )
+    SELECT threshold, l1, l0, r1, r0,
+           round(CASE WHEN nl > 0 AND nr > 0 THEN
+             (1.0 - (t1 * 1.0 / n) * (t1 * 1.0 / n)
+                  - (t0 * 1.0 / n) * (t0 * 1.0 / n))
+             - ((nl * 1.0 / n)
+                * (1.0 - (l1 * 1.0 / nl) * (l1 * 1.0 / nl)
+                       - (l0 * 1.0 / nl) * (l0 * 1.0 / nl))
+                + (nr * 1.0 / n)
+                  * (1.0 - (r1 * 1.0 / nr) * (r1 * 1.0 / nr)
+                         - (r0 * 1.0 / nr) * (r0 * 1.0 / nr)))
+           ELSE 0.0 END, 9) AS gini_gain
+    FROM scored
+    ORDER BY threshold
+    """,
+)
+def ml_stump_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini gain for every quantity split threshold on the
+    returned-flag label — the hist-mode GBDT node-split primitive."""
+    li = table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_quantity").cast("bigint").alias("v")).agg(
+        F.sum((F.col("l_returnflag") == "R").cast("int"))
+        .cast("bigint")
+        .alias("c1"),
+        F.sum((F.col("l_returnflag") != "R").cast("int"))
+        .cast("bigint")
+        .alias("c0"),
+    ).persist()
+    tot = hist.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c0").cast("bigint").alias("t0"),
+    )
+    h, h2 = hist.alias("h"), hist.alias("h2")
+    cum = (
+        h.join(F.broadcast(h2), F.col("h2.v") <= F.col("h.v"))
+        .groupBy(F.col("h.v").alias("threshold"))
+        .agg(
+            F.sum("h2.c1").cast("bigint").alias("l1"),
+            F.sum("h2.c0").cast("bigint").alias("l0"),
+        )
+    )
+    s = cum.crossJoin(F.broadcast(tot)).select(
+        "threshold", "l1", "l0",
+        (F.col("t1") - F.col("l1")).alias("r1"),
+        (F.col("t0") - F.col("l0")).alias("r0"),
+        "t1", "t0",
+        (F.col("l1") + F.col("l0")).alias("nl"),
+        ((F.col("t1") - F.col("l1")) + (F.col("t0") - F.col("l0"))).alias("nr"),
+        (F.col("t1") + F.col("t0")).alias("n"),
+    )
+    def gini(a, b, m):
+        return (
+            1.0
+            - (a * 1.0 / m) * (a * 1.0 / m)
+            - (b * 1.0 / m) * (b * 1.0 / m)
+        )
+    n, nl, nr = F.col("n"), F.col("nl"), F.col("nr")
+    gain = F.when(
+        (nl > 0) & (nr > 0),
+        gini(F.col("t1"), F.col("t0"), n)
+        - (
+            (nl * 1.0 / n) * gini(F.col("l1"), F.col("l0"), nl)
+            + (nr * 1.0 / n) * gini(F.col("r1"), F.col("r0"), nr)
+        ),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        "threshold", "l1", "l0", "r1", "r0",
+        F.round(gain, 9).alias("gini_gain"),
+    ).orderBy("threshold")

@@ -1423,3 +1423,228 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p", 6).alias("interval_ewma_days"),
         F.round("rate", 6).alias("demand_rate_per_day"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis of daily revenue —
+# the long-range-dependence diagnostic (H > 0.5 = persistent trends,
+# H < 0.5 = mean-reverting) a capacity planner reads before trusting
+# any i.i.d.-based forecast interval. Window sizes 8/16/32/64 days;
+# per full window, R = range of the cumulative mean-deviation and
+# S = the window standard deviation; H = the log-log OLS slope of
+# mean(R/S) against window size.
+#
+# Exactness: the within-window deviation (cents - mean) scales by w
+# into the EXACT integer w*cents - sum(cents), so the cumulative
+# deviations and their range are exact BIGINTs and the squared sum
+# runs in HUGEINT/decimal (the 1/w factors cancel in R/S up to one
+# fixed division). Per-window R/S quantizes to 1e-6 before the
+# cross-window mean (exact sum); ln(w) values are Python literals
+# baked into both engines, so the final OLS touches only two
+# 4-element in-order folds.
+#
+# Scale shape: the series is calendar-bounded; windows partition by
+# (size, bucket) — thousands of small partitions, never a global
+# window (the idx comes from global_rank). At deployment scale the
+# same query runs per key (store/SKU/tenant) with keys fanned out.
+# --------------------------------------------------------------------------
+HURST_SIZES = (8, 16, 32, 64)
+HURST_FX = 10**6
+_H_LNW = {w: _math.log(w) for w in HURST_SIZES}
+_H_SX = sum(_H_LNW.values())
+_H_SXX = sum(v * v for v in _H_LNW.values())
+_H_K = len(HURST_SIZES)
+_H_LNW_CASE = " ".join(f"WHEN {w} THEN {v!r}" for w, v in _H_LNW.items())
+
+
+@register(
+    "ts_hurst_rescaled_range",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ),
+    ranked AS (
+      SELECT cents, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS idx
+      FROM daily
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM ranked),
+    sizes(w) AS (VALUES {", ".join(f"({w})" for w in HURST_SIZES)}),
+    bucketed AS (
+      SELECT CAST(s.w AS BIGINT) AS w, (r.idx - 1) // s.w AS b,
+             r.idx, r.cents
+      FROM ranked r CROSS JOIN sizes s, n
+      WHERE (r.idx - 1) // s.w < n.n_days // s.w
+    ),
+    wsum AS (
+      SELECT w, b, CAST(sum(cents) AS BIGINT) AS s_b
+      FROM bucketed GROUP BY w, b
+    ),
+    dev AS (
+      SELECT d.w, d.b, d.idx,
+             d.w * d.cents - ws.s_b AS dv,
+             CAST(sum(d.w * d.cents - ws.s_b) OVER (
+               PARTITION BY d.w, d.b ORDER BY d.idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM bucketed d JOIN wsum ws ON d.w = ws.w AND d.b = ws.b
+    ),
+    per_bucket AS (
+      SELECT w, b,
+             CAST(max(cum) - min(cum) AS BIGINT) AS r_fx,
+             CAST(sum(CAST(dv AS HUGEINT) * dv) AS DOUBLE) AS ss
+      FROM dev GROUP BY w, b
+    ),
+    rs AS (
+      SELECT w,
+             CAST(floor(r_fx / sqrt(ss / w) * {HURST_FX}) AS BIGINT) AS rs_fx
+      FROM per_bucket WHERE ss > 0
+    ),
+    per_w AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(rs_fx) AS BIGINT) AS s_rs
+      FROM rs GROUP BY w
+    ),
+    folds AS (
+      SELECT
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(ln(s_rs * 1.0 / (n_buckets * {HURST_FX})) ORDER BY w)),
+          (a, x) -> a + x) AS sy,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list((CASE w {_H_LNW_CASE} END)
+               * ln(s_rs * 1.0 / (n_buckets * {HURST_FX})) ORDER BY w)),
+          (a, x) -> a + x) AS sxy
+      FROM per_w
+    )
+    SELECT (SELECT n_days FROM n) AS n_days,
+           {" ,".join(
+               f"(SELECT n_buckets FROM per_w WHERE w = {w}) AS nb_{w}"
+               for w in HURST_SIZES)},
+           {" ,".join(
+               f"round((SELECT s_rs * 1.0 / (n_buckets * {HURST_FX})"
+               f" FROM per_w WHERE w = {w}), 6) AS rs_{w}"
+               for w in HURST_SIZES)},
+           round(({_H_K} * sxy - {_H_SX!r} * sy)
+                 / ({_H_K} * {_H_SXX!r} - {_H_SX!r} * {_H_SX!r}), 6)
+               AS hurst
+    FROM folds
+    """,
+)
+def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent (R/S log-log slope over 8/16/32/64-day windows)
+    of daily order revenue, with per-size mean rescaled ranges."""
+    from ..functions.ranking import global_rank
+
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = global_rank(daily, [F.col("day")], "idx").select("cents", "idx")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    sizes = spark.createDataFrame([(w,) for w in HURST_SIZES], "w bigint")
+    bucketed = (
+        ranked.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(n))
+        .filter(
+            ((F.col("idx") - 1) / F.col("w")).cast("bigint")
+            < (F.col("n_days") / F.col("w")).cast("bigint")
+        )
+        .select(
+            "w",
+            ((F.col("idx") - 1) / F.col("w")).cast("bigint").alias("b"),
+            "idx",
+            "cents",
+        )
+    )
+    wsum = bucketed.groupBy("w", "b").agg(
+        F.sum("cents").cast("bigint").alias("s_b")
+    )
+    dv = F.col("w") * F.col("cents") - F.col("s_b")
+    cum_w = (
+        W.partitionBy("w", "b")
+        .orderBy("idx")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    dev = bucketed.join(wsum, ["w", "b"]).select(
+        "w",
+        "b",
+        "idx",
+        dv.alias("dv"),
+        F.sum(dv).over(cum_w).cast("bigint").alias("cum"),
+    )
+    per_bucket = dev.groupBy("w", "b").agg(
+        (F.max("cum") - F.min("cum")).cast("bigint").alias("r_fx"),
+        F.sum(F.col("dv").cast("decimal(38,0)") * F.col("dv"))
+        .cast("double")
+        .alias("ss"),
+    )
+    rs = per_bucket.filter(F.col("ss") > 0).select(
+        "w",
+        F.floor(
+            F.col("r_fx") / F.sqrt(F.col("ss") / F.col("w")) * HURST_FX
+        )
+        .cast("bigint")
+        .alias("rs_fx"),
+    )
+    per_w = rs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("rs_fx").cast("bigint").alias("s_rs"),
+    ).persist()
+    mean_rs = F.col("s_rs") * 1.0 / (F.col("n_buckets") * HURST_FX)
+    lnw = F.lit(None).cast("double")
+    for w_, v in _H_LNW.items():
+        lnw = F.when(F.col("w") == w_, F.lit(v)).otherwise(lnw)
+    folds = per_w.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("w", "n_buckets", "s_rs"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + F.log(x["s_rs"] * 1.0 / (x["n_buckets"] * HURST_FX)),
+        ).alias("sy"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("w", "n_buckets", "s_rs"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + _lnw_of(x["w"])
+            * F.log(x["s_rs"] * 1.0 / (x["n_buckets"] * HURST_FX)),
+        ).alias("sxy"),
+    )
+    wide_cols = []
+    for w_ in HURST_SIZES:
+        wide_cols.append(
+            F.max(F.when(F.col("w") == w_, F.col("n_buckets"))).alias(
+                f"nb_{w_}"
+            )
+        )
+        wide_cols.append(
+            F.round(
+                F.max(F.when(F.col("w") == w_, mean_rs)), 6
+            ).alias(f"rs_{w_}")
+        )
+    wide = per_w.agg(*wide_cols)
+    hurst = F.round(
+        (_H_K * F.col("sxy") - _H_SX * F.col("sy"))
+        / (_H_K * _H_SXX - _H_SX * _H_SX),
+        6,
+    ).alias("hurst")
+    return (
+        n.crossJoin(F.broadcast(wide))
+        .crossJoin(F.broadcast(folds))
+        .select("n_days", *[c for w_ in HURST_SIZES for c in (f"nb_{w_}", f"rs_{w_}")], hurst)
+    )
+
+
+def _lnw_of(col):
+    """ln(w) literal lookup (Python-precomputed) for the Hurst fold."""
+    expr = F.lit(None).cast("double")
+    for w_, v in _H_LNW.items():
+        expr = F.when(col == w_, F.lit(v)).otherwise(expr)
+    return expr
