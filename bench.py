@@ -259,6 +259,13 @@ HEADLINE_R13 = [
     "stat_brown_forsythe_segments",
     "stat_event_dow_mutual_info",
     "stat_cramers_v_priority_segment",
+    "ev_qini_uplift",
+    "ev_synthetic_control",
+    "ts_croston_intermittent",
+    "txt_renyi_spectrum",
+    "ml_stump_split_scan",
+    "ev_last_touch_attribution",
+    "ts_hurst_rescaled_range",
 ]
 
 ALL_HEADLINE = (

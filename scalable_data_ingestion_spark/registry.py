@@ -124,9 +124,16 @@ def load_all() -> None:
 # r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
     # round-5 additions: no driver hash, post-judge-sweep code.
-    # Newest first — the thirteen stat/causal/forecast/ML queries
+    # Newest first — the twenty stat/causal/forecast/ML queries
     # below were written in the final round-5 sessions and have only
     # local sweep checks.
+    "ev_qini_uplift",
+    "ev_synthetic_control",
+    "ts_croston_intermittent",
+    "txt_renyi_spectrum",
+    "ml_stump_split_scan",
+    "ev_last_touch_attribution",
+    "ts_hurst_rescaled_range",
     "ts_harmonic_periodogram",
     "ts_holt_winters_weekly",
     "ml_ridge_path",
