@@ -607,3 +607,90 @@ def emb_silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_silhouette"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# K-means elbow curve — total within-cluster inertia after the same
+# exact Lloyd procedure at k = 2 / 4 / 8, the model-selection readout
+# (where the marginal inertia drop flattens) that decides how many
+# IVF cells / SemDeDup buckets the corpus actually supports.
+#
+# Exactness: the per-k training reuses the module's fixed-point Lloyd
+# rounds (deterministic low-id seeds, 1e6 centroid quantization);
+# per-vector squared distances quantize to 1e-9 fixed point before
+# the BIGINT inertia sum, so the curve is shuffle-order invariant.
+#
+# Scale shape: sum over k of the k-assignment crossJoins (broadcast
+# centroid side, K <= 8 rows) — ~1.75x the single k=8 training cost;
+# every reduction is map-side-combining.
+# --------------------------------------------------------------------------
+ELBOW_KS = (2, 4, 8)
+ELBOW_FX = 10**9
+
+
+def _duck_kmeans_body_k(k: int, sfx: str) -> str:
+    """Per-k unrolled Lloyd CTE chain ending in ``fin{sfx}``."""
+    parts = [
+        f"c0{sfx} AS (SELECT CAST(vec_id AS INTEGER) AS cluster_id, "
+        f"emb AS cemb FROM corpus WHERE vec_id < {k})"
+    ]
+    cent = f"c0{sfx}"
+    for it in range(ITERS):
+        parts.append(_duck_assign(cent, f"a{it}{sfx}").strip())
+        parts.append(_duck_update(f"a{it}{sfx}", f"c{it + 1}{sfx}").strip())
+        cent = f"c{it + 1}{sfx}"
+    parts.append(_duck_assign(cent, f"fin{sfx}").strip())
+    return ",\n".join(parts)
+
+
+@register(
+    "ml_kmeans_elbow",
+    oracle=f"""
+    WITH {_RAW_CORPUS_CTE},
+    {",".join(_duck_kmeans_body_k(k, f"_k{k}") for k in ELBOW_KS)}
+    {" UNION ALL ".join(
+        f'''SELECT {k} AS k, CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(CAST(floor(dist * {ELBOW_FX}) AS BIGINT))
+                 / {ELBOW_FX}.0, 6) AS inertia,
+           round(sum(CAST(floor(dist * {ELBOW_FX}) AS BIGINT))
+                 / ({ELBOW_FX}.0 * count(*)), 6) AS inertia_per_vec
+        FROM fin_k{k}''' for k in ELBOW_KS)}
+    ORDER BY k
+    """,
+)
+def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster inertia at k in {ELBOW_KS} after the exact Lloyd
+    rounds — the elbow model-selection curve."""
+    corpus = widen_if_narrow(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "emb"
+            ),
+        )
+    ).persist()
+    per_k = []
+    for k in ELBOW_KS:
+        cent = corpus.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").cast("int").alias("cluster_id"),
+            F.col("emb").alias("cemb"),
+        )
+        for _ in range(ITERS):
+            cent = _update(_assign(corpus, cent))
+        fin = _assign(corpus, cent)
+        fx = F.sum(
+            F.floor(F.col("dist") * ELBOW_FX).cast("bigint")
+        )
+        per_k.append(
+            fin.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                F.round(fx / float(ELBOW_FX), 6).alias("inertia"),
+                F.round(
+                    fx / (float(ELBOW_FX) * F.count(F.lit(1))), 6
+                ).alias("inertia_per_vec"),
+            ).select(F.lit(k).alias("k"), "*")
+        )
+    out = per_k[0]
+    for df in per_k[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("k")

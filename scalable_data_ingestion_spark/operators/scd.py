@@ -1081,3 +1081,134 @@ def ivm_join_delta_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").cast("bigint").alias("n_orders"),
         F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Absorbing-chain expected steps to purchase — make 'purchase' the
+# absorbing state of the event-transition chain and run unrolled
+# value-iteration rounds of E_s = 1 + sum_j P_sj * E_j (E_purchase =
+# 0): the "how many more interactions until this user converts, given
+# their current state?" product metric, the absorbing companion to
+# ev_markov_stationary's long-run occupancy.
+#
+# Exactness: the same ppm transition model; iterates live in integer
+# MICRO-steps (1e6), each round is 1e6 + sum((p_ppm * e) DIV 1e6) —
+# BIGINT-exact and overflow-safe (e converges to ~steps * 1e6, p_ppm
+# <= 1e6, so products stay far below 2^63). VI_ROUNDS=12 rounds
+# (kept moderate: Catalyst analysis cost grows with the unrolled
+# chain depth) define the statistic by truncation — both engines run
+# the SAME rounds, the policy every power-iteration/Pregel operator
+# here shares.
+#
+# Scale: the iteration runs on the |event_types|-row relation against
+# the broadcast ppm model — free at any SF; the only fact-sized work
+# is the shared transition estimation.
+# --------------------------------------------------------------------------
+VI_ROUNDS = 12
+VI_ABSORB = "purchase"
+
+
+def _vi_round_sql(i: int) -> str:
+    return f"""e{i} AS (
+      SELECT p.event_type AS state,
+             CASE WHEN p.event_type = '{VI_ABSORB}' THEN 0
+                  ELSE 1000000 + CAST(sum((p.p_ppm * e.e) // 1000000)
+                                      AS BIGINT) END AS e
+      FROM p JOIN e{i - 1} e ON p.next_type = e.state
+      GROUP BY p.event_type
+    )"""
+
+
+@register(
+    "ev_markov_absorbing_steps",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    steps AS (
+      SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL
+    ),
+    tm AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM steps GROUP BY 1, 2
+    ),
+    fm AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS nf FROM tm GROUP BY 1
+    ),
+    p AS (
+      SELECT tm.event_type, tm.next_type,
+             CAST(tm.n * 1000000 // fm.nf AS BIGINT) AS p_ppm
+      FROM tm JOIN fm USING (event_type)
+    ),
+    e0 AS (
+      SELECT event_type AS state, CAST(0 AS BIGINT) AS e FROM fm
+    ),
+    {",".join(_vi_round_sql(i) for i in range(1, VI_ROUNDS + 1))},
+    direct AS (
+      SELECT event_type AS state, p_ppm FROM p
+      WHERE next_type = '{VI_ABSORB}'
+    )
+    SELECT e.state,
+           round(e.e / 1000000.0, 6) AS expected_steps,
+           round(coalesce(d.p_ppm, 0) / 1000000.0, 6) AS p_direct
+    FROM e{VI_ROUNDS} e LEFT JOIN direct d ON d.state = e.state
+    """,
+)
+def ev_markov_absorbing_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected interactions until purchase per current state, after
+    {VI_ROUNDS} fixed-point value-iteration rounds."""
+    ev = table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "event_type", F.lead("event_type").over(seq).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+    )
+    tm = steps.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    fm = tm.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("nf"))
+    p = (
+        tm.join(fm, "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            F.expr("n * 1000000 DIV nf").cast("bigint").alias("p_ppm"),
+        )
+        .persist()
+    )
+    e = fm.select(
+        F.col("event_type").alias("state"), F.lit(0).cast("bigint").alias("e")
+    )
+    for _ in range(VI_ROUNDS):
+        e = (
+            p.join(F.broadcast(e), p.next_type == e.state)
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.expr("p_ppm * e DIV 1000000"))
+                .cast("bigint")
+                .alias("s")
+            )
+            .select(
+                F.col("event_type").alias("state"),
+                F.when(F.col("event_type") == VI_ABSORB, F.lit(0))
+                .otherwise(F.lit(1000000) + F.col("s"))
+                .cast("bigint")
+                .alias("e"),
+            )
+        )
+    direct = p.filter(F.col("next_type") == VI_ABSORB).select(
+        F.col("event_type").alias("state"), "p_ppm"
+    )
+    return e.join(F.broadcast(direct), "state", "left").select(
+        "state",
+        F.round(F.col("e") / 1000000.0, 6).alias("expected_steps"),
+        F.round(F.coalesce(F.col("p_ppm"), F.lit(0)) / 1000000.0, 6).alias(
+            "p_direct"
+        ),
+    )

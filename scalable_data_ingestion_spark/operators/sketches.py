@@ -748,3 +748,147 @@ def sk_hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch set operations — distinct-count,
+# union, and Jaccard estimates for the viewer and clicker user sets
+# from 256-value bottom-k hash sketches, next to their exact answers
+# so the estimation error is measurable in the same relation (the
+# dd_lsh_eval pattern: estimate + truth in one DAG).
+#
+# Unlike the engine-native HLL above, KMV is hash-DETERMINISTIC: the
+# md5-derived 32-bit key is identical in both engines, the sketch is
+# just the k smallest distinct keys (a TakeOrdered limit), and the
+# estimators ((k-1) * 2^32 / kth_min; |K_union ∩ A ∩ B| / k) are
+# integer arithmetic until one final division — so this one DOES
+# carry a full DuckDB oracle, unlike approximate engine sketches.
+#
+# Scale shape: two user-grain distinct reductions, three bottom-k
+# limits (mergeable: the k smallest of a union is computable from
+# per-partition k-smallest — the sketch property), and broadcast
+# membership semi-joins of the 256-row union sketch. The exact
+# counts/intersection are one distinct-grain aggregate each.
+# --------------------------------------------------------------------------
+KMV_K = 256
+KMV_SPACE = 2**32
+
+
+def _kmv_hash_sql(col: str) -> str:
+    return (
+        "CAST(("
+        + " + ".join(
+            f"(CASE substr(md5(CAST({col} AS VARCHAR)), {i + 1}, 1) "
+            + " ".join(f"WHEN '{h}' THEN {v}" for v, h in enumerate("0123456789abcdef"))
+            + f" END) * CAST({16 ** (7 - i)} AS BIGINT)"
+            for i in range(8)
+        )
+        + ") AS BIGINT)"
+    )
+
+
+@register(
+    "sk_kmv_set_ops",
+    oracle=f"""
+    WITH a_h AS (
+      SELECT DISTINCT {_kmv_hash_sql("user_id")} AS h
+      FROM events WHERE event_type = 'view'
+    ),
+    b_h AS (
+      SELECT DISTINCT {_kmv_hash_sql("user_id")} AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    u_h AS (SELECT h FROM a_h UNION SELECT h FROM b_h),
+    a_k AS (SELECT h FROM a_h ORDER BY h LIMIT {KMV_K}),
+    b_k AS (SELECT h FROM b_h ORDER BY h LIMIT {KMV_K}),
+    u_k AS (SELECT h FROM u_h ORDER BY h LIMIT {KMV_K}),
+    card AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM a_h) AS exact_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM b_h) AS exact_b,
+             (SELECT CAST(count(*) AS BIGINT) FROM u_h) AS exact_union,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM a_h JOIN b_h USING (h)) AS exact_inter,
+             (SELECT CAST(count(*) AS BIGINT) FROM a_k) AS ka,
+             (SELECT CAST(max(h) AS BIGINT) FROM a_k) AS ua,
+             (SELECT CAST(count(*) AS BIGINT) FROM b_k) AS kb,
+             (SELECT CAST(max(h) AS BIGINT) FROM b_k) AS ub,
+             (SELECT CAST(count(*) AS BIGINT) FROM u_k) AS ku,
+             (SELECT CAST(max(h) AS BIGINT) FROM u_k) AS uu,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM u_k JOIN a_h USING (h) JOIN b_h USING (h)) AS n_both
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           exact_a, exact_b, exact_union, exact_inter,
+           round(CASE WHEN ka < {KMV_K} THEN ka * 1.0
+                      ELSE (ka - 1) * {KMV_SPACE}.0 / ua END, 4) AS est_a,
+           round(CASE WHEN kb < {KMV_K} THEN kb * 1.0
+                      ELSE (kb - 1) * {KMV_SPACE}.0 / ub END, 4) AS est_b,
+           round(CASE WHEN ku < {KMV_K} THEN ku * 1.0
+                      ELSE (ku - 1) * {KMV_SPACE}.0 / uu END, 4)
+               AS est_union,
+           round(n_both * 1.0 / ku, 6) AS est_jaccard,
+           round(exact_inter * 1.0 / exact_union, 6) AS exact_jaccard
+    FROM card
+    """,
+)
+def sk_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-{KMV_K} sketch estimates (cardinalities, union,
+    Jaccard) for viewer/clicker user sets, with exact truths."""
+    ev = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+    def hashes(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(h.alias("h"))
+            .distinct()
+        )
+
+    a_h = hashes("view").persist()
+    b_h = hashes("click").persist()
+    u_h = a_h.union(b_h).distinct().persist()
+    a_k = a_h.orderBy("h").limit(KMV_K)
+    b_k = b_h.orderBy("h").limit(KMV_K)
+    u_k = u_h.orderBy("h").limit(KMV_K).persist()
+
+    def sk_stats(kset: DataFrame, kc: str, uc: str) -> DataFrame:
+        return kset.agg(
+            F.count(F.lit(1)).cast("bigint").alias(kc),
+            F.max("h").cast("bigint").alias(uc),
+        )
+
+    card = (
+        a_h.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a"))
+        .crossJoin(F.broadcast(b_h.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b"))))
+        .crossJoin(F.broadcast(u_h.agg(F.count(F.lit(1)).cast("bigint").alias("exact_union"))))
+        .crossJoin(F.broadcast(a_h.join(b_h, "h").agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))))
+        .crossJoin(F.broadcast(sk_stats(a_k, "ka", "ua")))
+        .crossJoin(F.broadcast(sk_stats(b_k, "kb", "ub")))
+        .crossJoin(F.broadcast(sk_stats(u_k, "ku", "uu")))
+        .crossJoin(
+            F.broadcast(
+                u_k.join(a_h, "h").join(b_h, "h").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_both")
+                )
+            )
+        )
+    )
+
+    def est(kc: str, uc: str):
+        return F.when(
+            F.col(kc) < KMV_K, F.col(kc) * 1.0
+        ).otherwise((F.col(kc) - 1) * float(KMV_SPACE) / F.col(uc))
+
+    return card.select(
+        F.lit(KMV_K).cast("bigint").alias("k"),
+        "exact_a", "exact_b", "exact_union", "exact_inter",
+        F.round(est("ka", "ua"), 4).alias("est_a"),
+        F.round(est("kb", "ub"), 4).alias("est_b"),
+        F.round(est("ku", "uu"), 4).alias("est_union"),
+        F.round(F.col("n_both") * 1.0 / F.col("ku"), 6).alias("est_jaccard"),
+        F.round(
+            F.col("exact_inter") * 1.0 / F.col("exact_union"), 6
+        ).alias("exact_jaccard"),
+    )
