@@ -266,6 +266,9 @@ HEADLINE_R13 = [
     "ml_stump_split_scan",
     "ev_last_touch_attribution",
     "ts_hurst_rescaled_range",
+    "sk_kmv_set_ops",
+    "ml_kmeans_elbow",
+    "ev_markov_absorbing_steps",
 ]
 
 ALL_HEADLINE = (

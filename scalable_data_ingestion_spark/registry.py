@@ -124,9 +124,12 @@ def load_all() -> None:
 # r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
     # round-5 additions: no driver hash, post-judge-sweep code.
-    # Newest first — the twenty stat/causal/forecast/ML queries
+    # Newest first — the twenty-three stat/causal/forecast/ML queries
     # below were written in the final round-5 sessions and have only
     # local sweep checks.
+    "sk_kmv_set_ops",
+    "ml_kmeans_elbow",
+    "ev_markov_absorbing_steps",
     "ev_qini_uplift",
     "ev_synthetic_control",
     "ts_croston_intermittent",
