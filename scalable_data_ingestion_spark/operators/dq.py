@@ -955,3 +955,141 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+# --------------------------------------------------------------------------
+# Candidate-key (primary-key) discovery — for each candidate column
+# (set), is ndv == row count? With the duplicate-group count and max
+# group size as the violation evidence. The profiling companion to
+# dq_functional_dependencies: FDs say which columns DETERMINE others,
+# this says which columns can IDENTIFY rows — the first question a
+# warehouse loader asks before choosing a merge key.
+#
+# Scale shape: one distinct-grain aggregate per candidate (map-side-
+# combining count per key, then a count of groups) — never a sort;
+# candidates run as a UNION ALL of independent small aggregates so
+# Spark schedules them concurrently.
+# --------------------------------------------------------------------------
+_PK_CANDIDATES = (
+    ("orders", "o_orderkey", ("o_orderkey",)),
+    ("orders", "o_custkey", ("o_custkey",)),
+    ("orders", "o_custkey+o_orderdate", ("o_custkey", "o_orderdate")),
+    ("lineitem", "l_orderkey", ("l_orderkey",)),
+    ("lineitem", "l_orderkey+l_linenumber", ("l_orderkey", "l_linenumber")),
+)
+
+
+def _pk_candidate_sql(tbl: str, name: str, cols: tuple[str, ...]) -> str:
+    key = ", ".join(cols)
+    return f"""
+    SELECT '{tbl}' AS table_name, '{name}' AS candidate,
+           (SELECT CAST(count(*) AS BIGINT) FROM {tbl}) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_groups,
+           CAST(max(c) AS BIGINT) AS max_group,
+           count(*) = (SELECT count(*) FROM {tbl}) AS is_key
+    FROM (SELECT {key}, CAST(count(*) AS BIGINT) AS c
+          FROM {tbl} GROUP BY {key})"""
+
+
+@register(
+    "dq_pk_discovery",
+    oracle=" UNION ALL ".join(
+        _pk_candidate_sql(t, n, c) for t, n, c in _PK_CANDIDATES
+    ),
+)
+def dq_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit: ndv vs row count, duplicate-group count,
+    and max group size per candidate."""
+    outs = []
+    for tbl, name, cols in _PK_CANDIDATES:
+        t = table(spark, sf_dir, tbl)
+        grouped = t.groupBy(*cols).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        n_rows = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        agg = grouped.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.sum((F.col("c") > 1).cast("int")).cast("bigint").alias(
+                "dup_groups"
+            ),
+            F.max("c").cast("bigint").alias("max_group"),
+        )
+        outs.append(
+            agg.crossJoin(F.broadcast(n_rows)).select(
+                F.lit(tbl).alias("table_name"),
+                F.lit(name).alias("candidate"),
+                "n_rows",
+                "n_distinct",
+                "dup_groups",
+                "max_group",
+                (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity orphan audit — for every FK edge of the star
+# schema, how many child rows reference a missing parent? The load-
+# time gate every warehouse runs between staging and publish; a
+# non-zero row here is an upstream extraction bug.
+#
+# Scale shape: one anti-join per edge — broadcast for dimension
+# parents, shuffle hash for the fact-to-fact edge; counts only, no
+# row materialization.
+# --------------------------------------------------------------------------
+_FK_EDGES = (
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+@register(
+    "dq_referential_orphans",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS fk_edge,
+           (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+           CAST(count(*) AS BIGINT) AS n_orphans,
+           round(count(*) * 1.0
+                 / (SELECT count(*) FROM {child}), 6) AS orphan_rate
+    FROM {child} c WHERE NOT EXISTS
+      (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})"""
+        for name, child, fk, parent, pk in _FK_EDGES
+    ),
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-child counts per foreign-key edge of the star schema."""
+    outs = []
+    for name, child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent)
+        if parent in ("nation", "region", "supplier", "part", "customer"):
+            p = F.broadcast(p)
+        orphans = c.join(p, c[fk] == p[pk], "left_anti")
+        n_child = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
+        agg = orphans.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+        )
+        outs.append(
+            agg.crossJoin(F.broadcast(n_child)).select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans") * 1.0 / F.col("n_child"), 6
+                ).alias("orphan_rate"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

@@ -1407,3 +1407,82 @@ def stat_cramers_v_priority_segment(
             F.sqrt(phi2 / (F.least(F.col("nr"), F.col("nc")) - 1)), 6
         ).alias("cramers_v"),
     )
+
+
+# --------------------------------------------------------------------------
+# Price elasticity of demand per brand — the log-log regression
+# elasticity = d ln(qty) / d ln(unit price), one closed-form OLS per
+# brand from a single grouped pass (the econometric reading of the
+# grouped-trend machinery: slope < -1 = elastic, revenue falls when
+# price rises).
+#
+# Exactness: per-row ln(unit price) and ln(qty) quantize to 1e-9
+# fixed point (the entropy-term policy) so every grouped moment sum
+# is exact (BIGINT / decimal-HUGEINT for the cross products); the
+# slope is a ratio of those sums, so the 1e-9 scale cancels.
+# --------------------------------------------------------------------------
+ELAST_FX = 10**9
+
+
+@register(
+    "stat_price_elasticity",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT p_brand,
+             CAST(floor(ln(l_extendedprice / l_quantity) * {ELAST_FX})
+                  AS BIGINT) AS x,
+             CAST(floor(ln(l_quantity) * {ELAST_FX}) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    sums AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM rows_ GROUP BY p_brand
+    )
+    SELECT p_brand,
+           n,
+           round((n * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (n * sxx - CAST(sx AS DOUBLE) * sx), 6) AS elasticity,
+           (n * sxy - CAST(sx AS DOUBLE) * sy)
+             / (n * sxx - CAST(sx AS DOUBLE) * sx) < -1.0 AS elastic
+    FROM sums
+    """,
+)
+def stat_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand elasticity (qty vs unit price) per part brand."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rows_ = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.floor(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")) * ELAST_FX
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("l_quantity")) * ELAST_FX)
+        .cast("bigint")
+        .alias("y"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    sums = rows_.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dx * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dx * F.col("y")).cast("double").alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return sums.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("elasticity"),
+        (slope < -1.0).alias("elastic"),
+    )

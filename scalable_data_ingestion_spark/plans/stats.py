@@ -1285,3 +1285,109 @@ def sla_business_day_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("biz_days", F.lit(0.9)), 6).alias("p90_biz_days"),
         F.max("biz_days").cast("bigint").alias("max_biz_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Conjunction-selectivity q-error — how wrong is the optimizer's
+# attribute-independence assumption (sel(A AND B) = sel(A)*sel(B)) on
+# this data? For four predicate pairs over orders, the estimated vs
+# actual conjunctive selectivity and the q-error (the optimizer-
+# literature metric opt_join_qerror applies to join sizes). Pairs
+# that share a hidden correlate (e.g. status and quarter both track
+# order age) blow past q=2 — exactly the rows a CBO's multi-column
+# statistics would fix.
+#
+# Scale shape: ONE conditional-count pass over the fact computes all
+# nine counts; the 4-row comparison is a literal stack. Exact BIGINT
+# counts; ratios are fixed double expressions.
+# --------------------------------------------------------------------------
+_SEL_A = "o_orderpriority = '1-URGENT'"
+_SEL_B = "o_orderstatus = 'F'"
+_SEL_C = "quarter(CAST(o_orderdate AS DATE)) = 1"
+_SEL_D = "o_totalprice > 100000"
+_SEL_PAIRS = (
+    ("urgent&final", "ca", "cb", "cab"),
+    ("urgent&q1", "ca", "cc", "cac"),
+    ("final&bigticket", "cb", "cd", "cbd"),
+    ("q1&bigticket", "cc", "cd", "ccd"),
+)
+
+
+@register(
+    "opt_conjunction_selectivity",
+    oracle=f"""
+    WITH counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN {_SEL_A} THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN {_SEL_B} THEN 1 ELSE 0 END) AS BIGINT) AS cb,
+             CAST(sum(CASE WHEN {_SEL_C} THEN 1 ELSE 0 END) AS BIGINT) AS cc,
+             CAST(sum(CASE WHEN {_SEL_D} THEN 1 ELSE 0 END) AS BIGINT) AS cd,
+             CAST(sum(CASE WHEN ({_SEL_A}) AND ({_SEL_B}) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cab,
+             CAST(sum(CASE WHEN ({_SEL_A}) AND ({_SEL_C}) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cac,
+             CAST(sum(CASE WHEN ({_SEL_B}) AND ({_SEL_D}) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cbd,
+             CAST(sum(CASE WHEN ({_SEL_C}) AND ({_SEL_D}) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ccd
+      FROM orders
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{name}' AS pair, n,
+           {c1} AS n_a, {c2} AS n_b, {cj} AS n_actual,
+           round(({c1} * 1.0 / n) * ({c2} * 1.0 / n), 9) AS est_sel,
+           round({cj} * 1.0 / n, 9) AS actual_sel,
+           CASE WHEN {cj} > 0 AND {c1} > 0 AND {c2} > 0 THEN
+             round(greatest((({c1} * 1.0 / n) * ({c2} * 1.0 / n))
+                              / ({cj} * 1.0 / n),
+                            ({cj} * 1.0 / n)
+                              / (({c1} * 1.0 / n) * ({c2} * 1.0 / n))), 4)
+           END AS q_error
+        FROM counts''' for name, c1, c2, cj in _SEL_PAIRS)}
+    """,
+)
+def opt_conjunction_selectivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Independence-assumption selectivity estimates vs actuals for
+    four predicate conjunctions, with the q-error."""
+    orders = table(spark, sf_dir, "orders")
+    a = F.col("o_orderpriority") == "1-URGENT"
+    b = F.col("o_orderstatus") == "F"
+    c = F.quarter(F.col("o_orderdate").cast("date")) == 1
+    d = F.col("o_totalprice") > 100000
+    counts = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(a.cast("int")).cast("bigint").alias("ca"),
+        F.sum(b.cast("int")).cast("bigint").alias("cb"),
+        F.sum(c.cast("int")).cast("bigint").alias("cc"),
+        F.sum(d.cast("int")).cast("bigint").alias("cd"),
+        F.sum((a & b).cast("int")).cast("bigint").alias("cab"),
+        F.sum((a & c).cast("int")).cast("bigint").alias("cac"),
+        F.sum((b & d).cast("int")).cast("bigint").alias("cbd"),
+        F.sum((c & d).cast("int")).cast("bigint").alias("ccd"),
+    )
+    outs = []
+    for name, c1, c2, cj in _SEL_PAIRS:
+        n = F.col("n")
+        est = (F.col(c1) * 1.0 / n) * (F.col(c2) * 1.0 / n)
+        act = F.col(cj) * 1.0 / n
+        outs.append(
+            counts.select(
+                F.lit(name).alias("pair"),
+                "n",
+                F.col(c1).alias("n_a"),
+                F.col(c2).alias("n_b"),
+                F.col(cj).alias("n_actual"),
+                F.round(est, 9).alias("est_sel"),
+                F.round(act, 9).alias("actual_sel"),
+                F.when(
+                    (F.col(cj) > 0) & (F.col(c1) > 0) & (F.col(c2) > 0),
+                    F.round(F.greatest(est / act, act / est), 4),
+                ).alias("q_error"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
