@@ -269,6 +269,10 @@ HEADLINE_R13 = [
     "sk_kmv_set_ops",
     "ml_kmeans_elbow",
     "ev_markov_absorbing_steps",
+    "dq_pk_discovery",
+    "dq_referential_orphans",
+    "stat_price_elasticity",
+    "opt_conjunction_selectivity",
 ]
 
 ALL_HEADLINE = (

@@ -124,9 +124,13 @@ def load_all() -> None:
 # r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
     # round-5 additions: no driver hash, post-judge-sweep code.
-    # Newest first — the twenty-three stat/causal/forecast/ML queries
+    # Newest first — the twenty-seven stat/causal/forecast/ML/DQ queries
     # below were written in the final round-5 sessions and have only
     # local sweep checks.
+    "dq_pk_discovery",
+    "dq_referential_orphans",
+    "stat_price_elasticity",
+    "opt_conjunction_selectivity",
     "sk_kmv_set_ops",
     "ml_kmeans_elbow",
     "ev_markov_absorbing_steps",
