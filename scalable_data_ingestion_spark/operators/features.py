@@ -322,3 +322,131 @@ def feat_next_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(">", ctx).alias("context_seq"),
         F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("label"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hashing-trick collision audit — for the (segment x priority x
+# quarter) categorical cross feature, how much does each hash width
+# (16 / 64 / 256 buckets) collide, in KEYS and in ROW MASS? The
+# feature-engineering sizing question behind every hashed cross
+# column: too narrow a width silently merges distinct feature values,
+# and the ROW-mass collision share (not the key share) is what the
+# model actually feels. md5-derived buckets are engine-identical.
+#
+# Scale shape: one fact-sized key rollup (the cross feature has ~100
+# distinct values), then per-width bucket rollups over that
+# dimension-sized relation. Exact counts throughout.
+# --------------------------------------------------------------------------
+HASH_WIDTHS = (16, 64, 256)
+
+
+def _cross_hash_sql() -> str:
+    src = "k.key_str"
+    return (
+        "CAST(("
+        + " + ".join(
+            f"(CASE substr(md5({src}), {i + 1}, 1) "
+            + " ".join(
+                f"WHEN '{h}' THEN {v}" for v, h in enumerate("0123456789abcdef")
+            )
+            + f" END) * CAST({16 ** (7 - i)} AS BIGINT)"
+            for i in range(8)
+        )
+        + ") AS BIGINT)"
+    )
+
+
+@register(
+    "feat_hash_collision_audit",
+    oracle=f"""
+    WITH keys AS (
+      SELECT c_mktsegment || '|' || o_orderpriority || '|'
+               || CAST(quarter(CAST(o_orderdate AS DATE)) AS VARCHAR)
+               AS key_str,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ),
+    widths(w) AS (VALUES {", ".join(f"({w})" for w in HASH_WIDTHS)}),
+    bucketed AS (
+      SELECT CAST(w.w AS BIGINT) AS w, k.key_str, k.n_rows,
+             {_cross_hash_sql()} % w.w AS bucket
+      FROM keys k CROSS JOIN widths w
+    ),
+    per_bucket AS (
+      SELECT w, bucket,
+             CAST(count(*) AS BIGINT) AS keys_in_bucket,
+             CAST(sum(n_rows) AS BIGINT) AS rows_in_bucket
+      FROM bucketed GROUP BY w, bucket
+    )
+    SELECT w AS n_buckets,
+           (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_keys,
+           CAST(count(*) AS BIGINT) AS buckets_used,
+           CAST(sum(CASE WHEN keys_in_bucket > 1
+                         THEN keys_in_bucket ELSE 0 END) AS BIGINT)
+               AS collided_keys,
+           CAST(max(keys_in_bucket) AS BIGINT) AS max_bucket_keys,
+           round(sum(CASE WHEN keys_in_bucket > 1
+                          THEN rows_in_bucket ELSE 0 END) * 1.0
+                 / sum(rows_in_bucket), 6) AS collided_row_share
+    FROM per_bucket GROUP BY w ORDER BY w
+    """,
+)
+def feat_hash_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key- and row-mass collision rates of the hashed
+    segment x priority x quarter cross feature at widths
+    {HASH_WIDTHS}."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    keys = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.concat_ws(
+                "|",
+                F.col("c_mktsegment"),
+                F.col("o_orderpriority"),
+                F.quarter(F.col("o_orderdate").cast("date")).cast("string"),
+            ).alias("key_str")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .persist()
+    )
+    widths = spark.createDataFrame([(w,) for w in HASH_WIDTHS], "w bigint")
+    h = F.conv(F.substring(F.md5(F.col("key_str")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    bucketed = keys.crossJoin(F.broadcast(widths)).select(
+        "w", "key_str", "n_rows", (h % F.col("w")).alias("bucket")
+    )
+    per_bucket = bucketed.groupBy("w", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("keys_in_bucket"),
+        F.sum("n_rows").cast("bigint").alias("rows_in_bucket"),
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    collided = F.when(
+        F.col("keys_in_bucket") > 1, F.col("keys_in_bucket")
+    ).otherwise(F.lit(0))
+    collided_rows = F.when(
+        F.col("keys_in_bucket") > 1, F.col("rows_in_bucket")
+    ).otherwise(F.lit(0))
+    return (
+        per_bucket.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("buckets_used"),
+            F.sum(collided).cast("bigint").alias("collided_keys"),
+            F.max("keys_in_bucket").cast("bigint").alias("max_bucket_keys"),
+            F.round(
+                F.sum(collided_rows) * 1.0 / F.sum("rows_in_bucket"), 6
+            ).alias("collided_row_share"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            F.col("w").alias("n_buckets"),
+            "n_keys",
+            "buckets_used",
+            "collided_keys",
+            "max_bucket_keys",
+            "collided_row_share",
+        )
+        .orderBy("n_buckets")
+    )

@@ -44,7 +44,7 @@ Scale notes (billions of edges):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -1871,4 +1871,200 @@ def gr_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (vx > 0) & (vy > 0),
             F.round(num / F.sqrt(vx * 1.0) / F.sqrt(vy * 1.0), 6),
         ).alias("assortativity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Katz centrality over the part co-purchase graph — attenuated
+# path-count influence (k = sum over path lengths of alpha^len), the
+# centrality that, unlike PageRank, rewards being reachable by MANY
+# short paths rather than by random-walk mass. The attenuation alpha
+# derives FROM THE DATA as the exact rational 1/(dmax+1) in ppm
+# (guaranteeing convergence, since alpha < 1/lambda_max <= 1/dmax),
+# so both engines run the identical integer recursion.
+#
+# Exactness & scale: KATZ_ROUNDS unrolled supersteps of
+# k_i = 1e6 + alpha_ppm * sum_{j in N(i)} k_j DIV 1e6 over the
+# src-co-partitioned cached edge list — BIGINT-exact, one node-keyed
+# shuffle per round (the PageRank plan shape).
+# --------------------------------------------------------------------------
+KATZ_ROUNDS = 6
+
+
+def _katz_round_sql(i: int) -> str:
+    return f"""k{i} AS (
+      SELECT e.dst AS node,
+             CAST(1000000 + (a.alpha_ppm * sum(p.k_fx)) // 1000000
+                  AS BIGINT) AS k_fx
+      FROM pairs e JOIN k{i - 1} p ON p.node = e.src CROSS JOIN alpha a
+      GROUP BY e.dst, a.alpha_ppm
+    )"""
+
+
+@register(
+    "gr_katz_centrality",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pairs GROUP BY src),
+    alpha AS (
+      SELECT CAST(1000000 // (max(deg) + 1) AS BIGINT) AS alpha_ppm FROM deg
+    ),
+    k0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS k_fx FROM deg),
+    {",".join(_katz_round_sql(i) for i in range(1, KATZ_ROUNDS + 1))}
+    SELECT k.node AS part_id, d.deg AS degree,
+           round(k.k_fx / 1000000.0, 6) AS katz
+    FROM k{KATZ_ROUNDS} k JOIN deg d ON d.src = k.node
+    """,
+)
+def gr_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality ({KATZ_ROUNDS} attenuated supersteps, alpha =
+    1/(dmax+1) exact ppm) over the part co-purchase graph."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .repartition(_shuffle_partitions(spark), "src")
+        .persist()
+    )
+    deg = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).persist()
+    # dmax folds in as a literal via one dimension-sized action (the
+    # PageRank node-count pattern) — removes a per-round broadcast.
+    dmax = deg.agg(F.max("deg")).collect()[0][0]
+    alpha_ppm = 1000000 // (int(dmax) + 1)
+    k = deg.select(
+        F.col("src").alias("node"),
+        F.lit(1000000).cast("bigint").alias("k_fx"),
+    )
+    for _ in range(KATZ_ROUNDS):
+        k = (
+            pairs.join(k, pairs.src == k.node)
+            .groupBy("dst")
+            .agg(F.sum("k_fx").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(1000000)
+                    + F.expr(f"{alpha_ppm} * s DIV 1000000")
+                )
+                .cast("bigint")
+                .alias("k_fx"),
+            )
+        )
+    return k.join(deg, k.node == deg.src).select(
+        F.col("node").alias("part_id"),
+        F.col("deg").alias("degree"),
+        F.round(F.col("k_fx") / 1000000.0, 6).alias("katz"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Item-item collaborative filtering — top-5 most-similar parts per
+# sampled part by cosine over binary order-membership vectors
+# (c_ij / sqrt(d_i * d_j)): the classic Amazon-style recommender
+# primitive, computed purely from co-occurrence counts.
+#
+# Scale shape: pair generation is per-order (order sizes are bounded
+# ~7 lineitems, so fan-out is O(k^2) per order, linear overall); the
+# deterministic target sample (partkey % 50 == 0) pushes INTO the
+# pair join's left side so only sampled parts fan out; ranking is a
+# per-src window (partitioned — never global). Exact integer counts;
+# cosine is one fixed double expression.
+# --------------------------------------------------------------------------
+CF_SAMPLE_MOD = 50
+CF_TOP_K = 5
+
+
+@register(
+    "sim_item_item_cf",
+    oracle=f"""
+    WITH po AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    d AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM po GROUP BY p),
+    co AS (
+      SELECT a.p AS src, b.p AS dst, CAST(count(*) AS BIGINT) AS c
+      FROM po a JOIN po b ON a.o = b.o AND a.p <> b.p
+      WHERE a.p % {CF_SAMPLE_MOD} = 0
+      GROUP BY a.p, b.p
+    ),
+    scored AS (
+      SELECT co.src, co.dst, co.c, ds.d AS d_src, dd.d AS d_dst,
+             co.c / sqrt(ds.d * 1.0 * dd.d) AS cosine
+      FROM co JOIN d ds ON ds.p = co.src JOIN d dd ON dd.p = co.dst
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cosine DESC, dst) AS rn
+      FROM scored
+    )
+    SELECT src AS part_id, dst AS similar_part, c AS n_co_orders,
+           d_src, d_dst, round(cosine, 6) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {CF_TOP_K}
+    """,
+)
+def sim_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{CF_TOP_K} similar parts per sampled part by co-occurrence
+    cosine — item-item collaborative filtering."""
+    li = table(spark, sf_dir, "lineitem")
+    po = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    d = po.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    a = po.filter(F.col("p") % CF_SAMPLE_MOD == 0).alias("a")
+    b = po.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")),
+        )
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ds, dd = d.alias("ds"), d.alias("dd")
+    scored = (
+        co.join(ds, F.col("src") == F.col("ds.p"))
+        .join(dd, F.col("dst") == F.col("dd.p"))
+        .select(
+            "src",
+            "dst",
+            "c",
+            F.col("ds.d").alias("d_src"),
+            F.col("dd.d").alias("d_dst"),
+            (
+                F.col("c")
+                / F.sqrt(F.col("ds.d") * 1.0 * F.col("dd.d"))
+            ).alias("cosine"),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= CF_TOP_K)
+        .select(
+            F.col("src").alias("part_id"),
+            F.col("dst").alias("similar_part"),
+            F.col("c").alias("n_co_orders"),
+            "d_src",
+            "d_dst",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
     )
