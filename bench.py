@@ -273,6 +273,9 @@ HEADLINE_R13 = [
     "dq_referential_orphans",
     "stat_price_elasticity",
     "opt_conjunction_selectivity",
+    "gr_katz_centrality",
+    "sim_item_item_cf",
+    "feat_hash_collision_audit",
 ]
 
 ALL_HEADLINE = (
