@@ -2610,3 +2610,90 @@ def ev_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.round(F.sum("cents") / 100.0, 2).alias("credited_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repeat-purchase rate per brand — of the (customer, part) purchase
+# events, what share see the SAME customer reorder the SAME part
+# within 30 / 90 days? The retention-merchandising readout (which
+# brands are replenishment goods vs one-offs) that prices retargeting
+# spend.
+#
+# Scale shape: one (custkey, partkey)-keyed window (ordered by order
+# date + orderkey tiebreak) computes each purchase's gap to the next
+# same-pair purchase; the brand rollup is a broadcast part join +
+# conditional counts. Exact integer day gaps and counts throughout.
+# --------------------------------------------------------------------------
+@register(
+    "ev_repeat_purchase_rate",
+    oracle="""
+    WITH purchases AS (
+      SELECT o_custkey AS cust, l_partkey AS part,
+             CAST(o_orderdate AS DATE) AS d, o_orderkey AS ok
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    gaps AS (
+      SELECT cust, part,
+             date_diff('day', d,
+               lead(d) OVER (PARTITION BY cust, part
+                             ORDER BY d, ok)) AS gap_days
+      FROM purchases
+    ),
+    labeled AS (
+      SELECT g.part, g.gap_days FROM gaps g
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN gap_days IS NOT NULL
+                         AND gap_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS repeats_30d,
+           CAST(sum(CASE WHEN gap_days IS NOT NULL
+                         AND gap_days <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS repeats_90d,
+           round(sum(CASE WHEN gap_days IS NOT NULL
+                          AND gap_days <= 30 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS repeat_rate_30d,
+           round(sum(CASE WHEN gap_days IS NOT NULL
+                          AND gap_days <= 90 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS repeat_rate_90d
+    FROM labeled JOIN part ON part = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def ev_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of purchases re-ordered by the same customer within
+    30/90 days, per brand."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    purchases = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("part"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w = W.partitionBy("cust", "part").orderBy("d", "ok")
+    gaps = purchases.select(
+        "part",
+        F.datediff(F.lead("d").over(w), F.col("d")).alias("gap_days"),
+    )
+    rep = lambda days: F.sum(  # noqa: E731
+        (
+            F.col("gap_days").isNotNull() & (F.col("gap_days") <= days)
+        ).cast("int")
+    )
+    return (
+        gaps.join(F.broadcast(part), gaps.part == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            rep(30).cast("bigint").alias("repeats_30d"),
+            rep(90).cast("bigint").alias("repeats_90d"),
+            F.round(rep(30) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "repeat_rate_30d"
+            ),
+            F.round(rep(90) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "repeat_rate_90d"
+            ),
+        )
+    )

@@ -21,7 +21,7 @@ data; the driver only builds the lazy plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -927,3 +927,215 @@ def ml_stump_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "threshold", "l1", "l0", "r1", "r0",
         F.round(gain, 9).alias("gini_gain"),
     ).orderBy("threshold")
+
+
+# --------------------------------------------------------------------------
+# Depth-2 histogram decision tree — the stump scan grown one level:
+# pick the best quantity root split by Gini gain, then the best
+# DISCOUNT split inside each child, all from value-grain histograms
+# (root: one fact pass; children: ONE conditional fact pass keyed by
+# the broadcast root threshold — the node never materializes row
+# subsets). This is exactly how hist-mode GBDT grows levels at scale:
+# histograms per (node, feature value), never per-row recursion.
+#
+# Determinism: every gain is a fixed double expression of exact
+# BIGINT counts, so the argmax (rank by gain DESC, threshold ASC) is
+# identical cross-engine — the min(struct) k-means tie policy.
+# --------------------------------------------------------------------------
+def _gini_gain_sql(t1: str, t0: str, l1: str, l0: str) -> str:
+    """Weighted-Gini gain SQL for a split of (t1,t0) into (l1,l0)/rest."""
+    return f"""CASE WHEN ({l1} + {l0}) > 0 AND (({t1} - {l1}) + ({t0} - {l0})) > 0 THEN
+        (1.0 - ({t1} * 1.0 / ({t1} + {t0})) * ({t1} * 1.0 / ({t1} + {t0}))
+             - ({t0} * 1.0 / ({t1} + {t0})) * ({t0} * 1.0 / ({t1} + {t0})))
+        - ((({l1} + {l0}) * 1.0 / ({t1} + {t0}))
+           * (1.0 - ({l1} * 1.0 / ({l1} + {l0})) * ({l1} * 1.0 / ({l1} + {l0}))
+                  - ({l0} * 1.0 / ({l1} + {l0})) * ({l0} * 1.0 / ({l1} + {l0})))
+           + ((({t1} - {l1}) + ({t0} - {l0})) * 1.0 / ({t1} + {t0}))
+             * (1.0 - (({t1} - {l1}) * 1.0 / (({t1} - {l1}) + ({t0} - {l0})))
+                      * (({t1} - {l1}) * 1.0 / (({t1} - {l1}) + ({t0} - {l0})))
+                    - (({t0} - {l0}) * 1.0 / (({t1} - {l1}) + ({t0} - {l0})))
+                      * (({t0} - {l0}) * 1.0 / (({t1} - {l1}) + ({t0} - {l0})))))
+        ELSE 0.0 END"""
+
+
+@register(
+    "ml_tree_depth2",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    qhist AS (
+      SELECT q AS v, CAST(sum(y) AS BIGINT) AS c1,
+             CAST(sum(1 - y) AS BIGINT) AS c0
+      FROM base GROUP BY q
+    ),
+    qtot AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+                    CAST(sum(c0) AS BIGINT) AS t0 FROM qhist),
+    qcum AS (
+      SELECT h.v AS thr, CAST(sum(h2.c1) AS BIGINT) AS l1,
+             CAST(sum(h2.c0) AS BIGINT) AS l0
+      FROM qhist h JOIN qhist h2 ON h2.v <= h.v GROUP BY h.v
+    ),
+    root AS (
+      SELECT thr, l1, l0, t1, t0,
+             {_gini_gain_sql("t1", "t0", "l1", "l0")} AS gain,
+             row_number() OVER (
+               ORDER BY {_gini_gain_sql("t1", "t0", "l1", "l0")} DESC, thr
+             ) AS rn
+      FROM qcum, qtot
+    ),
+    best_root AS (SELECT thr, l1, l0, t1, t0, gain FROM root WHERE rn = 1),
+    dhist AS (
+      SELECT CASE WHEN b.q <= r.thr THEN 'left' ELSE 'right' END AS side,
+             b.disc AS v, CAST(sum(b.y) AS BIGINT) AS c1,
+             CAST(sum(1 - b.y) AS BIGINT) AS c0
+      FROM base b CROSS JOIN best_root r GROUP BY 1, 2
+    ),
+    dtot AS (
+      SELECT side, CAST(sum(c1) AS BIGINT) AS t1,
+             CAST(sum(c0) AS BIGINT) AS t0
+      FROM dhist GROUP BY side
+    ),
+    dcum AS (
+      SELECT h.side, h.v AS thr, CAST(sum(h2.c1) AS BIGINT) AS l1,
+             CAST(sum(h2.c0) AS BIGINT) AS l0
+      FROM dhist h JOIN dhist h2 ON h2.side = h.side AND h2.v <= h.v
+      GROUP BY h.side, h.v
+    ),
+    child AS (
+      SELECT c.side, c.thr, c.l1, c.l0, t.t1, t.t0,
+             {_gini_gain_sql("t.t1", "t.t0", "c.l1", "c.l0")} AS gain,
+             row_number() OVER (
+               PARTITION BY c.side
+               ORDER BY {_gini_gain_sql("t.t1", "t.t0", "c.l1", "c.l0")} DESC,
+                        c.thr
+             ) AS rn
+      FROM dcum c JOIN dtot t ON t.side = c.side
+    )
+    SELECT 'root' AS node, 'quantity' AS feature, thr AS threshold,
+           t1 + t0 AS n_rows, round(t1 * 1.0 / (t1 + t0), 6) AS pos_share,
+           round(gain, 9) AS gini_gain
+    FROM best_root
+    UNION ALL
+    SELECT side AS node, 'discount_pct' AS feature, thr AS threshold,
+           t1 + t0 AS n_rows, round(t1 * 1.0 / (t1 + t0), 6) AS pos_share,
+           round(gain, 9) AS gini_gain
+    FROM child WHERE rn = 1
+    """,
+)
+def ml_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 hist-mode tree: best quantity root split, then the best
+    discount split per child — histograms only, no row recursion."""
+    li = table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    ).persist()
+
+    def gain_col(t1, t0, l1, l0):
+        n = t1 + t0
+        nl = l1 + l0
+        nr = (t1 - l1) + (t0 - l0)
+        def gini(a, b, m):
+            return (
+                1.0
+                - (a * 1.0 / m) * (a * 1.0 / m)
+                - (b * 1.0 / m) * (b * 1.0 / m)
+            )
+        return F.when(
+            (nl > 0) & (nr > 0),
+            gini(t1, t0, n)
+            - (
+                (nl * 1.0 / n) * gini(l1, l0, nl)
+                + (nr * 1.0 / n) * gini(t1 - l1, t0 - l0, nr)
+            ),
+        ).otherwise(F.lit(0.0))
+
+    qhist = base.groupBy(F.col("q").alias("v")).agg(
+        F.sum("y").cast("bigint").alias("c1"),
+        F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("c0"),
+    )
+    qtot = qhist.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c0").cast("bigint").alias("t0"),
+    )
+    h, h2 = qhist.alias("h"), qhist.alias("h2")
+    qcum = (
+        h.join(F.broadcast(h2), F.col("h2.v") <= F.col("h.v"))
+        .groupBy(F.col("h.v").alias("thr"))
+        .agg(
+            F.sum("h2.c1").cast("bigint").alias("l1"),
+            F.sum("h2.c0").cast("bigint").alias("l0"),
+        )
+    )
+    g = gain_col(F.col("t1"), F.col("t0"), F.col("l1"), F.col("l0"))
+    root = qcum.crossJoin(F.broadcast(qtot)).withColumn("gain", g)
+    # 50-row value grain (quantity is 1..50 at any SF): the global
+    # argmax window is dimension-bounded — allowlisted in the scale
+    # gate alongside w_nation_revenue_rank.
+    rn = F.row_number().over(W.orderBy(F.col("gain").desc(), F.col("thr")))
+    best_root = (
+        root.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn")
+    )
+    dhist = (
+        base.crossJoin(F.broadcast(best_root.select("thr")))
+        .groupBy(
+            F.when(F.col("q") <= F.col("thr"), "left")
+            .otherwise("right")
+            .alias("side"),
+            F.col("disc").alias("v"),
+        )
+        .agg(
+            F.sum("y").cast("bigint").alias("c1"),
+            F.sum(F.lit(1) - F.col("y")).cast("bigint").alias("c0"),
+        )
+    ).persist()
+    dtot = dhist.groupBy("side").agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c0").cast("bigint").alias("t0"),
+    )
+    dh, dh2 = dhist.alias("dh"), dhist.alias("dh2")
+    dcum = (
+        dh.join(
+            F.broadcast(dh2),
+            (F.col("dh2.side") == F.col("dh.side"))
+            & (F.col("dh2.v") <= F.col("dh.v")),
+        )
+        .groupBy(F.col("dh.side").alias("side"), F.col("dh.v").alias("thr"))
+        .agg(
+            F.sum("dh2.c1").cast("bigint").alias("l1"),
+            F.sum("dh2.c0").cast("bigint").alias("l0"),
+        )
+    )
+    child = dcum.join(dtot, "side").withColumn(
+        "gain", gain_col(F.col("t1"), F.col("t0"), F.col("l1"), F.col("l0"))
+    )
+    crn = F.row_number().over(
+        W.partitionBy("side").orderBy(F.col("gain").desc(), F.col("thr"))
+    )
+    best_child = child.withColumn("rn", crn).filter(F.col("rn") == 1)
+    root_out = best_root.select(
+        F.lit("root").alias("node"),
+        F.lit("quantity").alias("feature"),
+        F.col("thr").alias("threshold"),
+        (F.col("t1") + F.col("t0")).alias("n_rows"),
+        F.round(F.col("t1") * 1.0 / (F.col("t1") + F.col("t0")), 6).alias(
+            "pos_share"
+        ),
+        F.round("gain", 9).alias("gini_gain"),
+    )
+    child_out = best_child.select(
+        F.col("side").alias("node"),
+        F.lit("discount_pct").alias("feature"),
+        F.col("thr").alias("threshold"),
+        (F.col("t1") + F.col("t0")).alias("n_rows"),
+        F.round(F.col("t1") * 1.0 / (F.col("t1") + F.col("t0")), 6).alias(
+            "pos_share"
+        ),
+        F.round("gain", 9).alias("gini_gain"),
+    )
+    return root_out.unionByName(child_out)

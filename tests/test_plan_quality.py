@@ -313,6 +313,9 @@ def _iter_logical_nodes(jnode):
 # - stat_bh_fdr_segments: rank + step-up max over the per-mktsegment
 #   z-test aggregate — the segment dimension is 5 values at any scale
 #   factor (same class as w_nation_revenue_rank).
+# - ml_tree_depth2: the root-split argmax ranks the quantity
+#   VALUE-GRAIN gain table — 50 rows at any SF (quantity is 1..50 by
+#   schema), the same dimension-bounded class.
 GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     "w_nation_revenue_rank",
     "ts_rolling_view_purchase_corr",
@@ -321,6 +324,7 @@ GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     "ev_sprt_monitor",
     "ts_rolling_origin_backtest",
     "stat_bh_fdr_segments",
+    "ml_tree_depth2",
 }
 
 
