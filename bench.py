@@ -276,6 +276,8 @@ HEADLINE_R13 = [
     "gr_katz_centrality",
     "sim_item_item_cf",
     "feat_hash_collision_audit",
+    "ev_repeat_purchase_rate",
+    "ml_tree_depth2",
 ]
 
 ALL_HEADLINE = (
