@@ -2697,3 +2697,100 @@ def ev_repeat_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort net revenue retention (NRR) — for each first-purchase
+# cohort, quarter over quarter: of the customers who spent in quarter
+# q-1, what fraction of that revenue do the SAME customers spend in
+# q? The SaaS-finance staple that separates expansion from churn —
+# the revenue-weighted companion to ev_retention_cohorts' user
+# counts.
+#
+# Scale shape: one (customer, quarter) revenue rollup, a cohort-min
+# reduction, then a q->q+1 self-join on the (customer, quarter) grain
+# (equi-join on the arithmetic quarter index — no window, no
+# calendar table). Exact BIGINT cents; NRR is one fixed ratio.
+# --------------------------------------------------------------------------
+@register(
+    "fin_cohort_nrr",
+    oracle="""
+    WITH cq AS (
+      SELECT o_custkey AS cust,
+             CAST(year(CAST(o_orderdate AS DATE)) * 4
+                  + quarter(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS qi,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    cohort AS (SELECT cust, CAST(min(qi) AS BIGINT) AS c0 FROM cq GROUP BY cust),
+    pairs AS (
+      SELECT p.cust, c.c0, p.qi + 1 AS qi,
+             p.cents AS prev_cents,
+             CAST(coalesce(n.cents, 0) AS BIGINT) AS cur_cents
+      FROM cq p
+      JOIN cohort c ON c.cust = p.cust
+      LEFT JOIN cq n ON n.cust = p.cust AND n.qi = p.qi + 1
+    )
+    SELECT CAST(c0 // 4 AS BIGINT) * 100 + (c0 % 4 + 1) AS cohort_q,
+           CAST(qi // 4 AS BIGINT) * 100 + (qi % 4 + 1) AS quarter,
+           CAST(count(*) AS BIGINT) AS n_base,
+           round(sum(prev_cents) / 100.0, 2) AS base_revenue,
+           round(sum(cur_cents) / 100.0, 2) AS retained_revenue,
+           round(sum(cur_cents) * 1.0 / sum(prev_cents), 6) AS nrr
+    FROM pairs GROUP BY c0, qi
+    """,
+)
+def fin_cohort_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter net revenue retention per first-purchase
+    cohort (yyyyqq keys: e.g. 199302 = 1993 Q2)."""
+    orders = table(spark, sf_dir, "orders")
+    qi = (
+        F.year(F.col("o_orderdate").cast("date")) * 4
+        + F.quarter(F.col("o_orderdate").cast("date"))
+        - 1
+    ).cast("bigint")
+    cq = orders.groupBy(
+        F.col("o_custkey").alias("cust"), qi.alias("qi")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    ).persist()
+    cohort = cq.groupBy("cust").agg(F.min("qi").cast("bigint").alias("c0"))
+    p, n = cq.alias("p"), cq.alias("n")
+    pairs = (
+        p.join(cohort, "cust")
+        .join(
+            n,
+            (F.col("n.cust") == F.col("p.cust"))
+            & (F.col("n.qi") == F.col("p.qi") + 1),
+            "left",
+        )
+        .select(
+            "c0",
+            (F.col("p.qi") + 1).alias("qi"),
+            F.col("p.cents").alias("prev_cents"),
+            F.coalesce(F.col("n.cents"), F.lit(0))
+            .cast("bigint")
+            .alias("cur_cents"),
+        )
+    )
+    qlabel = lambda c: (  # noqa: E731
+        (F.col(c) / 4).cast("bigint") * 100 + (F.col(c) % 4 + 1)
+    )
+    return pairs.groupBy("c0", "qi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_base"),
+        F.round(F.sum("prev_cents") / 100.0, 2).alias("base_revenue"),
+        F.round(F.sum("cur_cents") / 100.0, 2).alias("retained_revenue"),
+        F.round(F.sum("cur_cents") * 1.0 / F.sum("prev_cents"), 6).alias(
+            "nrr"
+        ),
+    ).select(
+        qlabel("c0").alias("cohort_q"),
+        qlabel("qi").alias("quarter"),
+        "n_base",
+        "base_revenue",
+        "retained_revenue",
+        "nrr",
+    )

@@ -1486,3 +1486,134 @@ def stat_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("elasticity"),
         (slope < -1.0).alias("elastic"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for the mean order value —
+# THE distributed bootstrap: classical resampling needs a global
+# sample of size n per replicate (a shuffle per replicate), but
+# weighting each row Poisson(1) per replicate is i.i.d. PER ROW, so
+# all B replicates compute in ONE map-side pass (explode B weights
+# per row, conditional sums per replicate). Standard production
+# technique for CIs over terabyte facts.
+#
+# Determinism: the Poisson(1) draw per (row, replicate) comes from an
+# md5-derived 32-bit uniform compared against PRECOMPUTED cumulative-
+# Poisson thresholds (Python literals baked into both engines — the
+# quantile-precompute policy of stat_bh_fdr_segments); weights are
+# small ints, all replicate sums are exact BIGINTs, and the
+# percentile bounds are order statistics of the 32 replicate means
+# (an in-order array sort + element_at, identical cross-engine).
+# --------------------------------------------------------------------------
+BOOT_B = 32
+_POIS1_CDF = []
+_acc = 0.0
+_term = 2.718281828459045 ** -1  # e^-1; P(k) = e^-1 / k!
+for _k in range(6):
+    _acc += _term
+    _POIS1_CDF.append(_acc)
+    _term /= _k + 1
+BOOT_THRESH = tuple(int(c * 2**32) for c in _POIS1_CDF)  # u < t[k] -> w <= k
+
+
+def _boot_w_sql(u: str) -> str:
+    expr = "6"
+    for k in range(len(BOOT_THRESH) - 1, -1, -1):
+        expr = f"CASE WHEN {u} < {BOOT_THRESH[k]} THEN {k} ELSE {expr} END"
+    return expr
+
+
+@register(
+    "stat_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b.b,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ({_boot_w_sql(
+                 "CAST((" + " + ".join(
+                     "(CASE substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(b.b AS VARCHAR)), "
+                     + str(i + 1) + ", 1) "
+                     + " ".join(f"WHEN '{h}' THEN {v}" for v, h in enumerate("0123456789abcdef"))
+                     + f" END) * CAST({16 ** (7 - i)} AS BIGINT)"
+                     for i in range(8)
+                 ) + ") AS BIGINT)"
+             )}) AS w
+      FROM orders CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+    ),
+    per_rep AS (
+      SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
+             CAST(sum(w * cents) AS BIGINT) AS s_b
+      FROM reps GROUP BY b
+    ),
+    means AS (
+      SELECT list_sort(list(s_b * 1.0 / (100.0 * n_b))) AS ms FROM per_rep
+    ),
+    point AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS s
+      FROM orders
+    )
+    SELECT n AS n_orders, CAST({BOOT_B} AS BIGINT) AS n_replicates,
+           round(s / (100.0 * n), 4) AS mean_value,
+           round(ms[2], 4) AS ci_lo,
+           round(ms[{BOOT_B - 1}], 4) AS ci_hi
+    FROM means, point
+    """,
+)
+def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap ({BOOT_B} replicates, one map-side pass) CI
+    for the mean order value."""
+    orders = table(spark, sf_dir, "orders")
+    reps = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = F.lit(6)
+    for k in range(len(BOOT_THRESH) - 1, -1, -1):
+        w = F.when(u < BOOT_THRESH[k], F.lit(k)).otherwise(w)
+    reps = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.col("o_orderkey"),
+    ).select("b", "cents", w.alias("w"))
+    per_rep = reps.groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("n_b"),
+        F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s_b"),
+    )
+    means = per_rep.agg(
+        F.sort_array(
+            F.collect_list(F.col("s_b") * 1.0 / (100.0 * F.col("n_b")))
+        ).alias("ms")
+    )
+    point = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+    )
+    return means.crossJoin(F.broadcast(point)).select(
+        F.col("n").alias("n_orders"),
+        F.lit(BOOT_B).cast("bigint").alias("n_replicates"),
+        F.round(F.col("s") / (100.0 * F.col("n")), 4).alias("mean_value"),
+        F.round(F.element_at("ms", 2), 4).alias("ci_lo"),
+        F.round(F.element_at("ms", BOOT_B - 1), 4).alias("ci_hi"),
+    )

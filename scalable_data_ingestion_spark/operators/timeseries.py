@@ -1648,3 +1648,179 @@ def _lnw_of(col):
     for w_, v in _H_LNW.items():
         expr = F.when(col == w_, F.lit(v)).otherwise(expr)
     return expr
+
+
+# --------------------------------------------------------------------------
+# Partial autocorrelation (PACF) of daily revenue via Durbin-Levinson
+# — the AR-order selector that completes the ACF: acf(7) tells you a
+# weekly cycle exists; pacf tells you how many AR lags actually carry
+# independent signal once the shorter lags are regressed out.
+#
+# Cross-engine determinism: the recursion is UNROLLED at query-build
+# time into one named intermediate per ladder level (a_k, then the
+# updated phi_k_j columns), generated by the SAME Python loop for the
+# Spark plan and the oracle CTE chain — both engines evaluate the
+# identical arithmetic DAG over the identical exact-sum ACF inputs,
+# so no lambda/recursion feature disparity can bite. rho_k are the
+# unrounded fixed-double ACF values (exact decimal sums underneath).
+#
+# Scale shape: identical to ts_acf_daily_revenue (one fact rollup +
+# bounded lag joins); the ladder itself is 1-row arithmetic.
+# --------------------------------------------------------------------------
+PACF_MAX_LAG = 7
+
+
+def _dl_levels() -> list[tuple[str, list[tuple[str, str]]]]:
+    """Durbin-Levinson ladder as (a_k expr, [(phi_col, expr), ...]) per
+    level, over named columns rho{j}, a{k}, f{k}_{j}."""
+    levels = []
+    for k in range(1, PACF_MAX_LAG + 1):
+        if k == 1:
+            a_expr = "rho1"
+        else:
+            num = " - ".join(
+                [f"rho{k}"]
+                + [f"f{k - 1}_{j} * rho{k - j}" for j in range(1, k)]
+            )
+            den = " - ".join(
+                ["1.0"] + [f"f{k - 1}_{j} * rho{j}" for j in range(1, k)]
+            )
+            a_expr = f"({num}) / ({den})"
+        phis = [
+            (f"f{k}_{j}", f"f{k - 1}_{j} - a{k} * f{k - 1}_{k - j}")
+            for j in range(1, k)
+        ] + [(f"f{k}_{k}", f"a{k}")]
+        levels.append((a_expr, phis))
+    return levels
+
+
+def _pacf_oracle() -> str:
+    rho_cols = ", ".join(
+        f"max(CASE WHEN lag = {k} THEN rho END) AS rho{k}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    ctes = [f"r0 AS (SELECT {rho_cols} FROM acf)"]
+    prev = "r0"
+    for k, (a_expr, phis) in enumerate(_dl_levels(), start=1):
+        ctes.append(f"s{k} AS (SELECT *, {a_expr} AS a{k} FROM {prev})")
+        phi_sel = ", ".join(f"{e} AS {c}" for c, e in phis)
+        ctes.append(f"p{k} AS (SELECT *, {phi_sel} FROM s{k})")
+        prev = f"p{k}"
+    unpivot = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS lag, round(rho{k}, 6) AS acf,"
+        f" round(a{k}, 6) AS pacf FROM {prev}"
+        for k in range(1, PACF_MAX_LAG + 1)
+    )
+    return ",\n    ".join(ctes) + f"\n    {unpivot}"
+
+
+@register(
+    "ts_pacf_durbin_levinson",
+    oracle=f"""
+    WITH daily AS ({_ACF_DAILY}),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY d) AS idx FROM daily
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DOUBLE)) / count(*) AS m,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
+             CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS sx
+      FROM ranked
+    ),
+    lags AS (SELECT unnest(range(1, {PACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(a.cents AS HUGEINT) * CAST(b.cents AS HUGEINT)) AS sxy,
+             CAST(sum(CAST(a.cents AS HUGEINT)) AS DOUBLE) AS sa,
+             CAST(sum(CAST(b.cents AS HUGEINT)) AS DOUBLE) AS sb
+      FROM lags l
+      JOIN ranked a ON true
+      JOIN ranked b ON b.idx = a.idx + l.lag
+      GROUP BY l.lag
+    ),
+    acf AS (
+      SELECT lag,
+             (CAST(sxy AS DOUBLE) - m * sa - m * sb + n_pairs * m * m)
+             / (CAST(sxx AS DOUBLE) - 2 * m * sx + n * m * m) AS rho
+      FROM pairs, stats
+    ),
+    {_pacf_oracle()}
+    """,
+)
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF of daily revenue at lags 1..{PACF_MAX_LAG} via the
+    unrolled Durbin-Levinson ladder over exact-sum ACF inputs."""
+    from ..functions.ranking import global_rank
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
+    ranked = ranked.persist()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("cents").cast("double")) / F.count(F.lit(1))).alias("m"),
+        F.sum(dec("cents") * dec("cents")).alias("sxx"),
+        F.sum(dec("cents")).cast("double").alias("sx"),
+    )
+    lags = spark.range(1, PACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = ranked.alias("a").crossJoin(F.broadcast(lags))
+    b = ranked.alias("b")
+    pairs = (
+        a.join(b, F.col("b.idx") == F.col("a.idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(dec("a.cents") * dec("b.cents")).alias("sxy"),
+            F.sum(dec("a.cents")).cast("double").alias("sa"),
+            F.sum(dec("b.cents")).cast("double").alias("sb"),
+        )
+    )
+    m = F.col("m")
+    rho = (
+        F.col("sxy").cast("double")
+        - m * F.col("sa")
+        - m * F.col("sb")
+        + F.col("n_pairs") * m * m
+    ) / (
+        F.col("sxx").cast("double")
+        - 2 * m * F.col("sx")
+        + F.col("n") * m * m
+    )
+    acf = pairs.crossJoin(F.broadcast(stats)).select(
+        "lag", rho.alias("rho")
+    )
+    row = acf.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("rho"))).alias(f"rho{k}")
+            for k in range(1, PACF_MAX_LAG + 1)
+        ]
+    )
+    for k, (a_expr, phis) in enumerate(_dl_levels(), start=1):
+        row = row.select("*", F.expr(a_expr).alias(f"a{k}"))
+        row = row.select(
+            "*", *[F.expr(e).alias(c) for c, e in phis]
+        )
+    outs = [
+        row.select(
+            F.lit(k).cast("int").alias("lag"),
+            F.round(F.col(f"rho{k}"), 6).alias("acf"),
+            F.round(F.col(f"a{k}"), 6).alias("pacf"),
+        )
+        for k in range(1, PACF_MAX_LAG + 1)
+    ]
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
