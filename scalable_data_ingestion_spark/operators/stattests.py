@@ -1493,17 +1493,21 @@ def stat_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # THE distributed bootstrap: classical resampling needs a global
 # sample of size n per replicate (a shuffle per replicate), but
 # weighting each row Poisson(1) per replicate is i.i.d. PER ROW, so
-# all B replicates compute in ONE map-side pass (explode B weights
-# per row, conditional sums per replicate). Standard production
+# all B replicates compute in ONE map-side pass. Standard production
 # technique for CIs over terabyte facts.
 #
-# Determinism: the Poisson(1) draw per (row, replicate) comes from an
-# md5-derived 32-bit uniform compared against PRECOMPUTED cumulative-
-# Poisson thresholds (Python literals baked into both engines — the
-# quantile-precompute policy of stat_bh_fdr_segments); weights are
-# small ints, all replicate sums are exact BIGINTs, and the
-# percentile bounds are order statistics of the 32 replicate means
-# (an in-order array sort + element_at, identical cross-engine).
+# Determinism & cost: FOUR md5 calls per row yield 512 bits = 32
+# sixteen-bit uniforms (one per replicate) — not 32 md5 calls (that
+# variant measured 9.0 s at sf0.1; this one 3.6 s; a third variant —
+# all 64 replicate sums as ONE giant aggregate projection, no explode
+# — measured 7.8 s: the 32-wide CASE forest costs more in codegen
+# than the explode costs in rows, so the explode stays). Each u16
+# compares against the Poisson(1) CDF quantized at 2^16 (Python
+# literals baked into both engines — the bh_fdr quantile-precompute
+# policy; the <=1e-5 CDF quantization is part of the statistic's
+# definition). Weights are small ints, replicate sums are exact
+# BIGINTs, and the CI bounds are order statistics of the 32
+# replicate means.
 # --------------------------------------------------------------------------
 BOOT_B = 32
 _POIS1_CDF = []
@@ -1513,7 +1517,7 @@ for _k in range(6):
     _acc += _term
     _POIS1_CDF.append(_acc)
     _term /= _k + 1
-BOOT_THRESH = tuple(int(c * 2**32) for c in _POIS1_CDF)  # u < t[k] -> w <= k
+BOOT_THRESH = tuple(int(c * 2**16) for c in _POIS1_CDF)  # u16 < t[k] -> w <= k
 
 
 def _boot_w_sql(u: str) -> str:
@@ -1523,22 +1527,45 @@ def _boot_w_sql(u: str) -> str:
     return expr
 
 
+def _hex4_to_int_sql(h: str) -> str:
+    """16-bit int from a 4-char hex slice (DuckDB has no conv())."""
+    return (
+        "("
+        + " + ".join(
+            f"(CASE substr({h}, {i + 1}, 1) "
+            + " ".join(
+                f"WHEN '{c}' THEN {v}" for v, c in enumerate("0123456789abcdef")
+            )
+            + f" END) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+_BOOT_H_COLS = ", ".join(
+    f"md5(CAST(o_orderkey AS VARCHAR) || '#{i}') AS h{i}" for i in range(4)
+)
+_BOOT_W_EXPR = _boot_w_sql(
+    _hex4_to_int_sql(
+        "substr(CASE b.b // 8 WHEN 0 THEN h0 WHEN 1 THEN h1 "
+        "WHEN 2 THEN h2 ELSE h3 END, (b.b % 8) * 4 + 1, 4)"
+    )
+)
+
+
 @register(
     "stat_poisson_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (
-      SELECT b.b,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             ({_boot_w_sql(
-                 "CAST((" + " + ".join(
-                     "(CASE substr(md5(CAST(o_orderkey AS VARCHAR) || '#' || CAST(b.b AS VARCHAR)), "
-                     + str(i + 1) + ", 1) "
-                     + " ".join(f"WHEN '{h}' THEN {v}" for v, h in enumerate("0123456789abcdef"))
-                     + f" END) * CAST({16 ** (7 - i)} AS BIGINT)"
-                     for i in range(8)
-                 ) + ") AS BIGINT)"
-             )}) AS w
-      FROM orders CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+    WITH hashed AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             {_BOOT_H_COLS}
+      FROM orders
+    ),
+    reps AS (
+      SELECT b.b, cents,
+             ({_BOOT_W_EXPR}) AS w
+      FROM hashed CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
     ),
     per_rep AS (
       SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
@@ -1565,37 +1592,33 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap ({BOOT_B} replicates, one map-side pass) CI
     for the mean order value."""
     orders = table(spark, sf_dir, "orders")
-    reps = orders.select(
+    hashed = orders.select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        *[
+            F.md5(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit(f"#{i}"))
+            ).alias(f"h{i}")
+            for i in range(4)
+        ],
+    )
+    reps = hashed.select(
+        "cents",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        "h0", "h1", "h2", "h3",
+    )
+    hsel = (
+        F.when(F.col("b") < 8, F.col("h0"))
+        .when(F.col("b") < 16, F.col("h1"))
+        .when(F.col("b") < 24, F.col("h2"))
+        .otherwise(F.col("h3"))
     )
     u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "#",
-                    F.col("o_orderkey").cast("string"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+        F.substring(hsel, (F.col("b") % 8) * 4 + 1, 4), 16, 10
+    ).cast("int")
     w = F.lit(6)
     for k in range(len(BOOT_THRESH) - 1, -1, -1):
         w = F.when(u < BOOT_THRESH[k], F.lit(k)).otherwise(w)
-    reps = orders.select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    ).select(
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
-        F.col("o_orderkey"),
-    ).select("b", "cents", w.alias("w"))
-    per_rep = reps.groupBy("b").agg(
+    per_rep = reps.select("b", "cents", w.alias("w")).groupBy("b").agg(
         F.sum("w").cast("bigint").alias("n_b"),
         F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("s_b"),
     )
