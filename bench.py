@@ -278,6 +278,9 @@ HEADLINE_R13 = [
     "feat_hash_collision_audit",
     "ev_repeat_purchase_rate",
     "ml_tree_depth2",
+    "stat_poisson_bootstrap_ci",
+    "fin_cohort_nrr",
+    "ts_pacf_durbin_levinson",
 ]
 
 ALL_HEADLINE = (

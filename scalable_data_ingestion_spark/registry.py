@@ -124,9 +124,12 @@ def load_all() -> None:
 # r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
     # round-5 additions: no driver hash, post-judge-sweep code.
-    # Newest first — the thirty-two stat/causal/forecast/ML/DQ queries
+    # Newest first — the thirty-five stat/causal/forecast/ML/DQ queries
     # below were written in the final round-5 sessions and have only
     # local sweep checks.
+    "stat_poisson_bootstrap_ci",
+    "fin_cohort_nrr",
+    "ts_pacf_durbin_levinson",
     "ev_repeat_purchase_rate",
     "ml_tree_depth2",
     "gr_katz_centrality",
