@@ -2794,3 +2794,106 @@ def fin_cohort_nrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retained_revenue",
         "nrr",
     )
+
+
+# --------------------------------------------------------------------------
+# Conversion-window sensitivity — the funnel's conversion rate as a
+# FUNCTION of the attribution window (1h / 1d / 3d / 7d): the design
+# choice every growth team argues about, answered from one relation
+# (how much "conversion" is really just long-delay noise?).
+#
+# Scale shape: one user-grain reduction for the first view, one
+# fact-to-aggregate equi-join to find the first purchase at or after
+# it, then ONE conditional aggregate stacked across the four interval
+# literals. Interval arithmetic on NTZ timestamps (timezone-free in
+# both engines); all counts exact.
+# --------------------------------------------------------------------------
+CONV_WINDOWS = (("1h", "1 HOUR"), ("1d", "1 DAY"), ("3d", "3 DAY"), ("7d", "7 DAY"))
+
+
+@register(
+    "ev_conversion_window_sensitivity",
+    oracle=f"""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT f.user_id, f.first_view, min(e.ts) AS first_purchase
+      FROM fv f LEFT JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts >= f.first_view
+      GROUP BY f.user_id, f.first_view
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_viewers,
+             {", ".join(
+                 f"CAST(sum(CASE WHEN first_purchase IS NOT NULL AND "
+                 f"first_purchase - first_view <= INTERVAL {iv} "
+                 f"THEN 1 ELSE 0 END) AS BIGINT) AS c_{lbl}"
+                 for lbl, iv in CONV_WINDOWS)}
+      FROM fp
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{lbl}' AS attribution_window, n_viewers,"
+        f" c_{lbl} AS n_converted,"
+        f" round(c_{lbl} * 1.0 / n_viewers, 6) AS conversion_rate"
+        f" FROM counts"
+        for lbl, _ in CONV_WINDOWS)}
+    """,
+)
+def ev_conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """View->purchase conversion rate at 1h/1d/3d/7d attribution
+    windows."""
+    ev = table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    fp = (
+        fv.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") >= F.col("first_view")),
+            "left",
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_viewers")]
+    for lbl, iv in CONV_WINDOWS:
+        aggs.append(
+            F.sum(
+                (
+                    F.col("first_purchase").isNotNull()
+                    & (
+                        F.col("first_purchase") - F.col("first_view")
+                        <= F.expr(f"INTERVAL {iv}")
+                    )
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias(f"c_{lbl}")
+        )
+    counts = fp.agg(*aggs)
+    outs = [
+        counts.select(
+            F.lit(lbl).alias("attribution_window"),
+            "n_viewers",
+            F.col(f"c_{lbl}").alias("n_converted"),
+            F.round(F.col(f"c_{lbl}") * 1.0 / F.col("n_viewers"), 6).alias(
+                "conversion_rate"
+            ),
+        )
+        for lbl, _ in CONV_WINDOWS
+    ]
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

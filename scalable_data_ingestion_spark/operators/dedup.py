@@ -1321,3 +1321,161 @@ def dd_lsh_bands_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_hits") * 1.0 / F.col("n_true"), 6).alias("recall"),
         F.round(F.col("n_hits") * 1.0 / F.col("n_candidates"), 6).alias("precision"),
     )
+
+
+# --------------------------------------------------------------------------
+# b-bit MinHash eval (Li & Koenig 2010) — keep only the LOWEST BIT of
+# each of the 12 minhash values (a 12-bit sketch, 32x smaller than
+# the 8-hex signatures) and measure what the compression costs: MAE
+# of the 1-bit estimator J1 = 2*(matches/K) - 1 vs the full-width
+# estimator m/K, both against exact Jaccard, over the ground-truth
+# near-dup pairs. The sketch-budget decision (full-width vs b-bit at
+# 32x the K) made measurable instead of assumed — the dd_lsh_eval
+# philosophy applied to sketch WIDTH.
+#
+# Exactness: both MAEs aggregate by integer cross-multiplication in
+# parts-per-million (|m*u - K*i| and |(2*m1 - K)*u - K*i| summed as
+# BIGINTs against K*sum(u)) — no float summation anywhere.
+# --------------------------------------------------------------------------
+BBIT_PAIR_THRESHOLD = 0.25
+_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+_BBIT_MATCH_FULL = " + ".join(
+    f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(MINHASH_K)
+)
+_BBIT_MATCH_1BIT = " + ".join(
+    f"(CASE WHEN (substr(sa.h{k}, 8, 1) IN {_ODD_HEX})"
+    f" = (substr(sb.h{k}, 8, 1) IN {_ODD_HEX}) THEN 1 ELSE 0 END)"
+    for k in range(MINHASH_K)
+)
+
+
+@register(
+    "dd_bbit_minhash_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS i
+      FROM shingle a JOIN shingle b
+        ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b, i,
+             CAST(sa.n + sb.n - i AS BIGINT) AS u
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {BBIT_PAIR_THRESHOLD}
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(
+                 f"min(substr(md5('s{k // 4}|' || sh), {(k % 4) * 8 + 1}, 8)) AS h{k}"
+                 for k in range(MINHASH_K)
+             )}
+      FROM shingle GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT t.i, t.u,
+             CAST({_BBIT_MATCH_FULL} AS BIGINT) AS m,
+             CAST({_BBIT_MATCH_1BIT} AS BIGINT) AS m1
+      FROM truth t
+      JOIN sig sa ON sa.doc_id = t.doc_a
+      JOIN sig sb ON sb.doc_id = t.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST({MINHASH_K} AS BIGINT) AS k_hashes,
+           round(sum(abs(m * u - {MINHASH_K} * i)) * 1.0
+                 / ({MINHASH_K}.0 * sum(u)), 6) AS mae_full,
+           round(sum(abs((2 * m1 - {MINHASH_K}) * u - {MINHASH_K} * i)) * 1.0
+                 / ({MINHASH_K}.0 * sum(u)), 6) AS mae_1bit,
+           CAST({MINHASH_K * 32} AS BIGINT) AS bits_full,
+           CAST({MINHASH_K} AS BIGINT) AS bits_1bit
+    FROM scored
+    """,
+)
+def dd_bbit_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE of 1-bit minhash vs full-width minhash vs exact Jaccard
+    over ground-truth pairs (j >= {BBIT_PAIR_THRESHOLD})."""
+    sh = shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa_ = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb_ = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    truth = (
+        inter.join(F.broadcast(sa_), "doc_a")
+        .join(F.broadcast(sb_), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "i",
+            (F.col("na") + F.col("nb") - F.col("i"))
+            .cast("bigint")
+            .alias("u"),
+        )
+        .filter(
+            F.col("i").cast("double") / F.col("u") >= BBIT_PAIR_THRESHOLD
+        )
+    )
+    sig = _minhash_sig(sh)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(MINHASH_K)],
+    )
+    odd = tuple("13579bdf")
+    bit = lambda c: F.substring(F.col(c), 8, 1).isin(*odd)  # noqa: E731
+    m = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int")
+        for k in range(MINHASH_K)
+    )
+    m1 = sum(
+        (bit(f"a{k}") == bit(f"b{k}")).cast("int") for k in range(MINHASH_K)
+    )
+    scored = (
+        truth.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "i",
+            "u",
+            m.cast("bigint").alias("m"),
+            m1.cast("bigint").alias("m1"),
+        )
+    )
+    K = MINHASH_K
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.lit(K).cast("bigint").alias("k_hashes"),
+        F.round(
+            F.sum(F.abs(F.col("m") * F.col("u") - K * F.col("i"))) * 1.0
+            / (float(K) * F.sum("u")),
+            6,
+        ).alias("mae_full"),
+        F.round(
+            F.sum(
+                F.abs(
+                    (2 * F.col("m1") - K) * F.col("u") - K * F.col("i")
+                )
+            )
+            * 1.0
+            / (float(K) * F.sum("u")),
+            6,
+        ).alias("mae_1bit"),
+        F.lit(K * 32).cast("bigint").alias("bits_full"),
+        F.lit(K).cast("bigint").alias("bits_1bit"),
+    )

@@ -1824,3 +1824,125 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --------------------------------------------------------------------------
+# Interrupted time series (segmented regression) — fit daily revenue
+# ~ t separately before and after an intervention date and report the
+# LEVEL JUMP and SLOPE CHANGE at the break: the quasi-experimental
+# design for "we changed pricing on date X, did the trajectory
+# move?" when no control group exists (the single-series companion
+# to ev_synthetic_control and ev_did_estimate).
+#
+# Exactness: t centers on the split day (small integers), cents are
+# exact BIGINT; each segment's OLS uses the decimal-exact moment-sum
+# pattern; the jump/slope-change are fixed double expressions of the
+# two closed-form fits evaluated AT the break point.
+# --------------------------------------------------------------------------
+ITS_SPLIT = "1995-06-01"
+
+
+def _its_fit_sql(name: str, cond: str) -> str:
+    return f"""{name} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS st,
+             CAST(sum(cents) AS BIGINT) AS sy,
+             CAST(sum(CAST(t AS HUGEINT) * t) AS DOUBLE) AS stt,
+             CAST(sum(CAST(t AS HUGEINT) * cents) AS DOUBLE) AS sty
+      FROM daily WHERE {cond}
+    ),
+    {name}_fit AS (
+      SELECT n,
+             (n * sty - CAST(st AS DOUBLE) * sy)
+               / (n * stt - CAST(st AS DOUBLE) * st) AS slope,
+             (sy - (n * sty - CAST(st AS DOUBLE) * sy)
+                   / (n * stt - CAST(st AS DOUBLE) * st) * st) * 1.0 / n
+                 AS icept
+      FROM {name}
+    )"""
+
+
+@register(
+    "ts_intervention_its",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '{ITS_SPLIT}', CAST(o_orderdate AS DATE))
+                 AS t,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ),
+    {_its_fit_sql("pre", "t < 0")},
+    {_its_fit_sql("post", "t >= 0")}
+    SELECT pre_fit.n AS n_pre_days, post_fit.n AS n_post_days,
+           round(pre_fit.slope / 100.0, 6) AS pre_slope_usd_per_day,
+           round(post_fit.slope / 100.0, 6) AS post_slope_usd_per_day,
+           round((post_fit.slope - pre_fit.slope) / 100.0, 6)
+               AS slope_change,
+           round((post_fit.icept - pre_fit.icept) / 100.0, 4)
+               AS level_jump_usd
+    FROM pre_fit, post_fit
+    """,
+)
+def ts_intervention_its(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented-regression level jump and slope change of daily
+    revenue at the {ITS_SPLIT} intervention date."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit(ITS_SPLIT))
+        ).alias("t")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    ).persist()
+    dt = F.col("t").cast("decimal(38,0)")
+
+    def fit(cond):
+        seg = daily.filter(cond).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("t").cast("bigint").alias("st"),
+            F.sum("cents").cast("bigint").alias("sy"),
+            F.sum(dt * F.col("t")).cast("double").alias("stt"),
+            F.sum(dt * F.col("cents")).cast("double").alias("sty"),
+        )
+        slope = (
+            F.col("n") * F.col("sty")
+            - F.col("st").cast("double") * F.col("sy")
+        ) / (
+            F.col("n") * F.col("stt")
+            - F.col("st").cast("double") * F.col("st")
+        )
+        return seg.select(
+            "n",
+            slope.alias("slope"),
+            (
+                (F.col("sy") - slope * F.col("st")) * 1.0 / F.col("n")
+            ).alias("icept"),
+        )
+
+    pre = fit(F.col("t") < 0)
+    post = fit(F.col("t") >= 0)
+    pre = pre.select(
+        F.col("n").alias("n_pre"), F.col("slope").alias("pre_slope"),
+        F.col("icept").alias("pre_icept"),
+    )
+    post = post.select(
+        F.col("n").alias("n_post"), F.col("slope").alias("post_slope"),
+        F.col("icept").alias("post_icept"),
+    )
+    return pre.crossJoin(F.broadcast(post)).select(
+        F.col("n_pre").alias("n_pre_days"),
+        F.col("n_post").alias("n_post_days"),
+        F.round(F.col("pre_slope") / 100.0, 6).alias("pre_slope_usd_per_day"),
+        F.round(F.col("post_slope") / 100.0, 6).alias(
+            "post_slope_usd_per_day"
+        ),
+        F.round(
+            (F.col("post_slope") - F.col("pre_slope")) / 100.0, 6
+        ).alias("slope_change"),
+        F.round(
+            (F.col("post_icept") - F.col("pre_icept")) / 100.0, 4
+        ).alias("level_jump_usd"),
+    )
