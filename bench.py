@@ -281,6 +281,9 @@ HEADLINE_R13 = [
     "stat_poisson_bootstrap_ci",
     "fin_cohort_nrr",
     "ts_pacf_durbin_levinson",
+    "dd_bbit_minhash_eval",
+    "ev_conversion_window_sensitivity",
+    "ts_intervention_its",
 ]
 
 ALL_HEADLINE = (
