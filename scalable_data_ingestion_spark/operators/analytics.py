@@ -2897,3 +2897,82 @@ def ev_conversion_window_sensitivity(
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --------------------------------------------------------------------------
+# Lorenz curve by customer-revenue decile — the distribution curve
+# behind stat_revenue_gini's single number: decile d's share and
+# cumulative share of total revenue, customer-count weighted. The
+# account-concentration report ("the top decile is 40% of revenue")
+# sales ops reads directly.
+#
+# Scale shape: one customer-grain reduction, global_ntile decile
+# assignment (range-partitioned — never a global ntile window), a
+# 10-row rollup and triangular cumulative join. Exact cents.
+# --------------------------------------------------------------------------
+LORENZ_TILES = 10
+
+
+@register(
+    "ev_lorenz_deciles",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT cents, ntile({LORENZ_TILES}) OVER (
+               ORDER BY cents, o_custkey) AS tile
+      FROM per_cust
+    ),
+    per_tile AS (
+      SELECT tile, CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM tiled GROUP BY tile
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per_tile)
+    SELECT CAST(t.tile AS INTEGER) AS tile, t.n_customers,
+           round(t.cents / 100.0, 2) AS revenue,
+           round(t.cents * 1.0 / tot.total, 6) AS share,
+           round(sum(t2.cents) * 1.0 / tot.total, 6) AS cum_share
+    FROM per_tile t JOIN per_tile t2 ON t2.tile <= t.tile, tot
+    GROUP BY t.tile, t.n_customers, t.cents, tot.total
+    """,
+)
+def ev_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve (share + cumulative share of revenue) by customer
+    revenue decile, poorest decile first."""
+    from ..functions.ranking import global_ntile
+
+    orders = table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tiled = global_ntile(
+        per_cust, [F.col("cents"), F.col("o_custkey")], LORENZ_TILES, "tile"
+    )
+    per_tile = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    ).persist()
+    tot = per_tile.agg(F.sum("cents").cast("bigint").alias("total"))
+    t, t2 = per_tile.alias("t"), per_tile.alias("t2")
+    return (
+        t.join(F.broadcast(t2), F.col("t2.tile") <= F.col("t.tile"))
+        .groupBy("t.tile", "t.n_customers", "t.cents")
+        .agg(F.sum("t2.cents").cast("bigint").alias("cum_cents"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tile").cast("int").alias("tile"),
+            "n_customers",
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.col("cents") * 1.0 / F.col("total"), 6).alias("share"),
+            F.round(F.col("cum_cents") * 1.0 / F.col("total"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )

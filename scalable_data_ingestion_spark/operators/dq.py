@@ -1093,3 +1093,83 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --------------------------------------------------------------------------
+# IQR fence outlier audit per market segment — Tukey's 1.5*IQR rule
+# on order value: quartiles, fences, and the count/share of rows
+# outside them, per segment. The box-plot profiling staple a DQ
+# dashboard renders for every numeric column.
+#
+# Exactness: quartiles interpolate identically cross-engine (Spark
+# percentile == DuckDB quantile_cont) and land on exact quarter-cent
+# grids; the fences are fixed rational expressions of them, and the
+# outlier comparison runs on exact cents — so the counts are integer
+# facts, not float-boundary coin flips.
+# --------------------------------------------------------------------------
+@register(
+    "dq_iqr_outlier_audit",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    q AS (
+      SELECT c_mktsegment,
+             quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+      FROM base GROUP BY 1
+    )
+    SELECT b.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(q.q1 / 100.0, 4) AS q1_usd,
+           round(q.q3 / 100.0, 4) AS q3_usd,
+           CAST(sum(CASE WHEN b.cents < q.q1 - 1.5 * (q.q3 - q.q1)
+                          OR b.cents > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(sum(CASE WHEN b.cents < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR b.cents > q.q3 + 1.5 * (q.q3 - q.q1)
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+               AS outlier_share
+    FROM base b JOIN q USING (c_mktsegment)
+    GROUP BY b.c_mktsegment, q.q1, q.q3
+    """,
+)
+def dq_iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey 1.5*IQR outlier counts and share of order value per
+    market segment."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    base = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    q = base.groupBy("c_mktsegment").agg(
+        F.percentile("cents", F.lit(0.25)).alias("q1"),
+        F.percentile("cents", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    is_out = (F.col("cents") < lo) | (F.col("cents") > hi)
+    return (
+        base.join(F.broadcast(q), "c_mktsegment")
+        .groupBy("c_mktsegment", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(is_out.cast("int")).cast("bigint").alias("n_outliers"),
+            F.round(
+                F.sum(is_out.cast("int")) * 1.0 / F.count(F.lit(1)), 6
+            ).alias("outlier_share"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_orders",
+            F.round(F.col("q1") / 100.0, 4).alias("q1_usd"),
+            F.round(F.col("q3") / 100.0, 4).alias("q3_usd"),
+            "n_outliers",
+            "outlier_share",
+        )
+    )
