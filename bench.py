@@ -284,6 +284,8 @@ HEADLINE_R13 = [
     "dd_bbit_minhash_eval",
     "ev_conversion_window_sensitivity",
     "ts_intervention_its",
+    "ev_lorenz_deciles",
+    "dq_iqr_outlier_audit",
 ]
 
 ALL_HEADLINE = (
