@@ -2976,3 +2976,92 @@ def ev_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Time-to-convert percentiles per A/B variant — p50/p90 of the delay
+# between a user's first view and first subsequent purchase, split by
+# the md5 hash variant: the latency companion to the conversion-rate
+# z-test (a variant can win on rate and lose on time-to-value).
+#
+# Exactness: delays are exact integer epoch-microsecond differences;
+# percentiles interpolate identically cross-engine (Spark percentile
+# == DuckDB quantile_cont) on that integer grid.
+# --------------------------------------------------------------------------
+@register(
+    "ev_time_to_convert_percentiles",
+    oracle=f"""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT f.user_id, f.first_view, min(e.ts) AS first_purchase
+      FROM fv f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts >= f.first_view
+      GROUP BY f.user_id, f.first_view
+    ),
+    delays AS (
+      SELECT CASE WHEN (CASE substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                        {" ".join(f"WHEN '{h}' THEN {i}" for i, h in enumerate("0123456789abcdef"))}
+                        END) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             epoch_us(first_purchase) - epoch_us(first_view) AS delay_us
+      FROM fp
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n_converters,
+           round(quantile_cont(delay_us, 0.5) / 3600e6, 6) AS p50_hours,
+           round(quantile_cont(delay_us, 0.9) / 3600e6, 6) AS p90_hours
+    FROM delays GROUP BY variant
+    """,
+)
+def ev_time_to_convert_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p50/p90 first-view -> first-purchase delay per hash variant."""
+    ev = table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    fp = (
+        fv.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") >= F.col("first_view")),
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    # NTZ timestamps: difference via casting both to long microseconds
+    # through the interval-free (ts - epoch) pattern is engine-local;
+    # use the day+time decomposition-free route: cast to double seconds
+    # is lossy — instead compare as INTERVAL converted to microseconds
+    # on both sides via epoch arithmetic on DATE+time is overkill here:
+    # Spark exposes unix_micros only for TIMESTAMP (not NTZ), so
+    # convert NTZ -> micros with a UTC-anchored cast expression.
+    delay_us = (
+        F.unix_micros(F.to_utc_timestamp(F.col("first_purchase"), "UTC"))
+        - F.unix_micros(F.to_utc_timestamp(F.col("first_view"), "UTC"))
+    )
+    delays = fp.select(
+        F.when((bucket % 2) == 0, "A").otherwise("B").alias("variant"),
+        delay_us.alias("delay_us"),
+    )
+    return delays.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.round(F.percentile("delay_us", F.lit(0.5)) / 3600e6, 6).alias(
+            "p50_hours"
+        ),
+        F.round(F.percentile("delay_us", F.lit(0.9)) / 3600e6, 6).alias(
+            "p90_hours"
+        ),
+    )

@@ -2068,3 +2068,140 @@ def sim_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rich-club coefficient — phi(k) = E_k / (N_k * (N_k - 1)) over the
+# nodes of degree > k, for thresholds derived FROM the degree
+# distribution (k = dmax/8, dmax/4, dmax/2 by integer division — a
+# fixed grid degenerates at some SF because co-purchase density grows
+# with the corpus; the data-derived grid differentiates at every
+# scale and is exact-integer identical cross-engine): do the hubs
+# preferentially connect to EACH OTHER (supply-chain core) or are
+# they hubs of disjoint neighborhoods? The structural complement of
+# degree assortativity.
+#
+# Scale shape: edges join the degree relation twice (src and dst);
+# all three thresholds are conditional sums over ONE edge pass.
+# Exact integer counts; phi is one fixed ratio. (Directed-pair E_k
+# counts both orientations, so phi uses N*(N-1) without the 2.)
+# --------------------------------------------------------------------------
+RICH_DIVS = (8, 4, 2)
+
+
+@register(
+    "gr_rich_club_coefficient",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM pairs GROUP BY src),
+    ks AS (
+      SELECT {", ".join(
+          f"CAST(max(deg) // {d} AS BIGINT) AS k_{d}" for d in RICH_DIVS)}
+      FROM deg
+    ),
+    ek AS (
+      SELECT {", ".join(
+          f"CAST(sum(CASE WHEN ds.deg > ks.k_{d} AND dd.deg > ks.k_{d} "
+          f"THEN 1 ELSE 0 END) AS BIGINT) AS e_{d}" for d in RICH_DIVS)}
+      FROM pairs e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+      CROSS JOIN ks
+    ),
+    nk AS (
+      SELECT {", ".join(
+          f"CAST(sum(CASE WHEN deg > ks.k_{d} THEN 1 ELSE 0 END) AS BIGINT)"
+          f" AS n_{d}" for d in RICH_DIVS)}
+      FROM deg CROSS JOIN ks
+    )
+    {" UNION ALL ".join(
+        f"SELECT k_{d} AS k_threshold, n_{d} AS n_rich,"
+        f" e_{d} // 2 AS e_rich,"
+        f" CASE WHEN n_{d} > 1 THEN round(e_{d} * 1.0"
+        f" / (n_{d} * (n_{d} - 1)), 6) END AS phi"
+        f" FROM ek, nk, ks" for d in RICH_DIVS)}
+    """,
+)
+def gr_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club phi at degree thresholds dmax/{RICH_DIVS} over the
+    part co-purchase graph."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = pairs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    ).persist()
+    ks = deg.agg(
+        *[
+            F.expr(f"max(deg) DIV {d}").cast("bigint").alias(f"k_{d}")
+            for d in RICH_DIVS
+        ]
+    )
+    ds = deg.select(F.col("src").alias("s_node"), F.col("deg").alias("s_deg"))
+    dd = deg.select(F.col("src").alias("d_node"), F.col("deg").alias("d_deg"))
+    ek = (
+        pairs.join(ds, pairs.src == ds.s_node)
+        .join(dd, pairs.dst == dd.d_node)
+        .crossJoin(F.broadcast(ks))
+        .agg(
+            *[
+                F.sum(
+                    (
+                        (F.col("s_deg") > F.col(f"k_{d}"))
+                        & (F.col("d_deg") > F.col(f"k_{d}"))
+                    ).cast("int")
+                )
+                .cast("bigint")
+                .alias(f"e_{d}")
+                for d in RICH_DIVS
+            ]
+        )
+    )
+    nk = deg.crossJoin(F.broadcast(ks)).agg(
+        *[
+            F.sum((F.col("deg") > F.col(f"k_{d}")).cast("int"))
+            .cast("bigint")
+            .alias(f"n_{d}")
+            for d in RICH_DIVS
+        ]
+    )
+    j = ek.crossJoin(F.broadcast(nk)).crossJoin(F.broadcast(ks))
+    outs = []
+    for d in RICH_DIVS:
+        outs.append(
+            j.select(
+                F.col(f"k_{d}").alias("k_threshold"),
+                F.col(f"n_{d}").alias("n_rich"),
+                F.expr(f"e_{d} DIV 2").cast("bigint").alias("e_rich"),
+                F.when(
+                    F.col(f"n_{d}") > 1,
+                    F.round(
+                        F.col(f"e_{d}")
+                        * 1.0
+                        / (F.col(f"n_{d}") * (F.col(f"n_{d}") - 1)),
+                        6,
+                    ),
+                ).alias("phi"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
