@@ -286,6 +286,8 @@ HEADLINE_R13 = [
     "ts_intervention_its",
     "ev_lorenz_deciles",
     "dq_iqr_outlier_audit",
+    "ev_time_to_convert_percentiles",
+    "gr_rich_club_coefficient",
 ]
 
 ALL_HEADLINE = (

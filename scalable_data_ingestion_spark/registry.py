@@ -124,9 +124,11 @@ def load_all() -> None:
 # r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
     # round-5 additions: no driver hash, post-judge-sweep code.
-    # Newest first — the forty stat/causal/forecast/ML/DQ queries
+    # Newest first — the forty-two stat/causal/forecast/ML/DQ queries
     # below were written in the final round-5 sessions and have only
     # local sweep checks.
+    "ev_time_to_convert_percentiles",
+    "gr_rich_club_coefficient",
     "ev_lorenz_deciles",
     "dq_iqr_outlier_audit",
     "dd_bbit_minhash_eval",
