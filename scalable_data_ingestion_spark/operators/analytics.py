@@ -2218,8 +2218,12 @@ def ev_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: one user-grain reduction, decile assignment through
 # global_ntile (range-partitioned offset ranking — never a global
 # ntile window), then a 10-row rollup with a triangular cumulative
-# join. Exactness: every count is BIGINT; rates are fixed double
-# ratios of them.
+# join. Exactness: every output is BIGINT — the uplift rate and the
+# Qini statistic ship as exact integer rationals (num/den via
+# cross-multiplication), so no double division or rounding exists
+# anywhere in either engine (uplift = uplift_num/uplift_den, Qini =
+# qini_num/qini_den; hardened after a driver-side hash contest on the
+# float-rounded variant that never reproduced locally).
 # --------------------------------------------------------------------------
 QINI_TILES = 10
 
@@ -2257,14 +2261,14 @@ QINI_TILES = 10
     )
     SELECT CAST(p.tile AS INTEGER) AS tile,
            p.n_t, p.n_c, p.conv_t, p.conv_c,
-           CASE WHEN p.n_t > 0 AND p.n_c > 0
-                THEN round(p.conv_t * 1.0 / p.n_t
-                           - p.conv_c * 1.0 / p.n_c, 6) END AS uplift_rate,
-           CASE WHEN sum(p2.n_c) > 0
-                THEN round(sum(p2.conv_t)
-                           - sum(p2.conv_c)
-                             * (sum(p2.n_t) * 1.0 / sum(p2.n_c)), 4)
-           END AS qini_cum
+           CAST(p.conv_t * p.n_c - p.conv_c * p.n_t AS BIGINT)
+               AS uplift_num,
+           CAST(p.n_t * p.n_c AS BIGINT) AS uplift_den,
+           CAST(CAST(sum(p2.conv_t) AS BIGINT)
+                  * CAST(sum(p2.n_c) AS BIGINT)
+                - CAST(sum(p2.conv_c) AS BIGINT)
+                  * CAST(sum(p2.n_t) AS BIGINT) AS BIGINT) AS qini_num,
+           CAST(sum(p2.n_c) AS BIGINT) AS qini_den
     FROM per_tile p JOIN per_tile p2 ON p2.tile <= p.tile
     GROUP BY p.tile, p.n_t, p.n_c, p.conv_t, p.conv_c
     """,
@@ -2326,23 +2330,20 @@ def ev_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_c",
             "conv_t",
             "conv_c",
-            F.when(
-                (F.col("n_t") > 0) & (F.col("n_c") > 0),
-                F.round(
-                    F.col("conv_t") * 1.0 / F.col("n_t")
-                    - F.col("conv_c") * 1.0 / F.col("n_c"),
-                    6,
-                ),
-            ).alias("uplift_rate"),
-            F.when(
-                F.col("nc_cum") > 0,
-                F.round(
-                    F.col("ct_cum")
-                    - F.col("cc_cum")
-                    * (F.col("nt_cum") * 1.0 / F.col("nc_cum")),
-                    4,
-                ),
-            ).alias("qini_cum"),
+            (
+                F.col("conv_t") * F.col("n_c")
+                - F.col("conv_c") * F.col("n_t")
+            )
+            .cast("bigint")
+            .alias("uplift_num"),
+            (F.col("n_t") * F.col("n_c")).cast("bigint").alias("uplift_den"),
+            (
+                F.col("ct_cum") * F.col("nc_cum")
+                - F.col("cc_cum") * F.col("nt_cum")
+            )
+            .cast("bigint")
+            .alias("qini_num"),
+            F.col("nc_cum").alias("qini_den"),
         )
     )
 
@@ -3041,16 +3042,19 @@ def ev_time_to_convert_percentiles(
     bucket = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10
     ).cast("int")
-    # NTZ timestamps: difference via casting both to long microseconds
-    # through the interval-free (ts - epoch) pattern is engine-local;
-    # use the day+time decomposition-free route: cast to double seconds
-    # is lossy — instead compare as INTERVAL converted to microseconds
-    # on both sides via epoch arithmetic on DATE+time is overkill here:
-    # Spark exposes unix_micros only for TIMESTAMP (not NTZ), so
-    # convert NTZ -> micros with a UTC-anchored cast expression.
-    delay_us = (
-        F.unix_micros(F.to_utc_timestamp(F.col("first_purchase"), "UTC"))
-        - F.unix_micros(F.to_utc_timestamp(F.col("first_view"), "UTC"))
+    # NTZ timestamps: the delay must be timezone-free, so derive it
+    # from the day-time INTERVAL (first_purchase - first_view) itself —
+    # never a to_utc_timestamp round-trip, which is only correct when
+    # the session timezone is UTC and would shift DST-straddling delays
+    # under a user-built session. CAST(interval AS BIGINT) truncates to
+    # whole seconds; extract(SECOND) carries the exact fractional
+    # microseconds as decimal(8,6); their recombination is exact for
+    # the non-negative delays the join guarantees (pts >= first_view).
+    iv = F.col("first_purchase") - F.col("first_view")
+    delay_us = iv.cast("bigint") * F.lit(1000000).cast("bigint") + (
+        (F.expr("extract(SECOND FROM (first_purchase - first_view))") * 1000000)
+        .cast("bigint")
+        % 1000000
     )
     delays = fp.select(
         F.when((bucket % 2) == 0, "A").otherwise("B").alias("variant"),

@@ -86,9 +86,30 @@ class JdbcOrderStore:
         if "order_id" not in df.columns:
             raise ValueError("orders frame requires order_id")
         # Batches can carry duplicate order_ids (multi-source union);
-        # MERGE requires a unique source key, so keep-first like the
-        # reference's dedup stage.
-        batch = df.dropDuplicates(["order_id"])
+        # MERGE requires a unique source key. The reference's
+        # row-at-a-time INSERT OR REPLACE makes the LAST occurrence of
+        # a key win (src/storage.py:164-205) — but a DataFrame has no
+        # row order, so "last" must come from the data: pick the winner
+        # with a deterministic row_number over (order_id), ordered by
+        # ingested_at DESC when the lineage column exists (true
+        # last-write-wins), then every remaining column DESC as a total
+        # tiebreak so conflicting duplicates never resolve by partition
+        # luck.
+        from pyspark.sql import Window, functions as F
+
+        order_cols = [
+            F.col(c).desc_nulls_last()
+            for c in (
+                ["ingested_at"] if "ingested_at" in df.columns else []
+            )
+            + [c for c in df.columns if c not in ("order_id", "ingested_at")]
+        ]
+        w = Window.partitionBy("order_id").orderBy(*order_cols)
+        batch = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         staging = f"{self.table}_staging"
         props = {"driver": self.driver}
         # Derby maps StringType to CLOB by default, and CLOBs are not

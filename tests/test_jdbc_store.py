@@ -8,6 +8,7 @@ class is ever absent the suite skips rather than fails.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from scalable_data_ingestion_spark.storage.jdbc_store import JdbcOrderStore
 
@@ -51,7 +52,12 @@ def test_upsert_last_write_wins(spark, store):
     assert state == {"A-0001": 10.0, "A-0002": 99.0, "A-0003": 30.0}
 
 
-def test_batch_internal_duplicates_keep_first(spark, store):
+def test_batch_internal_duplicates_deterministic_winner(spark, store):
+    # Conflicting duplicates within one batch resolve deterministically
+    # (column-wise DESC tiebreak stands in for the reference's
+    # "last occurrence wins", which a row-ordered SQLite loop gets for
+    # free but an unordered DataFrame cannot): the 2.0 row survives,
+    # never by partition luck.
     store.save_orders(
         _orders(
             spark,
@@ -59,6 +65,22 @@ def test_batch_internal_duplicates_keep_first(spark, store):
         )
     )
     assert store.count() == 1
+    assert store.read_orders().collect()[0]["total_amount"] == 2.0
+
+
+def test_batch_duplicates_prefer_ingested_at(spark, store):
+    # When the lineage column exists it defines "last write": the most
+    # recently ingested row wins even if other columns sort lower.
+    df = spark.createDataFrame(
+        [
+            ("A-0009", "Ann", 9.0, "2024-01-02 00:00:00"),
+            ("A-0009", "Ann", 1.0, "2024-01-03 00:00:00"),
+        ],
+        "order_id: string, customer_name: string, total_amount: double,"
+        " ingested_at: string",
+    ).withColumn("ingested_at", F.to_timestamp("ingested_at"))
+    store.save_orders(df)
+    assert store.read_orders().collect()[0]["total_amount"] == 1.0
 
 
 def test_missing_order_id_rejected(spark, store):
