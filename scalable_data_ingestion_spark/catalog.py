@@ -88,3 +88,43 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the spark.sql surface."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def register_query_views(
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+) -> list[str]:
+    """Expose registry queries as ``spark.sql``-addressable temp views.
+
+    Completes the SQL frontend story: after this call a user can write
+    ``spark.sql("SELECT * FROM ev_qini_uplift WHERE tile <= 3")`` for
+    any registered query — zero new operators, pure naming. Base
+    tables are registered first so query views and raw tables compose
+    in one SQL statement.
+
+    ``names`` limits registration to a subset (view construction is
+    lazy for most queries, but the ranking-offset family runs its
+    boundary jobs at plan-build time, so registering all ~375 views
+    eagerly costs real driver time — pass the subset you need in
+    latency-sensitive paths). Returns the view names registered, in
+    order; a query whose plan cannot build is skipped (never raises),
+    so one broken input column cannot take down the whole catalog.
+    """
+    from . import registry
+
+    register_views(spark, sf_dir)
+    qs = registry.queries()
+    if names is not None:
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise KeyError(f"unknown queries: {unknown}")
+        qs = {n: qs[n] for n in names}
+    done: list[str] = []
+    for name, fn in qs.items():
+        try:
+            fn(spark, sf_dir).createOrReplaceTempView(name)
+        except Exception:  # pragma: no cover - defensive per-view guard
+            continue
+        done.append(name)
+    return done

@@ -419,7 +419,18 @@ def dd_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by language; contaminated tags silently break those ratios (and
 # the per-language dedup sharding). Same inverted-index shape as the
 # split-leakage audit, keyed on the language fence instead.
+#
+# 100 TB bound (r6): candidate volume is sum(df^2) over shingles, so a
+# boilerplate shingle in f docs alone costs f^2 pairs. Shingles with
+# df > CROSS_LANG_DF_CAP are dropped in BOTH engines before the
+# self-join — exactly the dd_ngram_jaccard_pairs DF-cap policy; a
+# 3-gram shared by >1000 documents is boilerplate, not a
+# contamination signal, and every surviving shingle contributes at
+# most CAP^2 pairs.
 # --------------------------------------------------------------------------
+CROSS_LANG_DF_CAP = 1000
+
+
 @register(
     "dq_cross_lang_overlap",
     oracle=rf"""
@@ -432,10 +443,15 @@ def dd_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, t, unnest(generate_series(1, len(t) - 2)) AS i
       FROM tok
     ),
-    sh AS (
+    sh_all AS (
       SELECT DISTINCT doc_id, lang,
              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
       FROM idx
+    ),
+    sh AS (
+      SELECT * FROM sh_all
+      WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh
+                   HAVING count(*) <= {CROSS_LANG_DF_CAP})
     )
     SELECT a.doc_id AS doc_a, a.lang AS lang_a,
            b.doc_id AS doc_b, b.lang AS lang_b,
@@ -450,9 +466,11 @@ def dq_cross_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of differently-tagged documents sharing >=
     {LEAK_MIN_OVERLAP} distinct 3-grams — the language-tag
     contamination audit."""
+    from pyspark.sql import Window as W
+
     docs = table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    sh = (
+    sh_all = (
         docs.select("doc_id", "lang", toks.alias("t"))
         .filter(F.size("t") >= 3)
         .select(
@@ -466,6 +484,13 @@ def dq_cross_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
         .distinct()
+    )
+    # DF-cap the index before the self-join (sum(df^2) bound).
+    df_count = F.count(F.lit(1)).over(W.partitionBy("sh"))
+    sh = (
+        sh_all.withColumn("_df", df_count)
+        .filter(F.col("_df") <= CROSS_LANG_DF_CAP)
+        .drop("_df")
     )
     a, b = sh.alias("a"), sh.alias("b")
     return (

@@ -123,60 +123,26 @@ def load_all() -> None:
 # sweeps of the original window), displacing nine r4-era entries the
 # r4 judge sweep already hash-verified at sf0.01.
 _PRIORITY = (
-    # round-5 additions: no driver hash, post-judge-sweep code.
-    # Newest first — the forty-two stat/causal/forecast/ML/DQ queries
-    # below were written in the final round-5 sessions and have only
-    # local sweep checks.
-    "ev_time_to_convert_percentiles",
-    "gr_rich_club_coefficient",
-    "ev_lorenz_deciles",
-    "dq_iqr_outlier_audit",
-    "dd_bbit_minhash_eval",
-    "ev_conversion_window_sensitivity",
-    "ts_intervention_its",
-    "stat_poisson_bootstrap_ci",
-    "fin_cohort_nrr",
-    "ts_pacf_durbin_levinson",
-    "ev_repeat_purchase_rate",
-    "ml_tree_depth2",
-    "gr_katz_centrality",
-    "sim_item_item_cf",
-    "feat_hash_collision_audit",
-    "dq_pk_discovery",
-    "dq_referential_orphans",
-    "stat_price_elasticity",
-    "opt_conjunction_selectivity",
-    "sk_kmv_set_ops",
-    "ml_kmeans_elbow",
-    "ev_markov_absorbing_steps",
+    # Round-6 window. Heads: ev_qini_uplift (the r5 driver red, now
+    # hardened to exact integer rationals - MUST re-hash green), then
+    # the two queries whose implementations changed this round
+    # (timezone-free delays; DF-capped cross-lang index) so their
+    # hashes re-validate, then the three streaming/incremental batch
+    # twins the r5 verdict wanted driver-visible (stream-stream join
+    # by-segment, incremental-MV delta parity, incremental LSH
+    # assign). The remainder is the complete 142-query
+    # never-driver-checked set (union of CORRECTNESS_r01-r05 = 228
+    # checked of 375 registered), in registration order, newest
+    # batches first - so the 50-query window burns rotation debt and
+    # any larger window burns more. Everything after this tuple keeps
+    # registration order; tools/parity_sweep.py covers the full
+    # registry locally every round.
     "ev_qini_uplift",
-    "ev_synthetic_control",
-    "ts_croston_intermittent",
-    "txt_renyi_spectrum",
-    "ml_stump_split_scan",
-    "ev_last_touch_attribution",
-    "ts_hurst_rescaled_range",
-    "ts_harmonic_periodogram",
-    "ts_holt_winters_weekly",
-    "ml_ridge_path",
-    "ml_naive_bayes_urgent",
-    "stat_brown_forsythe_segments",
-    "stat_event_dow_mutual_info",
-    "stat_cramers_v_priority_segment",
-    "stat_mann_whitney_u",
-    "stat_anova_f_segments",
-    "stat_spearman_qty_price",
-    "stat_kendall_tau_daily",
-    "stat_bh_fdr_segments",
-    "ev_doubly_robust_ate",
-    "dd_shingle_df_profile",
-    "gr_degree_assortativity",
-    "dq_t_closeness",
-    "txt_readability_by_source",
-    "ev_session_pattern_match",
-    "eval_retrieval_ranking",
-    "eval_conformal_coverage",
-    "zo_pruning_effectiveness",
+    "ev_time_to_convert_percentiles",
+    "dq_cross_lang_overlap",
+    "sst_events_by_segment",
+    "ivm_join_delta_parity",
+    "dd_incremental_lsh_assign",
     "ev_markov_stationary",
     "ts_rolling_origin_backtest",
     "dd_lsh_bands_curve",
@@ -192,7 +158,6 @@ _PRIORITY = (
     "sk_hll_rolling_7d_users",
     "opt_join_qerror",
     "sla_business_day_leadtime",
-    "ivm_join_delta_parity",
     "ev_user_value_trend",
     "fn_window_lab",
     "mm_patch_grid",
@@ -202,7 +167,6 @@ _PRIORITY = (
     "ev_frequent_trigrams",
     "tok_fertility_by_lang",
     "gr_hits_supply_graph",
-    "dd_incremental_lsh_assign",
     "ev_did_estimate",
     "emb_grid_outliers",
     "txt_boilerplate_lines",
@@ -239,11 +203,88 @@ _PRIORITY = (
     "ml_logreg_learning_curve",
     "eval_decile_lift",
     "ev_cuped_variance_reduction",
-    # (the r4-late stat_winsorized / feat_next_event_sequences /
-    # stat_chi2 / ts_acf / ts_cusum / cust_survival_km /
-    # dq_l_diversity / feat_target_encoding_loo entries were displaced
-    # by this session's eleven new operators — all of the displaced
-    # ones were hash-verified by the r4 judge sweep at sf0.01)
+    "uv_part_measures_long",
+    "stat_qty_line_corr",
+    "pe_embedding_dim_means",
+    "ns_status_nullsafe_join",
+    "fn_scalar_lab",
+    "fn_date_lab",
+    "agg_segments_per_nation",
+    "stat_price_qty_regression",
+    "ev_top_event_types",
+    "ev_json_props_stats",
+    "ev_daily_activity",
+    "ev_user_profiles",
+    "ev_props_struct_extract",
+    "ev_variant_props_percentiles",
+    "pivot_status_by_priority",
+    "hist_order_value_buckets",
+    "qa_price_outliers_iqr",
+    "stat_bootstrap_mean_ci",
+    "stat_weighted_median_len",
+    "sla_ship_leadtime",
+    "dd_winnow_fingerprints",
+    "txt_fingerprints",
+    "samp_docs_upsample_by_tier",
+    "pack_length_buckets",
+    "pii_summary_by_segment",
+    "feat_user_activity_matrix",
+    "feat_order_value_woe",
+    "feat_target_encoding_loo",
+    "feat_next_event_sequences",
+    "pipe_curation_funnel",
+    "samp_kfold_assign",
+    "samp_mix_waterfill",
+    "dd_quality_survivors",
+    "txt_bpe_token_stats",
+    "txt_length_histogram",
+    "emb_cluster_profile",
+    "sim_ivf_incremental_assign",
+    "ev_cohort_ltv",
+    "ev_interarrival_stats",
+    "ev_time_to_convert",
+    "cust_survival_km",
+    "ev_stickiness_dau_mau",
+    "ev_pareto_user_share",
+    "snap_orders_diff",
+    "ev_daily_bounce_rate",
+    "ev_markov_path_likelihood",
+    "eval_classifier_calibration",
+    "gr_two_hop_features",
+    "gr_edge_churn",
+    "gr_clustering_coefficient",
+    "gr_common_neighbor_links",
+    "gr_neighbor_jaccard",
+    "gr_kcore_decomposition",
+    "er_party_entities",
+    "mon_daily_volume_anomaly",
+    "mon_source_freshness",
+    "mon_category_drift_tvd",
+    "mon_token_js_divergence",
+    "stat_mann_kendall_trend",
+    "stat_theil_sen_slope",
+    "stat_ks_two_sample",
+    "stat_chi2_segment_priority",
+    "stat_winsorized_order_value",
+    "txt_lexical_diversity",
+    "txt_token_burstiness",
+    "dq_l_diversity",
+    "ts_dow_seasonality",
+    "ts_rolling_view_purchase_corr",
+    "ts_holt_linear",
+    "ts_acf_daily_revenue",
+    "ts_cusum_changepoint",
+    "emb_random_projection",
+    "mon_embedding_drift_psi",
+    "emb_int8_quantize",
+    "sim_abtt_recall",
+    "sim_ivf_knn",
+    "sim_rerank_maxsim",
+    "sim_rerank_agreement",
+    "sk_hll_users_by_event",
+    "mm_frame_sample",
+    "sk_join_key_skew_report",
+    "dd_cross_source_matrix",
 )
 
 

@@ -33,3 +33,52 @@ def test_all_tables_registered(spark, sf_dir):
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):
         assert t in names
     assert spark.sql("SELECT count(*) FROM embeddings").first()[0] > 0
+
+
+def test_register_query_views_subset(spark, sf_dir):
+    from scalable_data_ingestion_spark.catalog import register_query_views
+
+    done = register_query_views(
+        spark, sf_dir, names=["ev_qini_uplift", "q01_pricing_summary"]
+    )
+    assert done == ["ev_qini_uplift", "q01_pricing_summary"]
+    # query views are real SQL relations: filter + join against a base
+    # table view in one statement.
+    rows = spark.sql(
+        "SELECT count(*) AS n FROM ev_qini_uplift WHERE tile <= 3"
+    ).collect()
+    assert rows[0]["n"] == 3
+    joined = spark.sql(
+        """
+        SELECT q.l_returnflag, q.sum_qty, count(*) AS n_li
+        FROM q01_pricing_summary q
+        JOIN lineitem l ON l.l_returnflag = q.l_returnflag
+                       AND l.l_linestatus = q.l_linestatus
+        GROUP BY q.l_returnflag, q.sum_qty
+        """
+    ).collect()
+    assert len(joined) >= 3
+
+
+def test_register_query_views_unknown_name(spark, sf_dir):
+    import pytest
+
+    from scalable_data_ingestion_spark.catalog import register_query_views
+
+    with pytest.raises(KeyError):
+        register_query_views(spark, sf_dir, names=["no_such_query"])
+
+
+def test_register_query_views_full_registry(spark, sf_dir):
+    # The complete SQL frontend: every registered query becomes an
+    # addressable view. Plan construction only (no execution), so this
+    # stays test-speed; ranking-offset queries run their small boundary
+    # jobs at build time, which is the documented cost.
+    from scalable_data_ingestion_spark.catalog import register_query_views
+    from scalable_data_ingestion_spark.registry import queries
+
+    done = register_query_views(spark, sf_dir)
+    assert len(done) == len(queries())
+    assert set(done) <= {
+        t.name for t in spark.catalog.listTables() if t.isTemporary
+    }
