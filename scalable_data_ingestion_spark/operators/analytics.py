@@ -3069,3 +3069,1395 @@ def ev_time_to_convert_percentiles(
             "p90_hours"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-6 attribution batch: the three remaining industry-standard
+# multi-touch models, completing the family next to linear
+# (ev_attribution_linear), last-touch (ev_last_touch_attribution) and
+# Markov removal-effect (ev_markov_*). All three share the linear
+# model's scale shape — one time-range join (purchase x trailing-window
+# touches, co-partitioned on user_id), per-purchase window credit
+# arithmetic in exact integers, dimension-sized channel rollup — and
+# the repo's exactness rule: no float division before the final
+# display-rounding column.
+#
+# Channels here are ALL non-purchase event types (view/click/signup/
+# error), not just view/click: Shapley and position models are about
+# comparing channels, so the full set is the interesting input.
+# --------------------------------------------------------------------------
+SHAPLEY_LCM = 12  # lcm(1..4): 4 channels -> |S| in 1..4 divides 12
+
+
+@register(
+    "ev_shapley_attribution",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touched AS (
+      SELECT DISTINCT p.purchase_id, t.event_type
+      FROM purchases p
+      JOIN events t
+        ON t.user_id = p.user_id
+       AND t.event_type <> 'purchase'
+       AND t.ts < p.ts
+       AND t.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ),
+    credited AS (
+      SELECT purchase_id, event_type,
+             {SHAPLEY_LCM} // count(*) OVER (PARTITION BY purchase_id)
+                 AS credit_twelfths
+      FROM touched
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(credit_twelfths) AS BIGINT) AS credit_twelfths_total,
+           round(CAST(sum(credit_twelfths) AS DOUBLE) / {SHAPLEY_LCM}, 6)
+               AS credit
+    FROM credited
+    GROUP BY event_type
+    """,
+)
+def ev_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution over channel PRESENCE sets.
+
+    Each purchase's coalition is the set S of distinct channels touched
+    in the trailing window; under the standard symmetric one-conversion
+    game (v(T)=1 iff T intersects S) every member's Shapley value is
+    exactly 1/|S|. With 4 possible channels, |S| divides 12, so credits
+    are exact integer twelfths — no float division anywhere.
+
+    Differs from ev_attribution_linear (per-TOUCH credit: a channel
+    with 3 touches earns 3/n) — Shapley is per-CHANNEL: presence earns
+    1/|S| regardless of frequency.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    touched = (
+        purchases.join(
+            touches,
+            (F.col("t_user") == F.col("p_user"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (
+                F.col("t_ts")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+            ),
+        )
+        .select("purchase_id", "event_type")
+        .distinct()
+    )
+    credited = touched.withColumn(
+        "credit_twelfths",
+        F.expr(f"{SHAPLEY_LCM} DIV count(*) OVER (PARTITION BY purchase_id)"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("credit_twelfths").cast("bigint").alias("credit_twelfths_total"),
+        F.round(
+            F.sum("credit_twelfths").cast("double") / SHAPLEY_LCM, 6
+        ).alias("credit"),
+    )
+
+
+# Position-based (U-shaped) attribution: 40% first touch, 40% last
+# touch, 20% split evenly across the middle. Middle credit uses
+# floor-division micro-units (200000 DIV (n-2)) — deterministic and
+# identical cross-engine; the flooring remainder is deliberately
+# dropped, never redistributed (documented display convention).
+POS_MICRO = 1_000_000
+POS_ENDS = 400_000
+POS_MID_POOL = 200_000
+
+
+@register(
+    "ev_position_based_attribution",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    paired AS (
+      SELECT p.purchase_id, t.event_id AS touch_id, t.event_type,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY t.ts, t.event_id) AS pos,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n
+      FROM purchases p
+      JOIN events t
+        ON t.user_id = p.user_id
+       AND t.event_type <> 'purchase'
+       AND t.ts < p.ts
+       AND t.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ),
+    credited AS (
+      SELECT purchase_id, event_type,
+             CASE
+               WHEN n = 1 THEN {POS_MICRO}
+               WHEN pos = 1 OR pos = n THEN
+                 CASE WHEN n = 2 THEN {POS_MICRO} // 2 ELSE {POS_ENDS} END
+               ELSE {POS_MID_POOL} // (n - 2)
+             END AS credit_micro
+      FROM paired
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total,
+           round(CAST(sum(credit_micro) AS DOUBLE) / {POS_MICRO}, 6)
+               AS credit
+    FROM credited
+    GROUP BY event_type
+    """,
+)
+def ev_position_based_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """U-shaped (40/20/40) positional attribution with exact
+    floor-division micro-credits; total order within a purchase is
+    (ts, event_id) so both engines rank identically."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    w = W.partitionBy("purchase_id")
+    paired = (
+        purchases.join(
+            touches,
+            (F.col("t_user") == F.col("p_user"))
+            & (F.col("t_ts") < F.col("p_ts"))
+            & (
+                F.col("t_ts")
+                >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+            ),
+        )
+        .select("purchase_id", "touch_id", "t_ts", "event_type")
+        .withColumn(
+            "pos", F.row_number().over(w.orderBy("t_ts", "touch_id"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(POS_MICRO))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.when(F.col("n") == 2, F.lit(POS_MICRO // 2)).otherwise(
+                F.lit(POS_ENDS)
+            ),
+        )
+        .otherwise(
+            F.expr(f"CAST({POS_MID_POOL} AS BIGINT) DIV (n - 2)")
+        )
+        .cast("bigint")
+    )
+    return (
+        paired.withColumn("credit_micro", credit)
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_micro").cast("bigint").alias("credit_micro_total"),
+            F.round(
+                F.sum("credit_micro").cast("double") / POS_MICRO, 6
+            ).alias("credit"),
+        )
+    )
+
+
+# Time-decay attribution with a 1-day half-life over the 7-day window:
+# a touch aged d whole days carries weight 2^(7-d) — exact powers of
+# two, so per-purchase shares are integer-ratio and the micro-credit
+# floor division is deterministic cross-engine. Whole-day age comes
+# from NTZ interval seconds (never a to_utc_timestamp round-trip).
+DECAY_MICRO = 1_000_000
+
+
+@register(
+    "ev_time_decay_attribution",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    paired AS (
+      SELECT p.purchase_id, t.event_type,
+             (epoch_us(p.ts) - epoch_us(t.ts)) // 86400000000 AS age_days
+      FROM purchases p
+      JOIN events t
+        ON t.user_id = p.user_id
+       AND t.event_type <> 'purchase'
+       AND t.ts < p.ts
+       AND t.ts >= p.ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
+    ),
+    weighted AS (
+      SELECT purchase_id, event_type,
+             CAST(1 AS BIGINT) << (7 - age_days) AS w
+      FROM paired
+    ),
+    credited AS (
+      SELECT purchase_id, event_type,
+             (w * {DECAY_MICRO}) // sum(w) OVER (PARTITION BY purchase_id)
+                 AS credit_micro
+      FROM weighted
+    )
+    SELECT event_type,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total,
+           round(CAST(sum(credit_micro) AS DOUBLE) / {DECAY_MICRO}, 6)
+               AS credit
+    FROM credited
+    GROUP BY event_type
+    """,
+)
+def ev_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay attribution (1-day half-life, 7-day
+    window) in exact power-of-two weights and floor-division
+    micro-credits."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    paired = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_DAYS} DAYS")
+        ),
+    ).select(
+        "purchase_id",
+        "event_type",
+        # whole-day age from the NTZ day-time interval itself:
+        # CAST(interval AS BIGINT) is total whole seconds (timezone-free)
+        ((F.col("p_ts") - F.col("t_ts")).cast("bigint") / F.lit(86400))
+        .cast("bigint")
+        .alias("age_days"),
+    )
+    weighted = paired.select(
+        "purchase_id",
+        "event_type",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(7 - age_days AS INT))").alias("w"),
+    )
+    credited = weighted.withColumn(
+        "credit_micro",
+        F.expr(
+            f"(w * CAST({DECAY_MICRO} AS BIGINT)) DIV "
+            "sum(w) OVER (PARTITION BY purchase_id)"
+        ),
+    )
+    return credited.groupBy("event_type").agg(
+        F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("credit_micro").cast("bigint").alias("credit_micro_total"),
+        F.round(
+            F.sum("credit_micro").cast("double") / DECAY_MICRO, 6
+        ).alias("credit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard — the nonparametric companion to
+# cust_survival_km over the SAME labeled lifetimes (identical churn
+# definition, censoring, at-risk prefix machinery):
+#
+#   H(t) = sum over event durations s <= t of d_s / n_s
+#
+# Where KM must quantize ln-terms to make its product shuffle-stable,
+# the NA estimator is a plain SUM, so it gets the stronger guarantee:
+# each step is the exact integer floor-division (d * 1e6) DIV n and the
+# cumulative hazard is an exact BIGINT in micro-units — no float enters
+# until the display column. Same scale shape as KM: customer-grain
+# reduction, day-grain series, range-partitioned running sums.
+# --------------------------------------------------------------------------
+@register(
+    "cust_nelson_aalen",
+    oracle=f"""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS w FROM orders),
+    cust AS (
+      SELECT o_custkey,
+             min(CAST(o_orderdate AS DATE)) AS first_d,
+             max(CAST(o_orderdate AS DATE)) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    labeled AS (
+      SELECT o_custkey,
+             CASE WHEN date_diff('day', last_d, ref.w) > {KM_CHURN_GAP}
+                  THEN 1 ELSE 0 END AS event,
+             CASE WHEN date_diff('day', last_d, ref.w) > {KM_CHURN_GAP}
+                  THEN date_diff('day', first_d, last_d)
+                  ELSE date_diff('day', first_d, ref.w) END AS duration
+      FROM cust CROSS JOIN ref
+    ),
+    per_t AS (
+      SELECT duration,
+             CAST(sum(event) AS BIGINT) AS d,
+             CAST(sum(1 - event) AS BIGINT) AS c
+      FROM labeled GROUP BY duration
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM labeled),
+    risk AS (
+      SELECT duration, d, c,
+             n.total - coalesce(sum(d + c) OVER (
+               ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS at_risk
+      FROM per_t CROSS JOIN n
+    )
+    SELECT CAST(duration AS BIGINT) AS duration_days,
+           d AS n_events, c AS n_censored,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           CAST(sum((d * 1000000) // at_risk) OVER (
+             ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS BIGINT) AS cum_hazard_micro,
+           round(sum((d * 1000000) // at_risk) OVER (
+             ORDER BY duration ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) / 1000000.0, 6) AS cum_hazard
+    FROM risk
+    """,
+)
+def cust_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over customer lifetimes — exact
+    BIGINT micro-unit steps (d*1e6 DIV n), cumulated with the
+    range-partitioned running sum (never a single-reducer window)."""
+    from ..functions.ranking import global_running_sum
+
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    ref = orders.agg(F.max(d).alias("w"))
+    cust = orders.groupBy("o_custkey").agg(
+        F.min(d).alias("first_d"), F.max(d).alias("last_d")
+    )
+    gap = F.datediff("w", "last_d")
+    labeled = cust.crossJoin(F.broadcast(ref)).select(
+        F.when(gap > KM_CHURN_GAP, 1).otherwise(0).alias("event"),
+        F.when(gap > KM_CHURN_GAP, F.datediff("last_d", "first_d"))
+        .otherwise(F.datediff("w", "first_d"))
+        .alias("duration"),
+    )
+    per_t = labeled.groupBy("duration").agg(
+        F.sum("event").cast("bigint").alias("d"),
+        F.sum(1 - F.col("event")).cast("bigint").alias("c"),
+    )
+    n = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    left_before = global_running_sum(
+        per_t,
+        [F.col("duration")],
+        F.col("d") + F.col("c"),
+        "_left",
+        inclusive=False,
+    )
+    risk = left_before.crossJoin(F.broadcast(n)).select(
+        "duration",
+        "d",
+        "c",
+        (F.col("total") - F.col("_left")).alias("at_risk"),
+    )
+    steps = risk.withColumn(
+        "hz_micro",
+        F.expr("(d * CAST(1000000 AS BIGINT)) DIV at_risk"),
+    )
+    curve = global_running_sum(
+        steps, [F.col("duration")], F.col("hz_micro"), "_cum", inclusive=True
+    )
+    return curve.select(
+        F.col("duration").cast("bigint").alias("duration_days"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.col("at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("_cum").cast("bigint").alias("cum_hazard_micro"),
+        F.round(F.col("_cum") / 1000000.0, 6).alias("cum_hazard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bot-likeness heuristics per user — the standard traffic-quality
+# screens every event pipeline runs before analytics or training-data
+# extraction: burst rate (max events in one calendar minute),
+# minimum interarrival gap, night-hour activity share, and event-type
+# variety. All metrics are exact integers (interval-second gaps, ppm
+# floor divisions); the output is the deterministically-ordered
+# suspect list, not a score no one can reproduce.
+#
+# Scale shape: one user/minute reduction + one user-grain window pass
+# (lag over (user, ts) — key-partitioned, no global window), then a
+# top-N with a total order. Event-linear, shuffle on user_id only.
+# --------------------------------------------------------------------------
+BOT_MIN_EVENTS = 5
+BOT_BURST_MIN = 2  # >= this many events in one minute
+BOT_FAST_GAP_S = 60  # or a gap this short
+BOT_TOP_N = 200
+
+
+@register(
+    "ev_bot_burst_score",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, ts, event_type,
+             (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS gap_s
+      FROM seq
+    ),
+    per_min AS (
+      SELECT user_id, date_trunc('minute', ts) AS m, count(*) AS n_min
+      FROM events GROUP BY 1, 2
+    ),
+    burst AS (
+      SELECT user_id, CAST(max(n_min) AS BIGINT) AS max_per_min
+      FROM per_min GROUP BY user_id
+    ),
+    prof AS (
+      SELECT g.user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(g.gap_s) AS BIGINT) AS min_gap_s,
+             CAST(count(DISTINCT g.event_type) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN hour(g.ts) < 6 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_night
+      FROM gaps g GROUP BY g.user_id
+    )
+    SELECT p.user_id, p.n_events, b.max_per_min, p.min_gap_s, p.n_types,
+           p.n_night * 1000000 // p.n_events AS night_ppm
+    FROM prof p JOIN burst b USING (user_id)
+    WHERE p.n_events >= {BOT_MIN_EVENTS}
+      AND (b.max_per_min >= {BOT_BURST_MIN} OR p.min_gap_s <= {BOT_FAST_GAP_S})
+    ORDER BY b.max_per_min DESC, p.n_events DESC, p.user_id
+    LIMIT {BOT_TOP_N}
+    """,
+)
+def ev_bot_burst_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bot-likeness suspect list: burst rate, minimum
+    interarrival gap (NTZ interval seconds), night share, type variety."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    gaps = seq.withColumn(
+        "gap_s", (F.col("ts") - F.col("prev_ts")).cast("bigint")
+    )
+    burst = (
+        ev.groupBy("user_id", F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_min"))
+        .groupBy("user_id")
+        .agg(F.max("n_min").cast("bigint").alias("max_per_min"))
+    )
+    prof = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.hour("ts") < 6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_night"),
+    )
+    out = (
+        prof.join(burst, "user_id")
+        .filter(
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & (
+                (F.col("max_per_min") >= BOT_BURST_MIN)
+                | (F.col("min_gap_s") <= BOT_FAST_GAP_S)
+            )
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "max_per_min",
+            "min_gap_s",
+            "n_types",
+            F.expr("n_night * CAST(1000000 AS BIGINT) DIV n_events").alias(
+                "night_ppm"
+            ),
+        )
+    )
+    return out.orderBy(
+        F.desc("max_per_min"), F.desc("n_events"), "user_id"
+    ).limit(BOT_TOP_N)
+
+
+# --------------------------------------------------------------------------
+# Order-velocity burst flags — the fraud-ops twin of the bot screen on
+# the transactional side: customers placing VEL_MIN_ORDERS or more
+# orders inside any trailing 7-day window. Implemented as a RANGE
+# window over the integer day axis (key-partitioned per customer, no
+# self-join, no pair explosion) — the canonical "sliding count over
+# event time" shape that generalizes to any velocity rule.
+# --------------------------------------------------------------------------
+VEL_WINDOW_DAYS = 7
+VEL_MIN_ORDERS = 2
+
+
+@register(
+    "ev_order_velocity_flags",
+    oracle=f"""
+    WITH days AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                 AS day_ix
+      FROM orders
+    ),
+    counted AS (
+      SELECT o_custkey, o_orderkey, d,
+             CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY day_ix
+               RANGE BETWEEN {VEL_WINDOW_DAYS - 1} PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS n_7d
+      FROM days
+    )
+    SELECT o_custkey, o_orderkey, d AS window_end, n_7d
+    FROM counted WHERE n_7d >= {VEL_MIN_ORDERS}
+    """,
+)
+def ev_order_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders that complete a >= {VEL_MIN_ORDERS}-orders-in-7-days burst
+    for their customer, via a RANGE frame on the integer day axis."""
+    orders = table(spark, sf_dir, "orders")
+    days = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("day_ix"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day_ix")
+        .rangeBetween(-(VEL_WINDOW_DAYS - 1), 0)
+    )
+    counted = days.withColumn(
+        "n_7d", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+    return counted.filter(F.col("n_7d") >= VEL_MIN_ORDERS).select(
+        "o_custkey", "o_orderkey", F.col("d").alias("window_end"), "n_7d"
+    )
+
+
+# --------------------------------------------------------------------------
+# Customer activity-tier migration matrix — the cohort-movement report
+# behind retention planning: bucket every known customer by order
+# count in era A and era B (none / one / light 2-3 / heavy 4+) and
+# count the 4x4 transitions. Pure integer tiering (no quantile
+# boundaries to disagree on), two conditional aggregations at customer
+# grain, one dimension-sized rollup; row share in exact ppm.
+# --------------------------------------------------------------------------
+TIER_YEAR_A = 1994
+TIER_YEAR_B = 1995
+_TIER_CASE = (
+    "CASE WHEN {n} >= 4 THEN 'heavy' WHEN {n} >= 2 THEN 'light' "
+    "WHEN {n} = 1 THEN 'one' ELSE 'none' END"
+)
+
+
+@register(
+    "cust_tier_migration",
+    oracle=f"""
+    WITH counts AS (
+      SELECT c.c_custkey,
+             CAST(coalesce(sum(CASE WHEN year(o.o_orderdate) = {TIER_YEAR_A}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_a,
+             CAST(coalesce(sum(CASE WHEN year(o.o_orderdate) = {TIER_YEAR_B}
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    ),
+    tiered AS (
+      SELECT {_TIER_CASE.format(n="n_a")} AS tier_from,
+             {_TIER_CASE.format(n="n_b")} AS tier_to
+      FROM counts
+    ),
+    cells AS (
+      SELECT tier_from, tier_to, CAST(count(*) AS BIGINT) AS n_customers
+      FROM tiered GROUP BY tier_from, tier_to
+    ),
+    rowtot AS (
+      SELECT tier_from, CAST(sum(n_customers) AS BIGINT) AS row_total
+      FROM cells GROUP BY tier_from
+    )
+    SELECT c.tier_from, c.tier_to, c.n_customers,
+           c.n_customers * 1000000 // r.row_total AS row_share_ppm
+    FROM cells c JOIN rowtot r USING (tier_from)
+    """,
+)
+def cust_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{TIER_YEAR_A}->{TIER_YEAR_B} activity-tier transition matrix over
+    all customers (none/one/light/heavy), with exact ppm row shares."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    yr = F.year("o_orderdate")
+    counts = (
+        customer.select("c_custkey")
+        .join(
+            orders.select("o_custkey", yr.alias("yr")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == TIER_YEAR_A, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("yr") == TIER_YEAR_B, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+
+    def tier(col):
+        return (
+            F.when(F.col(col) >= 4, "heavy")
+            .when(F.col(col) >= 2, "light")
+            .when(F.col(col) == 1, "one")
+            .otherwise("none")
+        )
+
+    cells = (
+        counts.select(
+            tier("n_a").alias("tier_from"), tier("n_b").alias("tier_to")
+        )
+        .groupBy("tier_from", "tier_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+    rowtot = cells.groupBy("tier_from").agg(
+        F.sum("n_customers").cast("bigint").alias("row_total")
+    )
+    return cells.join(F.broadcast(rowtot), "tier_from").select(
+        "tier_from",
+        "tier_to",
+        "n_customers",
+        F.expr("n_customers * CAST(1000000 AS BIGINT) DIV row_total").alias(
+            "row_share_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# ABC (Pareto) inventory classification — the ops-analytics standard:
+# rank parts by revenue, class A = parts covering the first 80% of
+# cumulative revenue, B = next 15%, C = the tail. Exact integer cents
+# everywhere; the cumulative share uses the range-partitioned running
+# sum (never a single-reducer window over the part dimension); class
+# boundaries compare exact integers (cum*100 vs total*K). Output is
+# the dimension-sized class rollup, not the per-part listing.
+# --------------------------------------------------------------------------
+@register(
+    "fin_pareto_abc_classes",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) AS BIGINT) AS rev_4dp
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(sum(rev_4dp) AS BIGINT) AS total FROM per_part),
+    run AS (
+      SELECT l_partkey, rev_4dp,
+             CAST(sum(rev_4dp) OVER (
+               ORDER BY rev_4dp DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM per_part
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_4dp
+      FROM run CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT abc_class,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev_4dp) AS BIGINT) AS rev_4dp
+      FROM classed GROUP BY abc_class
+    )
+    SELECT abc_class, n_parts,
+           round(rev_4dp / 10000.0, 2) AS revenue,
+           -- two-stage exact floor(rev*1e6/total): rev*1e6 would
+           -- overflow BIGINT at large SF, rev*1000 never does (< sf4)
+           ((rev_4dp * 1000) // total) * 1000
+             + (((rev_4dp * 1000) % total) * 1000) // total
+               AS revenue_share_ppm
+    FROM agg CROSS JOIN tot
+    """,
+)
+def fin_pareto_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by revenue (A = first 80% of
+    cumulative revenue, B = to 95%, C = tail), exact 4dp-integer money
+    and a range-partitioned cumulative scan."""
+    from ..functions.ranking import global_running_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_4dp")
+    )
+    tot = per_part.agg(F.sum("rev_4dp").cast("bigint").alias("total"))
+    run = global_running_sum(
+        per_part,
+        [F.col("rev_4dp").desc(), F.col("l_partkey")],
+        F.col("rev_4dp"),
+        "cum",
+        inclusive=True,
+    )
+    classed = run.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_4dp",
+        "total",
+    )
+    agg = classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev_4dp").cast("bigint").alias("rev_4dp"),
+        F.first("total").alias("total"),
+    )
+    # two-stage exact floor(rev*1e6/total) — rev*1e6 overflows BIGINT at
+    # large SF, rev*1000 never does (safe past sf4)
+    share = F.expr(
+        "((rev_4dp * 1000) DIV total) * 1000"
+        " + (((rev_4dp * 1000) % total) * 1000) DIV total"
+    )
+    return agg.select(
+        "abc_class",
+        "n_parts",
+        F.round(F.col("rev_4dp") / 10000.0, 2).alias("revenue"),
+        share.cast("bigint").alias("revenue_share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quantile (pinball-loss) trend grid — a robust alternative to OLS
+# trend fitting that needs no iterative solver: evaluate the pinball
+# loss of the median (tau=0.5) and the tau=0.9 quantile regression
+# line over a literal grid of candidate daily slopes (cents/day,
+# intercept pinned at the series' first value), pick each tau's
+# argmin. All residuals are exact integer cents; the loss is an exact
+# BIGINT sum (pinball loss of integers scaled x10 to keep 0.9/0.1
+# integral), so the argmin is hash-stable. ONE stacked conditional
+# aggregation pass evaluates the whole grid (the
+# conversion-window-sensitivity shape — never |grid| scans).
+# --------------------------------------------------------------------------
+QR_SLOPES_CPD = tuple(range(-50_000, 50_001, 10_000))  # cents/day grid
+
+
+@register(
+    "stat_quantile_trend_grid",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ),
+    base AS (
+      SELECT date_diff('day', (SELECT min(d) FROM daily), d) AS t,
+             cents,
+             (SELECT cents FROM daily ORDER BY d LIMIT 1) AS c0
+      FROM daily
+    ),
+    losses AS (
+      {" UNION ALL ".join(
+        f'''SELECT {s} AS slope_cpd,
+             CAST(sum(CASE WHEN cents - (c0 + {s} * t) >= 0
+                  THEN 5 * (cents - (c0 + {s} * t))
+                  ELSE -5 * (cents - (c0 + {s} * t)) END) AS BIGINT)
+                 AS loss50_x10,
+             CAST(sum(CASE WHEN cents - (c0 + {s} * t) >= 0
+                  THEN 9 * (cents - (c0 + {s} * t))
+                  ELSE -1 * (cents - (c0 + {s} * t)) END) AS BIGINT)
+                 AS loss90_x10
+      FROM base''' for s in QR_SLOPES_CPD)}
+    )
+    SELECT slope_cpd, loss50_x10, loss90_x10,
+           CASE WHEN loss50_x10 = (SELECT min(loss50_x10) FROM losses)
+                THEN 1 ELSE 0 END AS best_tau50,
+           CASE WHEN loss90_x10 = (SELECT min(loss90_x10) FROM losses)
+                THEN 1 ELSE 0 END AS best_tau90
+    FROM losses
+    """,
+)
+def stat_quantile_trend_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball-loss evaluation of median / p90 trend lines over a
+    literal slope grid — exact BIGINT losses, single stacked agg pass."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    anchor = daily.orderBy("d").limit(1).select(
+        F.col("d").alias("d0"), F.col("cents").alias("c0")
+    )
+    base = daily.crossJoin(F.broadcast(anchor)).select(
+        F.datediff("d", "d0").alias("t"), "cents", "c0"
+    )
+    aggs = []
+    for s in QR_SLOPES_CPD:
+        resid = F.col("cents") - (F.col("c0") + F.lit(s) * F.col("t"))
+        aggs.append(
+            F.sum(F.when(resid >= 0, 5 * resid).otherwise(-5 * resid))
+            .cast("bigint")
+            .alias(f"l50_{s}")
+        )
+        aggs.append(
+            F.sum(F.when(resid >= 0, 9 * resid).otherwise(-1 * resid))
+            .cast("bigint")
+            .alias(f"l90_{s}")
+        )
+    cells = base.agg(*aggs)
+    outs = [
+        cells.select(
+            F.lit(s).alias("slope_cpd"),
+            F.col(f"l50_{s}").alias("loss50_x10"),
+            F.col(f"l90_{s}").alias("loss90_x10"),
+            F.least(
+                *[F.col(f"l50_{x}") for x in QR_SLOPES_CPD]
+            ).alias("_m50"),
+            F.least(
+                *[F.col(f"l90_{x}") for x in QR_SLOPES_CPD]
+            ).alias("_m90"),
+        )
+        for s in QR_SLOPES_CPD
+    ]
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "slope_cpd",
+        "loss50_x10",
+        "loss90_x10",
+        F.when(F.col("loss50_x10") == F.col("_m50"), 1).otherwise(0).alias(
+            "best_tau50"
+        ),
+        F.when(F.col("loss90_x10") == F.col("_m90"), 1).otherwise(0).alias(
+            "best_tau90"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Power-user curve — the growth-analytics histogram (how many users
+# were active on exactly k distinct days this month): L28-style
+# engagement shape, computed for every month in the corpus. Two
+# integer reductions (user-month day count, then month-k histogram);
+# shares in exact ppm.
+# --------------------------------------------------------------------------
+@register(
+    "ev_power_user_curve",
+    oracle="""
+    WITH um AS (
+      SELECT year(ts) * 100 + month(ts) AS ym, user_id,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+      FROM events GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT ym, active_days, CAST(count(*) AS BIGINT) AS n_users
+      FROM um GROUP BY ym, active_days
+    ),
+    tot AS (SELECT ym, CAST(sum(n_users) AS BIGINT) AS t FROM hist GROUP BY ym)
+    SELECT CAST(h.ym AS INTEGER) AS ym, h.active_days, h.n_users,
+           h.n_users * 1000000 // t.t AS user_share_ppm
+    FROM hist h JOIN tot t USING (ym)
+    """,
+)
+def ev_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month power-user curve: users by exact count of distinct
+    active days, with ppm shares."""
+    ev = table(spark, sf_dir, "events")
+    um = ev.groupBy(
+        (F.year("ts") * 100 + F.month("ts")).alias("ym"), "user_id"
+    ).agg(
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("active_days")
+    )
+    hist = um.groupBy("ym", "active_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    tot = hist.groupBy("ym").agg(F.sum("n_users").cast("bigint").alias("t"))
+    return hist.join(F.broadcast(tot), "ym").select(
+        F.col("ym").cast("int").alias("ym"),
+        "active_days",
+        "n_users",
+        F.expr("n_users * CAST(1000000 AS BIGINT) DIV t").alias(
+            "user_share_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quarter-end loading audit — the classic fiscal-forensics screen:
+# does order volume/value bunch into the final week of each quarter
+# (sales pulling deals forward to make quota)? For each quarter:
+# orders and revenue in the last 7 days vs the rest, with the
+# loading ratio as exact ppm of the uniform expectation (7/91 of the
+# quarter's volume). Pure integer date arithmetic — quarter bounds
+# come from date_trunc, never float week math.
+# --------------------------------------------------------------------------
+@register(
+    "fin_quarter_end_loading",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+                 AS qtr,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    marked AS (
+      SELECT qtr, cents,
+             CASE WHEN date_diff('day', d,
+                    CAST(qtr + INTERVAL 3 MONTH AS DATE) - INTERVAL 1 DAY) < 7
+                  THEN 1 ELSE 0 END AS last_week
+      FROM q
+    )
+    SELECT qtr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(last_week) AS BIGINT) AS n_last_week,
+           CAST(sum(last_week) AS BIGINT) * 1000000 // count(*)
+               AS last_week_order_ppm,
+           CAST(sum(CASE WHEN last_week = 1 THEN cents ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(sum(cents) AS BIGINT)
+               AS last_week_revenue_ppm
+    FROM marked
+    GROUP BY qtr
+    """,
+)
+def fin_quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-quarter last-7-days order/revenue concentration in exact ppm
+    (quarter-end loading / quota-pull-forward audit)."""
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    qtr = F.date_trunc("quarter", d).cast("date")
+    q = orders.select(
+        qtr.alias("qtr"),
+        d.alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    qtr_end = F.date_sub(F.add_months(F.col("qtr"), 3), 1)
+    marked = q.select(
+        "qtr",
+        "cents",
+        F.when(F.datediff(qtr_end, F.col("d")) < 7, 1).otherwise(0).alias(
+            "last_week"
+        ),
+    )
+    return marked.groupBy("qtr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("last_week").cast("bigint").alias("n_last_week"),
+        F.expr(
+            "CAST(sum(last_week) AS BIGINT) * CAST(1000000 AS BIGINT)"
+            " DIV count(*)"
+        ).alias("last_week_order_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN last_week = 1 THEN cents ELSE 0 END)"
+            " AS BIGINT) * CAST(1000000 AS BIGINT)"
+            " DIV CAST(sum(cents) AS BIGINT)"
+        ).alias("last_week_revenue_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Revenue bridge (price/volume/mix decomposition) — the FP&A
+# waterfall: 1994 -> 1995 revenue change split into volume effect
+# (quantity change at old unit prices), price effect (new volume at
+# price change), and new/discontinued part contributions.
+#
+# Exactness trick: per part, volume = (q1*r0*1000) DIV q0 - r0*1000
+# and price = r1*1000 - (q1*r0*1000) DIV q0 — the SAME floor-division
+# term appears with opposite signs, so quantization cancels and
+# volume + price == r1*1000 - r0*1000 EXACTLY per part; the bridge
+# reconciles to the cent with zero residual, and the only DIV operand
+# is non-negative (identical floor semantics cross-engine; negative
+# dividends would floor in DuckDB but truncate in Spark).
+#
+# Scale shape: one part-year conditional aggregation over lineitem,
+# then a part-grain map and a one-row rollup.
+# --------------------------------------------------------------------------
+BRIDGE_YEAR_0 = 1994
+BRIDGE_YEAR_1 = 1995
+
+
+@register(
+    "fin_revenue_bridge",
+    oracle=f"""
+    WITH py AS (
+      SELECT l_partkey,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = {BRIDGE_YEAR_0}
+                  THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q0,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = {BRIDGE_YEAR_0}
+                  THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS r0,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = {BRIDGE_YEAR_1}
+                  THEN CAST(l.l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1,
+             CAST(sum(CASE WHEN year(o.o_orderdate) = {BRIDGE_YEAR_1}
+                  THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS r1
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE year(o.o_orderdate) IN ({BRIDGE_YEAR_0}, {BRIDGE_YEAR_1})
+      GROUP BY l_partkey
+    ),
+    eff AS (
+      SELECT
+        CASE WHEN q0 > 0 AND q1 > 0 THEN (q1 * r0 * 1000) // q0 - r0 * 1000
+             ELSE 0 END AS vol_milli,
+        CASE WHEN q0 > 0 AND q1 > 0 THEN r1 * 1000 - (q1 * r0 * 1000) // q0
+             ELSE 0 END AS price_milli,
+        CASE WHEN q0 = 0 AND q1 > 0 THEN r1 * 1000 ELSE 0 END AS new_milli,
+        CASE WHEN q1 = 0 AND q0 > 0 THEN r0 * 1000 ELSE 0 END AS disc_milli,
+        r0, r1
+      FROM py
+    )
+    SELECT round(CAST(sum(r0) AS BIGINT) / 100.0, 2) AS rev_y0,
+           round(CAST(sum(r1) AS BIGINT) / 100.0, 2) AS rev_y1,
+           round(CAST(sum(vol_milli) AS BIGINT) / 100000.0, 2)
+               AS volume_effect,
+           round(CAST(sum(price_milli) AS BIGINT) / 100000.0, 2)
+               AS price_effect,
+           round(CAST(sum(new_milli) AS BIGINT) / 100000.0, 2)
+               AS new_parts_effect,
+           round(CAST(sum(disc_milli) AS BIGINT) / 100000.0, 2)
+               AS discontinued_effect,
+           CAST(sum(vol_milli) + sum(price_milli) + sum(new_milli)
+                - sum(disc_milli)
+                - (sum(r1) - sum(r0)) * 1000 AS BIGINT) AS residual_milli
+    FROM eff
+    """,
+)
+def fin_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{BRIDGE_YEAR_0}->{BRIDGE_YEAR_1} revenue bridge: volume / price /
+    new / discontinued effects that reconcile with zero residual."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    j = li.join(
+        orders.select("o_orderkey", yr.alias("yr")).filter(
+            F.col("yr").isin(BRIDGE_YEAR_0, BRIDGE_YEAR_1)
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    py = j.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("yr") == BRIDGE_YEAR_0, qty).otherwise(0))
+        .cast("bigint")
+        .alias("q0"),
+        F.sum(F.when(F.col("yr") == BRIDGE_YEAR_0, rev).otherwise(0))
+        .cast("bigint")
+        .alias("r0"),
+        F.sum(F.when(F.col("yr") == BRIDGE_YEAR_1, qty).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("yr") == BRIDGE_YEAR_1, rev).otherwise(0))
+        .cast("bigint")
+        .alias("r1"),
+    )
+    both = (F.col("q0") > 0) & (F.col("q1") > 0)
+    laspeyres = F.expr("(q1 * r0 * 1000) DIV q0")
+    eff = py.select(
+        F.when(both, laspeyres - F.col("r0") * 1000).otherwise(0).alias(
+            "vol_milli"
+        ),
+        F.when(both, F.col("r1") * 1000 - laspeyres).otherwise(0).alias(
+            "price_milli"
+        ),
+        F.when((F.col("q0") == 0) & (F.col("q1") > 0), F.col("r1") * 1000)
+        .otherwise(0)
+        .alias("new_milli"),
+        F.when((F.col("q1") == 0) & (F.col("q0") > 0), F.col("r0") * 1000)
+        .otherwise(0)
+        .alias("disc_milli"),
+        "r0",
+        "r1",
+    )
+    return eff.agg(
+        F.round(F.sum("r0").cast("bigint") / 100.0, 2).alias("rev_y0"),
+        F.round(F.sum("r1").cast("bigint") / 100.0, 2).alias("rev_y1"),
+        F.round(F.sum("vol_milli").cast("bigint") / 100000.0, 2).alias(
+            "volume_effect"
+        ),
+        F.round(F.sum("price_milli").cast("bigint") / 100000.0, 2).alias(
+            "price_effect"
+        ),
+        F.round(F.sum("new_milli").cast("bigint") / 100000.0, 2).alias(
+            "new_parts_effect"
+        ),
+        F.round(F.sum("disc_milli").cast("bigint") / 100000.0, 2).alias(
+            "discontinued_effect"
+        ),
+        (
+            F.sum("vol_milli")
+            + F.sum("price_milli")
+            + F.sum("new_milli")
+            - F.sum("disc_milli")
+            - (F.sum("r1") - F.sum("r0")) * 1000
+        )
+        .cast("bigint")
+        .alias("residual_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier concentration (Herfindahl-Hirschman index) per brand market
+# — the antitrust/supply-risk metric: HHI = sum of squared supplier
+# revenue shares within each p_brand market. Numerator and
+# denominator are EXACT decimal sums (sum of r_i^2 and T^2 in cents);
+# the single final division is one deterministic double op, so the
+# rounded HHI is hash-stable. Top-share ppm is an exact floor
+# division. One lineitem reduction at (brand, supplier) grain, then a
+# brand-grain rollup — fact-linear.
+# --------------------------------------------------------------------------
+@register(
+    "fin_supplier_hhi",
+    oracle="""
+    WITH bs AS (
+      SELECT p.p_brand, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ),
+    mkt AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS total,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sum_sq,
+             CAST(max(cents) AS BIGINT) AS top_cents
+      FROM bs GROUP BY p_brand
+    )
+    SELECT p_brand, n_suppliers,
+           round(total / 100.0, 2) AS revenue,
+           round(CAST(sum_sq AS DOUBLE)
+                 / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS hhi,
+           top_cents * 1000000 // total AS top_share_ppm
+    FROM mkt
+    """,
+)
+def fin_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand supplier HHI from exact decimal share sums, plus the
+    top supplier's exact ppm share."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    bs = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_suppkey")
+        .agg(F.sum(rev).cast("bigint").alias("cents"))
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    mkt = bs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("cents").cast("bigint").alias("total"),
+        F.sum(dec * dec).alias("sum_sq"),
+        F.max("cents").cast("bigint").alias("top_cents"),
+    )
+    return mkt.select(
+        "p_brand",
+        "n_suppliers",
+        F.round(F.col("total") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("sum_sq").cast("double")
+            / (F.col("total").cast("double") * F.col("total").cast("double")),
+            6,
+        ).alias("hhi"),
+        F.expr("top_cents * CAST(1000000 AS BIGINT) DIV total").alias(
+            "top_share_ppm"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Holiday lift — revenue on fixed-date holidays vs ordinary days, as
+# an exact cross-multiplied rational (avg_holiday / avg_baseline with
+# zero float division inside the comparison). The holiday calendar is
+# a literal mm-dd list shared by both engines; integer cents
+# throughout. One day-grain reduction + a two-arm conditional rollup.
+# --------------------------------------------------------------------------
+HOLIDAYS_MMDD = ("12-25", "01-01", "07-04")
+
+
+@register(
+    "ev_holiday_lift",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             strftime(CAST(o_orderdate AS DATE), '%m-%d') AS mmdd,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT CASE WHEN mmdd IN {HOLIDAYS_MMDD} THEN mmdd
+                  ELSE 'baseline' END AS arm,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM daily GROUP BY 1
+    ),
+    base AS (
+      SELECT n_days AS b_days, cents AS b_cents FROM arms
+      WHERE arm = 'baseline'
+    )
+    SELECT arm, n_days,
+           round(cents / 100.0, 2) AS revenue,
+           round(cents / (100.0 * n_days), 2) AS avg_daily_revenue,
+           CASE WHEN arm = 'baseline' THEN CAST(1000000 AS BIGINT)
+                ELSE (cents * b_days * 1000) // (b_cents * n_days) * 1000
+                     + ((cents * b_days * 1000) % (b_cents * n_days) * 1000)
+                       // (b_cents * n_days)
+           END AS lift_ppm
+    FROM arms CROSS JOIN base
+    """,
+)
+def ev_holiday_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-daily-revenue lift of each fixed-date holiday vs the
+    baseline of all other days, as an exact two-stage ppm ratio."""
+    orders = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    daily = orders.groupBy(
+        d.alias("d"), F.date_format(d, "MM-dd").alias("mmdd")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    arms = daily.groupBy(
+        F.when(F.col("mmdd").isin(*HOLIDAYS_MMDD), F.col("mmdd"))
+        .otherwise("baseline")
+        .alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    base = arms.filter(F.col("arm") == "baseline").select(
+        F.col("n_days").alias("b_days"), F.col("cents").alias("b_cents")
+    )
+    lift = F.when(F.col("arm") == "baseline", F.lit(1000000).cast("bigint")).otherwise(
+        F.expr(
+            "(cents * b_days * 1000) DIV (b_cents * n_days) * 1000"
+            " + ((cents * b_days * 1000) % (b_cents * n_days) * 1000)"
+            " DIV (b_cents * n_days)"
+        )
+    )
+    return arms.crossJoin(F.broadcast(base)).select(
+        "arm",
+        "n_days",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cents") / (100.0 * F.col("n_days")), 2).alias(
+            "avg_daily_revenue"
+        ),
+        lift.cast("bigint").alias("lift_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Return-rate by brand — the merchandising quality scorecard: share of
+# line items (and of revenue) flagged returned (l_returnflag = 'R')
+# per part brand, in exact ppm, with a deterministic worst-first
+# ordering. One broadcast dimension join + one conditional
+# aggregation pass over lineitem.
+# --------------------------------------------------------------------------
+@register(
+    "fin_return_rate_by_brand",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(ret) AS BIGINT) AS n_returned,
+           CAST(sum(ret) AS BIGINT) * 1000000 // count(*) AS return_ppm,
+           (CAST(sum(CASE WHEN ret = 1 THEN cents ELSE 0 END) AS BIGINT)
+             * 1000 // CAST(sum(cents) AS BIGINT)) * 1000
+             + (CAST(sum(CASE WHEN ret = 1 THEN cents ELSE 0 END) AS BIGINT)
+                * 1000 % CAST(sum(cents) AS BIGINT)) * 1000
+               // CAST(sum(cents) AS BIGINT)
+               AS returned_revenue_ppm,
+           round(sum(CASE WHEN ret = 1 THEN cents ELSE 0 END) / 100.0, 2)
+               AS returned_revenue
+    FROM j
+    GROUP BY p_brand
+    """,
+)
+def fin_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return rate (exact ppm of line items) and returned
+    revenue."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("ret").cast("bigint").alias("n_returned"),
+        F.expr(
+            "CAST(sum(ret) AS BIGINT) * CAST(1000000 AS BIGINT) DIV count(*)"
+        ).alias("return_ppm"),
+        # two-stage exact floor(ret_cents*1e6/total_cents) — overflow-safe
+        F.expr(
+            "(CAST(sum(CASE WHEN ret = 1 THEN cents ELSE 0 END) AS BIGINT)"
+            " * 1000 DIV CAST(sum(cents) AS BIGINT)) * 1000"
+            " + (CAST(sum(CASE WHEN ret = 1 THEN cents ELSE 0 END) AS BIGINT)"
+            " * 1000 % CAST(sum(cents) AS BIGINT)) * 1000"
+            " DIV CAST(sum(cents) AS BIGINT)"
+        ).alias("returned_revenue_ppm"),
+        F.round(
+            F.sum(F.when(F.col("ret") == 1, F.col("cents")).otherwise(0))
+            / 100.0,
+            2,
+        ).alias("returned_revenue"),
+    )

@@ -2033,3 +2033,117 @@ def txt_renyi_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(-F.log(F.col("cmax") * 1.0 / F.col("n")), 6).alias("h_inf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Next-fit-decreasing bin packing per source — the sequence-packing
+# planner for fixed-context training: sort each source's documents by
+# token count (desc, doc_id tiebreak) and pack them next-fit into
+# NFD_CAPACITY-token bins. The packing recurrence (current bin,
+# remaining capacity) is inherently sequential PER SOURCE, so it runs
+# as the established per-key Arrow recurrence (applyInPandas over the
+# source key — 20 parallel chains, each corpus/20 long); the DuckDB
+# oracle replays the identical recurrence as a recursive CTE. An
+# oversize document (> capacity) opens its own bin with negative
+# remainder — the next item then never fits, so both engines agree.
+# Output is the per-source packing summary (bins, fill ppm), not the
+# per-doc assignment, keeping the result dimension-sized.
+# --------------------------------------------------------------------------
+NFD_CAPACITY = 512
+
+
+@register(
+    "pack_nfd_bins",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM toks
+    ),
+    nfd(source, rn, bin, rem) AS (
+      SELECT source, rn, 1, {NFD_CAPACITY} - n_tokens
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r.source, r.rn,
+             CASE WHEN r.n_tokens <= s.rem THEN s.bin ELSE s.bin + 1 END,
+             CASE WHEN r.n_tokens <= s.rem THEN s.rem - r.n_tokens
+                  ELSE {NFD_CAPACITY} - r.n_tokens END
+      FROM nfd s JOIN ranked r ON r.source = s.source AND r.rn = s.rn + 1
+    ),
+    fin AS (
+      SELECT source, CAST(max(bin) AS BIGINT) AS n_bins FROM nfd
+      GROUP BY source
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      FROM toks GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.total_tokens, f.n_bins,
+           CAST({NFD_CAPACITY} AS BIGINT) AS capacity,
+           t.total_tokens * 1000000 // (f.n_bins * {NFD_CAPACITY})
+               AS fill_ppm
+    FROM tot t JOIN fin f USING (source)
+    """,
+)
+def pack_nfd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source next-fit-decreasing packing summary into
+    {NFD_CAPACITY}-token bins (Arrow per-source recurrence, recursive
+    CTE oracle)."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        bins = 0
+        rem = -1
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if bins == 0 or t > rem:
+                bins += 1
+                rem = NFD_CAPACITY - t
+            else:
+                rem -= t
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_tokens": [int(pdf["n_tokens"].sum())],
+                "n_bins": [bins],
+            }
+        )
+
+    packed = toks.groupBy("source").applyInPandas(
+        pack,
+        schema="source string, n_docs bigint, total_tokens bigint, n_bins bigint",
+    )
+    return packed.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_bins",
+        F.lit(NFD_CAPACITY).cast("bigint").alias("capacity"),
+        F.expr(
+            f"total_tokens * CAST(1000000 AS BIGINT)"
+            f" DIV (n_bins * {NFD_CAPACITY})"
+        ).alias("fill_ppm"),
+    )

@@ -1479,3 +1479,78 @@ def dd_bbit_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(K * 32).cast("bigint").alias("bits_full"),
         F.lit(K).cast("bigint").alias("bits_1bit"),
     )
+
+
+# --------------------------------------------------------------------------
+# Capture-recapture estimate of the TRUE near-duplicate pair count —
+# the curation-ops question every probabilistic dedup leaves open:
+# "LSH found 12k pairs; how many are there really?" Treating the
+# MinHash-LSH pass and the SimHash pass as two independent "captures"
+# of the same underlying pair population, the Chapman estimator
+#
+#   N_hat = (n1 + 1)(n2 + 1) / (m + 1) - 1,   m = |A intersect B|
+#
+# is the (bias-corrected) mark-recapture population size. The two
+# passes use different signals (word-shingle Jaccard vs char-token
+# SimHash bits), which is exactly the independence the method wants.
+# All arithmetic is exact BIGINT (floor division); the estimator is a
+# one-row audit over two already-bucketed pipelines, so its scale
+# shape is inherited from them (never all-pairs).
+# --------------------------------------------------------------------------
+from ..registry import ORACLES as _ORACLES  # composed-oracle reuse
+
+
+@register(
+    "dd_capture_recapture",
+    oracle=f"""
+    WITH pa AS (
+      SELECT doc_a, doc_b FROM ({_ORACLES["dd_minhash_lsh_pairs"]})
+    ),
+    pb AS (
+      SELECT doc_a, doc_b FROM ({_ORACLES["dd_simhash_near_pairs"]})
+    ),
+    j AS (
+      SELECT CASE WHEN pa.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN pb.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_b
+      FROM pa FULL OUTER JOIN pb
+        ON pa.doc_a = pb.doc_a AND pa.doc_b = pb.doc_b
+    ),
+    cells AS (
+      SELECT CAST(sum(in_a) AS BIGINT) AS n1,
+             CAST(sum(in_b) AS BIGINT) AS n2,
+             CAST(sum(in_a * in_b) AS BIGINT) AS m
+      FROM j
+    )
+    SELECT n1 AS n_minhash_pairs, n2 AS n_simhash_pairs, m AS n_overlap,
+           n1 + n2 - m AS n_union_observed,
+           ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS chapman_total_estimate
+    FROM cells
+    """,
+)
+def dd_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman mark-recapture estimate of the total near-dup pair
+    population from the MinHash-LSH and SimHash capture lists."""
+    pa = dd_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_a")
+    )
+    pb = dd_simhash_near_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_b")
+    )
+    j = pa.join(pb, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("in_a", F.lit(0)).alias("in_a"),
+        F.coalesce("in_b", F.lit(0)).alias("in_b"),
+    )
+    cells = j.agg(
+        F.sum("in_a").cast("bigint").alias("n1"),
+        F.sum("in_b").cast("bigint").alias("n2"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("m"),
+    )
+    return cells.select(
+        F.col("n1").alias("n_minhash_pairs"),
+        F.col("n2").alias("n_simhash_pairs"),
+        F.col("m").alias("n_overlap"),
+        (F.col("n1") + F.col("n2") - F.col("m")).alias("n_union_observed"),
+        F.expr("((n1 + 1) * (n2 + 1)) DIV (m + 1) - 1").alias(
+            "chapman_total_estimate"
+        ),
+    )

@@ -1173,3 +1173,268 @@ def dq_iqr_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_share",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benford SECOND-digit test — the forensic-accounting follow-up to
+# dq_benford_price: fabricated or policy-priced values that pass the
+# first-digit screen usually fail the flatter second-digit law
+#   P(d2) = sum over d1 in 1..9 of log10(1 + 1/(10*d1 + d2)).
+# The ten expected masses are mathematical constants, baked as
+# literals into BOTH engines (no runtime transcendental), so the only
+# data-dependent arithmetic is integer counting. String-sliced digit
+# extraction avoids any float-log grouping key, same as the
+# first-digit test. One groupBy over orders — fact-linear, map-side
+# combinable.
+# --------------------------------------------------------------------------
+_BENFORD2 = {
+    "0": 0.119679, "1": 0.11389, "2": 0.108821, "3": 0.10433,
+    "4": 0.100308, "5": 0.096677, "6": 0.093375, "7": 0.090352,
+    "8": 0.08757, "9": 0.084997,
+}
+
+
+@register(
+    "dq_benford_second_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 2, 1)
+               AS digit,
+             count(*) AS n
+      FROM orders WHERE o_totalprice >= 10
+      GROUP BY 1
+    ),
+    expected(digit, benford_frac) AS (VALUES
+      {", ".join(f"('{d}', {p})" for d, p in _BENFORD2.items())}
+    ),
+    total AS (SELECT sum(n) AS t FROM digits)
+    SELECT d.digit, d.n,
+           round(CAST(d.n AS DOUBLE) / t, 6) AS obs_frac,
+           e.benford_frac,
+           round(abs(CAST(d.n AS DOUBLE) / t - e.benford_frac), 6) AS abs_dev
+    FROM digits d JOIN expected e USING (digit), total
+    """,
+)
+def dq_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-significant-digit distribution of order totals vs the
+    Benford second-digit law (expected masses baked as literals)."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 10)
+    digits = orders.groupBy(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 2, 1
+        ).alias("digit")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    expected = orders.sparkSession.createDataFrame(
+        list(_BENFORD2.items()), "digit string, benford_frac double"
+    )
+    total = digits.agg(F.sum("n").alias("t"))
+    return (
+        digits.join(F.broadcast(expected), "digit")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias(
+                "obs_frac"
+            ),
+            F.round(F.col("benford_frac"), 6).alias("benford_frac"),
+            F.round(
+                F.abs(
+                    F.col("n").cast("double") / F.col("t")
+                    - F.col("benford_frac")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Price-ending (psychological pricing / round-number) bias audit — the
+# trailing-cents companion to the leading-digit tests: the
+# distribution of cents endings (price mod 1.00), flagging the
+# charm/round points (.00 .50 .95 .99). Exact integer cents, ppm
+# shares by floor division, deterministic top-20. Detects both
+# human-set price points and fabricated uniform tails in one pass.
+# --------------------------------------------------------------------------
+PRICE_ENDING_TOP = 20
+_PSYCH_ENDINGS = (0, 50, 95, 99)
+
+
+@register(
+    "dq_price_ending_bias",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 100 AS ending
+      FROM orders
+    ),
+    hist AS (SELECT ending, CAST(count(*) AS BIGINT) AS n FROM cents GROUP BY 1),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hist)
+    SELECT CAST(ending AS INTEGER) AS ending, n,
+           n * 1000000 // t AS share_ppm,
+           CASE WHEN ending IN {_PSYCH_ENDINGS} THEN 1 ELSE 0 END AS is_psych
+    FROM hist, total
+    ORDER BY n DESC, ending
+    LIMIT {PRICE_ENDING_TOP}
+    """,
+)
+def dq_price_ending_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PRICE_ENDING_TOP} cents endings of order totals with ppm
+    share and psychological-price-point flags."""
+    orders = table(spark, sf_dir, "orders")
+    hist = orders.select(
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") % 100).alias(
+            "ending"
+        )
+    ).groupBy("ending").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    total = hist.agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            F.col("ending").cast("int").alias("ending"),
+            "n",
+            F.expr("n * CAST(1000000 AS BIGINT) DIV t").alias("share_ppm"),
+            F.when(F.col("ending").isin(*_PSYCH_ENDINGS), 1)
+            .otherwise(0)
+            .alias("is_psych"),
+        )
+        .orderBy(F.desc("n"), "ending")
+        .limit(PRICE_ENDING_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema fingerprint — the cross-table profiling audit a warehouse
+# migration diffs against: per (table, column) row count, null count
+# (exact ppm) and exact distinct cardinality for the two core
+# relational tables. One aggregation pass per table (count distinct
+# columns share the scan); unioned into a single dimension-sized
+# fingerprint relation with a stable column order.
+# --------------------------------------------------------------------------
+_FP_TABLES = {
+    "orders": (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ),
+    "customer": (
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    ),
+}
+
+
+def _fp_oracle() -> str:
+    parts = []
+    for t, cols in _FP_TABLES.items():
+        for c in cols:
+            parts.append(f"""
+    SELECT '{t}' AS table_name, '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           (count(*) - count({c})) * 1000000 // count(*) AS null_ppm,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM {t}""")
+    return " UNION ALL ".join(parts)
+
+
+@register("dq_schema_fingerprint", oracle=_fp_oracle())
+def dq_schema_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column fingerprint (rows, nulls ppm, exact distinct) for the
+    core relational tables — ONE aggregation pass per table."""
+    outs = []
+    for t, cols in _FP_TABLES.items():
+        df = table(spark, sf_dir, t)
+        aggs = []
+        for c in cols:
+            aggs.append(F.count(F.lit(1)).cast("bigint").alias(f"rows_{c}"))
+            aggs.append(
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"null_{c}")
+            )
+            aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
+        cells = df.agg(*aggs)
+        for c in cols:
+            outs.append(
+                cells.select(
+                    F.lit(t).alias("table_name"),
+                    F.lit(c).alias("column_name"),
+                    F.col(f"rows_{c}").alias("n_rows"),
+                    F.col(f"null_{c}").alias("n_null"),
+                    F.expr(
+                        f"null_{c} * CAST(1000000 AS BIGINT) DIV rows_{c}"
+                    ).alias("null_ppm"),
+                    F.col(f"nd_{c}").alias("n_distinct"),
+                )
+            )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Key-space density audit — the zonemap/partition-planning statistic:
+# how densely the o_orderkey space is populated per fixed-width id
+# block (4096 keys). Sparse or empty blocks mean min/max zonemaps and
+# id-range partition pruning work; a skewed density histogram predicts
+# stragglers in id-range scans. Pure integer arithmetic, one groupBy
+# over orders, dimension-sized density-histogram output.
+# --------------------------------------------------------------------------
+ID_BLOCK = 4096
+
+
+@register(
+    "dq_id_density_audit",
+    oracle=f"""
+    WITH blocks AS (
+      SELECT o_orderkey // {ID_BLOCK} AS block,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    span AS (
+      SELECT CAST(min(o_orderkey) AS BIGINT) AS min_key,
+             CAST(max(o_orderkey) AS BIGINT) AS max_key,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders
+    ),
+    hist AS (
+      SELECT n AS keys_in_block, CAST(count(*) AS BIGINT) AS n_blocks
+      FROM blocks GROUP BY n
+    )
+    SELECT h.keys_in_block, h.n_blocks,
+           s.min_key, s.max_key, s.n_rows,
+           s.n_rows * 1000000 // (s.max_key - s.min_key + 1)
+               AS overall_density_ppm
+    FROM hist h CROSS JOIN span s
+    """,
+)
+def dq_id_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o_orderkey space density per {ID_BLOCK}-key block (histogram of
+    block occupancies) plus overall key-space fill ppm."""
+    orders = table(spark, sf_dir, "orders")
+    blocks = orders.groupBy(
+        F.expr(f"o_orderkey DIV {ID_BLOCK}").alias("block")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    span = orders.agg(
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    hist = blocks.groupBy(F.col("n").alias("keys_in_block")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks")
+    )
+    return hist.crossJoin(F.broadcast(span)).select(
+        "keys_in_block",
+        "n_blocks",
+        "min_key",
+        "max_key",
+        "n_rows",
+        F.expr(
+            "n_rows * CAST(1000000 AS BIGINT) DIV (max_key - min_key + 1)"
+        ).alias("overall_density_ppm"),
+    )

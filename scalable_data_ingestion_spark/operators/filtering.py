@@ -531,3 +531,118 @@ def eval_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ece_term"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Operating-point sweep for the hashed keep-classifier — the third
+# panel of the model-eval triptych (AUC ranks, calibration checks the
+# probabilities, THIS picks the threshold): confusion counts and
+# precision/recall/F1 at nine fixed score thresholds, in one stacked
+# conditional aggregation pass (the conversion-window-sensitivity
+# shape — never nine scans).
+#
+# Exactness: the score s = score_fx / (128 * n_tokens) is a single
+# IEEE division of integers (bit-identical cross-engine); comparisons
+# against literal thresholds are therefore exact, and every output is
+# an integer count or a ppm floor division. F1 also ships as an exact
+# rational (f1_num = 2*tp, f1_den = 2*tp + fp + fn).
+# --------------------------------------------------------------------------
+F1_THRESHOLDS = (-0.04, -0.03, -0.02, -0.01, 0.0, 0.01, 0.02, 0.03, 0.04)
+
+# the toks/feat/agg prefix of the AUC pipeline (shared classifier score)
+_SCORE_PREFIX_SQL = _AUC_AGG_SQL.split("labeled AS")[0].rstrip().rstrip(",")
+
+
+@register(
+    "eval_f1_threshold_sweep",
+    oracle=f"""
+    WITH {_SCORE_PREFIX_SQL},
+    scored AS (
+      SELECT a.score_fx / (128.0 * a.n_tokens) AS s,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM agg a JOIN documents d USING (doc_id)
+    ),
+    sweep AS (
+      {" UNION ALL ".join(
+          f'''SELECT {t} AS threshold,
+             CAST(sum(CASE WHEN s >= {t} AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= {t} AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s < {t} AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN s < {t} AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM scored''' for t in F1_THRESHOLDS)}
+    )
+    SELECT threshold, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+                ELSE CAST(0 AS BIGINT) END AS precision_ppm,
+           CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+                ELSE CAST(0 AS BIGINT) END AS recall_ppm,
+           2 * tp AS f1_num,
+           2 * tp + fp + fn AS f1_den
+    FROM sweep
+    """,
+)
+def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts + exact-rational precision/recall/F1 for the
+    hashed keep-classifier at nine literal thresholds, one agg pass."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    w = F.conv(F.substring(F.md5("tok"), 1, 2), 16, 10).cast("bigint") - 128
+    agg = toks.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w").cast("bigint").alias("score_fx"),
+    )
+    scored = agg.join(docs.select("doc_id", "lang"), "doc_id").select(
+        (F.col("score_fx") / (128.0 * F.col("n_tokens"))).alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    cells = scored.agg(
+        *[
+            agg_col
+            for t in F1_THRESHOLDS
+            for agg_col in (
+                F.sum(
+                    F.when((F.col("s") >= t) & (F.col("pos") == 1), 1).otherwise(0)
+                ).cast("bigint").alias(f"tp_{F1_THRESHOLDS.index(t)}"),
+                F.sum(
+                    F.when((F.col("s") >= t) & (F.col("pos") == 0), 1).otherwise(0)
+                ).cast("bigint").alias(f"fp_{F1_THRESHOLDS.index(t)}"),
+                F.sum(
+                    F.when((F.col("s") < t) & (F.col("pos") == 1), 1).otherwise(0)
+                ).cast("bigint").alias(f"fn_{F1_THRESHOLDS.index(t)}"),
+                F.sum(
+                    F.when((F.col("s") < t) & (F.col("pos") == 0), 1).otherwise(0)
+                ).cast("bigint").alias(f"tn_{F1_THRESHOLDS.index(t)}"),
+            )
+        ]
+    )
+    outs = []
+    for i, t in enumerate(F1_THRESHOLDS):
+        tp, fp = F.col(f"tp_{i}"), F.col(f"fp_{i}")
+        fn, tn = F.col(f"fn_{i}"), F.col(f"tn_{i}")
+        outs.append(
+            cells.select(
+                F.lit(t).alias("threshold"),
+                tp.alias("tp"),
+                fp.alias("fp"),
+                fn.alias("fn"),
+                tn.alias("tn"),
+                F.when(
+                    tp + fp > 0,
+                    F.expr(f"tp_{i} * CAST(1000000 AS BIGINT) DIV (tp_{i} + fp_{i})"),
+                )
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("precision_ppm"),
+                F.when(
+                    tp + fn > 0,
+                    F.expr(f"tp_{i} * CAST(1000000 AS BIGINT) DIV (tp_{i} + fn_{i})"),
+                )
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("recall_ppm"),
+                (2 * tp).cast("bigint").alias("f1_num"),
+                (2 * tp + fp + fn).cast("bigint").alias("f1_den"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

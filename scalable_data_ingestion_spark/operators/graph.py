@@ -2205,3 +2205,283 @@ def gr_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --------------------------------------------------------------------------
+# Link prediction over the co-purchase graph: Resource Allocation and
+# Adamic-Adar scores for the top candidate NON-edges (pairs with >= 1
+# common neighbor that are not themselves edges) — the standard
+# "which products will be bought together next" ranking.
+#
+#   RA(a,b) = sum over z in N(a) iff N(b) of 1 / deg(z)
+#   AA(a,b) = sum over z                  of 1 / ln(deg(z))
+#
+# Exactness: RA steps are exact integer micro-units (1e6 DIV deg); AA
+# quantizes ln(deg) to BIGINT micro-units first (the KM/Markov ln
+# policy — floor(ln*1e6 + .5) is identical cross-engine) and then
+# takes exact nano-unit floor divisions, so both scores are pure
+# BIGINT sums: shuffle-order-proof, hash-stable.
+#
+# Scale shape: wedge enumeration over the support-thresholded edge
+# list (same bounded adjacency the triangle/jaccard family uses — the
+# TRI_MIN_SUP cut keeps degree tails bounded), one broadcast deg join,
+# one anti-join against edges, and a global top-K with a total order.
+# Never all-pairs: only pairs sharing a neighbor are materialized.
+# --------------------------------------------------------------------------
+LINKPRED_TOP_K = 50
+
+
+@register(
+    "gr_link_prediction_scores",
+    oracle=f"""
+    WITH edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    adj AS (
+      SELECT pa AS node, pb AS nbr FROM edges
+      UNION ALL
+      SELECT pb AS node, pa AS nbr FROM edges
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node),
+    wedge AS (
+      SELECT x.nbr AS pa, y.nbr AS pb, x.node AS z
+      FROM adj x JOIN adj y ON x.node = y.node AND x.nbr < y.nbr
+    ),
+    scored AS (
+      SELECT w.pa, w.pb,
+             CAST(count(*) AS BIGINT) AS common,
+             CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_micro,
+             CAST(sum(1000000000000000 //
+                      CAST(floor(ln(d.deg) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS aa_nano
+      FROM wedge w JOIN deg d ON d.node = w.z
+      GROUP BY w.pa, w.pb
+    ),
+    nonedge AS (
+      SELECT s.* FROM scored s
+      LEFT JOIN edges e ON e.pa = s.pa AND e.pb = s.pb
+      WHERE e.pa IS NULL
+    )
+    SELECT pa, pb, common, ra_micro, aa_nano
+    FROM nonedge
+    ORDER BY ra_micro DESC, pa, pb
+    LIMIT {LINKPRED_TOP_K}
+    """,
+)
+def gr_link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{LINKPRED_TOP_K} non-edge candidates by Resource-Allocation
+    score (Adamic-Adar carried alongside), in exact integer units."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+        # feeds adjacency (x2) and the final anti-join: one self-join
+        .cache()
+    )
+    adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
+        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    x, y = adj.alias("x"), adj.alias("y")
+    wedge = x.join(
+        y,
+        (F.col("x.node") == F.col("y.node")) & (F.col("x.nbr") < F.col("y.nbr")),
+    ).select(
+        F.col("x.nbr").alias("wa"),
+        F.col("y.nbr").alias("wb"),
+        F.col("x.node").alias("z"),
+    )
+    lnq = F.floor(F.log(F.col("deg").cast("double")) * 1000000 + 0.5).cast(
+        "bigint"
+    )
+    scored = (
+        wedge.join(
+            F.broadcast(deg.select(F.col("node").alias("z"), "deg", lnq.alias("lnq"))),
+            "z",
+        )
+        .groupBy(F.col("wa").alias("pa"), F.col("wb").alias("pb"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common"),
+            F.sum(F.expr("CAST(1000000 AS BIGINT) DIV deg"))
+            .cast("bigint")
+            .alias("ra_micro"),
+            F.sum(F.expr("CAST(1000000000000000 AS BIGINT) DIV lnq"))
+            .cast("bigint")
+            .alias("aa_nano"),
+        )
+    )
+    nonedge = scored.join(edges, ["pa", "pb"], "left_anti")
+    return (
+        nonedge.orderBy(F.desc("ra_micro"), "pa", "pb")
+        .limit(LINKPRED_TOP_K)
+        .select("pa", "pb", "common", "ra_micro", "aa_nano")
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy maximal independent set (Luby's algorithm with deterministic
+# md5 priorities) over the co-purchase graph — the classic symmetry-
+# breaking primitive behind distributed scheduling, conflict-free
+# sampling, and graph-coloring seeds.
+#
+# Rule per round, for every undecided node v:
+#   - if any neighbor is already IN the set  -> v becomes EXCLUDED
+#   - else if no undecided neighbor has a smaller (priority, node)
+#     key                                    -> v joins the set (IN)
+#   - else                                   -> still undecided
+# With a fixed priority this converges to the unique greedy-by-priority
+# MIS; md5 priorities make the expected round count O(log n). Both
+# engines unroll the SAME {MIS_ROUNDS} rounds (unrolled CTE chain in
+# DuckDB, persisted DataFrame loop in Spark), so the output — including
+# the round each node decided — is hash-identical by construction, and
+# a pytest property asserts independence + maximality + convergence.
+#
+# Scale shape: each round is one adjacency join + groupBy (Pregel
+# superstep) over the TRI_MIN_SUP-bounded edge list; per-round results
+# are persisted so the lineage stays one-superstep deep.
+# --------------------------------------------------------------------------
+MIS_ROUNDS = 8
+
+
+def _mis_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, MIS_ROUNDS + 1):
+        rounds.append(f"""
+    r{k} AS (
+      SELECT s.node, s.prio,
+             CASE WHEN s.status <> 0 THEN s.status
+                  WHEN coalesce(max(CASE WHEN t.status = 1
+                                         THEN 1 ELSE 0 END), 0) = 1 THEN 2
+                  WHEN coalesce(max(CASE WHEN t.status = 0
+                                          AND (t.prio < s.prio OR
+                                               (t.prio = s.prio AND
+                                                t.node < s.node))
+                                         THEN 1 ELSE 0 END), 0) = 0 THEN 1
+                  ELSE 0 END AS status
+      FROM {prev} s
+      LEFT JOIN adj a ON a.node = s.node
+      LEFT JOIN {prev} t ON t.node = a.nbr
+      GROUP BY s.node, s.prio, s.status
+    )""")
+        prev = f"r{k}"
+    return f"""
+    WITH edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    adj AS (
+      SELECT pa AS node, pb AS nbr FROM edges
+      UNION ALL
+      SELECT pb AS node, pa AS nbr FROM edges
+    ),
+    nodes AS (SELECT DISTINCT node FROM adj),
+    r0 AS (
+      SELECT node, md5(CAST(node AS VARCHAR)) AS prio, 0 AS status
+      FROM nodes
+    ),
+    {",".join(rounds)}
+    SELECT node, CAST(status AS INTEGER) AS status
+    FROM {prev}
+    """
+
+
+@register("gr_greedy_mis", oracle=_mis_oracle())
+def gr_greedy_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy MIS (Luby rounds, md5 priorities) over the
+    co-purchase graph; status 1 = in set, 2 = excluded, 0 = undecided
+    after {MIS_ROUNDS} rounds (pytest asserts full convergence)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    adj = (
+        edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
+        .unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
+        .persist()
+    )
+    state = (
+        adj.select("node")
+        .distinct()
+        .select(
+            "node",
+            F.md5(F.col("node").cast("string")).alias("prio"),
+            F.lit(0).alias("status"),
+        )
+        .persist()
+    )
+    for _ in range(MIS_ROUNDS):
+        t = state.select(
+            F.col("node").alias("nbr"),
+            F.col("prio").alias("t_prio"),
+            F.col("status").alias("t_status"),
+        )
+        # own state rides the adjacency join so the neighbor aggregation
+        # sees (prio_s, status) as grouping keys
+        agg = (
+            adj.join(
+                state.select(
+                    "node", F.col("prio").alias("prio_s"), "status"
+                ),
+                "node",
+            )
+            .join(t, "nbr")
+            .groupBy("node", "prio_s", "status")
+            .agg(
+                F.max(F.when(F.col("t_status") == 1, 1).otherwise(0)).alias(
+                    "any_in"
+                ),
+                F.max(
+                    F.when(
+                        (F.col("t_status") == 0)
+                        & (
+                            (F.col("t_prio") < F.col("prio_s"))
+                            | (
+                                (F.col("t_prio") == F.col("prio_s"))
+                                & (F.col("nbr") < F.col("node"))
+                            )
+                        ),
+                        1,
+                    ).otherwise(0)
+                ).alias("smaller_undecided"),
+            )
+        )
+        # localCheckpoint (entity.py FastSS pattern): state is referenced
+        # TWICE per round (own state + neighbor state), so without a
+        # lineage cut the plan tree doubles every superstep
+        state = agg.select(
+            "node",
+            F.col("prio_s").alias("prio"),
+            F.when(F.col("status") != 0, F.col("status"))
+            .when(F.col("any_in") == 1, F.lit(2))
+            .when(F.col("smaller_undecided") == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("status"),
+        ).localCheckpoint()
+    return state.select("node", F.col("status").cast("int").alias("status"))

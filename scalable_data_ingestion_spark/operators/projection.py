@@ -809,3 +809,78 @@ def emb_grid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cellof.join(F.broadcast(dens), ["cell_x", "cell_y"]).filter(
         F.col("cell_n") <= GRID_MIN_PTS
     ).select("vec_id", "cell_x", "cell_y", "cell_n")
+
+
+# --------------------------------------------------------------------------
+# Per-dimension variance + isotropy audit — the embedding-health check
+# next to emb_norm_audit: a healthy (whitened) space has near-equal
+# variance across dimensions; rogue dimensions (variance >> median)
+# dominate cosine similarity and break ANN recall. Per-dim variance
+# from one posexplode reduction; the isotropy ratio compares each
+# dimension against the corpus max via a broadcast 1-row join (no
+# global window). Float sums are bounded (|v| < 1, corpus-sized
+# counts) so round-6 output is stable; the flag compares integer
+# micro-variances for hash-proof determinism.
+# --------------------------------------------------------------------------
+ISOTROPY_FLAG_RATIO = 4  # dim is "rogue" if var * 4 < max_var... inverted below
+
+
+@register(
+    "emb_dim_variance_isotropy",
+    oracle="""
+    WITH flat AS (
+      SELECT dim, CAST(embedding[dim] AS DOUBLE) AS v
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(dim)
+    ),
+    per_dim AS (
+      SELECT CAST(dim - 1 AS INTEGER) AS dim,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS s,
+             sum(v * v) AS ss
+      FROM flat GROUP BY dim
+    ),
+    vard AS (
+      SELECT dim, n,
+             CAST(floor((ss - s * s / n) / n * 1000000 + 0.5) AS BIGINT)
+                 AS var_micro
+      FROM per_dim
+    ),
+    mx AS (SELECT max(var_micro) AS max_var_micro FROM vard)
+    SELECT v.dim, v.n, v.var_micro,
+           round(v.var_micro / 1000000.0, 6) AS variance,
+           CASE WHEN v.var_micro * 4 < mx.max_var_micro THEN 1 ELSE 0 END
+               AS low_variance_flag
+    FROM vard v CROSS JOIN mx
+    """,
+)
+def emb_dim_variance_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance (micro-quantized) with a low-variance
+    flag against the corpus max — the isotropy audit."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    per_dim = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    var_micro = F.floor(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+        / F.col("n")
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    vard = per_dim.select(
+        F.col("dim").cast("int").alias("dim"), "n", var_micro.alias("var_micro")
+    )
+    mx = vard.agg(F.max("var_micro").alias("max_var_micro"))
+    return vard.crossJoin(F.broadcast(mx)).select(
+        "dim",
+        "n",
+        "var_micro",
+        F.round(F.col("var_micro") / 1000000.0, 6).alias("variance"),
+        F.when(
+            F.col("var_micro") * 4 < F.col("max_var_micro"), 1
+        ).otherwise(0).alias("low_variance_flag"),
+    )

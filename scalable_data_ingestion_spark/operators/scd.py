@@ -1212,3 +1212,182 @@ def ev_markov_absorbing_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_direct"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Entropy rate of the event-type Markov chain — how predictable user
+# behavior is: H = sum_i pi_i * H_i with H_i = -sum_j P_ij ln P_ij.
+# Composes the stationary-distribution machinery above (same p_ppm
+# transition matrix, same fixed-point pico-unit power iteration) with
+# the repo's quantized-ln policy: lnq = floor(ln(p_ppm/1e6)*1e6 + .5)
+# is a BIGINT both engines compute identically, so every per-state row
+# entropy (micro-nats) and stationary weight is an exact integer.
+# --------------------------------------------------------------------------
+@register(
+    "ev_markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    steps AS (
+      SELECT event_type, next_type FROM seq WHERE next_type IS NOT NULL
+    ),
+    tm AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM steps GROUP BY 1, 2
+    ),
+    fm AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS nf FROM tm GROUP BY 1
+    ),
+    p AS (
+      SELECT tm.event_type, tm.next_type,
+             CAST(tm.n * 1000000 // fm.nf AS BIGINT) AS p_ppm
+      FROM tm JOIN fm USING (event_type)
+    ),
+    v0 AS (
+      SELECT event_type AS state,
+             CAST(1000000000000 // (SELECT count(*) FROM fm) AS BIGINT) AS u
+      FROM fm
+    ),
+    {",".join(_mkv_round_sql(i) for i in range(1, MARKOV_POWER_ROUNDS + 1))},
+    hrow AS (
+      SELECT event_type AS state,
+             CAST(sum(CASE WHEN p_ppm > 0 THEN
+               (p_ppm * -CAST(floor(ln(p_ppm / 1000000.0) * 1000000 + 0.5)
+                              AS BIGINT)) // 1000000
+               ELSE 0 END) AS BIGINT) AS h_row_micro
+      FROM p GROUP BY 1
+    )
+    SELECT v.state,
+           round(v.u / 1e12, 6) AS stationary,
+           h.h_row_micro,
+           CAST((v.u * h.h_row_micro) // 1000000000000 AS BIGINT)
+               AS contribution_micro,
+           round(h.h_row_micro / 1e6, 6) AS h_row_nats
+    FROM v{MARKOV_POWER_ROUNDS} v JOIN hrow h USING (state)
+    """,
+)
+def ev_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy (micro-nats) of the event-type
+    chain with stationary-weighted contributions — entropy rate =
+    sum of contribution_micro / 1e6 nats."""
+    ev = table(spark, sf_dir, "events")
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        "event_type", F.lead("event_type").over(seq).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    tm = steps.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    fm = tm.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("nf"))
+    p = (
+        tm.join(fm, "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            F.expr("n * 1000000 DIV nf").cast("bigint").alias("p_ppm"),
+        )
+        .persist()
+    )
+    n_states = fm.select(F.count(F.lit(1)).alias("k"))
+    v = fm.crossJoin(F.broadcast(n_states)).select(
+        F.col("event_type").alias("state"),
+        F.expr("1000000000000 DIV k").cast("bigint").alias("u"),
+    )
+    for _ in range(MARKOV_POWER_ROUNDS):
+        v = (
+            v.join(F.broadcast(p), p.event_type == F.col("state"))
+            .select(
+                F.col("next_type").alias("nstate"),
+                F.expr("u * p_ppm DIV 1000000").alias("term"),
+            )
+            .groupBy("nstate")
+            .agg(F.sum("term").cast("bigint").alias("u"))
+            .withColumnRenamed("nstate", "state")
+        )
+    hrow = p.groupBy(F.col("event_type").alias("state")).agg(
+        F.sum(
+            F.when(
+                F.col("p_ppm") > 0,
+                F.expr(
+                    "(p_ppm * -CAST(floor(ln(p_ppm / 1000000.0) * 1000000"
+                    " + 0.5) AS BIGINT)) DIV 1000000"
+                ),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("h_row_micro")
+    )
+    return v.join(hrow, "state").select(
+        "state",
+        F.round(F.col("u") / 1e12, 6).alias("stationary"),
+        "h_row_micro",
+        F.expr("(u * h_row_micro) DIV 1000000000000")
+        .cast("bigint")
+        .alias("contribution_micro"),
+        F.round(F.col("h_row_micro") / 1e6, 6).alias("h_row_nats"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregate-delta IVM parity — the incremental-view-maintenance
+# algebra for distributive aggregates: maintaining per-customer
+# (count, sum) by ADDING the delta partition's partial aggregate to
+# the base partition's must equal recomputing from scratch. The Spark
+# side actually exercises the maintenance plan (base agg + delta agg,
+# full-outer coalesce-add merge); the oracle is the from-scratch
+# recompute, so any drift in the merge algebra (NULL handling on
+# groups present in only one side, cent-exact sums) is a hash
+# mismatch. Split = last 90 days of o_orderdate as the "new data".
+# --------------------------------------------------------------------------
+IVM_DELTA_DAYS = 90
+
+
+@register(
+    "ivm_agg_delta_parity",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def ivm_agg_delta_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain groupBy(count, sum) incrementally: base-partition agg
+    merged with the delta-partition agg via a full-outer coalesce-add —
+    value-identical to the oracle's full recompute."""
+    orders = table(spark, sf_dir, "orders")
+    wm = orders.agg(
+        F.date_sub(F.max(F.col("o_orderdate").cast("date")), IVM_DELTA_DAYS)
+        .alias("cut")
+    )
+    t = orders.crossJoin(F.broadcast(wm)).select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.col("o_orderdate").cast("date") > F.col("cut")).alias("is_delta"),
+    )
+
+    def agg(df: DataFrame, n: str, s: str) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n),
+            F.sum("cents").cast("bigint").alias(s),
+        )
+
+    base = agg(t.filter(~F.col("is_delta")), "n0", "s0")
+    delta = agg(t.filter(F.col("is_delta")), "n1", "s1")
+    merged = base.join(delta, "o_custkey", "full")
+    return merged.select(
+        "o_custkey",
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("n1", F.lit(0)))
+        .cast("bigint")
+        .alias("n_orders"),
+        (F.coalesce("s0", F.lit(0)) + F.coalesce("s1", F.lit(0)))
+        .cast("bigint")
+        .alias("cents"),
+    )

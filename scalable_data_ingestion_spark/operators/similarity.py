@@ -903,3 +903,102 @@ def eval_retrieval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out 1-NN label accuracy — the standard embedding-quality
+# eval (kNN-probe): for a deterministic eval subset (every 4th
+# vec_id), find the exact cosine 1-NN among all OTHER vectors and
+# score whether its label matches. High LOO accuracy = the embedding
+# space clusters by label = it will transfer.
+#
+# Scale shape: the eval subset is broadcast against the corpus (the
+# documented bounded-query-side brute pattern — the corpus is never
+# self-joined); per-query top-1 via the ranking window on the
+# (rounded-cosine, neighbor_id) total order. At production scale the
+# same statistic runs over the IVF cells (sim_ivf_recall_at_k measures
+# that substitution's recall cost).
+# --------------------------------------------------------------------------
+LOO_EVERY = 10  # vec_id % 10 == 0 -> fixed-fraction eval subset
+
+
+@register(
+    "ml_knn_loo_accuracy",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS q_label,
+             v.label AS n_label, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, v.emb) /
+                   (sqrt(list_dot_product(q.emb, q.emb)) *
+                    sqrt(list_dot_product(v.emb, v.emb))), 6) AS cosine
+      FROM e q JOIN e v ON q.vec_id % {LOO_EVERY} = 0 AND q.vec_id != v.vec_id
+    ),
+    nn AS (
+      SELECT query_id, q_label, n_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM pairs
+    )
+    SELECT CAST(q_label AS INTEGER) AS label,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000
+             // count(*) AS accuracy_ppm
+    FROM nn WHERE rk = 1
+    GROUP BY q_label
+    """,
+)
+def ml_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label leave-one-out 1-NN classification accuracy over the
+    embedding space (deterministic eval subset, exact cosine)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % LOO_EVERY == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("ve"),
+        _norm("embedding").alias("vn"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "n_label",
+            "neighbor_id",
+            F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    # top-1 via max_by partial aggregation (map-side combinable), not a
+    # ranking window: the pair relation never hits a per-query sort.
+    # max over (cosine, -neighbor_id) == rank 1 of (cosine DESC, id ASC).
+    nn = pairs.groupBy("query_id", "q_label").agg(
+        F.max_by(
+            "n_label",
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("neighbor_id")).alias("nid"),
+            ),
+        ).alias("n_label")
+    )
+    hit = F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+    return nn.groupBy(F.col("q_label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)"
+            " * CAST(1000000 AS BIGINT) DIV count(*)"
+        ).alias("accuracy_ppm"),
+    )

@@ -892,3 +892,144 @@ def sk_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_inter") * 1.0 / F.col("exact_union"), 6
         ).alias("exact_jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# HLL set-intersection estimate (inclusion-exclusion) — the classic
+# "overlap of two audiences without a distinct-join" sketch op:
+# |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B), where the union's register
+# file is the ELEMENTWISE MAX of the two register files (the defining
+# HLL merge property). Sets here: A = viewers, B = purchasers. Same
+# md5 register construction as sk_hll_user_estimate, so DuckDB
+# rebuilds all three register files bit-for-bit and the sketch
+# estimator itself is value-checked; the exact intersection rides
+# along to report realized error (I-E on HLL is known to be noisy for
+# small overlaps — that IS the documented behavior being measured).
+# --------------------------------------------------------------------------
+def _hll_est_sql(n: str, s: str) -> str:
+    """Estimator fragment from (#present registers, fixed-point sum)."""
+    s_fx = f"({s} + ({HLL_M} - {n})::BIGINT * {_POW53})"
+    raw = f"(CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * {_POW53}.0) / {s_fx}"
+    return f"""CASE WHEN ({HLL_M} - {n}) > 0 AND {raw} <= 2.5 * {HLL_M}
+               THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - {n}))
+               ELSE {raw} END"""
+
+
+@register(
+    "sk_hll_intersection",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT CASE WHEN event_type = 'view' THEN 'A' ELSE 'B' END AS st,
+             user_id,
+             (16 * ({_hex_digit_sql("md5(CAST(user_id AS VARCHAR))", 1)})
+              + ({_hex_digit_sql("md5(CAST(user_id AS VARCHAR))", 2)})) AS bucket,
+             ({" + ".join(
+                 f"({_hex_digit_sql('md5(CAST(user_id AS VARCHAR))', 3 + i)})"
+                 f" * {16 ** (12 - i)}::BIGINT" for i in range(13)
+             )}) AS w
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    rho AS (
+      SELECT st, bucket,
+             CASE WHEN strpos(lpad(bin(w), 52, '0'), '1') = 0 THEN 53
+                  ELSE strpos(lpad(bin(w), 52, '0'), '1') END AS rho
+      FROM hashed
+    ),
+    regs AS (SELECT st, bucket, max(rho) AS r FROM rho GROUP BY st, bucket),
+    ured AS (
+      SELECT CAST(count(*) AS INTEGER) AS n_u,
+             CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS s_u
+      FROM (SELECT bucket, max(r) AS r FROM regs GROUP BY bucket)
+    ),
+    areds AS (
+      SELECT
+        CAST(sum(CASE WHEN st = 'A' THEN 1 ELSE 0 END) AS INTEGER) AS n_a,
+        CAST(sum(CASE WHEN st = 'A' THEN 1::BIGINT << (53 - r) ELSE 0 END)
+             AS BIGINT) AS s_a,
+        CAST(sum(CASE WHEN st = 'B' THEN 1 ELSE 0 END) AS INTEGER) AS n_b,
+        CAST(sum(CASE WHEN st = 'B' THEN 1::BIGINT << (53 - r) ELSE 0 END)
+             AS BIGINT) AS s_b
+      FROM regs
+    ),
+    ex AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT round({_hll_est_sql("n_a", "s_a")}, 6) AS est_viewers,
+           round({_hll_est_sql("n_b", "s_b")}, 6) AS est_purchasers,
+           round({_hll_est_sql("n_u", "s_u")}, 6) AS est_union,
+           round(({_hll_est_sql("n_a", "s_a")}) + ({_hll_est_sql("n_b", "s_b")})
+                 - ({_hll_est_sql("n_u", "s_u")}), 6) AS est_intersection,
+           exact_intersection
+    FROM areds CROSS JOIN ured CROSS JOIN ex
+    """,
+)
+def sk_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-exclusion HLL estimate of |viewers ∩ purchasers| from
+    three bit-identical register files, with realized error."""
+    from ..catalog import table as _table
+
+    ev = _table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    md5 = F.md5(F.col("user_id").cast("string"))
+    bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")
+    w = F.conv(F.substring(md5, 3, 13), 16, 10).cast("bigint")
+    b52 = F.lpad(F.bin(w), 52, "0")
+    pos = F.instr(b52, "1")
+    rho = F.when(pos == 0, 53).otherwise(pos)
+    st = F.when(F.col("event_type") == "view", "A").otherwise("B")
+    regs = (
+        ev.select(st.alias("st"), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("st", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .persist()
+    )
+    ured = (
+        regs.groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_u"),
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - r)"))
+            .cast("bigint")
+            .alias("s_u"),
+        )
+    )
+    areds = regs.agg(
+        F.sum(F.when(F.col("st") == "A", 1).otherwise(0)).cast("int").alias("n_a"),
+        F.sum(
+            F.when(F.col("st") == "A", F.expr("shiftleft(CAST(1 AS BIGINT), 53 - r)")).otherwise(0)
+        ).cast("bigint").alias("s_a"),
+        F.sum(F.when(F.col("st") == "B", 1).otherwise(0)).cast("int").alias("n_b"),
+        F.sum(
+            F.when(F.col("st") == "B", F.expr("shiftleft(CAST(1 AS BIGINT), 53 - r)")).otherwise(0)
+        ).cast("bigint").alias("s_b"),
+    )
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ex = (
+        viewers.intersect(purch)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+
+    def est(n: str, s: str):
+        s_fx = F.col(s) + (F.lit(HLL_M) - F.col(n)).cast("bigint") * F.lit(_POW53)
+        raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M * float(_POW53) / s_fx
+        return F.when(
+            ((F.lit(HLL_M) - F.col(n)) > 0) & (raw <= 2.5 * HLL_M),
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / (F.lit(HLL_M) - F.col(n))),
+        ).otherwise(raw)
+
+    return areds.crossJoin(ured).crossJoin(F.broadcast(ex)).select(
+        F.round(est("n_a", "s_a"), 6).alias("est_viewers"),
+        F.round(est("n_b", "s_b"), 6).alias("est_purchasers"),
+        F.round(est("n_u", "s_u"), 6).alias("est_union"),
+        F.round(
+            est("n_a", "s_a") + est("n_b", "s_b") - est("n_u", "s_u"), 6
+        ).alias("est_intersection"),
+        "exact_intersection",
+    )

@@ -844,3 +844,165 @@ def txt_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BOILER_TOPK)
         .select("source", "rnk", "line", "n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# Code-likeness detection — the curation screen that separates prose
+# from code/markup/log spill before LM training: per-document symbol
+# density, digit density and token-shape signals, all as exact
+# integer character counts (regexp_replace strip-and-measure, POSIX
+# classes shared verbatim by both engines), rolled up per source with
+# ppm rates. Map-only over documents; one dimension-sized rollup.
+# --------------------------------------------------------------------------
+CODE_SYMBOL_PPM = 60_000  # >= 6% symbol chars -> code-like
+CODE_DIGIT_PPM = 100_000  # >= 10% digit chars -> code-like
+
+
+@register(
+    "txt_code_detection",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             length(text) AS n_chars,
+             length(text)
+               - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                 AS n_symbols,
+             length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits
+      FROM documents WHERE length(text) > 0
+    ),
+    scored AS (
+      SELECT source, n_chars, n_symbols, n_digits,
+             CASE WHEN n_symbols * 1000000 >= n_chars * {CODE_SYMBOL_PPM}
+                    OR n_digits * 1000000 >= n_chars * {CODE_DIGIT_PPM}
+                  THEN 1 ELSE 0 END AS code_like
+      FROM m
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(code_like) AS BIGINT) AS n_code_like,
+           CAST(sum(code_like) AS BIGINT) * 1000000 // count(*)
+               AS code_like_ppm,
+           CAST(sum(n_symbols) AS BIGINT) * 1000000
+             // CAST(sum(n_chars) AS BIGINT) AS symbol_ppm,
+           CAST(sum(n_digits) AS BIGINT) * 1000000
+             // CAST(sum(n_chars) AS BIGINT) AS digit_ppm
+    FROM scored
+    GROUP BY source
+    """,
+)
+def txt_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source code-likeness screen: symbol/digit density ppm and
+    the share of docs crossing the code-like thresholds."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chars = F.length("text")
+    n_symbols = n_chars - F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9 ]", "")
+    )
+    n_digits = n_chars - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    m = docs.select(
+        "source",
+        n_chars.alias("n_chars"),
+        n_symbols.alias("n_symbols"),
+        n_digits.alias("n_digits"),
+    )
+    code_like = (
+        F.when(
+            (F.col("n_symbols") * 1000000 >= F.col("n_chars") * CODE_SYMBOL_PPM)
+            | (F.col("n_digits") * 1000000 >= F.col("n_chars") * CODE_DIGIT_PPM),
+            1,
+        )
+        .otherwise(0)
+        .alias("code_like")
+    )
+    scored = m.select("source", "n_chars", "n_symbols", "n_digits", code_like)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("code_like").cast("bigint").alias("n_code_like"),
+        F.expr(
+            "CAST(sum(code_like) AS BIGINT) * CAST(1000000 AS BIGINT)"
+            " DIV count(*)"
+        ).alias("code_like_ppm"),
+        F.expr(
+            "CAST(sum(n_symbols) AS BIGINT) * CAST(1000000 AS BIGINT)"
+            " DIV CAST(sum(n_chars) AS BIGINT)"
+        ).alias("symbol_ppm"),
+        F.expr(
+            "CAST(sum(n_digits) AS BIGINT) * CAST(1000000 AS BIGINT)"
+            " DIV CAST(sum(n_chars) AS BIGINT)"
+        ).alias("digit_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Heavy-change token detection — the distribution-shift twin of the
+# heavy-hitter query: which tokens' frequencies moved most between the
+# two corpus halves (doc_id parity split — a deterministic stand-in
+# for before/after snapshots). The change score is the cross-
+# multiplied integer |f1*N2 - f2*N1| (comparing exact rationals
+# f1/N1 vs f2/N2 without any division), so ranking is hash-stable.
+# One token reduction + a dimension-sized top-K with total order.
+# At stream scale the same statistic runs over two CMS sketches
+# (sk_cms_token_estimates is the sketch side); this is the exact
+# baseline that validates it.
+# --------------------------------------------------------------------------
+HEAVY_CHANGE_TOP = 20
+
+
+@register(
+    "txt_heavy_change_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id % 2 AS era, unnest({{tok}}) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok,
+             CAST(sum(CASE WHEN era = 0 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(sum(CASE WHEN era = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(sum(f1) AS BIGINT) AS n1, CAST(sum(f2) AS BIGINT) AS n2
+      FROM counts
+    )
+    SELECT tok, f1, f2,
+           abs(f1 * n2 - f2 * n1) AS change_x
+    FROM counts CROSS JOIN tot
+    ORDER BY change_x DESC, tok
+    LIMIT {HEAVY_CHANGE_TOP}
+    """.replace("{tok}", r"string_split_regex(trim(text), '\s+')"),
+)
+def txt_heavy_change_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{HEAVY_CHANGE_TOP} tokens by cross-multiplied frequency
+    change between the doc_id-parity corpus halves."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("era"),
+        F.explode(tokens_col()).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("era") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("era") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    tot = counts.agg(
+        F.sum("f1").cast("bigint").alias("n1"),
+        F.sum("f2").cast("bigint").alias("n2"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            "f1",
+            "f2",
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            .cast("bigint")
+            .alias("change_x"),
+        )
+        .orderBy(F.desc("change_x"), "tok")
+        .limit(HEAVY_CHANGE_TOP)
+    )

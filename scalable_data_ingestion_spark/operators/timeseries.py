@@ -1946,3 +1946,285 @@ def ts_intervention_its(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("post_icept") - F.col("pre_icept")) / 100.0, 4
         ).alias("level_jump_usd"),
     )
+
+
+# --------------------------------------------------------------------------
+# Month-over-month / year-over-year revenue growth — the single most
+# common BI time-series report, done hash-stably: monthly revenue in
+# exact BIGINT cents, growth rates as ppm via cross-multiplied floor
+# division (never a float ratio of float sums). The month grain is
+# calendar-bounded (<= 84 rows for the 7-year corpus), so the lag
+# window over the month axis is dimension-sized by construction; the
+# heavy lifting is the one fact-table reduction.
+# --------------------------------------------------------------------------
+@register(
+    "ts_mom_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT ym, cents,
+             lag(cents, 1) OVER (ORDER BY ym) AS prev_m,
+             lag(cents, 12) OVER (ORDER BY ym) AS prev_y
+      FROM monthly
+    )
+    SELECT CAST(ym AS INTEGER) AS ym,
+           round(cents / 100.0, 2) AS revenue,
+           CASE WHEN prev_m > 0
+                THEN (cents - prev_m) * 1000000 // prev_m END AS mom_ppm,
+           CASE WHEN prev_y > 0
+                THEN (cents - prev_y) * 1000000 // prev_y END AS yoy_ppm
+    FROM lagged
+    """,
+)
+def ts_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with exact-ppm MoM and YoY growth rates."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = W.orderBy("ym")
+    lagged = monthly.withColumn("prev_m", F.lag("cents", 1).over(w)).withColumn(
+        "prev_y", F.lag("cents", 12).over(w)
+    )
+    return lagged.select(
+        F.col("ym").cast("int").alias("ym"),
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.when(
+            F.col("prev_m") > 0,
+            F.expr("(cents - prev_m) * CAST(1000000 AS BIGINT) DIV prev_m"),
+        ).alias("mom_ppm"),
+        F.when(
+            F.col("prev_y") > 0,
+            F.expr("(cents - prev_y) * CAST(1000000 AS BIGINT) DIV prev_y"),
+        ).alias("yoy_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ljung-Box portmanteau test on daily revenue — the standard residual
+# whiteness diagnostic: Q = n(n+2) * sum_k rho_k^2 / (n-k), k=1..7.
+# Autocorrelations come from the ACF query's exact decimal moment sums
+# (doubles only in the final formula, identical IEEE steps cross-
+# engine); the seven rho_k are PIVOTED into columns so Q's summation
+# order is a fixed expression tree, never an order-dependent float
+# aggregate. chi2 critical value (df=7, alpha=.05) baked as a literal.
+# --------------------------------------------------------------------------
+LB_CHI2_CRIT_7 = 14.067140  # chi2 0.95 quantile, df = 7
+
+
+@register(
+    "ts_ljung_box_q",
+    oracle=f"""
+    WITH daily AS ({_ACF_DAILY}),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY d) AS idx FROM daily
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(cents AS DOUBLE)) / count(*) AS m,
+             sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS sxx,
+             CAST(sum(CAST(cents AS HUGEINT)) AS DOUBLE) AS sx
+      FROM ranked
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             sum(CAST(a.cents AS HUGEINT) * CAST(b.cents AS HUGEINT)) AS sxy,
+             CAST(sum(CAST(a.cents AS HUGEINT)) AS DOUBLE) AS sa,
+             CAST(sum(CAST(b.cents AS HUGEINT)) AS DOUBLE) AS sb
+      FROM lags l
+      JOIN ranked a ON true
+      JOIN ranked b ON b.idx = a.idx + l.lag
+      GROUP BY l.lag
+    ),
+    rho AS (
+      SELECT lag,
+             (CAST(sxy AS DOUBLE) - m * sa - m * sb + n_pairs * m * m)
+               / (CAST(sxx AS DOUBLE) - 2 * m * sx + n * m * m) AS r
+      FROM pairs, stats
+    ),
+    piv AS (
+      SELECT
+        {", ".join(f"max(CASE WHEN lag = {k} THEN r END) AS r{k}"
+                   for k in range(1, ACF_MAX_LAG + 1))}
+      FROM rho
+    )
+    SELECT n,
+           {", ".join(f"round(r{k}, 6) AS rho{k}"
+                      for k in range(1, ACF_MAX_LAG + 1))},
+           round(n * (n + 2.0) * ({" + ".join(
+               f"r{k} * r{k} / (n - {k})" for k in range(1, ACF_MAX_LAG + 1)
+           )}), 6) AS q_stat,
+           CAST({ACF_MAX_LAG} AS INTEGER) AS dof,
+           CASE WHEN n * (n + 2.0) * ({" + ".join(
+               f"r{k} * r{k} / (n - {k})" for k in range(1, ACF_MAX_LAG + 1)
+           )}) > {LB_CHI2_CRIT_7} THEN 1 ELSE 0 END AS reject_white_noise
+    FROM piv, stats
+    """,
+)
+def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q over daily-revenue autocorrelations (lags 1..7),
+    fixed-order expression arithmetic on exact decimal moments."""
+    from ..catalog import table
+    from ..functions.ranking import global_rank
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
+    ranked = ranked.persist()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum(F.col("cents").cast("double")) / F.count(F.lit(1))).alias("m"),
+        F.sum(dec("cents") * dec("cents")).alias("sxx"),
+        F.sum(dec("cents")).cast("double").alias("sx"),
+    )
+    lags = ranked.sparkSession.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = ranked.alias("a").crossJoin(F.broadcast(lags))
+    b = ranked.alias("b")
+    pairs = (
+        a.join(b, F.col("b.idx") == F.col("a.idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(dec("a.cents") * dec("b.cents")).alias("sxy"),
+            F.sum(dec("a.cents")).cast("double").alias("sa"),
+            F.sum(dec("b.cents")).cast("double").alias("sb"),
+        )
+    )
+    m = F.col("m")
+    rho = pairs.crossJoin(F.broadcast(stats)).select(
+        "lag",
+        "n",
+        (
+            (
+                F.col("sxy").cast("double")
+                - m * F.col("sa")
+                - m * F.col("sb")
+                + F.col("n_pairs") * m * m
+            )
+            / (
+                F.col("sxx").cast("double")
+                - 2 * m * F.col("sx")
+                + F.col("n") * m * m
+            )
+        ).alias("r"),
+    )
+    piv = rho.groupBy("n").agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in range(1, ACF_MAX_LAG + 1)
+        ]
+    )
+    q_expr = None
+    for k in range(1, ACF_MAX_LAG + 1):
+        term = F.col(f"r{k}") * F.col(f"r{k}") / (F.col("n") - k)
+        q_expr = term if q_expr is None else q_expr + term
+    q = F.col("n") * (F.col("n") + 2.0) * q_expr
+    return piv.select(
+        "n",
+        *[F.round(F.col(f"r{k}"), 6).alias(f"rho{k}")
+          for k in range(1, ACF_MAX_LAG + 1)],
+        F.round(q, 6).alias("q_stat"),
+        F.lit(ACF_MAX_LAG).cast("int").alias("dof"),
+        F.when(q > LB_CHI2_CRIT_7, 1).otherwise(0).alias(
+            "reject_white_noise"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal MASE — the scale-free forecast-accuracy companion to
+# mon_seasonal_naive_mape: the lag-7 (seasonal-naive) forecast's MAE
+# scaled by the lag-1 (naive) MAE, as an EXACT integer rational
+# (mase = (mae7_sum * n1) / (mae1_sum * n7) — absolute cent errors
+# never touch floats). MASE < 1 means weekly seasonality genuinely
+# helps. Day-grain lag joins on the ranked axis, fact-linear below.
+# --------------------------------------------------------------------------
+@register(
+    "eval_seasonal_naive_mase",
+    oracle=f"""
+    WITH daily AS ({_ACF_DAILY}),
+    ranked AS (
+      SELECT cents, row_number() OVER (ORDER BY d) AS idx FROM daily
+    ),
+    e7 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n7,
+             CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS mae7_sum
+      FROM ranked a JOIN ranked b ON a.idx = b.idx + 7
+    ),
+    e1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS mae1_sum
+      FROM ranked a JOIN ranked b ON a.idx = b.idx + 1
+    )
+    SELECT n7, mae7_sum, n1, mae1_sum,
+           mae7_sum * n1 AS mase_num,
+           mae1_sum * n7 AS mase_den,
+           round(CAST(mae7_sum AS DOUBLE) * n1 / (CAST(mae1_sum AS DOUBLE) * n7), 6)
+               AS mase
+    FROM e7, e1
+    """,
+)
+def eval_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the lag-7 seasonal-naive forecast vs the lag-1 naive
+    scale, as an exact integer rational."""
+    from ..catalog import table
+    from ..functions.ranking import global_rank
+
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ranked = global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
+    ranked = ranked.persist()
+
+    def lag_err(k: int, n_col: str, s_col: str) -> DataFrame:
+        a, b = ranked.alias("a"), ranked.alias("b")
+        return a.join(b, F.col("a.idx") == F.col("b.idx") + k).agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_col),
+            F.sum(F.abs(F.col("a.cents") - F.col("b.cents")))
+            .cast("bigint")
+            .alias(s_col),
+        )
+
+    e7 = lag_err(7, "n7", "mae7_sum")
+    e1 = lag_err(1, "n1", "mae1_sum")
+    return e7.crossJoin(F.broadcast(e1)).select(
+        "n7",
+        "mae7_sum",
+        "n1",
+        "mae1_sum",
+        (F.col("mae7_sum") * F.col("n1")).cast("bigint").alias("mase_num"),
+        (F.col("mae1_sum") * F.col("n7")).cast("bigint").alias("mase_den"),
+        F.round(
+            F.col("mae7_sum").cast("double")
+            * F.col("n1")
+            / (F.col("mae1_sum").cast("double") * F.col("n7")),
+            6,
+        ).alias("mase"),
+    )

@@ -606,3 +606,62 @@ def fn_window_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lag("c_acctbal", 1, -1.0).over(w), 2).alias("prev_bal"),
         F.round(F.lead("c_acctbal", 1, -1.0).over(w), 2).alias("next_bal"),
     )
+
+
+# --------------------------------------------------------------------------
+# MapType function lab — completes the complex-type surface next to
+# the array/struct labs: per customer, a status -> order-count MAP is
+# built with map_from_entries(collect_list(struct)), then read back
+# through map_keys / element_at / map_filter / map size. The oracle
+# checks the same SEMANTICS from plain group counts (DuckDB needs no
+# map type to verify the outputs), so the lab value-checks Spark's map
+# runtime end-to-end: construction, lookup with a missing-key NULL,
+# predicate filtering, and deterministic sorted key listing.
+# --------------------------------------------------------------------------
+@register(
+    "fn_map_lab",
+    oracle="""
+    WITH sc AS (
+      SELECT o_custkey, o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_statuses,
+           string_agg(st, ',' ORDER BY st) AS keys_sorted,
+           CAST(max(n) AS BIGINT) AS max_status_count,
+           CAST(coalesce(max(CASE WHEN st = 'F' THEN n END), -1) AS BIGINT)
+               AS f_count,
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_statuses
+    FROM sc
+    GROUP BY o_custkey
+    """,
+)
+def fn_map_lab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: map_from_entries / map_keys / element_at /
+    map_filter / size, value-checked against plain group counts."""
+    orders = _t(spark, sf_dir, "orders")
+    sc = orders.groupBy("o_custkey", F.col("o_orderstatus").alias("st")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m = sc.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("st", "n")))
+        ).alias("mp")
+    )
+    return m.select(
+        "o_custkey",
+        F.size("mp").cast("bigint").alias("n_statuses"),
+        F.array_join(F.sort_array(F.map_keys("mp")), ",").alias(
+            "keys_sorted"
+        ),
+        F.array_max(F.map_values("mp")).cast("bigint").alias(
+            "max_status_count"
+        ),
+        F.coalesce(F.element_at("mp", F.lit("F")), F.lit(-1))
+        .cast("bigint")
+        .alias("f_count"),
+        F.size(F.map_filter("mp", lambda k, v: v >= 2))
+        .cast("bigint")
+        .alias("n_repeat_statuses"),
+    )

@@ -1391,3 +1391,159 @@ def opt_conjunction_selectivity(
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+# --------------------------------------------------------------------------
+# Bloom join-filter simulation — the runtime-filter planning question
+# ("would a bloom filter on the build side prune this probe scan?")
+# answered EXACTLY: build a deterministic 2^16-bit, 4-hash bloom set
+# from the urgent orders' keys (md5 nibble-slice positions, identical
+# cross-engine), probe every distinct lineitem orderkey, and report
+# true matches, false positives and the realized skip ratio in exact
+# ppm. This is the measurement that justifies (or kills) enabling
+# spark.sql.optimizer.runtimeFilter.bloomFilter for a given join — the
+# sketch math itself is value-checked, same policy as the CMS/HLL
+# family.
+#
+# Scale shape: build side is a distinct + explode(4) over the
+# FILTERED keys (small by selection); its position set is broadcast;
+# the probe side is one distinct + explode(4) + broadcast semi-count.
+# --------------------------------------------------------------------------
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '|{j}'), 1, 8))"
+        f"::BIGINT % {BLOOM_BITS} AS BIGINT)"
+    )
+
+
+@register(
+    "opt_bloom_join_filter_sim",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+      {" UNION ".join(
+          f"SELECT DISTINCT {_bloom_pos_sql('o_orderkey', j)} AS pos FROM build"
+          for j in range(BLOOM_K)
+      )}
+    ),
+    probe AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    probe_pos AS (
+      {" UNION ALL ".join(
+          f"SELECT l_orderkey, {_bloom_pos_sql('l_orderkey', j)} AS pos FROM probe"
+          for j in range(BLOOM_K)
+      )}
+    ),
+    ppos_d AS (SELECT DISTINCT l_orderkey, pos FROM probe_pos),
+    need AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_need
+      FROM ppos_d GROUP BY l_orderkey
+    ),
+    hits AS (
+      SELECT p.l_orderkey, CAST(count(*) AS BIGINT) AS n_set
+      FROM ppos_d p JOIN bits b ON b.pos = p.pos
+      GROUP BY p.l_orderkey
+    ),
+    flags AS (
+      SELECT pr.l_orderkey,
+             CASE WHEN coalesce(h.n_set, 0) = n.n_need
+                  THEN 1 ELSE 0 END AS pass,
+             CASE WHEN b.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS truth
+      FROM probe pr
+      JOIN need n ON n.l_orderkey = pr.l_orderkey
+      LEFT JOIN hits h ON h.l_orderkey = pr.l_orderkey
+      LEFT JOIN build b ON b.o_orderkey = pr.l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(truth) AS BIGINT) AS n_true,
+           CAST(sum(pass) AS BIGINT) AS n_pass,
+           CAST(sum(pass) - sum(truth) AS BIGINT) AS n_false_pos,
+           CAST((CAST(sum(pass) AS BIGINT) - sum(truth)) * 1000000
+                // count(*) AS BIGINT) AS fp_ppm,
+           CAST((count(*) - CAST(sum(pass) AS BIGINT)) * 1000000
+                // count(*) AS BIGINT) AS skip_ppm
+    FROM flags
+    """,
+)
+def opt_bloom_join_filter_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact simulation of a {BLOOM_K}-hash / {BLOOM_BITS}-bit bloom
+    runtime filter (urgent orders -> lineitem probe): true/false
+    positives and realized scan-skip ratio in ppm."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+
+    def pos(key: str, j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(key).cast("string"), F.lit(f"|{j}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % BLOOM_BITS
+        ).cast("bigint")
+
+    build = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .distinct()
+        .persist()
+    )
+    bits = None
+    for j in range(BLOOM_K):
+        b = build.select(pos("o_orderkey", j).alias("pos"))
+        bits = b if bits is None else bits.unionAll(b)
+    bits = bits.distinct()
+    probe = li.select("l_orderkey").distinct().persist()
+    ppos = None
+    for j in range(BLOOM_K):
+        p = probe.select("l_orderkey", pos("l_orderkey", j).alias("pos"))
+        ppos = p if ppos is None else ppos.unionAll(p)
+    ppos = ppos.distinct()
+    need = ppos.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_need")
+    )
+    hits = (
+        ppos.join(F.broadcast(bits), "pos")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_set"))
+    )
+    truth = build.select(F.col("o_orderkey").alias("l_orderkey")).withColumn(
+        "truth", F.lit(1)
+    )
+    flags = (
+        probe.join(need, "l_orderkey")
+        .join(hits, "l_orderkey", "left")
+        .join(truth, "l_orderkey", "left")
+        .select(
+            F.when(
+                F.coalesce(F.col("n_set"), F.lit(0)) == F.col("n_need"), 1
+            )
+            .otherwise(0)
+            .alias("pass"),
+            F.coalesce(F.col("truth"), F.lit(0)).alias("truth"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+        F.sum("truth").cast("bigint").alias("n_true"),
+        F.sum("pass").cast("bigint").alias("n_pass"),
+        (F.sum("pass") - F.sum("truth")).cast("bigint").alias("n_false_pos"),
+        F.expr(
+            "(CAST(sum(pass) AS BIGINT) - sum(truth)) * CAST(1000000 AS BIGINT)"
+            " DIV count(*)"
+        ).alias("fp_ppm"),
+        F.expr(
+            "(count(*) - CAST(sum(pass) AS BIGINT)) * CAST(1000000 AS BIGINT)"
+            " DIV count(*)"
+        ).alias("skip_ppm"),
+    )

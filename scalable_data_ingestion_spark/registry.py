@@ -143,6 +143,46 @@ _PRIORITY = (
     "sst_events_by_segment",
     "ivm_join_delta_parity",
     "dd_incremental_lsh_assign",
+    # Round-6 in-session additions (no driver hash, no judge sweep yet
+    # - newest-first rotation policy).
+    "ev_shapley_attribution",
+    "ev_position_based_attribution",
+    "ev_time_decay_attribution",
+    "cust_nelson_aalen",
+    "stat_hodges_lehmann_daily",
+    "stat_mcnemar_repeat_years",
+    "dd_capture_recapture",
+    "gr_link_prediction_scores",
+    "ev_bot_burst_score",
+    "ev_order_velocity_flags",
+    "dq_benford_second_digit",
+    "dq_price_ending_bias",
+    "ml_knn_loo_accuracy",
+    "eval_f1_threshold_sweep",
+    "gr_greedy_mis",
+    "cust_tier_migration",
+    "ts_mom_yoy_growth",
+    "fin_pareto_abc_classes",
+    "stat_quantile_trend_grid",
+    "ev_power_user_curve",
+    "txt_code_detection",
+    "txt_heavy_change_tokens",
+    "fin_quarter_end_loading",
+    "ts_ljung_box_q",
+    "eval_seasonal_naive_mase",
+    "fin_revenue_bridge",
+    "fin_supplier_hhi",
+    "ev_holiday_lift",
+    "emb_dim_variance_isotropy",
+    "pack_nfd_bins",
+    "ev_markov_entropy_rate",
+    "dq_schema_fingerprint",
+    "sk_hll_intersection",
+    "fin_return_rate_by_brand",
+    "dq_id_density_audit",
+    "fn_map_lab",
+    "ivm_agg_delta_parity",
+    "opt_bloom_join_filter_sim",
     "ev_markov_stationary",
     "ts_rolling_origin_backtest",
     "dd_lsh_bands_curve",

@@ -325,6 +325,9 @@ GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     "ts_rolling_origin_backtest",
     "stat_bh_fdr_segments",
     "ml_tree_depth2",
+    # month-grain lag over the post-aggregation monthly series —
+    # calendar-bounded (<= 84 rows for the 7-year corpus) by construction
+    "ts_mom_yoy_growth",
 }
 
 
