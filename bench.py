@@ -329,6 +329,12 @@ HEADLINE_R14 = [
     "fn_map_lab",
     "ivm_agg_delta_parity",
     "opt_bloom_join_filter_sim",
+    "stat_runs_test_daily",
+    "ev_new_vs_returning_revenue",
+    "gr_degree_centralization",
+    "dq_null_pattern_mining",
+    "mb_basket_size_profile",
+    "fin_price_dispersion",
 ]
 
 ALL_HEADLINE = (

@@ -4461,3 +4461,232 @@ def fin_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("returned_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# New-vs-returning revenue split — growth accounting's first table:
+# per month, orders and revenue from customers whose FIRST order is in
+# that month vs customers acquired earlier. One customer-grain
+# first-order reduction broadcast back onto the fact; exact cents and
+# ppm new-revenue share.
+# --------------------------------------------------------------------------
+@register(
+    "ev_new_vs_returning_revenue",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 100 + month(o_orderdate)) AS first_ym
+      FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+      SELECT year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,
+             CASE WHEN year(o.o_orderdate) * 100 + month(o.o_orderdate)
+                       = f.first_ym THEN 1 ELSE 0 END AS is_new,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT CAST(ym AS INTEGER) AS ym,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(is_new) AS BIGINT) AS n_new_cust_orders,
+           round(CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+                      AS BIGINT) / 100.0, 2) AS new_revenue,
+           round(CAST(sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END)
+                      AS BIGINT) / 100.0, 2) AS returning_revenue,
+           CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(sum(cents) AS BIGINT) AS new_share_ppm
+    FROM tagged
+    GROUP BY ym
+    """,
+)
+def ev_new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split by new (first-order month) vs returning
+    customers, with exact ppm new-revenue share."""
+    orders = table(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+            "first_ym"
+        )
+    )
+    tagged = orders.join(firsts, "o_custkey").select(
+        ym,
+        F.when(
+            F.year("o_orderdate") * 100 + F.month("o_orderdate")
+            == F.col("first_ym"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return tagged.groupBy("ym").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("is_new").cast("bigint").alias("n_new_cust_orders"),
+        F.round(
+            F.sum(F.when(F.col("is_new") == 1, F.col("cents")).otherwise(0))
+            / 100.0,
+            2,
+        ).alias("new_revenue"),
+        F.round(
+            F.sum(F.when(F.col("is_new") == 0, F.col("cents")).otherwise(0))
+            / 100.0,
+            2,
+        ).alias("returning_revenue"),
+        F.expr(
+            "CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END) AS BIGINT)"
+            " * CAST(1000000 AS BIGINT) DIV CAST(sum(cents) AS BIGINT)"
+        ).alias("new_share_ppm"),
+    ).select(
+        F.col("ym").cast("int").alias("ym"),
+        "n_orders",
+        "n_new_cust_orders",
+        "new_revenue",
+        "returning_revenue",
+        "new_share_ppm",
+    )
+
+
+# --------------------------------------------------------------------------
+# Basket-size profile — the order-composition histogram (line items
+# per order) with revenue weight per basket size: the merchandising
+# view behind bundle/market-basket work (mb_* queries score pairs;
+# this sizes the opportunity). Two integer reductions, ppm shares.
+# --------------------------------------------------------------------------
+@register(
+    "mb_basket_size_profile",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    hist AS (
+      SELECT n_lines,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM per_order GROUP BY n_lines
+    ),
+    tot AS (
+      SELECT CAST(sum(n_orders) AS BIGINT) AS t_orders,
+             CAST(sum(cents) AS BIGINT) AS t_cents
+      FROM hist
+    )
+    SELECT n_lines, n_orders,
+           round(cents / 100.0, 2) AS revenue,
+           n_orders * 1000000 // t_orders AS order_share_ppm,
+           (cents * 1000 // t_cents) * 1000
+             + (cents * 1000 % t_cents) * 1000 // t_cents
+               AS revenue_share_ppm
+    FROM hist CROSS JOIN tot
+    """,
+)
+def mb_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-items-per-order histogram with exact order and revenue ppm
+    shares (two-stage overflow-safe revenue ppm)."""
+    li = table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    hist = per_order.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    tot = hist.agg(
+        F.sum("n_orders").cast("bigint").alias("t_orders"),
+        F.sum("cents").cast("bigint").alias("t_cents"),
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "n_lines",
+        "n_orders",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.expr("n_orders * CAST(1000000 AS BIGINT) DIV t_orders").alias(
+            "order_share_ppm"
+        ),
+        F.expr(
+            "(cents * 1000 DIV t_cents) * 1000"
+            " + (cents * 1000 % t_cents) * 1000 DIV t_cents"
+        ).alias("revenue_share_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Unit-price dispersion per part — the arbitrage/pricing-consistency
+# screen: coefficient of variation of the realized unit price
+# (extendedprice/quantity, exact 4dp integer) across a part's line
+# items. Exact decimal moment sums; the CV is one scalar float per
+# part over those exact inputs; deterministic top-50 most dispersed.
+# --------------------------------------------------------------------------
+PRICE_DISP_TOP = 50
+PRICE_DISP_MIN_LINES = 5
+
+
+@register(
+    "fin_price_dispersion",
+    oracle=f"""
+    WITH units AS (
+      SELECT l_partkey,
+             CAST(round(l_extendedprice * 10000 / l_quantity) AS BIGINT)
+                 AS unit_4dp
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    m AS (
+      SELECT l_partkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(unit_4dp) AS BIGINT) AS s,
+             sum(CAST(unit_4dp AS HUGEINT) * CAST(unit_4dp AS HUGEINT)) AS ss
+      FROM units GROUP BY l_partkey
+      HAVING count(*) >= {PRICE_DISP_MIN_LINES}
+    )
+    SELECT l_partkey, n_lines,
+           round(s / (10000.0 * n_lines), 4) AS mean_unit_price,
+           round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_lines)
+                      / n_lines) / (CAST(s AS DOUBLE) / n_lines), 6) AS cv
+    FROM m
+    ORDER BY cv DESC, l_partkey
+    LIMIT {PRICE_DISP_TOP}
+    """,
+)
+def fin_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PRICE_DISP_TOP} parts by unit-price coefficient of
+    variation (exact 4dp units, decimal moment sums)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = F.round(
+        F.col("l_extendedprice") * 10000 / F.col("l_quantity")
+    ).cast("bigint")
+    units = li.select("l_partkey", unit.alias("unit_4dp"))
+    dec = F.col("unit_4dp").cast("decimal(38,0)")
+    m = (
+        units.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum("unit_4dp").cast("bigint").alias("s"),
+            F.sum(dec * dec).alias("ss"),
+        )
+        .filter(F.col("n_lines") >= PRICE_DISP_MIN_LINES)
+    )
+    mean = F.col("s").cast("double") / F.col("n_lines")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_lines")
+    ) / F.col("n_lines")
+    return (
+        m.select(
+            "l_partkey",
+            "n_lines",
+            F.round(F.col("s") / (10000.0 * F.col("n_lines")), 4).alias(
+                "mean_unit_price"
+            ),
+            F.round(F.sqrt(var) / mean, 6).alias("cv"),
+        )
+        .orderBy(F.desc("cv"), "l_partkey")
+        .limit(PRICE_DISP_TOP)
+    )

@@ -1438,3 +1438,68 @@ def dq_id_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows * CAST(1000000 AS BIGINT) DIV (max_key - min_key + 1)"
         ).alias("overall_density_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Missingness/defect pattern mining over the messy-orders fixture —
+# the DQ triage table: which COMBINATIONS of defects co-occur
+# (NULL name, NULL quantity, invalid email, negative price, mangled
+# id), not just the per-field rates the field profile reports.
+# Pattern = 5-char flag string; one conditional-expression pass, one
+# dimension-sized rollup; shares in exact ppm.
+# --------------------------------------------------------------------------
+from .orders_base import MESSY_ORDERS_CTE as _MESSY_CTE
+from .orders_base import BASE_ORDERS_CTE as _BASE_CTE
+from .orders_base import messy_orders as _messy_orders
+
+
+@register(
+    "dq_null_pattern_mining",
+    oracle=f"""
+    WITH {_BASE_CTE}, {_MESSY_CTE},
+    flags AS (
+      SELECT concat(
+               CASE WHEN customer_name IS NULL THEN '1' ELSE '0' END,
+               CASE WHEN quantity IS NULL THEN '1' ELSE '0' END,
+               CASE WHEN customer_email = 'invalid-email'
+                    THEN '1' ELSE '0' END,
+               CASE WHEN price < 0 THEN '1' ELSE '0' END,
+               CASE WHEN order_id <> upper(order_id) THEN '1' ELSE '0' END
+             ) AS pattern
+      FROM messy
+    ),
+    hist AS (
+      SELECT pattern, CAST(count(*) AS BIGINT) AS n FROM flags GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hist)
+    SELECT pattern, n,
+           n * 1000000 // t AS share_ppm,
+           CAST(length(replace(pattern, '0', '')) AS INTEGER) AS n_defects
+    FROM hist CROSS JOIN tot
+    """,
+)
+def dq_null_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Defect co-occurrence patterns (name/quantity/email/price/id
+    flags) over messy orders, with exact ppm shares."""
+    m = _messy_orders(spark, sf_dir)
+    pattern = F.concat(
+        F.when(F.col("customer_name").isNull(), "1").otherwise("0"),
+        F.when(F.col("quantity").isNull(), "1").otherwise("0"),
+        F.when(F.col("customer_email") == "invalid-email", "1").otherwise("0"),
+        F.when(F.col("price") < 0, "1").otherwise("0"),
+        F.when(F.col("order_id") != F.upper(F.col("order_id")), "1").otherwise(
+            "0"
+        ),
+    )
+    hist = m.select(pattern.alias("pattern")).groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = hist.agg(F.sum("n").cast("bigint").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "pattern",
+        "n",
+        F.expr("n * CAST(1000000 AS BIGINT) DIV t").alias("share_ppm"),
+        F.length(F.regexp_replace("pattern", "0", ""))
+        .cast("int")
+        .alias("n_defects"),
+    )

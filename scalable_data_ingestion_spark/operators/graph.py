@@ -2485,3 +2485,86 @@ def gr_greedy_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         ).localCheckpoint()
     return state.select("node", F.col("status").cast("int").alias("status"))
+
+
+# --------------------------------------------------------------------------
+# Freeman degree centralization — the one-number "is this network a
+# star or a mesh" summary: C = sum(dmax - d_i) / ((n-1)(n-2)), 1 for a
+# perfect star, 0 for a regular graph. Computed as an exact integer
+# rational (numerator and denominator BIGINT) over the thresholded
+# co-purchase adjacency; reuses the degree reduction every gr_ query
+# shares. Dimension-sized output.
+# --------------------------------------------------------------------------
+@register(
+    "gr_degree_centralization",
+    oracle=f"""
+    WITH edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {TRI_MIN_SUP}
+    ),
+    adj AS (
+      SELECT pa AS node, pb AS nbr FROM edges
+      UNION ALL
+      SELECT pb AS node, pa AS nbr FROM edges
+    ),
+    deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY node),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(d) AS BIGINT) AS dmax,
+             CAST(sum(d) AS BIGINT) AS dsum
+      FROM deg
+    )
+    SELECT n, dmax, dsum,
+           n * dmax - dsum AS centralization_num,
+           (n - 1) * (n - 2) AS centralization_den,
+           round((n * dmax - dsum) * 1.0 / ((n - 1) * (n - 2)), 6)
+               AS centralization
+    FROM agg
+    """,
+)
+def gr_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeman degree centralization of the co-purchase graph as an
+    exact integer rational plus rounded display value."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRI_MIN_SUP)
+        .select("pa", "pb")
+    )
+    adj = edges.select(F.col("pa").alias("node")).unionAll(
+        edges.select(F.col("pb").alias("node"))
+    )
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    agg = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("d").cast("bigint").alias("dmax"),
+        F.sum("d").cast("bigint").alias("dsum"),
+    )
+    return agg.select(
+        "n",
+        "dmax",
+        "dsum",
+        (F.col("n") * F.col("dmax") - F.col("dsum"))
+        .cast("bigint")
+        .alias("centralization_num"),
+        ((F.col("n") - 1) * (F.col("n") - 2))
+        .cast("bigint")
+        .alias("centralization_den"),
+        F.round(
+            (F.col("n") * F.col("dmax") - F.col("dsum"))
+            * 1.0
+            / ((F.col("n") - 1) * (F.col("n") - 2)),
+            6,
+        ).alias("centralization"),
+    )

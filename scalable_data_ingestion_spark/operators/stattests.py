@@ -1804,3 +1804,91 @@ def stat_mcnemar_repeat_years(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_cc_num"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test — is the daily-revenue sequence random
+# around its median, or does it trend/cluster? R = number of runs of
+# consecutive above/below-median days; under H0,
+#   mu = 2 n1 n2 / (n1 + n2) + 1,
+#   var = 2 n1 n2 (2 n1 n2 - n1 - n2) / ((n1+n2)^2 (n1+n2-1)).
+# The run count comes from ONE ranked-axis lag pass (run starts are
+# sign changes — integer comparisons on exact cents vs the exact
+# interpolated median); mu/var/z are scalar expressions over the
+# integer (R, n1, n2), identical IEEE steps cross-engine.
+# --------------------------------------------------------------------------
+@register(
+    "stat_runs_test_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CENTS}),
+    med AS (SELECT quantile_cont(cents, 0.5) AS m FROM daily),
+    signed AS (
+      SELECT d, CASE WHEN cents > m THEN 1 ELSE 0 END AS above
+      FROM daily CROSS JOIN med WHERE cents <> m
+    ),
+    seq AS (
+      SELECT above,
+             lag(above) OVER (ORDER BY d) AS prev
+      FROM signed
+    ),
+    counts AS (
+      SELECT CAST(sum(above) AS BIGINT) AS n1,
+             CAST(sum(1 - above) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN prev IS NULL OR above <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r
+      FROM seq
+    )
+    SELECT n1, n2, r,
+           round(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS mu,
+           round(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                 / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1)), 6)
+               AS var_r,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))), 6)
+               AS z_score
+    FROM counts
+    """,
+)
+def stat_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of daily revenue around its median
+    (exact run/side counts, scalar float finale)."""
+    daily = _daily_cents(spark, sf_dir).persist()
+    med = daily.agg(F.percentile("cents", F.lit(0.5)).alias("m"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select(
+            "d", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("above")
+        )
+    )
+    w = W.orderBy("d")
+    seq = signed.withColumn("prev", F.lag("above").over(w))
+    counts = seq.agg(
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("above")).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("above") != F.col("prev")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))
+    )
+    return counts.select(
+        "n1",
+        "n2",
+        "r",
+        F.round(mu, 6).alias("mu"),
+        F.round(var, 6).alias("var_r"),
+        F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
+    )

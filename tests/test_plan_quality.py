@@ -328,6 +328,8 @@ GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     # month-grain lag over the post-aggregation monthly series —
     # calendar-bounded (<= 84 rows for the 7-year corpus) by construction
     "ts_mom_yoy_growth",
+    # day-grain lag over the post-aggregation daily series (<= 2.4k rows)
+    "stat_runs_test_daily",
 }
 
 

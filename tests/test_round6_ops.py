@@ -519,3 +519,67 @@ def test_bloom_sim_invariants(spark, sf_dir):
     assert r["n_false_pos"] == r["n_pass"] - r["n_true"]
     assert 0 <= r["fp_ppm"] <= 1_000_000
     assert r["skip_ppm"] == (r["n_probed"] - r["n_pass"]) * 1_000_000 // r["n_probed"]
+
+
+# ---- round-6 batch 32-33 semantic invariants --------------------------------
+
+
+def test_runs_test_counts(spark, sf_dir):
+    r = registry.QUERIES["stat_runs_test_daily"](spark, sf_dir).first()
+    assert 1 <= r["r"] <= r["n1"] + r["n2"]
+    assert r["var_r"] > 0
+
+
+def test_new_returning_split_consistent(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    df = registry.QUERIES["ev_new_vs_returning_revenue"](spark, sf_dir)
+    total = df.agg(F.sum("n_orders")).first()[0]
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert total == raw
+    # earliest month is 100% new
+    first = min(r["ym"] for r in df.collect())
+    row = df.filter(F.col("ym") == first).first()
+    assert row["new_share_ppm"] >= 999_999 - 1
+
+
+def test_degree_centralization_bounds(spark, sf_dir):
+    r = registry.QUERIES["gr_degree_centralization"](spark, sf_dir).first()
+    assert 0 <= r["centralization"] <= 1.000001
+    assert r["centralization_num"] == r["n"] * r["dmax"] - r["dsum"]
+
+
+def test_null_patterns_partition_rows(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from scalable_data_ingestion_spark.operators.orders_base import messy_orders
+
+    df = registry.QUERIES["dq_null_pattern_mining"](spark, sf_dir)
+    total = df.agg(F.sum("n")).first()[0]
+    assert total == messy_orders(spark, sf_dir).count()
+    for r in df.collect():
+        assert len(r["pattern"]) == 5
+        assert r["n_defects"] == r["pattern"].count("1")
+
+
+def test_basket_profile_partitions_orders(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    df = registry.QUERIES["mb_basket_size_profile"](spark, sf_dir)
+    n = df.agg(F.sum("n_orders")).first()[0]
+    raw = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert n == raw
+
+
+def test_price_dispersion_ordering(spark, sf_dir):
+    rows = registry.QUERIES["fin_price_dispersion"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    cvs = [r["cv"] for r in rows]
+    assert cvs == sorted(cvs, reverse=True)
+    for r in rows:
+        assert r["n_lines"] >= 5 and r["cv"] >= 0
