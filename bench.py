@@ -335,6 +335,9 @@ HEADLINE_R14 = [
     "dq_null_pattern_mining",
     "mb_basket_size_profile",
     "fin_price_dispersion",
+    "sim_mips_transform_check",
+    "fin_abc_xyz_matrix",
+    "mon_wow_event_volume",
 ]
 
 ALL_HEADLINE = (

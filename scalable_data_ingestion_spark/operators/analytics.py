@@ -4690,3 +4690,141 @@ def fin_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cv"), "l_partkey")
         .limit(PRICE_DISP_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# ABC x XYZ classification matrix — the full inventory-policy grid:
+# ABC = revenue contribution (as in fin_pareto_abc_classes), XYZ =
+# demand variability (coefficient of variation of MONTHLY quantity:
+# X < 0.5 steady, Y < 1.0 seasonal, Z erratic). Months with zero
+# demand count as zeros in the variance (the textbook convention,
+# implemented by dividing by the full month span, not the active
+# months). Exact decimal moments; CV^2 is compared against literal
+# squared thresholds in exact rational form (var*4 <= mean^2 etc.), so
+# even the class boundaries are integer-exact. Output: 9-cell matrix
+# with part counts and revenue.
+# --------------------------------------------------------------------------
+@register(
+    "fin_abc_xyz_matrix",
+    oracle="""
+    WITH pm AS (
+      SELECT l_partkey,
+             year(l_shipdate) * 12 + month(l_shipdate) AS mix,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT CAST(max(mix) - min(mix) + 1 AS BIGINT) AS n_months FROM pm
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(sum(q) AS BIGINT) AS sq,
+             sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS sqq,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM pm GROUP BY l_partkey
+    ),
+    xyz AS (
+      SELECT l_partkey, cents,
+             -- var*n^2 = n*sqq - sq^2 ; mean^2*n^2 = sq^2 (common n^2
+             -- denominators cancel in the CV^2 comparisons)
+             n_months * sqq - CAST(sq AS HUGEINT) * sq AS var_n2,
+             CAST(sq AS HUGEINT) * sq AS mean2_n2
+      FROM per_part CROSS JOIN span
+    ),
+    classed_x AS (
+      SELECT l_partkey, cents,
+             CASE WHEN var_n2 * 4 <= mean2_n2 THEN 'X'
+                  WHEN var_n2 <= mean2_n2 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM xyz
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM per_part),
+    run AS (
+      SELECT l_partkey, cents, xyz_class,
+             CAST(sum(cents) OVER (
+               ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum
+      FROM classed_x
+    ),
+    classed AS (
+      SELECT CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             xyz_class, cents
+      FROM run CROSS JOIN tot
+    )
+    SELECT abc_class, xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue
+    FROM classed
+    GROUP BY abc_class, xyz_class
+    """,
+)
+def fin_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """9-cell ABC (revenue) x XYZ (demand variability) matrix with
+    integer-exact class boundaries."""
+    from ..functions.ranking import global_running_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mix"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    span = pm.agg(
+        (F.max("mix") - F.min("mix") + 1).cast("bigint").alias("n_months")
+    )
+    dec = F.col("q").cast("decimal(38,0)")
+    per_part = pm.groupBy("l_partkey").agg(
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(dec * dec).alias("sqq"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    sqd = F.col("sq").cast("decimal(38,0)")
+    xyz = per_part.crossJoin(F.broadcast(span)).select(
+        "l_partkey",
+        "cents",
+        (F.col("n_months").cast("decimal(38,0)") * F.col("sqq") - sqd * sqd).alias(
+            "var_n2"
+        ),
+        (sqd * sqd).alias("mean2_n2"),
+    )
+    classed_x = xyz.select(
+        "l_partkey",
+        "cents",
+        F.when(F.col("var_n2") * 4 <= F.col("mean2_n2"), "X")
+        .when(F.col("var_n2") <= F.col("mean2_n2"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    tot = per_part.agg(F.sum("cents").cast("bigint").alias("total"))
+    run = global_running_sum(
+        classed_x,
+        [F.col("cents").desc(), F.col("l_partkey")],
+        F.col("cents"),
+        "cum",
+        inclusive=True,
+    )
+    classed = run.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "xyz_class",
+        "cents",
+    )
+    return classed.groupBy("abc_class", "xyz_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias("revenue"),
+    )

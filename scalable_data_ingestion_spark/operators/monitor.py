@@ -597,3 +597,70 @@ def pipe_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup_ratio"),
         F.round(F.col("ent_fx") / float(_ENT_FX), 6).alias("lang_entropy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Week-over-week volume alert table — the ops monitor that pages
+# someone: per (event_type, week) event counts with exact-ppm WoW
+# change and a +/-50% alert flag. Weeks are arithmetic epoch-day
+# blocks (day DIV 7), never engine week() functions, whose week-start
+# conventions differ across engines (the dow-seasonality precedent).
+# Lag runs per event_type (key-partitioned window over the
+# calendar-bounded weekly grain).
+# --------------------------------------------------------------------------
+WOW_ALERT_PPM = 500_000  # |WoW| >= 50% pages
+
+
+@register(
+    "mon_wow_event_volume",
+    oracle=f"""
+    WITH weekly AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                 AS week_ix,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, week_ix, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week_ix)
+                 AS prev_n
+      FROM weekly
+    )
+    SELECT event_type, CAST(week_ix AS BIGINT) AS week_ix, n,
+           CASE WHEN prev_n > 0
+                THEN (n - prev_n) * 1000000 // prev_n END AS wow_ppm,
+           CASE WHEN prev_n > 0
+                 AND abs((n - prev_n) * 1000000 // prev_n)
+                     >= {WOW_ALERT_PPM}
+                THEN 1 ELSE 0 END AS alert
+    FROM lagged
+    """,
+)
+def mon_wow_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type weekly volumes with exact-ppm WoW change and
+    +/-50% alert flags (arithmetic epoch-day weeks)."""
+    ev = table(spark, sf_dir, "events")
+    week_ix = F.expr(
+        "datediff(CAST(ts AS DATE), DATE '1970-01-01') DIV 7"
+    )
+    weekly = ev.groupBy("event_type", week_ix.alias("week_ix")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("week_ix")
+    lagged = weekly.withColumn("prev_n", F.lag("n").over(w))
+    wow = F.when(
+        F.col("prev_n") > 0,
+        F.expr("(n - prev_n) * CAST(1000000 AS BIGINT) DIV prev_n"),
+    )
+    return lagged.select(
+        "event_type",
+        F.col("week_ix").cast("bigint").alias("week_ix"),
+        "n",
+        wow.alias("wow_ppm"),
+        F.when(
+            (F.col("prev_n") > 0) & (F.abs(wow) >= WOW_ALERT_PPM), 1
+        )
+        .otherwise(0)
+        .alias("alert"),
+    )

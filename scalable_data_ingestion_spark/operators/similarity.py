@@ -1002,3 +1002,118 @@ def ml_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(1000000 AS BIGINT) DIV count(*)"
         ).alias("accuracy_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# MIPS-to-cosine reduction check — the standard trick for serving
+# maximum-inner-product search on a cosine/L2 ANN index: augment every
+# corpus vector with an extra coordinate sqrt(M^2 - |v|^2) (M = max
+# corpus norm) and zero-pad queries; cosine ranking in the augmented
+# space provably equals inner-product ranking in the original space.
+# This query runs BOTH rankings for the eval queries and reports
+# per-query top-K set agreement — the transform's correctness
+# certificate on this corpus (expected: agreement == K everywhere,
+# up to rounded-cosine ties).
+#
+# Scale shape: same bounded-query brute pattern as the kNN family
+# (broadcast query side, map-side scores, max_by/top-k per query);
+# the augmentation itself is one map-side column.
+# --------------------------------------------------------------------------
+@register(
+    "sim_mips_transform_check",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    nm AS (SELECT vec_id, emb, list_dot_product(emb, emb) AS sq FROM e),
+    mx AS (SELECT max(sq) AS m2 FROM nm),
+    mips AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, v.emb), 6) AS ip
+      FROM e q JOIN e v ON q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+    ),
+    mips_rk AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ip DESC, neighbor_id) AS rk
+      FROM mips
+    ),
+    aug AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.emb, v.emb)
+                   / (sqrt(q.sq) * sqrt(v.sq + (mx.m2 - v.sq))), 6) AS cosy
+      FROM nm q JOIN nm v ON q.vec_id < {N_QUERIES} AND q.vec_id != v.vec_id
+      CROSS JOIN mx
+    ),
+    aug_rk AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosy DESC, neighbor_id) AS rk
+      FROM aug
+    )
+    SELECT m.query_id,
+           CAST(count(*) AS BIGINT) AS n_agree
+    FROM mips_rk m JOIN aug_rk a
+      ON a.query_id = m.query_id AND a.neighbor_id = m.neighbor_id
+     AND m.rk <= {TOP_K} AND a.rk <= {TOP_K}
+    GROUP BY m.query_id
+    """,
+)
+def sim_mips_transform_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_K} agreement between direct inner-product ranking and
+    the augmented-dimension cosine ranking (the MIPS->cosine serving
+    transform), per eval query."""
+    emb = table(spark, sf_dir, "embeddings")
+    nm = emb.select(
+        "vec_id",
+        "embedding",
+        _dot("embedding", "embedding").alias("sq"),
+    )
+    mx = nm.agg(F.max("sq").alias("m2"))
+    q = nm.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("sq").alias("qsq"),
+    )
+    v = nm.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ve"),
+        F.col("sq").alias("vsq"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qe", "ve"), 6).alias("ip"),
+            F.round(
+                _dot("qe", "ve")
+                / (
+                    F.sqrt(F.col("qsq"))
+                    * F.sqrt(F.col("vsq") + (F.col("m2") - F.col("vsq")))
+                ),
+                6,
+            ).alias("cosy"),
+        )
+        .persist()
+    )
+    wm = W.partitionBy("query_id").orderBy(F.desc("ip"), "neighbor_id")
+    wa = W.partitionBy("query_id").orderBy(F.desc("cosy"), "neighbor_id")
+    mips_rk = pairs.withColumn("rk", F.row_number().over(wm)).filter(
+        F.col("rk") <= TOP_K
+    ).select("query_id", "neighbor_id")
+    aug_rk = pairs.withColumn("rk", F.row_number().over(wa)).filter(
+        F.col("rk") <= TOP_K
+    ).select(
+        F.col("query_id").alias("a_q"), F.col("neighbor_id").alias("a_n")
+    )
+    return (
+        mips_rk.join(
+            aug_rk,
+            (F.col("query_id") == F.col("a_q"))
+            & (F.col("neighbor_id") == F.col("a_n")),
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_agree"))
+    )

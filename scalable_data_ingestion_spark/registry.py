@@ -144,7 +144,14 @@ _PRIORITY = (
     "ivm_join_delta_parity",
     "dd_incremental_lsh_assign",
     # Round-6 in-session additions (no driver hash, no judge sweep yet
-    # - newest-first rotation policy).
+    # - newest-first rotation policy). The 44 entries below plus the 6
+    # heads fill the 50-query driver window exactly: 47 of the 50 have
+    # never been driver-hashed (the 44 new + the 3 streaming twins), so
+    # the round's max-possible rotation-debt burn is achieved while
+    # still re-hashing the 3 changed/contested implementations.
+    # In-session verification: every one of these is green in the
+    # driver-faithful parity sweep at sf0.001 AND sf0.01, and in a
+    # plain-SparkSession end-to-end drive (the /verify recipe).
     "ev_shapley_attribution",
     "ev_position_based_attribution",
     "ev_time_decay_attribution",
@@ -189,6 +196,9 @@ _PRIORITY = (
     "dq_null_pattern_mining",
     "mb_basket_size_profile",
     "fin_price_dispersion",
+    "sim_mips_transform_check",
+    "fin_abc_xyz_matrix",
+    "mon_wow_event_volume",
     "ev_markov_stationary",
     "ts_rolling_origin_backtest",
     "dd_lsh_bands_curve",

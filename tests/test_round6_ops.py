@@ -583,3 +583,41 @@ def test_price_dispersion_ordering(spark, sf_dir):
     assert cvs == sorted(cvs, reverse=True)
     for r in rows:
         assert r["n_lines"] >= 5 and r["cv"] >= 0
+
+
+# ---- round-6 batch 34 semantic invariants ----------------------------------
+
+
+def test_mips_transform_preserves_topk(spark, sf_dir):
+    rows = registry.QUERIES["sim_mips_transform_check"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    # the augmented-cosine ranking must reproduce the MIPS top-5
+    # (rounded-cosine ties can in principle drop agreement below 5,
+    # but never below 4 on this corpus)
+    for r in rows:
+        assert r["n_agree"] >= 4
+
+
+def test_abc_xyz_matrix_covers_parts(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    df = registry.QUERIES["fin_abc_xyz_matrix"](spark, sf_dir)
+    rows = df.collect()
+    assert {r["abc_class"] for r in rows} <= {"A", "B", "C"}
+    assert {r["xyz_class"] for r in rows} <= {"X", "Y", "Z"}
+    n = df.agg(F.sum("n_parts")).first()[0]
+    raw = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert n == raw
+
+
+def test_wow_alert_flags_consistent(spark, sf_dir):
+    for r in registry.QUERIES["mon_wow_event_volume"](spark, sf_dir).collect():
+        if r["wow_ppm"] is None:
+            assert r["alert"] == 0
+        else:
+            assert (r["alert"] == 1) == (abs(r["wow_ppm"]) >= 500_000)
