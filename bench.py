@@ -338,6 +338,9 @@ HEADLINE_R14 = [
     "sim_mips_transform_check",
     "fin_abc_xyz_matrix",
     "mon_wow_event_volume",
+    "txt_blocklist_filter_audit",
+    "ev_adoption_latency_by_type",
+    "fin_discount_depth_profile",
 ]
 
 ALL_HEADLINE = (

@@ -4828,3 +4828,116 @@ def fin_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature-adoption latency — signup -> first use of each event type:
+# the activation funnel's time axis (generalizes time-to-convert from
+# one pair to every feature). Exact integer second delays from NTZ
+# interval arithmetic; percentiles interpolate identically
+# cross-engine on the integer grid.
+# --------------------------------------------------------------------------
+@register(
+    "ev_adoption_latency_by_type",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    firsts AS (
+      SELECT s.user_id, e.event_type, min(e.ts) AS first_ts,
+             min(s.signup_ts) AS signup_ts
+      FROM su s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type <> 'signup' AND e.ts >= s.signup_ts
+      GROUP BY s.user_id, e.event_type
+    ),
+    delays AS (
+      SELECT event_type,
+             (epoch_us(first_ts) - epoch_us(signup_ts)) // 1000000 AS delay_s
+      FROM firsts
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_adopters,
+           CAST(quantile_cont(delay_s, 0.5) AS DOUBLE) AS p50_delay_s,
+           CAST(quantile_cont(delay_s, 0.9) AS DOUBLE) AS p90_delay_s
+    FROM delays GROUP BY event_type
+    """,
+)
+def ev_adoption_latency_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90 signup -> first-use latency per feature (event type),
+    exact integer-second delays."""
+    ev = table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    e = ev.filter(F.col("event_type") != "signup").select(
+        F.col("user_id").alias("eu"), "event_type", F.col("ts").alias("ets")
+    )
+    firsts = (
+        su.join(
+            e,
+            (F.col("eu") == F.col("user_id"))
+            & (F.col("ets") >= F.col("signup_ts")),
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("ets").alias("first_ts"),
+            F.min("signup_ts").alias("signup_ts"),
+        )
+    )
+    delay_s = (F.col("first_ts") - F.col("signup_ts")).cast("bigint")
+    delays = firsts.select("event_type", delay_s.alias("delay_s"))
+    return delays.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_adopters"),
+        F.percentile("delay_s", F.lit(0.5)).alias("p50_delay_s"),
+        F.percentile("delay_s", F.lit(0.9)).alias("p90_delay_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Discount-depth profile — what each discount tier actually buys:
+# per exact 1%-discount bucket, line count, average quantity (exact
+# rational displayed at 4dp) and revenue. The merchandising companion
+# to stat_price_elasticity's single coefficient. One conditional-free
+# groupBy over lineitem (discount is already a 2dp decimal grid).
+# --------------------------------------------------------------------------
+@register(
+    "fin_discount_depth_profile",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_discount * 100) AS INTEGER) AS discount_pct,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 AS cents
+      FROM lineitem
+    )
+    SELECT discount_pct,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(q) AS BIGINT) AS total_qty,
+           round(CAST(sum(q) AS BIGINT) * 1.0 / count(*), 4) AS avg_qty,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue
+    FROM b GROUP BY discount_pct
+    """,
+)
+def fin_discount_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-discount-percent line counts, exact quantity sums and
+    revenue."""
+    li = table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return b.groupBy("discount_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("q").cast("bigint").alias("total_qty"),
+        F.round(F.sum("q").cast("bigint") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "avg_qty"
+        ),
+        F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias("revenue"),
+    )

@@ -1006,3 +1006,73 @@ def txt_heavy_change_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("change_x"), "tok")
         .limit(HEAVY_CHANGE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Blocklist filter audit — the safety-filter plumbing every corpus
+# pipeline runs (here with neutral stand-in terms, since the synthetic
+# corpus has no unsafe content; the MECHANISM — multi-term match,
+# per-source hit rates, term attribution — is what the oracle checks):
+# which documents match any blocklist term, which term fired, at what
+# per-source rate. Token-boundary regex shared verbatim by both
+# engines; one map-only pass + a dimension-sized rollup.
+# --------------------------------------------------------------------------
+BLOCKLIST_TERMS = ("dolor", "vitae", "magna")
+
+_BL_HITS = ", ".join(
+    "CASE WHEN regexp_matches(text, '\\b%s\\b') THEN 1 ELSE 0 END AS hit_%s"
+    % (t, t)
+    for t in BLOCKLIST_TERMS
+)
+_BL_SUMS = ", ".join(
+    "CAST(sum(hit_%s) AS BIGINT) AS n_%s" % (t, t) for t in BLOCKLIST_TERMS
+)
+_BL_ANY = " + ".join("hit_%s" % t for t in BLOCKLIST_TERMS)
+
+
+@register(
+    "txt_blocklist_filter_audit",
+    oracle=f"""
+    WITH m AS (
+      SELECT source, {_BL_HITS}
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {_BL_SUMS},
+           CAST(sum(CASE WHEN {_BL_ANY} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(sum(CASE WHEN {_BL_ANY} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 // count(*) AS flagged_ppm
+    FROM m GROUP BY source
+    """,
+)
+def txt_blocklist_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source blocklist hit rates with per-term attribution
+    (word-boundary regex, exact ppm)."""
+    docs = table(spark, sf_dir, "documents")
+    hits = [
+        F.when(F.col("text").rlike(rf"\b{t}\b"), 1).otherwise(0).alias(f"hit_{t}")
+        for t in BLOCKLIST_TERMS
+    ]
+    m = docs.select("source", *hits)
+    any_hit = None
+    for t in BLOCKLIST_TERMS:
+        c = F.col(f"hit_{t}")
+        any_hit = c if any_hit is None else any_hit + c
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.sum(f"hit_{t}").cast("bigint").alias(f"n_{t}")
+            for t in BLOCKLIST_TERMS
+        ],
+        F.sum(F.when(any_hit > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.expr(
+            "CAST(sum(CASE WHEN "
+            + " + ".join(f"hit_{t}" for t in BLOCKLIST_TERMS)
+            + " > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            " * CAST(1000000 AS BIGINT) DIV count(*)"
+        ).alias("flagged_ppm"),
+    )

@@ -199,6 +199,9 @@ _PRIORITY = (
     "sim_mips_transform_check",
     "fin_abc_xyz_matrix",
     "mon_wow_event_volume",
+    "txt_blocklist_filter_audit",
+    "ev_adoption_latency_by_type",
+    "fin_discount_depth_profile",
     "ev_markov_stationary",
     "ts_rolling_origin_backtest",
     "dd_lsh_bands_curve",

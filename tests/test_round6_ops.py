@@ -621,3 +621,31 @@ def test_wow_alert_flags_consistent(spark, sf_dir):
             assert r["alert"] == 0
         else:
             assert (r["alert"] == 1) == (abs(r["wow_ppm"]) >= 500_000)
+
+
+# ---- round-6 batch 35 semantic invariants ----------------------------------
+
+
+def test_blocklist_audit_consistency(spark, sf_dir):
+    for r in registry.QUERIES["txt_blocklist_filter_audit"](spark, sf_dir).collect():
+        per_term_max = max(r["n_dolor"], r["n_vitae"], r["n_magna"])
+        per_term_sum = r["n_dolor"] + r["n_vitae"] + r["n_magna"]
+        assert per_term_max <= r["n_flagged"] <= min(r["n_docs"], per_term_sum)
+        assert r["flagged_ppm"] == r["n_flagged"] * 1_000_000 // r["n_docs"]
+
+
+def test_adoption_latency_nonnegative(spark, sf_dir):
+    rows = registry.QUERIES["ev_adoption_latency_by_type"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["event_type"] != "signup"
+        assert 0 <= r["p50_delay_s"] <= r["p90_delay_s"]
+
+
+def test_discount_profile_covers_lineitem(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    df = registry.QUERIES["fin_discount_depth_profile"](spark, sf_dir)
+    n = df.agg(F.sum("n_lines")).first()[0]
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert n == raw
