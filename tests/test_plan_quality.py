@@ -141,6 +141,11 @@ def test_no_python_eval_in_any_registered_query(spark, sf_dir):
         # truth, which is dd_embedding_neardup_pairs' allowlisted
         # broadcast-numpy kernel — same justification, same kernel.
         "dd_lsh_bands_curve",
+        # next-fit-decreasing packing: the (bin, remaining-capacity)
+        # state is a genuinely-sequential per-source recurrence — the
+        # same class as ts_ewma_daily — value-checked against a DuckDB
+        # recursive CTE replaying the identical rule.
+        "pack_nfd_bins",
     }
     offenders = []
     for name, fn in registry.QUERIES.items():
