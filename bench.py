@@ -341,6 +341,9 @@ HEADLINE_R14 = [
     "txt_blocklist_filter_audit",
     "ev_adoption_latency_by_type",
     "fin_discount_depth_profile",
+    "fin_customer_concentration_crn",
+    "ev_session_entry_exit_matrix",
+    "mm_payload_dedup",
 ]
 
 ALL_HEADLINE = (

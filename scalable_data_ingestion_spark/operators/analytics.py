@@ -4941,3 +4941,161 @@ def fin_discount_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Customer concentration ratios (CR4 / CR8) per nation — the market-
+# concentration companion to fin_supplier_hhi at the customer side:
+# what share of a nation's revenue its top-4 / top-8 customers carry.
+# Per-nation ranking via a key-partitioned window (bounded partitions:
+# customers-per-nation), conditional sums, exact two-stage ppm.
+# --------------------------------------------------------------------------
+@register(
+    "fin_customer_concentration_crn",
+    oracle="""
+    WITH pc AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents DESC, o_custkey) AS rk
+      FROM pc
+    )
+    SELECT CAST(c_nationkey AS INTEGER) AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS revenue,
+           CAST(sum(CASE WHEN rk <= 4 THEN cents ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(sum(cents) AS BIGINT) AS cr4_ppm,
+           CAST(sum(CASE WHEN rk <= 8 THEN cents ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(sum(cents) AS BIGINT) AS cr8_ppm
+    FROM ranked
+    GROUP BY c_nationkey
+    """,
+)
+def fin_customer_concentration_crn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CR4/CR8 customer revenue concentration per nation in exact ppm."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    pc = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("cents"), "o_custkey")
+    ranked = pc.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias("revenue"),
+        F.expr(
+            "CAST(sum(CASE WHEN rk <= 4 THEN cents ELSE 0 END) AS BIGINT)"
+            " * CAST(1000000 AS BIGINT) DIV CAST(sum(cents) AS BIGINT)"
+        ).alias("cr4_ppm"),
+        F.expr(
+            "CAST(sum(CASE WHEN rk <= 8 THEN cents ELSE 0 END) AS BIGINT)"
+            " * CAST(1000000 AS BIGINT) DIV CAST(sum(cents) AS BIGINT)"
+        ).alias("cr8_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Session entry/exit matrix — which event type opens a session vs
+# which closes it (the landing/exit-page report in event-type form).
+# Reuses the 30-minute-gap sessionization (the ev_user_sessions rule,
+# total-ordered by (ts, event_id)); first/last per session come from
+# min_by/max_by partial aggregations, never a per-session sort.
+# --------------------------------------------------------------------------
+@register(
+    "ev_session_entry_exit_matrix",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(new_session) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+      FROM flagged
+    ),
+    numbered AS (
+      SELECT user_id, session_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, session_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM sessions
+    ),
+    fl AS (
+      SELECT user_id, session_id,
+             max(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+             max(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    cells AS (
+      SELECT entry_type, exit_type, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM fl GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS t FROM cells)
+    SELECT entry_type, exit_type, n_sessions,
+           n_sessions * 1000000 // t AS share_ppm
+    FROM cells CROSS JOIN tot
+    """,
+)
+def ev_session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-type x exit-type session matrix (30-min gap sessions),
+    exact ppm shares, min_by/max_by — no per-session sort."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # second-truncated difference (unix_timestamp each side), matching
+    # DuckDB date_diff('second', ...) boundary counting — NOT the
+    # interval cast, which floors the raw difference and can disagree
+    # by one on sub-second-offset gaps straddling the 1800 s threshold
+    prev_ts = F.lag("ts").over(w)
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(prev_ts.isNull() | (gap_s > 1800), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    key = F.struct("ts", "event_id")
+    fl = sessions.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", key).alias("entry_type"),
+        F.max_by("event_type", key).alias("exit_type"),
+    )
+    cells = fl.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    tot = cells.agg(F.sum("n_sessions").cast("bigint").alias("t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "entry_type",
+        "exit_type",
+        "n_sessions",
+        F.expr("n_sessions * CAST(1000000 AS BIGINT) DIV t").alias(
+            "share_ppm"
+        ),
+    )

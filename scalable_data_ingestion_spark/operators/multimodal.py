@@ -394,3 +394,74 @@ def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("byte_offset").cast("bigint").alias("max_patch_offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# Payload-level exact dedup — the first pass of every multimodal
+# ingest (identical re-uploads are by far the most common duplicate
+# class): fingerprint the binary payload (md5 over the bytes), keep
+# the earliest media_id per fingerprint, report the cluster-size
+# histogram and the dedup ratio. The synthetic upload stream maps
+# {MM_DEDUP_UPLOADS} uploads onto {MM_DEDUP_DISTINCT} distinct
+# payloads (deterministic modulo), so both engines rebuild identical
+# fingerprints; at production scale this is a single shuffle on the
+# 16-byte digest — the dd_exact_dedup shape applied to binary columns.
+# --------------------------------------------------------------------------
+MM_DEDUP_UPLOADS = 200
+MM_DEDUP_DISTINCT = 150
+
+
+@register(
+    "mm_payload_dedup",
+    oracle=f"""
+    WITH up AS (
+      SELECT unnest(generate_series(0, {MM_DEDUP_UPLOADS - 1})) AS upload_id
+    ),
+    payloads AS (
+      SELECT upload_id,
+             md5('MEDIA:' || lpad(CAST(upload_id % {MM_DEDUP_DISTINCT}
+                                       AS VARCHAR), 12, '0')) AS fp
+      FROM up
+    ),
+    clusters AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_uploads,
+             CAST(min(upload_id) AS BIGINT) AS keeper_id
+      FROM payloads GROUP BY fp
+    )
+    SELECT n_uploads AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_uploads) AS BIGINT) AS n_total_uploads,
+           CAST(sum(n_uploads) - count(*) AS BIGINT) AS n_duplicates
+    FROM clusters
+    GROUP BY n_uploads
+    """,
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload exact-dedup cluster histogram (md5 fingerprints
+    over the synthetic upload stream, keep-earliest survivorship)."""
+    up = spark.range(MM_DEDUP_UPLOADS).select(F.col("id").alias("upload_id"))
+    payload = F.encode(
+        F.concat(
+            F.lit("MEDIA:"),
+            F.lpad(
+                (F.col("upload_id") % MM_DEDUP_DISTINCT).cast("string"),
+                12,
+                "0",
+            ),
+        ),
+        "utf-8",
+    )
+    payloads = up.select("upload_id", F.md5(payload).alias("fp"))
+    clusters = payloads.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_uploads"),
+        F.min("upload_id").cast("bigint").alias("keeper_id"),
+    )
+    return clusters.groupBy(
+        F.col("n_uploads").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_uploads").cast("bigint").alias("n_total_uploads"),
+        (F.sum("n_uploads") - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_duplicates"),
+    )

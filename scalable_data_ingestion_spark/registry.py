@@ -202,6 +202,9 @@ _PRIORITY = (
     "txt_blocklist_filter_audit",
     "ev_adoption_latency_by_type",
     "fin_discount_depth_profile",
+    "fin_customer_concentration_crn",
+    "ev_session_entry_exit_matrix",
+    "mm_payload_dedup",
     "ev_markov_stationary",
     "ts_rolling_origin_backtest",
     "dd_lsh_bands_curve",

@@ -649,3 +649,32 @@ def test_discount_profile_covers_lineitem(spark, sf_dir):
     n = df.agg(F.sum("n_lines")).first()[0]
     raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     assert n == raw
+
+
+# ---- round-6 batch 36 semantic invariants ----------------------------------
+
+
+def test_crn_bounds(spark, sf_dir):
+    for r in registry.QUERIES["fin_customer_concentration_crn"](spark, sf_dir).collect():
+        assert 0 < r["cr4_ppm"] <= r["cr8_ppm"] <= 1_000_000
+        if r["n_customers"] <= 4:
+            assert r["cr4_ppm"] >= 999_999 - 1  # top-4 IS everyone
+
+
+def test_session_matrix_counts_sessions(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    m = registry.QUERIES["ev_session_entry_exit_matrix"](spark, sf_dir)
+    total = m.agg(F.sum("n_sessions")).first()[0]
+    sessions = registry.QUERIES["ev_user_sessions"](spark, sf_dir).count()
+    assert total == sessions  # same sessionization rule end-to-end
+
+
+def test_payload_dedup_accounting(spark, sf_dir):
+    rows = registry.QUERIES["mm_payload_dedup"](spark, sf_dir).collect()
+    total_uploads = sum(r["n_total_uploads"] for r in rows)
+    total_clusters = sum(r["n_clusters"] for r in rows)
+    total_dupes = sum(r["n_duplicates"] for r in rows)
+    assert total_uploads == 200
+    assert total_clusters == 150
+    assert total_dupes == 50
