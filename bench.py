@@ -344,6 +344,9 @@ HEADLINE_R14 = [
     "fin_customer_concentration_crn",
     "ev_session_entry_exit_matrix",
     "mm_payload_dedup",
+    "fin_cohort_npv",
+    "ev_dow_hour_heatmap",
+    "dq_email_domain_distribution",
 ]
 
 ALL_HEADLINE = (

@@ -5099,3 +5099,140 @@ def ev_session_entry_exit_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Discounted cohort NPV — fin_cohort_nrr's time-value twin: each
+# acquisition cohort's revenue by month-since-acquisition, discounted
+# at 1%/month. The discount factors (100/101)^t are mathematical
+# constants, precomputed once in Python and baked as micro-unit
+# literals into BOTH engines (no runtime pow), so every discounted
+# cent is an exact integer floor product. One first-order reduction +
+# one fact rollup.
+# --------------------------------------------------------------------------
+NPV_MONTHLY_RATE = 0.01
+NPV_MAX_MONTHS = 96
+_NPV_FX = {
+    t: int(round((1.0 / (1.0 + NPV_MONTHLY_RATE)) ** t * 1_000_000))
+    for t in range(NPV_MAX_MONTHS + 1)
+}
+
+
+def _npv_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN {t} THEN {fx}" for t, fx in _NPV_FX.items()
+    )
+    return f"CASE months_since {whens} ELSE 0 END"
+
+
+@register(
+    "fin_cohort_npv",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(year(o_orderdate) * 12 + month(o_orderdate)) AS first_mix
+      FROM orders GROUP BY o_custkey
+    ),
+    tagged AS (
+      SELECT f.first_mix AS cohort_mix,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.first_mix
+                 AS months_since,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    disc AS (
+      SELECT cohort_mix, cents,
+             (cents * ({_npv_case_sql()})) // 1000000 AS npv_cents
+      FROM tagged
+    )
+    SELECT CAST(cohort_mix AS INTEGER) AS cohort_mix,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(cents) AS BIGINT) / 100.0, 2) AS nominal_revenue,
+           round(CAST(sum(npv_cents) AS BIGINT) / 100.0, 2) AS npv_revenue,
+           CAST(sum(npv_cents) AS BIGINT) * 1000000
+             // CAST(sum(cents) AS BIGINT) AS npv_ratio_ppm
+    FROM disc
+    GROUP BY cohort_mix
+    """,
+)
+def fin_cohort_npv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cohort nominal vs 1%/month-discounted revenue with exact
+    integer discounting (baked (1/1.01)^t micro-literals)."""
+    orders = table(spark, sf_dir, "orders")
+    mix = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = orders.groupBy("o_custkey").agg(F.min(mix).alias("first_mix"))
+    tagged = orders.join(firsts, "o_custkey").select(
+        F.col("first_mix").alias("cohort_mix"),
+        (mix - F.col("first_mix")).alias("months_since"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    # the discount CASE is shared verbatim with the oracle (baked
+    # micro-literal per month index)
+    disc = tagged.select(
+        "cohort_mix",
+        "cents",
+        F.expr(
+            f"(cents * ({_npv_case_sql()})) DIV 1000000"
+        ).alias("npv_cents"),
+    )
+    return disc.groupBy(
+        F.col("cohort_mix").cast("int").alias("cohort_mix")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("cents").cast("bigint") / 100.0, 2).alias(
+            "nominal_revenue"
+        ),
+        F.round(F.sum("npv_cents").cast("bigint") / 100.0, 2).alias(
+            "npv_revenue"
+        ),
+        F.expr(
+            "CAST(sum(npv_cents) AS BIGINT) * CAST(1000000 AS BIGINT)"
+            " DIV CAST(sum(cents) AS BIGINT)"
+        ).alias("npv_ratio_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week x hour activity heatmap — the capacity-planning picture
+# every ops team pins to a wall. DOW comes from epoch-day arithmetic
+# (the dow-seasonality convention — engine dayofweek() week-start
+# conventions differ); hour is a direct NTZ field extraction. Exact
+# counts + ppm of total.
+# --------------------------------------------------------------------------
+@register(
+    "ev_dow_hour_heatmap",
+    oracle="""
+    WITH cells AS (
+      SELECT ((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3)
+              % 7) + 1 AS dow,
+             hour(ts) AS hh,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM cells)
+    SELECT CAST(dow AS INTEGER) AS dow, CAST(hh AS INTEGER) AS hh, n,
+           n * 1000000 // t AS share_ppm
+    FROM cells CROSS JOIN tot
+    """,
+)
+def ev_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-dow x hour event heatmap (arithmetic dow, exact ppm)."""
+    ev = table(spark, sf_dir, "events")
+    dow = (
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+            + 3
+        )
+        % 7
+        + 1
+    )
+    cells = ev.groupBy(
+        dow.cast("int").alias("dow"), F.hour("ts").cast("int").alias("hh")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("t"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hh",
+        "n",
+        F.expr("n * CAST(1000000 AS BIGINT) DIV t").alias("share_ppm"),
+    )

@@ -1503,3 +1503,56 @@ def dq_null_pattern_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_defects"),
     )
+
+
+# --------------------------------------------------------------------------
+# Email-domain distribution — the ingestion-surface audit over the
+# reference-shaped order feed (base_orders synthesizes emails the way
+# the reference's API mapper does): domain share per source, catching
+# a feed that suddenly ships one domain (a classic upstream bug).
+# Exact counts + ppm; split_part string surgery shared cross-engine.
+# --------------------------------------------------------------------------
+from .orders_base import BASE_ORDERS_CTE as _BO_CTE
+from .orders_base import base_orders as _base_orders
+
+
+@register(
+    "dq_email_domain_distribution",
+    oracle=f"""
+    WITH {_BO_CTE},
+    d AS (
+      SELECT source, split_part(customer_email, '@', 2) AS domain
+      FROM base
+    ),
+    cells AS (
+      SELECT source, domain, CAST(count(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY source
+    )
+    SELECT c.source, c.domain, c.n,
+           c.n * 1000000 // t.t AS share_ppm
+    FROM cells c JOIN tot t USING (source)
+    """,
+)
+def dq_email_domain_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email-domain share per ingestion source over the synthesized
+    order feed (exact ppm)."""
+    b = _base_orders(spark, sf_dir)
+    d = b.select(
+        "source",
+        F.split_part(F.col("customer_email"), F.lit("@"), F.lit(2)).alias(
+            "domain"
+        ),
+    )
+    cells = d.groupBy("source", "domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cells.groupBy("source").agg(F.sum("n").cast("bigint").alias("t"))
+    return cells.join(F.broadcast(tot), "source").select(
+        "source",
+        "domain",
+        "n",
+        F.expr("n * CAST(1000000 AS BIGINT) DIV t").alias("share_ppm"),
+    )

@@ -205,6 +205,9 @@ _PRIORITY = (
     "fin_customer_concentration_crn",
     "ev_session_entry_exit_matrix",
     "mm_payload_dedup",
+    "fin_cohort_npv",
+    "ev_dow_hour_heatmap",
+    "dq_email_domain_distribution",
     "ev_markov_stationary",
     "ts_rolling_origin_backtest",
     "dd_lsh_bands_curve",

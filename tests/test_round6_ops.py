@@ -678,3 +678,34 @@ def test_payload_dedup_accounting(spark, sf_dir):
     assert total_uploads == 200
     assert total_clusters == 150
     assert total_dupes == 50
+
+
+# ---- round-6 batch 37 semantic invariants ----------------------------------
+
+
+def test_cohort_npv_discount_bounds(spark, sf_dir):
+    rows = registry.QUERIES["fin_cohort_npv"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["npv_revenue"] <= r["nominal_revenue"]
+        assert 0 < r["npv_ratio_ppm"] <= 1_000_000
+
+
+def test_dow_hour_heatmap_covers_events(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    df = registry.QUERIES["ev_dow_hour_heatmap"](spark, sf_dir)
+    total = df.agg(F.sum("n")).first()[0]
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == raw
+    for r in df.collect():
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hh"] <= 23
+
+
+def test_email_domains_partition_feed(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    df = registry.QUERIES["dq_email_domain_distribution"](spark, sf_dir)
+    per_source = df.groupBy("source").agg(F.sum("share_ppm").alias("s")).collect()
+    for r in per_source:
+        assert 1_000_000 - 12 < r["s"] <= 1_000_000  # floor loss < #domains
