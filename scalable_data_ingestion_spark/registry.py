@@ -109,93 +109,16 @@ def load_all() -> None:
 # Curated registry ordering. The driver's CORRECTNESS harness checks the
 # first N registered queries (N=50), so the leading entries rotate each
 # round to converge the driver's own record on the full registry.
-# Union of driver-green r1-r4 = 178 distinct; every name below is from
-# the 104-query never-driver-checked remainder. Window r5 leads with the
-# round-5 additions (committed after the r4 judge sweep, so they have
-# neither a driver hash nor a judge check yet) — including the FIXED
-# ev_ab_proportion_ztest, whose r4 red must be overwritten by a green
-# driver hash — then the r4-late families the r4 verdict called least
-# exercised (stat_*, ts_*, lexical, gr_neighbor_jaccard/kcore,
-# ev_stickiness/pareto, dq_l_diversity, feat_*, mon_*). Everything not
-# listed keeps registration order and stays covered by
-# tools/parity_sweep.py locally. Mid-round update: the nine operators
-# added THIS session lead (they postdate even this round's local
-# sweeps of the original window), displacing nine r4-era entries the
-# r4 judge sweep already hash-verified at sf0.01.
+# Round-7 window: union of driver-green CORRECTNESS_r01-r06 = 275
+# distinct names of 431 registered, leaving 156 never-driver-hashed.
+# This tuple is EXACTLY that 156-query never-checked set, in the same
+# newest-batches-first order the r6 rotation established, so the
+# driver's 50-query window is 50/50 first-timers and any larger window
+# burns more debt. Per the r6 verdict, net-new operator registration is
+# frozen this round; everything not listed keeps registration order and
+# stays covered by tools/parity_sweep.py locally (431/431 green at r6
+# HEAD).
 _PRIORITY = (
-    # Round-6 window. Heads: ev_qini_uplift (the r5 driver red, now
-    # hardened to exact integer rationals - MUST re-hash green), then
-    # the two queries whose implementations changed this round
-    # (timezone-free delays; DF-capped cross-lang index) so their
-    # hashes re-validate, then the three streaming/incremental batch
-    # twins the r5 verdict wanted driver-visible (stream-stream join
-    # by-segment, incremental-MV delta parity, incremental LSH
-    # assign). The remainder is the complete 142-query
-    # never-driver-checked set (union of CORRECTNESS_r01-r05 = 228
-    # checked of 375 registered), in registration order, newest
-    # batches first - so the 50-query window burns rotation debt and
-    # any larger window burns more. Everything after this tuple keeps
-    # registration order; tools/parity_sweep.py covers the full
-    # registry locally every round.
-    "ev_qini_uplift",
-    "ev_time_to_convert_percentiles",
-    "dq_cross_lang_overlap",
-    "sst_events_by_segment",
-    "ivm_join_delta_parity",
-    "dd_incremental_lsh_assign",
-    # Round-6 in-session additions (no driver hash, no judge sweep yet
-    # - newest-first rotation policy). The 44 entries below plus the 6
-    # heads fill the 50-query driver window exactly: 47 of the 50 have
-    # never been driver-hashed (the 44 new + the 3 streaming twins), so
-    # the round's max-possible rotation-debt burn is achieved while
-    # still re-hashing the 3 changed/contested implementations.
-    # In-session verification: every one of these is green in the
-    # driver-faithful parity sweep at sf0.001 AND sf0.01, and in a
-    # plain-SparkSession end-to-end drive (the /verify recipe).
-    "ev_shapley_attribution",
-    "ev_position_based_attribution",
-    "ev_time_decay_attribution",
-    "cust_nelson_aalen",
-    "stat_hodges_lehmann_daily",
-    "stat_mcnemar_repeat_years",
-    "dd_capture_recapture",
-    "gr_link_prediction_scores",
-    "ev_bot_burst_score",
-    "ev_order_velocity_flags",
-    "dq_benford_second_digit",
-    "dq_price_ending_bias",
-    "ml_knn_loo_accuracy",
-    "eval_f1_threshold_sweep",
-    "gr_greedy_mis",
-    "cust_tier_migration",
-    "ts_mom_yoy_growth",
-    "fin_pareto_abc_classes",
-    "stat_quantile_trend_grid",
-    "ev_power_user_curve",
-    "txt_code_detection",
-    "txt_heavy_change_tokens",
-    "fin_quarter_end_loading",
-    "ts_ljung_box_q",
-    "eval_seasonal_naive_mase",
-    "fin_revenue_bridge",
-    "fin_supplier_hhi",
-    "ev_holiday_lift",
-    "emb_dim_variance_isotropy",
-    "pack_nfd_bins",
-    "ev_markov_entropy_rate",
-    "dq_schema_fingerprint",
-    "sk_hll_intersection",
-    "fin_return_rate_by_brand",
-    "dq_id_density_audit",
-    "fn_map_lab",
-    "ivm_agg_delta_parity",
-    "opt_bloom_join_filter_sim",
-    "stat_runs_test_daily",
-    "ev_new_vs_returning_revenue",
-    "gr_degree_centralization",
-    "dq_null_pattern_mining",
-    "mb_basket_size_profile",
-    "fin_price_dispersion",
     "sim_mips_transform_check",
     "fin_abc_xyz_matrix",
     "mon_wow_event_volume",
@@ -350,6 +273,8 @@ _PRIORITY = (
     "mm_frame_sample",
     "sk_join_key_skew_report",
     "dd_cross_source_matrix",
+    "sk_approx_event_profile",
+    "sk_approx_order_quantiles",
 )
 
 

@@ -28,3 +28,49 @@ def test_every_query_has_callable(spark):
     assert len(qs) >= 10
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_coverage_doc_totals_match_registry():
+    """COVERAGE.md's header totals must equal the live registry counts.
+
+    Round-6 verdict flagged doc drift (header said 263 while the registry
+    held 431); this assertion makes the drift impossible to recommit.
+    """
+    import pathlib
+    import re
+
+    text = pathlib.Path(__file__).resolve().parents[1].joinpath("COVERAGE.md").read_text()
+    m = re.search(
+        r"Current totals: (\d+) registered queries, (\d+) with DuckDB oracle twins",
+        text,
+    )
+    assert m, "COVERAGE.md header totals line missing or reformatted"
+    assert int(m.group(1)) == len(registry.queries())
+    assert int(m.group(2)) == len(registry.oracles())
+
+
+def test_priority_rotation_all_unhashed():
+    """registry._PRIORITY must contain only queries with no driver hash yet.
+
+    The driver's CORRECTNESS window checks the first 50 registered names;
+    keeping _PRIORITY = the never-hashed set guarantees each round burns
+    maximum rotation debt (r6 verdict item #1).
+    """
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    hashed: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        hashed |= set(json.loads(f.read_text()))
+    qs = registry.queries()
+    stale = [k for k in registry._PRIORITY if k in hashed]
+    missing = [k for k in registry._PRIORITY if k not in qs]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    # The driver writes a new CORRECTNESS file each round AFTER this repo
+    # commits, so entries legitimately become hashed mid-cycle; flag only
+    # if the rotation failed to advance at all (whole window already seen).
+    window = list(qs)[:50]
+    assert any(k not in hashed for k in window) or len(hashed) >= len(qs), (
+        f"driver window contains no first-timers; stale _PRIORITY heads: {stale[:10]}"
+    )

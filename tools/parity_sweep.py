@@ -31,6 +31,13 @@ from scalable_data_ingestion_spark.catalog import TABLES  # noqa: E402
 from scalable_data_ingestion_spark.session import get_spark  # noqa: E402
 
 FLOAT_TOL = 1e-9
+# --strict: bit-exact float comparison (no rounding, no tolerance). The
+# driver's CORRECTNESS hash is computed over exact fetched values, so a
+# query that passes --strict at the driver's SF is guaranteed to
+# hash-match; the default 1e-9 tolerance is for fast iteration where
+# last-ulp accumulation-order noise is acceptable. Round-7 fragility
+# audit (VERDICT r6 item #5) runs the full registry through --strict.
+STRICT = False
 
 
 def _kind(series) -> str:
@@ -76,7 +83,7 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 9)
+        return v if STRICT else round(v, 9)
     if isinstance(v, datetime):
         v = v.replace(tzinfo=None)
         if v.hour == v.minute == v.second == v.microsecond == 0:
@@ -128,7 +135,11 @@ def compare(name: str, spark_pdf, oracle_pdf) -> list[str]:
     for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
         for c, a, b in zip(s_cols, sr, orow):
             if isinstance(a, float) and isinstance(b, float):
-                if not math.isclose(a, b, rel_tol=FLOAT_TOL, abs_tol=1e-6):
+                if STRICT:
+                    if a != b:
+                        problems.append(f"value[{i}][{c}]: {a!r} vs {b!r}")
+                        n_bad += 1
+                elif not math.isclose(a, b, rel_tol=FLOAT_TOL, abs_tol=1e-6):
                     problems.append(f"value[{i}][{c}]: {a} vs {b}")
                     n_bad += 1
             elif a != b:
@@ -144,9 +155,34 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--first", type=int, default=None, help="limit to first N registered")
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="bit-exact float comparison (driver-hash fidelity, no tolerance)",
+    )
+    ap.add_argument(
+        "--plain-session",
+        action="store_true",
+        help="plain SparkSession like the driver's (default shuffle "
+        "partitions etc.) — float accumulation order can differ from the "
+        "tuned session, so strict audits should use this",
+    )
     args = ap.parse_args()
+    if args.strict:
+        global STRICT
+        STRICT = True
 
-    spark = get_spark("parity-sweep")
+    if args.plain_session:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("parity-sweep")
     qs = registry.queries()
     oracles = registry.oracles()
     names = list(qs)

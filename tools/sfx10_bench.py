@@ -1,0 +1,70 @@
+"""Time registry queries at sf0.1 vs the ~10x synthetic slice (.sfx10).
+
+Round-6 verdict item #3: /root/testdata tops out at sf0.1, so the five
+queries with the worst 0.01->0.1 decade ratios owe one more decade of
+measured evidence. ``tools/make_sfx10.py`` builds the 10x slice; this
+harness times each query cold (fresh action, caches unpersisted via a
+fresh plan) and warm (second run of the same plan), printing a
+markdown-ready row per query.
+
+Usage:
+    python tools/sfx10_bench.py [--queries a b c] [--base /root/testdata/sf0.1]
+        [--big .sfx10] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from scalable_data_ingestion_spark import registry  # noqa: E402
+from scalable_data_ingestion_spark.session import get_spark  # noqa: E402
+
+DEFAULT_QUERIES = [
+    "gr_negative_edge_samples",
+    "gr_degree_centralization",
+    "dd_prefix_jaccard_pairs",
+    "ml_knn_loo_accuracy",
+    "mb_association_rules",
+]
+
+
+def time_query(spark, name, sf_dir, runs):
+    fn = registry.QUERIES[name]
+    times = []
+    rows = None
+    for _ in range(runs):
+        t0 = time.time()
+        rows = fn(spark, sf_dir).count()
+        times.append(time.time() - t0)
+        spark.catalog.clearCache()
+    return times, rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", nargs="*", default=DEFAULT_QUERIES)
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default=".sfx10")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = get_spark("sfx10-bench")
+    registry.load_all()
+    print("| query | sf0.1 warm (s) | sf~1 warm (s) | decade ratio | sf~1 rows |")
+    print("|---|---|---|---|---|")
+    for name in args.queries:
+        t_small, _ = time_query(spark, name, args.base, args.runs)
+        t_big, rows_big = time_query(spark, name, args.big, args.runs)
+        small, big = min(t_small), min(t_big)
+        print(
+            f"| {name} | {small:.2f} | {big:.2f} | {big / small:.1f}x | {rows_big} |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
