@@ -18,7 +18,9 @@ Contract reminders (see __spark_entry__ docstring):
 from __future__ import annotations
 
 import importlib
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -117,7 +119,13 @@ def load_all() -> None:
 # burns more debt. Per the r6 verdict, net-new operator registration is
 # frozen this round; everything not listed keeps registration order and
 # stays covered by tools/parity_sweep.py locally (431/431 green at r6
-# HEAD).
+# HEAD; 431/431 strict bit-exact at r7).
+#
+# Since round 7 the ordering SELF-ROTATES: _ordered() floats the
+# _PRIORITY names that no CORRECTNESS_r*.json has recorded yet ahead of
+# the already-hashed ones, so when the round-7 driver file lands, the
+# round-8 window automatically becomes the next 50 never-hashed names
+# without editing this tuple.
 _PRIORITY = (
     "sim_mips_transform_check",
     "fin_abc_xyz_matrix",
@@ -278,10 +286,34 @@ _PRIORITY = (
 )
 
 
+def _driver_hashed() -> frozenset[str]:
+    """Names already value-checked by a driver CORRECTNESS_r*.json record.
+
+    Read fresh on every ordering call (the files are tiny) so the
+    rotation self-advances: the round-N driver run lands a new file,
+    and from that moment the round-N+1 window automatically leads with
+    the remaining never-hashed names — no manual _PRIORITY rewrite per
+    round, no stale-window round like r5->r6. Outside a repo checkout
+    (no CORRECTNESS files found) this returns empty and the static
+    _PRIORITY order applies unchanged.
+    """
+    root = Path(__file__).resolve().parents[1]
+    names: set[str] = set()
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            names |= set(json.loads(f.read_text()))
+        except (OSError, ValueError):
+            continue
+    return frozenset(names)
+
+
 def _ordered(mapping: dict[str, object]) -> dict:
-    head = {k: mapping[k] for k in _PRIORITY if k in mapping}
-    tail = {k: v for k, v in mapping.items() if k not in head}
-    return {**head, **tail}
+    hashed = _driver_hashed()
+    priority = [k for k in _PRIORITY if k in mapping]
+    rest = [k for k in mapping if k not in set(priority)]
+    fresh = [k for k in priority + rest if k not in hashed]
+    seen = [k for k in priority + rest if k in hashed]
+    return {k: mapping[k] for k in fresh + seen}
 
 
 def queries() -> dict[str, QueryFn]:

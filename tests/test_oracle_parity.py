@@ -67,10 +67,17 @@ def test_priority_rotation_all_unhashed():
     stale = [k for k in registry._PRIORITY if k in hashed]
     missing = [k for k in registry._PRIORITY if k not in qs]
     assert not missing, f"_PRIORITY names not in registry: {missing}"
-    # The driver writes a new CORRECTNESS file each round AFTER this repo
-    # commits, so entries legitimately become hashed mid-cycle; flag only
-    # if the rotation failed to advance at all (whole window already seen).
+    # _ordered() self-rotates: never-hashed _PRIORITY names float ahead
+    # of already-hashed ones on every call, so the driver window must be
+    # first-timers for as long as any remain — across rounds, with no
+    # manual tuple rewrite. `stale` entries are fine (they become hashed
+    # when the driver lands a new CORRECTNESS file); a window that still
+    # leads with a hashed name while unhashed ones exist is the bug.
     window = list(qs)[:50]
-    assert any(k not in hashed for k in window) or len(hashed) >= len(qs), (
-        f"driver window contains no first-timers; stale _PRIORITY heads: {stale[:10]}"
+    unhashed_total = [k for k in qs if k not in hashed]
+    expect_fresh = min(50, len(unhashed_total))
+    fresh_in_window = [k for k in window if k not in hashed]
+    assert len(fresh_in_window) == expect_fresh, (
+        f"driver window has {len(fresh_in_window)} first-timers, expected "
+        f"{expect_fresh}; stale heads: {stale[:10]}"
     )
