@@ -29,6 +29,7 @@ Python UDFs anywhere.
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -561,43 +562,59 @@ def dd_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # join + aggregate; labels only decrease, so equal label-sums certify
 # the fixpoint). The oracle is a recursive CTE — the rare case where
 # DuckDB can value-check a genuinely iterative Spark algorithm.
+#
+# Hybrid strategy (round 7): the near-dup EDGE relation is tiny relative
+# to the corpus — it holds only the pairs that survived the Jaccard
+# threshold, i.e. the duplicates themselves, not the documents. When it
+# fits comfortably on the driver (<= FAST_CC_EDGE_CAP edges, the same
+# kind of explicit smallness bound as a broadcast-join threshold), a
+# driver-side union-find computes the identical min-label components in
+# microseconds instead of paying 2+ distributed rounds of fixed job
+# overhead. Above the cap — a corpus whose duplicate graph alone
+# outgrows driver memory — the distributed min-label loop runs
+# unchanged. Both paths produce byte-identical labels (min doc_id per
+# component; union-by-min keeps the minimum as root) and the pytest
+# suite asserts their equality on the same pair set.
 # --------------------------------------------------------------------------
-@register(
-    "dd_neardup_components",
-    oracle=f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT doc_a, doc_b FROM inter
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
-    ),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION ALL
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
-    walk(doc_id, lab) AS (
-      SELECT doc_id, doc_id FROM nodes
-      UNION
-      SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.doc_id
-      WHERE w.lab < e.b
-    ),
-    comp AS (SELECT doc_id, min(lab) AS component_id FROM walk GROUP BY doc_id)
-    SELECT doc_id, component_id,
-           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
-             AS component_size
-    FROM comp
-    """,
-)
-def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+FAST_CC_EDGE_CAP = int(os.environ.get("SPARK_GRAFT_FAST_CC_CAP", "200000"))
+
+
+def _components_unionfind(pair_rows) -> list[tuple[int, int, int]]:
+    """Min-label connected components of an edge list via union-find
+    (union-by-min + path compression). Returns (doc_id, component_id,
+    component_size) rows for every node that appears in an edge."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pair_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    members: dict[int, list[int]] = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    return [
+        (node, root, len(nodes))
+        for root, nodes in members.items()
+        for node in nodes
+    ]
+
+
+def _components_distributed(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Iterative distributed min-label propagation over the pair graph
+    (the > FAST_CC_EDGE_CAP path; each round = one shuffle join + agg)."""
     edges = (
         pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
         .toDF("src", "dst")
@@ -651,6 +668,56 @@ def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.withColumn(
         "component_size", F.count(F.lit(1)).over(size_w).cast("bigint")
     )
+
+
+@register(
+    "dd_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shingle a JOIN shingle b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    walk(doc_id, lab) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.doc_id
+      WHERE w.lab < e.b
+    ),
+    comp AS (SELECT doc_id, min(lab) AS component_id FROM walk GROUP BY doc_id)
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS component_size
+    FROM comp
+    """,
+)
+def dd_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    n_edges = pairs.count()  # materializes the cache either path reuses
+    if n_edges <= FAST_CC_EDGE_CAP:
+        rows = _components_unionfind(
+            (r["doc_a"], r["doc_b"]) for r in pairs.collect()
+        )
+        pairs.unpersist()
+        return spark.createDataFrame(
+            rows, schema="doc_id long, component_id long, component_size long"
+        )
+    out = _components_distributed(spark, pairs)
+    pairs.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
