@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import register
 from ..plans.stats import fz_party_name_matches
+from .dedup import FAST_CC_EDGE_CAP, _components_unionfind
 
 def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """Connected components of an undirected match graph given as
@@ -49,7 +50,24 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     certifies the fixpoint (no driver-side graph state). Returns
     ``(node, lab)`` for matched nodes only; raises if the diameter
     exceeds ``max_rounds``.
+
+    Hybrid (round 7, same strategy switch as
+    ``dedup.dd_neardup_components``): the match-pair relation holds
+    only verified matches — dimension-sized relative to the registry —
+    so when it fits under FAST_CC_EDGE_CAP it is collected and closed
+    with driver-side union-by-min (identical labels), skipping the
+    per-round distributed job overhead; larger graphs take the loop.
     """
+    pairs = pairs.cache()
+    n_edges = pairs.count()  # materializes the cache either path reuses
+    if n_edges <= FAST_CC_EDGE_CAP:
+        rows = _components_unionfind((r[0], r[1]) for r in pairs.collect())
+        spark = pairs.sparkSession
+        pairs.unpersist()
+        return spark.createDataFrame(
+            [(node, lab) for node, lab, _size in rows],
+            schema="node long, lab long",
+        )
     edges = (
         pairs.union(pairs.select(F.col("b"), F.col("a")))
         .toDF("src", "dst")
@@ -92,6 +110,7 @@ def min_label_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
+    pairs.unpersist()
     if not converged:
         raise RuntimeError(
             f"entity resolution did not converge in {max_rounds} rounds"

@@ -53,3 +53,16 @@ def test_dd_neardup_components_fast_path_matches_forced_distributed(
     dist = _rows(dedup.dd_neardup_components(spark, sf_dir))
     assert fast == dist
     assert fast, "sf fixture should contain at least one near-dup pair"
+
+
+def test_min_label_components_fast_path_matches_loop(spark, monkeypatch):
+    from scalable_data_ingestion_spark.operators import entity
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (10, 11), (30, 31), (31, 11)], "a long, b long"
+    )
+    fast = sorted((r["node"], r["lab"]) for r in entity.min_label_components(pairs).collect())
+    monkeypatch.setattr(entity, "FAST_CC_EDGE_CAP", -1)
+    dist = sorted((r["node"], r["lab"]) for r in entity.min_label_components(pairs).collect())
+    assert fast == dist
+    assert dict(fast)[31] == 10 and dict(fast)[5] == 2
