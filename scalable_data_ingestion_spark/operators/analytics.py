@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import register
+from ._branches import explode_branches
 
 FUNNEL_STAGES = ("view", "click", "purchase")
 
@@ -2883,21 +2884,23 @@ def ev_conversion_window_sensitivity(
             .alias(f"c_{lbl}")
         )
     counts = fp.agg(*aggs)
-    outs = [
-        counts.select(
-            F.lit(lbl).alias("attribution_window"),
-            "n_viewers",
-            F.col(f"c_{lbl}").alias("n_converted"),
-            F.round(F.col(f"c_{lbl}") * 1.0 / F.col("n_viewers"), 6).alias(
-                "conversion_rate"
-            ),
-        )
-        for lbl, _ in CONV_WINDOWS
-    ]
-    out = outs[0]
-    for df in outs[1:]:
-        out = out.unionByName(df)
-    return out
+    # One-row aggregate fanned out with a single reference (a union of
+    # per-window selects would re-run the first-view/first-purchase
+    # join once per attribution window).
+    return explode_branches(
+        counts,
+        [
+            F.struct(
+                F.lit(lbl).alias("attribution_window"),
+                F.col("n_viewers"),
+                F.col(f"c_{lbl}").alias("n_converted"),
+                F.round(
+                    F.col(f"c_{lbl}") * 1.0 / F.col("n_viewers"), 6
+                ).alias("conversion_rate"),
+            )
+            for lbl, _ in CONV_WINDOWS
+        ],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -3944,23 +3947,25 @@ def stat_quantile_trend_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"l90_{s}")
         )
     cells = base.agg(*aggs)
-    outs = [
-        cells.select(
-            F.lit(s).alias("slope_cpd"),
-            F.col(f"l50_{s}").alias("loss50_x10"),
-            F.col(f"l90_{s}").alias("loss90_x10"),
-            F.least(
-                *[F.col(f"l50_{x}") for x in QR_SLOPES_CPD]
-            ).alias("_m50"),
-            F.least(
-                *[F.col(f"l90_{x}") for x in QR_SLOPES_CPD]
-            ).alias("_m90"),
-        )
-        for s in QR_SLOPES_CPD
-    ]
-    out = outs[0]
-    for df in outs[1:]:
-        out = out.unionByName(df)
+    # Single reference to the one-row loss grid (union-of-selects would
+    # re-aggregate the daily series once per candidate slope).
+    out = explode_branches(
+        cells,
+        [
+            F.struct(
+                F.lit(s).alias("slope_cpd"),
+                F.col(f"l50_{s}").alias("loss50_x10"),
+                F.col(f"l90_{s}").alias("loss90_x10"),
+                F.least(
+                    *[F.col(f"l50_{x}") for x in QR_SLOPES_CPD]
+                ).alias("_m50"),
+                F.least(
+                    *[F.col(f"l90_{x}") for x in QR_SLOPES_CPD]
+                ).alias("_m90"),
+            )
+            for s in QR_SLOPES_CPD
+        ],
+    )
     return out.select(
         "slope_cpd",
         "loss50_x10",

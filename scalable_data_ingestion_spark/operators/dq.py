@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ._branches import explode_branches
 from ..registry import register
 
 # MAD -> sigma-equivalent scale for a normal distribution.
@@ -584,6 +585,14 @@ def dq_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = table(spark, sf_dir, "orders").withColumn(
         "half", (F.col("o_orderkey") % 2).cast("int")
     )
+    # Deliberately one branch per column rather than one multi-distinct
+    # agg: column pruning means each branch scans only (o_orderkey +
+    # its one profiled column), so the union reads ~the same total
+    # bytes as a single all-column scan — while the fused alternative
+    # (4 countDistincts in one agg) plans as a 5-way Expand feeding
+    # SortAggregates with set buffers: measured 3x slower at sf0.1 and
+    # a worse shape at any SF (sorting 5x-expanded rows vs pipelined
+    # codegen hash aggs).
     parts = []
     for c in _PROFILE_COLS:
         parts.append(
@@ -1008,8 +1017,9 @@ def dq_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped = t.groupBy(*cols).agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
-        n_rows = t.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        # n_rows = sum of group sizes — no second scan of the table.
         agg = grouped.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
             F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
             F.sum((F.col("c") > 1).cast("int")).cast("bigint").alias(
                 "dup_groups"
@@ -1017,7 +1027,7 @@ def dq_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").cast("bigint").alias("max_group"),
         )
         outs.append(
-            agg.crossJoin(F.broadcast(n_rows)).select(
+            agg.select(
                 F.lit(tbl).alias("table_name"),
                 F.lit(name).alias("candidate"),
                 "n_rows",
@@ -1071,16 +1081,23 @@ def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for name, child, fk, parent, pk in _FK_EDGES:
         c = table(spark, sf_dir, child)
-        p = table(spark, sf_dir, parent)
+        # One scan of the child: left join + conditional count instead
+        # of a left_anti scan PLUS a separate count scan. Exact because
+        # `pk` is the parent's primary key (unique), so the left join
+        # never multiplies child rows — the same assumption the
+        # oracle's NOT EXISTS encodes.
+        pk_rel = table(spark, sf_dir, parent).select(F.col(pk).alias("_pk"))
         if parent in ("nation", "region", "supplier", "part", "customer"):
-            p = F.broadcast(p)
-        orphans = c.join(p, c[fk] == p[pk], "left_anti")
-        n_child = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
-        agg = orphans.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+            pk_rel = F.broadcast(pk_rel)
+        matched = c.join(pk_rel, c[fk] == F.col("_pk"), "left")
+        agg = matched.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.col("_pk").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_orphans"),
         )
         outs.append(
-            agg.crossJoin(F.broadcast(n_child)).select(
+            agg.select(
                 F.lit(name).alias("fk_edge"),
                 "n_child",
                 "n_orphans",
@@ -1347,28 +1364,36 @@ def _fp_oracle() -> str:
 def dq_schema_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column fingerprint (rows, nulls ppm, exact distinct) for the
     core relational tables — ONE aggregation pass per table."""
+    # One branch per (table, column), each aggregating ONLY its own
+    # column: column pruning makes every branch scan just that column,
+    # so the union reads ~the same bytes as one all-column pass, each
+    # branch plans as a codegen single-distinct agg (no Expand), and
+    # independent branches schedule concurrently. (A fused per-table
+    # multi-distinct agg read out per column re-executes the all-column
+    # aggregation len(cols) times; a single explode reference fixes
+    # that but plans the multi-distinct as a SortAggregate Expand —
+    # both measured slower at sf0.1.)
     outs = []
     for t, cols in _FP_TABLES.items():
         df = table(spark, sf_dir, t)
-        aggs = []
         for c in cols:
-            aggs.append(F.count(F.lit(1)).cast("bigint").alias(f"rows_{c}"))
-            aggs.append(
-                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"null_{c}")
+            cell = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(
+                    "n_null"
+                ),
+                F.countDistinct(c).cast("bigint").alias("n_distinct"),
             )
-            aggs.append(F.countDistinct(c).cast("bigint").alias(f"nd_{c}"))
-        cells = df.agg(*aggs)
-        for c in cols:
             outs.append(
-                cells.select(
+                cell.select(
                     F.lit(t).alias("table_name"),
                     F.lit(c).alias("column_name"),
-                    F.col(f"rows_{c}").alias("n_rows"),
-                    F.col(f"null_{c}").alias("n_null"),
+                    "n_rows",
+                    "n_null",
                     F.expr(
-                        f"null_{c} * CAST(1000000 AS BIGINT) DIV rows_{c}"
+                        "n_null * CAST(1000000 AS BIGINT) DIV n_rows"
                     ).alias("null_ppm"),
-                    F.col(f"nd_{c}").alias("n_distinct"),
+                    "n_distinct",
                 )
             )
     out = outs[0]

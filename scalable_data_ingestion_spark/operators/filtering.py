@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ._branches import explode_branches
 from ..registry import register
 from .text import tokens_col
 
@@ -620,7 +621,7 @@ def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         tp, fp = F.col(f"tp_{i}"), F.col(f"fp_{i}")
         fn, tn = F.col(f"fn_{i}"), F.col(f"tn_{i}")
         outs.append(
-            cells.select(
+            F.struct(
                 F.lit(t).alias("threshold"),
                 tp.alias("tp"),
                 fp.alias("fp"),
@@ -642,7 +643,6 @@ def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (2 * tp + fp + fn).cast("bigint").alias("f1_den"),
             )
         )
-    out = outs[0]
-    for df in outs[1:]:
-        out = out.unionByName(df)
-    return out
+    # Single reference to the one-row confusion grid (union-of-selects
+    # would rescan the scored corpus once per threshold).
+    return explode_branches(cells, outs)

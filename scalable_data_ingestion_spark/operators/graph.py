@@ -2183,28 +2183,27 @@ def gr_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     j = ek.crossJoin(F.broadcast(nk)).crossJoin(F.broadcast(ks))
-    outs = []
-    for d in RICH_DIVS:
-        outs.append(
-            j.select(
-                F.col(f"k_{d}").alias("k_threshold"),
-                F.col(f"n_{d}").alias("n_rich"),
-                F.expr(f"e_{d} DIV 2").cast("bigint").alias("e_rich"),
-                F.when(
-                    F.col(f"n_{d}") > 1,
-                    F.round(
-                        F.col(f"e_{d}")
-                        * 1.0
-                        / (F.col(f"n_{d}") * (F.col(f"n_{d}") - 1)),
-                        6,
-                    ),
-                ).alias("phi"),
-            )
+    # One row per threshold via explode over the SINGLE one-row `j` —
+    # a per-threshold union of selects would re-execute the edge-join
+    # aggregate (the expensive subtree) once per RICH_DIVS branch.
+    branches = [
+        F.struct(
+            F.col(f"k_{d}").alias("k_threshold"),
+            F.col(f"n_{d}").alias("n_rich"),
+            F.expr(f"e_{d} DIV 2").cast("bigint").alias("e_rich"),
+            F.when(
+                F.col(f"n_{d}") > 1,
+                F.round(
+                    F.col(f"e_{d}")
+                    * 1.0
+                    / (F.col(f"n_{d}") * (F.col(f"n_{d}") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
         )
-    out = outs[0]
-    for df in outs[1:]:
-        out = out.unionByName(df)
-    return out
+        for d in RICH_DIVS
+    ]
+    return j.select(F.explode(F.array(*branches)).alias("r")).select("r.*")
 
 
 # --------------------------------------------------------------------------

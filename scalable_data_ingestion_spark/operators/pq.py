@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table, widen_if_narrow
 from ..registry import register
+from .clustering import _materialize_centroids
 
 PQ_SUBS = 8  # subspaces
 PQ_SUBDIM = 8  # dims per subspace (8 x 8 = 64)
@@ -217,7 +218,12 @@ def _codebook(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
         "s", F.col("vec_id").cast("int").alias("cid"), F.col("se").alias("ce")
     )
     for _ in range(PQ_ITERS):
-        cent = _update(_assign(sub, cent))
+        # Codebooks are dimension-sized (SUBSPACES x PQ_K rows), so they
+        # are held driver-side between rounds (see
+        # clustering._materialize_centroids) — without this, `cent` is
+        # referenced by BOTH the codes assignment and the ADC table, and
+        # each reference re-executes the whole training chain.
+        cent = _materialize_centroids(_update(_assign(sub, cent)))
     codes = _assign(sub, cent).select("vec_id", "s", "cid")
     return cent, codes
 

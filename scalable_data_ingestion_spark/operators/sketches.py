@@ -169,19 +169,29 @@ def sk_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .persist()
     )
-    cells = None
-    for r in range(CMS_DEPTH):
-        part = counted.select(F.lit(r).alias("r"), _cms_bucket_col(r), "n").groupBy(
-            "r", f"b{r}"
-        ).agg(F.sum("n").alias("cell")).withColumnRenamed(f"b{r}", "bucket")
-        cells = part if cells is None else cells.unionByName(part)
-    top = counted.orderBy(F.col("n").desc(), "token").limit(CMS_TOPK)
-    probes = None
-    for r in range(CMS_DEPTH):
-        part = top.select("token", "n", F.lit(r).alias("r"), _cms_bucket_col(r)).withColumnRenamed(
-            f"b{r}", "bucket"
+    # All CMS_DEPTH hash rows in ONE pass over the (persisted) counts —
+    # a per-depth union of selects re-reads the frame CMS_DEPTH times.
+    def _rows_exploded(src: DataFrame, *extra: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cms_bucket_col(r).alias("bucket"),
+                )
+                for r in range(CMS_DEPTH)
+            ]
         )
-        probes = part if probes is None else probes.unionByName(part)
+        return src.select(*extra, F.explode(arr).alias("_c")).select(
+            *extra, "_c.*"
+        )
+
+    cells = (
+        _rows_exploded(counted, "n")
+        .groupBy("r", "bucket")
+        .agg(F.sum("n").alias("cell"))
+    )
+    top = counted.orderBy(F.col("n").desc(), "token").limit(CMS_TOPK)
+    probes = _rows_exploded(top, "token", "n")
     return (
         probes.join(F.broadcast(cells), ["r", "bucket"])
         .groupBy("token", "n")
@@ -474,19 +484,26 @@ def _cms_key_bucket_col(row: int, key: str):
 
 
 def _cms_cells(counted: DataFrame, key: str) -> DataFrame:
-    """(r, b, cell) rows of the CMS over (key, n) counts."""
-    per_row = [
-        counted.select(
-            F.lit(r).alias("r"),
-            _cms_key_bucket_col(r, key),
-            F.col("n").alias("n"),
-        )
-        for r in range(CMS_DEPTH)
-    ]
-    out = per_row[0]
-    for df in per_row[1:]:
-        out = out.unionByName(df)
-    return out.groupBy("r", "b").agg(F.sum("n").cast("bigint").alias("cell"))
+    """(r, b, cell) rows of the CMS over (key, n) counts.
+
+    All CMS_DEPTH hash rows are emitted per input row via one explode —
+    a per-row union of selects would scan `counted` CMS_DEPTH times."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                _cms_key_bucket_col(r, key),
+                F.col("n").alias("n"),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        counted.select(F.explode(rows).alias("_c"))
+        .select("_c.*")
+        .groupBy("r", "b")
+        .agg(F.sum("n").cast("bigint").alias("cell"))
+    )
 
 
 @register(

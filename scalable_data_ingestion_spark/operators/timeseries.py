@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ._branches import explode_branches
 from ..registry import register
 
 
@@ -1812,18 +1813,19 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = row.select(
             "*", *[F.expr(e).alias(c) for c, e in phis]
         )
-    outs = [
-        row.select(
-            F.lit(k).cast("int").alias("lag"),
-            F.round(F.col(f"rho{k}"), 6).alias("acf"),
-            F.round(F.col(f"a{k}"), 6).alias("pacf"),
-        )
-        for k in range(1, PACF_MAX_LAG + 1)
-    ]
-    out = outs[0]
-    for df in outs[1:]:
-        out = out.unionByName(df)
-    return out
+    # Single reference to the one-row Durbin-Levinson grid (a per-lag
+    # union of selects would re-run the lag-pair aggregate per lag).
+    return explode_branches(
+        row,
+        [
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                F.round(F.col(f"rho{k}"), 6).alias("acf"),
+                F.round(F.col(f"a{k}"), 6).alias("pacf"),
+            )
+            for k in range(1, PACF_MAX_LAG + 1)
+        ],
+    )
 
 
 # --------------------------------------------------------------------------

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.ranking import take_ordered_ranked
+from ..operators._branches import explode_branches
 from ..registry import register
 from ..operators.orders_base import BASE_ORDERS_CTE, base_orders
 
@@ -1367,15 +1368,15 @@ def opt_conjunction_selectivity(
         F.sum((b & d).cast("int")).cast("bigint").alias("cbd"),
         F.sum((c & d).cast("int")).cast("bigint").alias("ccd"),
     )
-    outs = []
+    branches = []
     for name, c1, c2, cj in _SEL_PAIRS:
         n = F.col("n")
         est = (F.col(c1) * 1.0 / n) * (F.col(c2) * 1.0 / n)
         act = F.col(cj) * 1.0 / n
-        outs.append(
-            counts.select(
+        branches.append(
+            F.struct(
                 F.lit(name).alias("pair"),
-                "n",
+                F.col("n"),
                 F.col(c1).alias("n_a"),
                 F.col(c2).alias("n_b"),
                 F.col(cj).alias("n_actual"),
@@ -1387,10 +1388,9 @@ def opt_conjunction_selectivity(
                 ).alias("q_error"),
             )
         )
-    out = outs[0]
-    for df in outs[1:]:
-        out = out.unionByName(df)
-    return out
+    # Single reference to the one-row count grid: a per-pair union of
+    # selects would rescan `orders` once per predicate pair.
+    return explode_branches(counts, branches)
 
 
 # --------------------------------------------------------------------------
