@@ -1682,9 +1682,26 @@ def txt_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     und = raw.groupBy("a", "b").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    # Both directions from ONE reference (a flip-union executes the
+    # skip-bigram aggregate twice; see operators.graph._symmetrize).
     edges = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
-        .unionByName(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src"),
+                        F.col("b").alias("dst"),
+                        F.col("w"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"),
+                        F.col("a").alias("dst"),
+                        F.col("w"),
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.*")
         .persist()
     )
     wsum = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wsum"))

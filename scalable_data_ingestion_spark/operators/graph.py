@@ -56,6 +56,22 @@ PR_SCALE = 10**9  # fixed-point scale for rank mass
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
+def _symmetrize(und: DataFrame, ca: str, cb: str, oa: str, ob: str) -> DataFrame:
+    """Both directions of an undirected edge list from ONE reference.
+
+    `und.select(a,b).unionByName(und.select(b,a))` executes the
+    upstream support join twice (unions are independent plans); one
+    explode of the two orientations keeps a single reference, so the
+    co-purchase join runs once regardless of caching."""
+    e = F.explode(
+        F.array(
+            F.struct(F.col(ca).alias(oa), F.col(cb).alias(ob)),
+            F.struct(F.col(cb).alias(oa), F.col(ca).alias(ob)),
+        )
+    ).alias("_e")
+    return und.select(e).select("_e.*")
+
+
 def _shuffle_partitions(spark: SparkSession) -> int:
     try:
         return int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -343,8 +359,7 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     pairs = (
-        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        _symmetrize(und, "pa", "pb", "src", "dst")
         # co-partition on the per-round join key once; every round's
         # label join then reuses this layout (same policy as PageRank).
         .repartition(_shuffle_partitions(spark), "dst")
@@ -435,8 +450,7 @@ def gr_two_hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     pairs = (
-        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        _symmetrize(und, "pa", "pb", "src", "dst")
         .cache()
     )
     deg = pairs.groupBy(F.col("src").alias("node")).agg(
@@ -1517,9 +1531,7 @@ def gr_triangle_total_degree_oriented(spark: SparkSession, sf_dir: str) -> DataF
         .filter(F.col("sup") >= TRI_MIN_SUP)
         .select("pa", "pb")
     )
-    sym = und.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
-        und.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-    )
+    sym = _symmetrize(und, "pa", "pb", "u", "v")
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     # orient each undirected edge at its higher-(degree, id) endpoint
     du = deg.select(F.col("u").alias("pa"), F.col("d").alias("da"))
@@ -1630,8 +1642,7 @@ def gr_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     pairs = (
-        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        _symmetrize(und, "pa", "pb", "src", "dst")
         .repartition(_shuffle_partitions(spark), "dst")
         .persist()
     )
@@ -1734,8 +1745,7 @@ def gr_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     pairs = (
-        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        _symmetrize(und, "pa", "pb", "src", "dst")
         .repartition(_shuffle_partitions(spark), "dst")
         .persist()
     )
@@ -1841,8 +1851,7 @@ def gr_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb")
     )
     pairs = (
-        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        _symmetrize(und, "pa", "pb", "src", "dst")
         .persist()
     )
     deg = pairs.groupBy(F.col("src").alias("node")).agg(

@@ -304,11 +304,20 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = sess.groupBy("user_id", "sid").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
-    bounds = spans.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionByName(
-        spans.select(
-            F.expr("e + INTERVAL 1 SECOND").alias("ts"), F.lit(-1).alias("delta")
-        )
-    )
+    # Both sweep-line boundary rows from ONE reference to the span
+    # aggregate (a flip-union would run the sessionization window +
+    # groupBy twice).
+    bounds = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("ts"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.expr("e + INTERVAL 1 SECOND").alias("ts"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("_b")
+    ).select("_b.*")
     daily = bounds.select(
         F.date_trunc("day", "ts").cast("date").alias("day"), "ts", "delta"
     )

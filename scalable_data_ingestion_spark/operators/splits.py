@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ._branches import explode_branches
 from ..registry import register
 from .text import _md5_bucket_expr_sql, tokens_col
 
@@ -230,41 +231,62 @@ def pipe_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5("text").alias("fp"),
     )
+    # SINGLE PASS: per-row survivor flags for every stage, then one
+    # conditional aggregate fanned out per stage. A union of per-stage
+    # aggs re-executes the shared chain per branch (the dedup window
+    # alone would run 4x). `pick` = running count of quality survivors
+    # in the same (md5, doc_id) order the standalone quota operator
+    # uses — identical to row_number over the filtered relation because
+    # the ordering key is unique (explicit ROWS frame, no RANGE peers).
     keep_w = W.partitionBy("fp").orderBy("doc_id")
-    s1 = (
+    quota_w = (
+        W.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is1 = F.col("_rn") == 1
+    is2 = is1 & F.col("lang").isin(*FUNNEL_LANGS)
+    is3 = is2 & (F.col("n_tok") >= 20) & (F.col("diversity") >= 0.2)
+    flagged = (
         s0.withColumn("_rn", F.row_number().over(keep_w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-    s2 = s1.filter(F.col("lang").isin(*FUNNEL_LANGS))
-    s3 = s2.filter((F.col("n_tok") >= 20) & (F.col("diversity") >= 0.2))
-    quota_w = W.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    s4 = (
-        s3.withColumn("pick", F.row_number().over(quota_w))
-        .filter(F.col("pick") <= FUNNEL_QUOTA)
-        .drop("pick")
-    )
-
-    def stage(df: DataFrame, i: int, gate: str) -> DataFrame:
-        return df.agg(
-            F.lit(i).alias("stage"),
-            F.lit(gate).alias("gate"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        .withColumn("_s3", is3.cast("int"))
+        .withColumn("pick", F.sum("_s3").over(quota_w))
+        .select(
+            "n_tok",
+            is1.alias("_is1"),
+            is2.alias("_is2"),
+            F.col("_s3").cast("boolean").alias("_is3"),
+            (
+                (F.col("_s3") == 1) & (F.col("pick") <= FUNNEL_QUOTA)
+            ).alias("_is4"),
         )
-
-    from functools import reduce
-
-    return reduce(
-        DataFrame.unionByName,
+    )
+    gates = [
+        (0, "ingest", F.lit(True)),
+        (1, "exact_dedup", F.col("_is1")),
+        (2, "lang_filter", F.col("_is2")),
+        (3, "quality_gate", F.col("_is3")),
+        (4, "source_quota", F.col("_is4")),
+    ]
+    aggs = []
+    for i, gate, cond in gates:
+        aggs.append(F.sum(cond.cast("int")).alias(f"n_{i}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t_{i}")
+        )
+    cells = flagged.agg(*aggs)
+    return explode_branches(
+        cells,
         [
-            stage(s0, 0, "ingest"),
-            stage(s1, 1, "exact_dedup"),
-            stage(s2, 2, "lang_filter"),
-            stage(s3, 3, "quality_gate"),
-            stage(s4, 4, "source_quota"),
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(gate).alias("gate"),
+                F.col(f"n_{i}").alias("n_docs"),
+                F.col(f"t_{i}").alias("n_tokens"),
+            )
+            for i, gate, _ in gates
         ],
     )
 

@@ -668,9 +668,22 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sup") >= 2)
         .select("pa", "pb")
     )
+    # Both directions from ONE reference (a flip-union executes the
+    # support join twice; see operators.graph._symmetrize).
     edges = (
-        und.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(und.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pa").alias("src"), F.col("pb").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("pb").alias("src"), F.col("pa").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.*")
         .persist()
     )
     edges.createOrReplaceTempView("edges")

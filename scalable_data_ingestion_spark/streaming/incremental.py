@@ -217,21 +217,30 @@ class IncrementalTokenCMS:
 
     @classmethod
     def _partial_cells(cls, batch_df: DataFrame) -> DataFrame:
-        rows = []
-        for r in range(cls.DEPTH):
+        # All DEPTH hash rows emitted per event in ONE pass over the
+        # micro-batch (a per-depth union of selects scans the batch
+        # DEPTH times per trigger).
+        def bucket(r: int) -> F.Column:
             md5 = F.md5(F.concat(F.lit(f"{r}:"), F.col("event_type")))
-            bucket = (
-                F.conv(F.substring(md5, 1, 2), 16, 10).cast("int") % cls.WIDTH
+            return (
+                F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")
+                % cls.WIDTH
             )
-            rows.append(
-                batch_df.select(
-                    F.lit(r).alias("r"), bucket.alias("bucket")
-                ).groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cell"))
-            )
-        out = rows[0]
-        for other in rows[1:]:
-            out = out.unionByName(other)
-        return out
+
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), bucket(r).alias("bucket")
+                )
+                for r in range(cls.DEPTH)
+            ]
+        )
+        return (
+            batch_df.select(F.explode(arr).alias("_c"))
+            .select("_c.*")
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).alias("cell"))
+        )
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
