@@ -582,3 +582,29 @@ def test_rolling_hll_window_is_bucket_partitioned(spark, sf_dir):
     assert "partitionBy" not in p or True  # logical text varies; physical check below
     phys = plan(df, "simple")
     assert "CartesianProduct" not in phys, phys
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # one-row aggregate grids fanned out via a single explode
+        # reference (round 7) — a Union in the plan means someone
+        # reintroduced the per-branch union of selects, which
+        # re-executes the aggregate subtree once per branch.
+        "gr_rich_club_coefficient",
+        "ts_pacf_durbin_levinson",
+        "opt_conjunction_selectivity",
+        "ev_conversion_window_sensitivity",
+        "stat_quantile_trend_grid",
+        "eval_f1_threshold_sweep",
+        "pipe_curation_funnel",
+        # symmetrized edge lists: both orientations from one explode,
+        # so the co-purchase support join runs once.
+        "gr_two_hop_features",
+        "gr_degree_assortativity",
+        "ev_peak_concurrency",
+    ],
+)
+def test_single_reference_fanout_has_no_union(spark, sf_dir, name):
+    p = plan(registry.QUERIES[name](spark, sf_dir), "simple")
+    assert "Union" not in p, f"{name} regressed to a union fan-out:\n{p}"
