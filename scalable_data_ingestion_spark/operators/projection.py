@@ -409,15 +409,29 @@ def _pca_power(spark: SparkSession, sf_dir: str):
     )
     nn = dims.agg(F.countDistinct("vec_id").cast("bigint").alias("n"))
     su = dims.groupBy("d").agg(F.sum(F.col("fx").cast("decimal(38,0)")).alias("su"))
-    a, b = dims.alias("a"), dims.alias("b")
+    # Second-moment matrix as a MAP-SIDE outer product: each vector
+    # emits its own 64x64 integer products in-task and the partial
+    # aggregate collapses them to <= 4096 cells per task before the
+    # only shuffle. The former dims self-join on vec_id shuffled the
+    # full (rows x dims) relation twice and then reduced 82M joined
+    # rows — same exact DECIMAL sums, strictly worse movement.
+    fxarr = F.expr(
+        f"transform(emb, x -> CAST(floor(x * {_PCA_VFX} + 0.5) AS BIGINT))"
+    )
     mom = (
-        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
-        .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
-        .agg(
-            F.sum(
-                F.col("a.fx").cast("decimal(38,0)") * F.col("b.fx").cast("decimal(38,0)")
-            ).alias("s")
+        e.select(fxarr.alias("fx"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(fx, (xi, i) -> transform(fx, (xj, j) -> "
+                    "named_struct('d1', i + 1, 'd2', j + 1, "
+                    "'p', CAST(xi AS DECIMAL(19,0)) * xj))))"
+                )
+            ).alias("_m")
         )
+        .select("_m.*")
+        .groupBy("d1", "d2")
+        .agg(F.sum("p").alias("s"))
     )
     sa = su.select(F.col("d").alias("d1"), F.col("su").alias("sua"))
     sb = su.select(F.col("d").alias("d2"), F.col("su").alias("sub"))
@@ -449,12 +463,16 @@ def _pca_power(spark: SparkSession, sf_dir: str):
     )
     nrm_df = None
     for _ in range(POWER_ITERS):
+        # p is dimension-sized (64 rows) and referenced TWICE per round
+        # (norm + next v) — persist so the chain evaluates linearly,
+        # not 2^rounds times (the sgd weight-frame policy).
         p = (
             cmat.join(v.withColumnRenamed("d", "d2"), "d2")
             .groupBy(F.col("d1").alias("d"))
             .agg(
                 F.sum(F.col("cfx").cast("decimal(38,0)") * F.col("vfx")).alias("raw")
             )
+            .persist()
         )
         nrm_df = p.agg(
             F.sqrt(F.sum(F.col("raw") * F.col("raw")).cast("double")).alias("nrm")
