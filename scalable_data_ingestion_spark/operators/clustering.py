@@ -131,6 +131,11 @@ def _materialize_centroids(cent: DataFrame) -> DataFrame:
 def _kmeans_centroids(corpus: DataFrame) -> DataFrame:
     """ITERS Lloyd rounds from the deterministic seed; returns the final
     centroid relation (cluster_id, cemb)."""
+    # The corpus is referenced by every assign round AND the seed —
+    # persist so the scan runs once (MLlib's "cache your input" rule;
+    # plan-keyed, so callers that already persisted just hit the same
+    # cache entry).
+    corpus = corpus.persist()
     cent = corpus.filter(F.col("vec_id") < K).select(
         F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
     )
@@ -335,7 +340,10 @@ def emb_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair), and the pair join is an equi-join on cluster_id — no
     nested-loop, no cross join.
     """
-    fin = _kmeans(_emb_corpus(spark, sf_dir))
+    # fin feeds both sides of the within-cluster pair join AND the
+    # final keep/drop join — persist or the whole Lloyd chain re-runs
+    # per reference.
+    fin = _kmeans(_emb_corpus(spark, sf_dir)).persist()
     norm = F.sqrt(
         F.aggregate(
             F.transform("emb", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -438,11 +446,11 @@ def sim_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
     )
-    cent = corpus.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
-    )
-    for _ in range(ITERS):
-        cent = _update(_assign(corpus, cent))
+    # trained centroids are referenced TWICE (corpus assignment + query
+    # probe scoring), so they are materialized driver-side (K x DIM,
+    # the multi-reference case _materialize_centroids exists for);
+    # _kmeans_centroids persists the corpus the rounds iterate over.
+    cent = _materialize_centroids(_kmeans_centroids(corpus))
     fin = _assign(corpus, cent)
 
     q = corpus.filter(F.col("vec_id") < IVF_QUERIES).select(

@@ -1496,7 +1496,10 @@ def dd_bbit_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i").cast("double") / F.col("u") >= BBIT_PAIR_THRESHOLD
         )
     )
-    sig = _minhash_sig(sh)
+    # sig joins the pair list on doc_a AND doc_b — two different join
+    # keys, so no exchange reuse: persist or the signature aggregation
+    # over the shingles runs twice.
+    sig = _minhash_sig(sh).persist()
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"h{k}").alias(f"a{k}") for k in range(MINHASH_K)],

@@ -368,7 +368,9 @@ def _register_incremental_lsh() -> None:
             .cache()
         )
         sides = corpus.select("doc_id", "side")
-        bands = _bands(_minhash_sig(sh)).join(sides, "doc_id")
+        # referenced twice (batch probe + store index) — persist so the
+        # MinHash signature aggregation over the shingles runs once.
+        bands = _bands(_minhash_sig(sh)).join(sides, "doc_id").persist()
         bb = bands.filter(F.col("side") == "batch").select(
             F.col("doc_id").alias("batch_id"), "band", "bh"
         )

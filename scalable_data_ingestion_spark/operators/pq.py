@@ -373,12 +373,14 @@ def _register_ivfpq() -> None:
         fewer candidates x cheaper scoring, the Faiss/SCANN production
         shape, fully oracle-checked (both quantizers' training
         included)."""
+        # corpus feeds every Lloyd round, both quantizers and the query
+        # side — persist so the scan runs once.
         corpus = widen_if_narrow(
             table(spark, sf_dir, "embeddings").select(
                 "vec_id",
                 F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
             )
-        )
+        ).persist()
         # coarse quantizer (full-vector k-means from clustering.py)
         from .clustering import K as IVF_K
 
@@ -387,6 +389,9 @@ def _register_ivfpq() -> None:
         )
         for _ in range(IVF_ITERS):
             cent = ivf_update(ivf_assign(corpus, cent))
+        # trained coarse centroids are referenced twice (corpus
+        # assignment + query probe scoring) — materialize driver-side.
+        cent = _materialize_centroids(cent)
         fin = ivf_assign(corpus, cent)
 
         q = corpus.filter(F.col("vec_id") < PQ_QUERIES).select(

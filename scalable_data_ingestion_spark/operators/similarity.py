@@ -179,7 +179,12 @@ def _ivf_knn(spark: SparkSession, sf_dir: str, probes: int) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         F.col("val_f").cast("double").alias("val"),
     )
-    centroid = flat.groupBy("label", "dim").agg(F.round(F.avg("val"), 9).alias("cval"))
+    # referenced twice (query-centroid join + cnorm) and dimension-sized
+    # (cells x dims) — persist so the full-corpus centroid aggregation
+    # runs once.
+    centroid = flat.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 9).alias("cval")
+    ).persist()
     cnorm = centroid.groupBy("label").agg(F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("cn"))
 
     qflat = flat.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "dim", "val")
@@ -354,7 +359,13 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@{TOP_K} of 1-probe and multi-probe IVF vs the
     exact brute-force top-k (pure integer hit counts; one final exact
     division per recall column)."""
-    brute = sim_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    # referenced three times (both hit joins + the query list) and only
+    # queries x TOP_K rows — persist so the brute-force chain runs once.
+    brute = (
+        sim_knn_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
     ivf1 = _ivf_knn(spark, sf_dir, probes=1).select("query_id", "neighbor_id")
     ivf2 = _ivf_knn(spark, sf_dir, probes=N_PROBES).select("query_id", "neighbor_id")
 
