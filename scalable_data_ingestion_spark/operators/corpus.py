@@ -255,7 +255,11 @@ def txt_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary-sized and referenced twice (corpus total + logprob
+    # table) — persist so the corpus token count runs once; the
+    # train-pass/score-pass corpus scans themselves are the two-pass
+    # LM minimum.
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     # corpus token total as a broadcast 1-row cross join, not a window
     # over the (unboundedly growing) vocabulary
     total = vocab.agg(F.sum("c").alias("_tot"))
@@ -596,7 +600,9 @@ def _bigram_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     t = F.split(F.trim("text"), r"\s+")
     toks = docs.select("doc_id", F.explode(t).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # vocabulary-sized, referenced by the total and the backoff table —
+    # persist so the corpus unigram count runs once.
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).persist()
     # corpus token total as a broadcast 1-row cross join, not a window
     # over the (unboundedly growing) vocabulary
     total = uni.agg(F.sum("c").alias("t"))
@@ -616,7 +622,10 @@ def _bigram_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # model-table-sized (distinct bigrams), referenced by the context
+    # totals and the logprob table — persist so the bigram count over
+    # the corpus runs once.
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
     ctx = bgc.groupBy("w1").agg(F.sum("cb").alias("c1"))
     lp = (
         bgc.join(F.broadcast(ctx), "w1")
@@ -946,9 +955,12 @@ def txt_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{PMI_TOPK} token pairs by document-level PMI (minimum
     co-occurrence {PMI_MIN_COOC})."""
     docs = table(spark, sf_dir, "documents")
+    # dt feeds the doc count, the per-token df AND both co-occurrence
+    # join sides — persist so the explode+distinct over documents runs
+    # once.
     dt = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
-    ).distinct()
+    ).distinct().persist()
     n = dt.select(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
     cf = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     a, b = dt.alias("a"), dt.alias("b")

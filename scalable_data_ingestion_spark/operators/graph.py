@@ -547,31 +547,45 @@ def gr_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, li["l_orderkey"] == orders["o_orderkey"]
     ).select("l_orderkey", "l_partkey", "od")
 
-    def era_edges(pred):
-        e = base.filter(pred).select("l_orderkey", "l_partkey").distinct()
-        a, b = e.alias("a"), e.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-            )
-            .select(
-                F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-            )
-            .distinct()
-        )
-
+    # ONE era-tagged relation instead of two filtered copies: the
+    # self-join keys on (era, orderkey), so both sides shuffle
+    # identically (exchange reuse — one scan chain, not four), and the
+    # per-(src, dst) era flags come from a groupBy instead of a
+    # full-outer join of two separately-built edge sets.
     split = F.lit(GR_ERA_SPLIT).cast("date")
-    ea = era_edges(F.col("od") < split).withColumn("in_a", F.lit(1))
-    eb = era_edges(F.col("od") >= split).withColumn("in_b", F.lit(1))
-    cmp = ea.join(eb, ["src", "dst"], "full_outer")
+    e = (
+        base.select(
+            (F.col("od") >= split).cast("int").alias("era"),
+            "l_orderkey",
+            "l_partkey",
+        )
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.era") == F.col("b.era"))
+            & (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.era").alias("era"),
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    flags = edges.groupBy("src", "dst").agg(
+        F.max((F.col("era") == 0).cast("int")).alias("in_a"),
+        F.max((F.col("era") == 1).cast("int")).alias("in_b"),
+    )
     cls = (
-        F.when(F.col("in_a").isNull(), "added")
-        .when(F.col("in_b").isNull(), "removed")
+        F.when(F.col("in_a") == 0, "added")
+        .when(F.col("in_b") == 0, "removed")
         .otherwise("retained")
     )
-    return cmp.select(cls.alias("cls")).agg(
+    return flags.select(cls.alias("cls")).agg(
         F.sum(F.when(F.col("cls") == "retained", 1).otherwise(0))
         .cast("bigint")
         .alias("retained"),
@@ -1322,9 +1336,7 @@ def gr_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sup") >= TRI_MIN_SUP)
         .select("pa", "pb")
     )
-    adj = edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr")).unionAll(
-        edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr"))
-    ).cache()
+    adj = _symmetrize(edges, "pa", "pb", "node", "nbr").cache()
     for _ in range(KCORE_ROUNDS):
         keep = (
             adj.groupBy("node")
@@ -2031,10 +2043,15 @@ def sim_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{CF_TOP_K} similar parts per sampled part by co-occurrence
     cosine — item-item collaborative filtering."""
     li = table(spark, sf_dir, "lineitem")
+    # po feeds the degree count and BOTH join sides; d joins on src AND
+    # dst (different keys, no exchange reuse) — persist both so the
+    # lineitem scan + distinct runs once and the degree agg once.
     po = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    d = po.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ).distinct().persist()
+    d = po.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).persist()
     a = po.filter(F.col("p") % CF_SAMPLE_MOD == 0).alias("a")
     b = po.alias("b")
     co = (
@@ -2429,11 +2446,7 @@ def gr_greedy_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sup") >= TRI_MIN_SUP)
         .select("pa", "pb")
     )
-    adj = (
-        edges.select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
-        .unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
-        .persist()
-    )
+    adj = _symmetrize(edges, "pa", "pb", "node", "nbr").persist()
     state = (
         adj.select("node")
         .distinct()
@@ -2550,8 +2563,10 @@ def gr_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sup") >= TRI_MIN_SUP)
         .select("pa", "pb")
     )
-    adj = edges.select(F.col("pa").alias("node")).unionAll(
-        edges.select(F.col("pb").alias("node"))
+    # both endpoints from ONE reference to the support join (a
+    # flip-union would execute it twice; same rule as _symmetrize).
+    adj = edges.select(
+        F.explode(F.array(F.col("pa"), F.col("pb"))).alias("node")
     )
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     agg = deg.agg(
