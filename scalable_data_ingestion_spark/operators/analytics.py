@@ -184,9 +184,13 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     final aggregate and the offset-0 self-join are broadcast-cheap.
     """
     ev = table(spark, sf_dir, "events")
+    # (user, day)-sized and referenced by the cohort min AND the cell
+    # join — persist so the events scan + distinct runs once (the two
+    # references shuffle differently downstream, so exchange reuse
+    # alone does not cover it).
     act = ev.select(
         "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).distinct()
+    ).distinct().persist()
     coh = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     cells = (
         act.join(coh, "user_id")

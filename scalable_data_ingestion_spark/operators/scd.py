@@ -768,7 +768,11 @@ def scd2_apply_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit(SCD2_CUTOVER).cast("timestamp")
     hist_pre = _scd2_build(orders.filter(F.col("o_orderdate") < cut))
     delta = orders.filter(F.col("o_orderdate") >= cut)
-    affected = delta.select(F.col("o_custkey").alias("custkey")).distinct()
+    # referenced by the anti-join AND the recompute semi-join —
+    # persist so the delta scan + distinct runs once.
+    affected = (
+        delta.select(F.col("o_custkey").alias("custkey")).distinct().persist()
+    )
     untouched = hist_pre.join(F.broadcast(affected), "custkey", "left_anti")
     recomputed = _scd2_build(
         orders.join(
@@ -999,8 +1003,9 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     marginal = ev.groupBy(F.col("event_type").alias("state")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events")
-    )
-    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ).persist()
+    # total = sum of the marginal counts — no third scan of events.
+    tot = marginal.agg(F.sum("n_events").cast("bigint").alias("n"))
     stat = F.col("u") / 1e12
     share = F.col("n_events") * 1.0 / F.col("n")
     return (

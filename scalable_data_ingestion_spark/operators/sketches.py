@@ -698,7 +698,11 @@ def sk_hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.date_trunc("day", "ts").cast("date"), F.lit("2001-01-01").cast("date")
         ).alias("dy"),
-    ).distinct()
+    ).distinct().persist()
+    # ud feeds the day spine, the per-day registers AND the exact
+    # rolling contribution — persist so the events scan + distinct
+    # runs once ((user, day)-sized, the same bound the window state
+    # already assumes).
     spine = ud.select("dy").distinct()
     md5 = F.md5(F.col("user_id").cast("string"))
     bucket = F.conv(F.substring(md5, 1, 2), 16, 10).cast("int")

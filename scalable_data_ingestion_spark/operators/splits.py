@@ -393,9 +393,11 @@ def samp_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 100.0
     )
+    # strata-sized (5 rows) and referenced by the weight total AND the
+    # allocation — persist so the orders stats pass runs once.
     w = st.select("priority", "n", s_h.alias("s_h")).withColumn(
         "w", F.col("n") * F.col("s_h")
-    )
+    ).persist()
     tot = w.agg(
         *[
             F.max(F.when(F.col("priority") == p, F.col("w"))).alias(f"w{i}")
