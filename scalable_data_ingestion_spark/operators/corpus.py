@@ -1414,7 +1414,10 @@ def txt_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     )
-    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # model-table-sized and referenced four times (context totals,
+    # continuation counts, type total, logprob join) — persist so the
+    # corpus bigram count runs once.
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb")).persist()
     ctx = bgc.groupBy("w1").agg(
         F.sum("cb").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n_follow"),
@@ -1539,10 +1542,15 @@ def txt_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = unigrams.agg(
         F.countDistinct("u").cast("bigint").alias("v")
     )
+    # model tables are vocabulary-sized and referenced twice (totals +
+    # scoring joins) — persist so each training aggregation runs once;
+    # the train-pass/score-pass corpus scans remain the two-pass
+    # minimum.
     uni = (
         unigrams.filter(F.col("bucket") < HELDOUT_TRAIN_BUCKETS)
         .groupBy(F.col("u").alias("tok"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
     )
     tot = uni.agg(F.sum("c").cast("bigint").alias("ta"))
     bg = tok.select(
@@ -1560,6 +1568,7 @@ def txt_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         bg.filter(F.col("bucket") < HELDOUT_TRAIN_BUCKETS)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+        .persist()
     )
     ctx = bgc.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("c1"))
     ev = bg.filter(F.col("bucket") >= HELDOUT_TRAIN_BUCKETS)

@@ -686,6 +686,9 @@ def sim_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "e")
     )
+    # two longs per vector, referenced by the query side AND the full
+    # search side — persist so the sign-quantization aggregation runs
+    # once.
     sig = exploded.groupBy("vec_id").agg(
         F.expr(
             "bit_or(CASE WHEN pos < 32 AND e >= 0 "
@@ -697,7 +700,7 @@ def sim_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN shiftleft(CAST(1 AS BIGINT), pos - 32) "
             "ELSE CAST(0 AS BIGINT) END)"
         ).alias("sig_hi"),
-    )
+    ).persist()
     q = sig.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("sig_lo").alias("qlo"),
