@@ -690,13 +690,16 @@ def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = orders.join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
     ).select("c_nationkey", "c_mktsegment", "o_orderpriority")
+    # contingency-table-sized; the marginals and total roll up from it
+    # instead of re-scanning the orders-customer join (which would run
+    # three times otherwise).
     grain = joined.groupBy(
         "c_nationkey", "c_mktsegment", "o_orderpriority"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_cs"))
-    glob = joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("g_s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_cs")).persist()
+    glob = grain.groupBy("o_orderpriority").agg(
+        F.sum("n_cs").cast("bigint").alias("g_s")
     )
-    tot = joined.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = grain.agg(F.sum("n_cs").cast("bigint").alias("n"))
     cls_tot = grain.groupBy("c_nationkey", "c_mktsegment").agg(
         F.sum("n_cs").cast("bigint").alias("n_c")
     )

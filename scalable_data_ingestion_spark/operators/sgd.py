@@ -761,7 +761,9 @@ def ml_naive_bayes_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter(F.col("o_orderdate").cast("date")).alias("q"),
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("u"),
         fold.alias("fold"),
-    )
+    ).persist()
+    # base feeds three training aggregates and the test scoring pass —
+    # persist so the orders-customer join runs once.
     train = base.filter(F.col("fold") == 0)
     test = base.filter(F.col("fold") == 1)
     tot = train.agg(

@@ -1130,7 +1130,10 @@ def stat_brown_forsythe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "c_mktsegment",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
+    ).persist()
+    # base feeds the median pass AND the deviation pass; dev feeds the
+    # per-group and total aggregates — persist both so the
+    # orders-customer join runs once.
     med = base.groupBy("c_mktsegment").agg(
         F.round(2 * F.percentile("cents", F.lit(0.5)))
         .cast("bigint")
@@ -1139,7 +1142,7 @@ def stat_brown_forsythe_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = base.join(F.broadcast(med), "c_mktsegment").select(
         "c_mktsegment",
         F.abs(2 * F.col("cents") - F.col("med2")).alias("d"),
-    )
+    ).persist()
     dd = F.col("d").cast("decimal(38,0)")
     grp = dev.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),
