@@ -568,12 +568,14 @@ def pipe_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
         F.md5("text").alias("h"),
     )
+    # sources-sized, referenced by the entropy join AND the final
+    # select — persist so the volume pass over documents runs once.
     vol = base.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
         F.countDistinct("h").cast("bigint").alias("n_unique"),
-    )
+    ).persist()
     lc = base.groupBy("source", "lang").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )

@@ -543,11 +543,14 @@ def samp_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-round integer waterfill of a token budget (= total/2)
     toward equal per-source shares, bounded by per-source supply."""
     docs = table(spark, sf_dir, "documents")
+    # sources-sized and referenced twice (total + round 1) — persist so
+    # the corpus token count runs once; r1 likewise feeds the leftover
+    # aggregate AND round 2.
     supply = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
         .cast("bigint")
         .alias("supply_tokens")
-    )
+    ).persist()
     tot = supply.agg(
         F.sum("supply_tokens").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -561,7 +564,7 @@ def samp_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(total DIV {WF_BUDGET_FRACTION_DEN}) DIV k"),
         ).alias("a1"),
         F.expr(f"total DIV {WF_BUDGET_FRACTION_DEN}").alias("budget"),
-    )
+    ).persist()
     l1 = r1.agg(
         (F.max("budget") - F.sum("a1")).alias("leftover"),
         F.sum(F.when(F.col("a1") < F.col("supply_tokens"), 1).otherwise(0)).alias(
