@@ -13,6 +13,21 @@ Contract reminders (see __spark_entry__ docstring):
   hash.
 - Any LIMIT/top-k query carries a deterministic total order (unique-key
   tiebreak) so both engines select the same row set.
+
+Cache policy for library callers: query builders persist()
+intermediate relations that their own plan references more than once
+(MEMORY_AND_DISK, never eagerly materialized) and deliberately do NOT
+unpersist — the cache entry must outlive the builder because the
+returned DataFrame's plan still references it, and an unpersist-on-
+return would silently re-execute the shared subtree per reference.
+Spark evicts these LRU under memory pressure, so correctness never
+depends on them; but a long-lived session running MANY registered
+queries accumulates entries that can evict later queries' working
+sets. Harness runners (bench.py, tools/parity_sweep.py) therefore call
+``spark.catalog.clearCache()`` between queries; a library caller
+running more than a handful of queries in one session should do the
+same (or unpersist via ``spark.catalog.clearCache()`` at natural
+boundaries). Single-query sessions need nothing.
 """
 
 from __future__ import annotations
@@ -296,6 +311,16 @@ def _driver_hashed() -> frozenset[str]:
     round, no stale-window round like r5->r6. Outside a repo checkout
     (no CORRECTNESS files found) this returns empty and the static
     _PRIORITY order applies unchanged.
+
+    POST-FREEZE REGISTRATION POLICY (r7 verdict #7, binding from the
+    round the never-hashed debt reaches zero, expected r9): net-new
+    query registration per round must never exceed what one driver
+    window hashes (<= 50 net-new names per round). New names enter the
+    front of the rotation automatically (they are never-hashed), so
+    respecting the cap guarantees every registered query gets its
+    driver hash within one round of landing and the debt can never
+    re-accumulate. Until the debt clears, registration stays frozen
+    (r6 verdict #1).
     """
     root = Path(__file__).resolve().parents[1]
     names: set[str] = set()

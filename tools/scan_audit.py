@@ -33,23 +33,48 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# distinctive leading column -> table
-_COL2TABLE = {
-    "l_orderkey": "lineitem",
-    "o_orderkey": "orders",
-    "c_custkey": "customer",
-    "s_suppkey": "supplier",
-    "p_partkey": "part",
-    "n_nationkey": "nation",
-    "r_regionkey": "region",
-    "event_id": "events",
-    "doc_id": "documents",
-    "vec_id": "embeddings",
+# TPC-H tables carry a unique per-table column prefix; the synthetic
+# tables are matched by their (disjoint) full column sets.
+_PREFIX2TABLE = {
+    "l_": "lineitem",
+    "o_": "orders",
+    "c_": "customer",
+    "s_": "supplier",
+    "p_": "part",
+    "n_": "nation",
+    "r_": "region",
+}
+_COLSET2TABLE = {
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
 }
 
 
+def _table_of(names: set) -> str:
+    for n in names:
+        for pre, t in _PREFIX2TABLE.items():
+            if n.startswith(pre):
+                return t
+    for t, cols in _COLSET2TABLE.items():
+        if names & cols:
+            return t
+    return "<other>"
+
+
 def _leaf_counts(jplan) -> dict:
-    """Count base-relation leaves per table, stopping at cached nodes."""
+    """Count base-relation leaves per table, stopping at cached nodes.
+
+    A leaf is attributed to a table from its FULL output attribute
+    list (``n.output()``), not the first toString line — a pruned
+    projection that drops the distinctive columns from the printed
+    head would otherwise silently fall into ``<other>``. TPC-H tables
+    match on their unique column prefix (any surviving column
+    suffices); the synthetic tables on their column sets. Only a
+    zero-column leaf (pure count(*) scan with full pruning) can still
+    land in ``<other>``, so per-table counts are a floor by at most
+    those.
+    """
     counts: dict[str, int] = {}
 
     def walk(n):
@@ -58,12 +83,9 @@ def _leaf_counts(jplan) -> dict:
             return
         ch = n.children()
         if ch.length() == 0 and cls in ("LogicalRelation", "Relation"):
-            head = n.toString().split("\n", 1)[0]
-            table = "<other>"
-            for col, t in _COL2TABLE.items():
-                if col + "#" in head:
-                    table = t
-                    break
+            out = n.output()
+            names = {out.apply(i).name() for i in range(out.length())}
+            table = _table_of(names)
             counts[table] = counts.get(table, 0) + 1
         for i in range(ch.length()):
             walk(ch.apply(i))

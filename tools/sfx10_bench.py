@@ -38,8 +38,19 @@ def time_query(spark, name, sf_dir, runs):
     rows = None
     for _ in range(runs):
         t0 = time.time()
-        rows = fn(spark, sf_dir).count()
+        # noop write = bench.py's action: full execution of every output
+        # column. NEVER .count() here — count() lets Catalyst prune
+        # aggregate payload columns, so a query whose cost lives in the
+        # pruned expressions (e.g. stat_poisson_bootstrap_ci's 32
+        # hash-weight draws feeding a collect_list) reports a number
+        # that skips the query's actual work (r7 verdict: 0.29 s under
+        # count() vs ~3.5 s under full execution at the same SF — the
+        # entire "protocol gap" was this action mismatch).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
+        spark.catalog.clearCache()
+    for _ in range(1):
+        rows = fn(spark, sf_dir).count()
         spark.catalog.clearCache()
     return times, rows
 
