@@ -121,6 +121,16 @@ def _materialize_centroids(cent: DataFrame) -> DataFrame:
     Gated on DRIVER_CENTROIDS (SPARK_GRAFT_KMEANS_DRIVER_CENTROIDS env,
     default on) so the pure DataFrame chain remains one switch away for
     A/B verification — same pattern as dedup.FAST_CC_EDGE_CAP.
+
+    EAGER CONTRACT: the collect() here runs at DataFrame-CONSTRUCTION
+    time, so registered query builders that route through it
+    (sim_pq_adc_knn, sim_ivf_kmeans_knn, sim_ivfpq_knn, and the
+    distortion/recall variants) execute the full k-means training jobs
+    while merely BUILDING their plan. Plan-only consumers (plan-shape
+    tests, tools/scan_audit.py) must expect Spark jobs — and any
+    training-time runtime error — during construction for these
+    queries. Set SPARK_GRAFT_KMEANS_DRIVER_CENTROIDS=0 to get fully
+    lazy plans back.
     """
     if not DRIVER_CENTROIDS:
         return cent

@@ -1021,8 +1021,11 @@ def dq_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
         # n_rows = sum of group sizes — no second scan of the table.
+        # coalesce(…, 0): sum over ZERO groups is NULL, but the oracle
+        # derives n_rows from a scalar count(*) subquery which is 0 on
+        # an empty table — keep both sides identical off-fixture too.
         agg = grouped.agg(
-            F.sum("c").cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_rows"),
             F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
             F.sum((F.col("c") > 1).cast("int")).cast("bigint").alias(
                 "dup_groups"
@@ -1366,7 +1369,8 @@ def _fp_oracle() -> str:
 @register("dq_schema_fingerprint", oracle=_fp_oracle())
 def dq_schema_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column fingerprint (rows, nulls ppm, exact distinct) for the
-    core relational tables — ONE aggregation pass per table."""
+    core relational tables — one pruned single-column aggregation branch
+    per (table, column), unioned."""
     # One branch per (table, column), each aggregating ONLY its own
     # column: column pruning makes every branch scan just that column,
     # so the union reads ~the same bytes as one all-column pass, each

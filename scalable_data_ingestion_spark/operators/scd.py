@@ -1005,7 +1005,12 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events")
     ).persist()
     # total = sum of the marginal counts — no third scan of events.
-    tot = marginal.agg(F.sum("n_events").cast("bigint").alias("n"))
+    # coalesce(…, 0): sum over zero groups is NULL but the oracle's
+    # count(*) total is 0 — keep both sides identical on empty input
+    # (output is empty either way; this pins the intermediate too).
+    tot = marginal.agg(
+        F.coalesce(F.sum("n_events"), F.lit(0)).cast("bigint").alias("n")
+    )
     stat = F.col("u") / 1e12
     share = F.col("n_events") * 1.0 / F.col("n")
     return (
