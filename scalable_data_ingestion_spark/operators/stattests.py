@@ -1501,10 +1501,15 @@ def stat_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Determinism & cost: FOUR md5 calls per row yield 512 bits = 32
 # sixteen-bit uniforms (one per replicate) — not 32 md5 calls (that
-# variant measured 9.0 s at sf0.1; this one 3.6 s; a third variant —
-# all 64 replicate sums as ONE giant aggregate projection, no explode
-# — measured 7.8 s: the 32-wide CASE forest costs more in codegen
-# than the explode costs in rows, so the explode stays). Each u16
+# variant measured 9.0 s at sf0.1; the hex-slice-per-replicate explode
+# 3.5 s; the round-8 version below 1.9 s: the 512 hash bits pack into
+# 12 bigints ONCE per row — conv() is the expensive step — and each
+# replicate's u16 is a shift/mask, so the explode carries longs and
+# the per-(row, replicate) work is pure int ops. The no-explode
+# variant — all 64 replicate sums as ONE giant aggregate projection —
+# measured 7.8 s with string slices and still 2.9 s with packed ints:
+# the 32-wide CASE forest costs more in codegen than the explode
+# costs in rows, so the explode stays; re-measured r8). Each u16
 # compares against the Poisson(1) CDF quantized at 2^16 (Python
 # literals baked into both engines — the bh_fdr quantile-precompute
 # policy; the <=1e-5 CDF quantization is part of the statistic's
@@ -1530,30 +1535,54 @@ def _boot_w_sql(u: str) -> str:
     return expr
 
 
-def _hex4_to_int_sql(h: str) -> str:
-    """16-bit int from a 4-char hex slice (DuckDB has no conv())."""
-    return (
-        "("
-        + " + ".join(
-            f"(CASE substr({h}, {i + 1}, 1) "
-            + " ".join(
-                f"WHEN '{c}' THEN {v}" for v, c in enumerate("0123456789abcdef")
-            )
-            + f" END) * {16 ** (3 - i)}"
-            for i in range(4)
-        )
-        + ")"
-    )
-
-
 _BOOT_H_COLS = ", ".join(
     f"md5(CAST(o_orderkey AS VARCHAR) || '#{i}') AS h{i}" for i in range(4)
 )
-_BOOT_W_EXPR = _boot_w_sql(
-    _hex4_to_int_sql(
-        "substr(CASE b.b // 8 WHEN 0 THEN h0 WHEN 1 THEN h1 "
-        "WHEN 2 THEN h2 ELSE h3 END, (b.b % 8) * 4 + 1, 4)"
-    )
+
+# Each 32-hex md5 packs into THREE bigints (12+12+8 hex = 48+48+32
+# bits), so the string->int parse runs 12x per ROW; the per-replicate
+# u16 extraction is then a pure shift/mask over the packed columns —
+# integer ops instead of a substring+parse per (row, replicate). Field
+# layout is big-endian, so u16 values are bit-identical to slicing the
+# hex directly (the statistic's outputs are unchanged).
+_BOOT_PACK_SLICES = ((1, 12, 3), (13, 12, 3), (25, 8, 2))  # start, hexlen, fields
+
+
+def _boot_pack_cols(hex_to_int) -> list[str]:
+    """The 12 packed-column SQL exprs c{j}{s}; hex_to_int(slice_sql)
+    renders the engine's hex parse (Spark conv / DuckDB 0x-cast)."""
+    return [
+        f"{hex_to_int(f'substr(h{j}, {start}, {n})')} AS c{j}{s}"
+        for j in range(4)
+        for s, (start, n, _) in enumerate(_BOOT_PACK_SLICES)
+    ]
+
+
+def _boot_u_sql(b: str) -> str:
+    """u16 for replicate ``b`` from the packed columns: pick md5 j =
+    b//8 and slice s by field index i = b%8 (i<3 -> s0, i<6 -> s1,
+    else s2), then shift the field down and mask. Pure int ops —
+    valid, and identical, in Spark SQL and DuckDB."""
+
+    def pick(j: int) -> str:
+        return (f"CASE WHEN ({b}%8)<3 THEN c{j}0 "
+                f"WHEN ({b}%8)<6 THEN c{j}1 ELSE c{j}2 END")
+
+    d = (f"CASE WHEN {b}<8 THEN {pick(0)} WHEN {b}<16 THEN {pick(1)} "
+         f"WHEN {b}<24 THEN {pick(2)} ELSE {pick(3)} END")
+    shift = (f"CASE WHEN ({b}%8)<3 THEN (2-({b}%8))*16 "
+             f"WHEN ({b}%8)<6 THEN (5-({b}%8))*16 "
+             f"WHEN ({b}%8)=6 THEN 16 ELSE 0 END")
+    return f"CAST((({d}) >> ({shift})) & 65535 AS INT)"
+
+
+_BOOT_W_EXPR = _boot_w_sql(_boot_u_sql("b.b"))
+# DuckDB parses '0x…'::BIGINT natively; Spark uses conv(hex, 16, 10).
+_BOOT_PACK_DUCK = ", ".join(
+    _boot_pack_cols(lambda s: f"CAST('0x' || {s} AS BIGINT)")
+)
+_BOOT_PACK_SPARK = _boot_pack_cols(
+    lambda s: f"CAST(conv({s}, 16, 10) AS BIGINT)"
 )
 
 
@@ -1565,10 +1594,14 @@ _BOOT_W_EXPR = _boot_w_sql(
              {_BOOT_H_COLS}
       FROM orders
     ),
+    packed AS (
+      SELECT cents, {_BOOT_PACK_DUCK}
+      FROM hashed
+    ),
     reps AS (
       SELECT b.b, cents,
              ({_BOOT_W_EXPR}) AS w
-      FROM hashed CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
+      FROM packed CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b) b
     ),
     per_rep AS (
       SELECT b, CAST(sum(w) AS BIGINT) AS n_b,
@@ -1604,20 +1637,17 @@ def stat_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(4)
         ],
     )
-    reps = hashed.select(
+    # Pack the 512 hash bits into 12 bigints ONCE per row (the
+    # string->int parse is the expensive step), then each replicate's
+    # u16 is a shift/mask — the explode carries longs, not hex
+    # strings, and the per-(row, replicate) work is pure int ops.
+    packed = hashed.selectExpr("cents", *_BOOT_PACK_SPARK)
+    reps = packed.select(
         "cents",
         F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
-        "h0", "h1", "h2", "h3",
+        *[f"c{j}{s}" for j in range(4) for s in range(3)],
     )
-    hsel = (
-        F.when(F.col("b") < 8, F.col("h0"))
-        .when(F.col("b") < 16, F.col("h1"))
-        .when(F.col("b") < 24, F.col("h2"))
-        .otherwise(F.col("h3"))
-    )
-    u = F.conv(
-        F.substring(hsel, (F.col("b") % 8) * 4 + 1, 4), 16, 10
-    ).cast("int")
+    u = F.expr(_boot_u_sql("b"))
     w = F.lit(6)
     for k in range(len(BOOT_THRESH) - 1, -1, -1):
         w = F.when(u < BOOT_THRESH[k], F.lit(k)).otherwise(w)
