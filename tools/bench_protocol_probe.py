@@ -23,6 +23,18 @@ pressure, heap occupancy, accumulated JVM state) from plan effects.
 Writes /tmp/bench_probe.json and prints a summary table.
 Run serialized on a quiet host (memory: concurrent Spark sessions
 inflate warm numbers 30-100%).
+
+Round-8 findings from the one recorded run (vs the same-day plain
+bench.py run): median per-query ratio 1.08 (host drift); GC total 12 s
+across the 246-query sequence; heap plateaus ~2.4 GB of 8 GB; the five
+probe targets measured fresh-position ≈ in-sequence (e.g. bootstrap CI
+1.86 vs 1.88 s) — NO material position effect in the driver protocol.
+CAVEAT: this harness itself inflated BUILD time ~10x on a handful of
+queries that execute driver-side jobs during DataFrame construction
+(iterative fixed-point loops, ranking-offset collects): e.g.
+stat_quantile_trend_grid 19 s here vs 1.55 s in the same-day plain
+bench.py. Unexplained harness artifact — trust plain bench.py for
+absolute numbers; use this tool only for decomposition/GC/heap shape.
 """
 
 from __future__ import annotations
