@@ -52,13 +52,16 @@ _COLSET2TABLE = {
 
 
 def _table_of(names: set) -> str:
+    # Synthetic column sets FIRST: documents.n_chars would otherwise
+    # false-match nation's "n_" prefix (the sets are disjoint from all
+    # TPC-H column names, so set-membership is unambiguous).
+    for t, cols in _COLSET2TABLE.items():
+        if names & cols:
+            return t
     for n in names:
         for pre, t in _PREFIX2TABLE.items():
             if n.startswith(pre):
                 return t
-    for t, cols in _COLSET2TABLE.items():
-        if names & cols:
-            return t
     return "<other>"
 
 
