@@ -553,6 +553,23 @@ def test_prefix_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in p
 
 
+def test_prefix_join_candidate_budget_guard(spark, sf_dir, monkeypatch):
+    # Round-9 verdict #2: the prefix join must price its candidate
+    # volume BEFORE the join runs and fail fast past the budget (the
+    # unguarded version OOMed an 8 GiB heap at sf~1). With an absurdly
+    # low cap the sf0.001 corpus must trip the guard with the
+    # actionable message; with the default cap it runs unchanged.
+    import pytest
+
+    from scalable_data_ingestion_spark.operators import prefixjoin
+
+    monkeypatch.setattr(prefixjoin, "PJ_CANDIDATE_CAP", 1)
+    with pytest.raises(RuntimeError, match="PJ_CANDIDATE_CAP"):
+        registry.QUERIES["dd_prefix_jaccard_pairs"](spark, sf_dir)
+    monkeypatch.setattr(prefixjoin, "PJ_CANDIDATE_CAP", 10_000_000)
+    assert registry.QUERIES["dd_prefix_jaccard_pairs"](spark, sf_dir).count() >= 0
+
+
 def test_checksum_is_single_aggregation(spark, sf_dir):
     # scan -> project -> partial agg -> exchange -> final agg: exactly
     # one Exchange, no joins.
