@@ -40,8 +40,9 @@ _SPEC = importlib.util.spec_from_file_location(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                  "tools", "scan_audit.py"),
 )
+assert _SPEC is not None and _SPEC.loader is not None
 scan_audit = importlib.util.module_from_spec(_SPEC)
-_SPEC.loader.exec_module(_SPEC and scan_audit)
+_SPEC.loader.exec_module(scan_audit)
 
 FLAG_MIN = 3
 
@@ -62,6 +63,10 @@ ALLOWED: dict[str, dict[str, int]] = {
     "dq_referential_integrity": {"lineitem": 3},
     "dq_referential_orphans": {"lineitem": 3},
     "dq_schema_fingerprint": {"customer": 5, "orders": 5},
+    # 1 bucketed fact scan + 2 scans of the bucketed PROFILE table
+    # (join side + the 1-row total aggregate) — the profile's user_id
+    # column makes the audit attribute it to "events".
+    "ev_bucketed_user_join": {"events": 3},
     "ev_cohort_ltv": {"orders": 3},
     "ev_markov_path_likelihood": {"events": 3},
     "eval_classifier_calibration": {"documents": 4},
@@ -88,6 +93,25 @@ ALLOWED: dict[str, dict[str, int]] = {
     "txt_bm25_topk": {"documents": 4},
     "txt_decontamination": {"documents": 3},
 }
+
+
+@pytest.fixture(autouse=True)
+def _pin_plan_shape_toggles(monkeypatch):
+    """The allowlist was audited under the DEFAULT env toggles; a
+    caller exporting e.g. SPARK_GRAFT_KMEANS_DRIVER_CENTROIDS=0 gets
+    lazy iterative k-means plans with far more embeddings leaves and
+    the gate would fail spuriously (r8 ADVICE). The toggles are bound
+    to module constants at import time, so pin the CONSTANTS, not the
+    env vars."""
+    from scalable_data_ingestion_spark.operators import (
+        clustering,
+        dedup,
+        prefixjoin,
+    )
+
+    monkeypatch.setattr(clustering, "DRIVER_CENTROIDS", True)
+    monkeypatch.setattr(dedup, "FAST_CC_EDGE_CAP", 200_000)
+    monkeypatch.setattr(prefixjoin, "PJ_CANDIDATE_CAP", 10_000_000)
 
 
 def test_no_new_scan_fanout(spark):

@@ -49,14 +49,18 @@ def time_query(spark, name, sf_dir, runs):
     """
     fn = registry.QUERIES[name]
     warms = []
+    rows = None
     for _ in range(runs):
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # cold
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         warms.append(time.time() - t0)
+        if rows is None:
+            # Row count for the report, taken while the pair's caches
+            # are still warm (r8 ADVICE: a dedicated post-loop count was
+            # an extra full cold execution per query — minutes at sf~1).
+            rows = fn(spark, sf_dir).count()
         spark.catalog.clearCache()
-    rows = fn(spark, sf_dir).count()
-    spark.catalog.clearCache()
     return warms, rows
 
 
