@@ -1,5 +1,10 @@
 """Embedding clustering + semantic dedup (SemDeDup-style).
 
+Cache lifecycle: builders here persist() multi-referenced relations
+and deliberately never unpersist (the returned plan still references
+them) — consumers own the drop via ``registry.cache_scope`` /
+``spark.catalog.clearCache()``; see the registry module docstring.
+
 K-means over the ``embeddings`` table, built so the WHOLE iterative
 algorithm is exactly reproducible across engines and partitionings —
 which is what makes it oracle-checkable AND safe to scale:

@@ -1,6 +1,11 @@
 """Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash
 (north-star LLM pipeline surface, SURVEY.md §7 step 8).
 
+Cache lifecycle: builders here persist()/cache() multi-referenced
+relations and deliberately never unpersist (the returned plan still
+references them) — consumers own the drop via ``registry.cache_scope``
+/ ``spark.catalog.clearCache()``; see the registry module docstring.
+
 Design for 100 TB:
 - Exact dedup: md5-fingerprint groupBy — one shuffle keyed on a
   16-byte hash, never on the document body.

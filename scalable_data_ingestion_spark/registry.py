@@ -25,16 +25,17 @@ depends on them; but a long-lived session running MANY registered
 queries accumulates entries that can evict later queries' working
 sets. Harness runners (bench.py, tools/parity_sweep.py) therefore call
 ``spark.catalog.clearCache()`` between queries; a library caller
-running more than a handful of queries in one session should do the
-same (or unpersist via ``spark.catalog.clearCache()`` at natural
-boundaries). Single-query sessions need nothing.
+running more than a handful of queries in one session should wrap each
+build-and-consume in :func:`cache_scope` (the same clear, packaged as
+the contract). Single-query sessions need nothing.
 """
 
 from __future__ import annotations
 
+import contextlib
 import importlib
 import json
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -76,6 +77,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.graph",
     "scalable_data_ingestion_spark.operators.entity",
     "scalable_data_ingestion_spark.operators.pq",
+    "scalable_data_ingestion_spark.operators.opq",
     "scalable_data_ingestion_spark.operators.monitor",
     "scalable_data_ingestion_spark.operators.stattests",
     "scalable_data_ingestion_spark.operators.lexical",
@@ -92,6 +94,7 @@ _QUERY_MODULES = (
     "scalable_data_ingestion_spark.operators.sgd",
     "scalable_data_ingestion_spark.operators.asof",
     "scalable_data_ingestion_spark.streaming.queries",
+    "scalable_data_ingestion_spark.streaming.span_dedup",
     "scalable_data_ingestion_spark.streaming.joins",
     "scalable_data_ingestion_spark.sources.api_queries",
 )
@@ -109,6 +112,38 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         return fn
 
     return deco
+
+
+@contextlib.contextmanager
+def cache_scope(spark: SparkSession) -> Iterator[SparkSession]:
+    """Cache lifecycle for library callers (the module-docstring policy
+    as a helper): build a registered query AND run its action inside
+    this scope; every cache the builder persisted is dropped on exit.
+
+        with registry.cache_scope(spark):
+            rows = registry.queries()["dd_minhash_lsh_pairs"](spark, sf).collect()
+
+    Builders cannot unpersist their own caches (the returned DataFrame
+    is lazy — its plan still references the persisted subtrees, and the
+    consuming action runs after the builder returns), so the lifecycle
+    belongs to the consumer. The scope clears the session's WHOLE cache
+    (``spark.catalog.clearCache()``) — per-entry tracking would need
+    every one of the ~150 persist sites routed through a choke point
+    for no behavioural difference to a caller that scopes one query at
+    a time, which is the contract. An application holding its OWN
+    long-lived caches in the same session should run registry queries
+    in a separate SparkSession (cheap: sessions share the SparkContext
+    via ``spark.newSession()`` but cache registration is per-context,
+    so truly isolated caching needs a separate context/process — or
+    simply re-persist after the scope).
+
+    Exception-safe: caches are dropped even when the query raises
+    (e.g. dd_prefix_jaccard_pairs' PJ_CANDIDATE_CAP guard).
+    """
+    try:
+        yield spark
+    finally:
+        spark.catalog.clearCache()
 
 
 def load_all() -> None:
