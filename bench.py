@@ -349,10 +349,29 @@ HEADLINE_R14 = [
     "dq_email_domain_distribution",
 ]
 
+# Round-9 additions (post-freeze growth, <=44-net-new cap): quantile
+# drift + t-digest, suffix LRS, contamination matrix, the AQE-vs-salted
+# skew evidence pair, the bucketed-join evidence row (prices its own
+# bucketed writes), OPQ/RQ codebook evals, and the streaming store-
+# dedup batch twins.
+HEADLINE_R15 = [
+    "mon_quantile_drift_monthly",
+    "sk_tdigest_order_values",
+    "txt_suffix_lrs",
+    "dd_contamination_ngram_matrix",
+    "sk_hot_key_join_aqe",
+    "sk_hot_key_join_salted",
+    "ev_bucketed_user_join",
+    "sim_opq_permute_eval",
+    "sim_rq_distortion",
+    "st_winnow_store_decisions",
+    "st_bbit_store_decisions",
+]
+
 ALL_HEADLINE = (
     HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
     + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12
-    + HEADLINE_R13 + HEADLINE_R14
+    + HEADLINE_R13 + HEADLINE_R14 + HEADLINE_R15
 )
 
 

@@ -526,3 +526,112 @@ def opt_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("file_month").alias("last_month"),
         F.round(F.sum("n_rows") * 1.0 / F.max("target"), 6).alias("fill_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed fact-fact join evidence row (round-9 shortlist #3): the
+# events-table mirror of storage/warehouse.py::save_bucketed and its
+# zero-Exchange pytest. The registered query performs the WHOLE
+# pattern end-to-end so the bench prices it honestly:
+#
+#   1. write events bucketed by user_id (16 buckets, sorted) and the
+#      per-user activity profile bucketed the same way — the one-time
+#      layout cost a production pipeline amortizes over every
+#      downstream per-user join;
+#   2. join the two bucketed tables on user_id — ZERO Exchange under
+#      the join (each task reads matching bucket files from both
+#      sides; plan-asserted by tests/test_plan_quality.py), which at
+#      100 TB is the difference between a free join and shuffling the
+#      full fact table;
+#   3. roll up per event_type: how much traffic comes from heavy users
+#      (user total > 1.2x the mean, compared in exact cross-multiplied
+#      integers so both engines branch identically).
+#
+# EAGER CONTRACT: the two saveAsTable calls run Spark jobs at
+# DataFrame-construction time (same documented contract as
+# clustering._materialize_centroids). Tables land under the session's
+# spark-warehouse dir with fixed names, overwritten per call.
+# --------------------------------------------------------------------------
+EV_BUCKETS = 16
+_BJ_ORACLE = """
+WITH prof AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_user_events
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_user_events) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM prof
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN p.n_user_events * t.n_users * 5 > t.total * 6
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy,
+       round(CAST(sum(CASE WHEN p.n_user_events * t.n_users * 5 > t.total * 6
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+           AS heavy_share
+FROM events e JOIN prof p ON e.user_id = p.user_id CROSS JOIN tot t
+GROUP BY 1
+"""
+
+
+@register("ev_bucketed_user_join", oracle=_BJ_ORACLE)
+def ev_bucketed_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-user traffic share per event type, computed through the
+    bucketed-layout join path (write bucketed, join shuffle-free,
+    roll up). Values identical to the plain join — the layout changes
+    the PLAN, never the answer."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    prof = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_events")
+    )
+    # External tables under a stable tmp root: a fresh session's
+    # in-memory catalog doesn't know last session's managed table, but
+    # its warehouse directory survives and blocks the managed write
+    # (LOCATION_ALREADY_EXISTS) — explicit paths + drop make the write
+    # idempotent across sessions. Same shape as warehouse.save_bucketed
+    # (the bucket spec needs saveAsTable; a plain .parquet(path) write
+    # cannot record it).
+    root = Path(tempfile.gettempdir()) / "sdi_bucketed_r9"
+    for name, df in (("r9_events_by_user", ev), ("r9_users_by_user", prof)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = root / name
+        shutil.rmtree(loc, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(EV_BUCKETS, "user_id")
+            .sortBy("user_id")
+            .option("path", str(loc))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    evb = spark.table("r9_events_by_user")
+    profb = spark.table("r9_users_by_user")
+    tot = profb.agg(
+        F.sum("n_user_events").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    heavy = (
+        F.col("n_user_events") * F.col("n_users") * 5 > F.col("total") * 6
+    ).cast("int")
+    return (
+        # MERGE hint: at evidence scale the profile side is small
+        # enough that Catalyst would broadcast it (the right call for a
+        # small dim — sk_hot_key_join_aqe covers that); the hint pins
+        # the sort-merge path this row exists to price, where the
+        # bucket alignment makes the join Exchange-free on BOTH sides.
+        evb.join(profb.hint("merge"), "user_id")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(heavy).cast("bigint").alias("n_heavy"),
+            F.round(
+                F.sum(heavy).cast("double") / F.count(F.lit(1)), 6
+            ).alias("heavy_share"),
+        )
+    )

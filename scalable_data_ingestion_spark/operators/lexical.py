@@ -236,3 +236,102 @@ def txt_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_hard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Longest repeated substring via suffix-array adjacency (round-9
+# shortlist #4a): the character-level internal-repetition signal the
+# token-level monitors (lexical diversity, Gopher repetition) can't
+# see — templated boilerplate repeats SPANS, not just tokens. Classic
+# result: the longest repeated substring of a string is the longest
+# common prefix of some ADJACENT pair in its sorted suffix array, so
+# sorting each document's suffixes and comparing neighbours finds it
+# without the O(L^2) all-pairs scan.
+#
+# Bounded "sampling" twist that keeps both engines exact and cheap:
+# suffix keys truncate at LRS_CAP chars and the common-prefix length is
+# measured on the geometric grid LRS_GRID — the reported value is the
+# largest grid length <= the true LRS (grid-floor), which is what a
+# repetition FILTER thresholds on anyway. Cost: sum(L) suffix rows,
+# sorted per document (each sort bounded by the document's own length,
+# embarrassingly parallel across docs); no join anywhere.
+# --------------------------------------------------------------------------
+LRS_CAP = 64
+LRS_GRID = (4, 8, 12, 16, 24, 32, 48, 64)
+LRS_FLAG_MIN = 16  # grid LRS >= this marks span-level internal repetition
+
+
+def _lrs_grid_sql(k: str, nk: str) -> str:
+    cases = ", ".join(
+        f"CASE WHEN length({k}) >= {g} AND length({nk}) >= {g} "
+        f"AND substr({k}, 1, {g}) = substr({nk}, 1, {g}) THEN {g} ELSE 0 END"
+        for g in LRS_GRID
+    )
+    return f"greatest({cases})"
+
+
+@register(
+    "txt_suffix_lrs",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS txt
+      FROM documents
+    ),
+    suf AS (
+      SELECT doc_id, i, substr(txt, CAST(i AS INTEGER), {LRS_CAP}) AS k
+      FROM norm, unnest(generate_series(1, length(txt))) AS t(i)
+    ),
+    adj AS (
+      SELECT doc_id, k,
+             lead(k) OVER (PARTITION BY doc_id ORDER BY k, i) AS nk
+      FROM suf
+    )
+    SELECT doc_id,
+           CAST(max({_lrs_grid_sql("k", "nk")}) AS INTEGER) AS lrs_grid,
+           CASE WHEN max({_lrs_grid_sql("k", "nk")}) >= {LRS_FLAG_MIN}
+                THEN 1 ELSE 0 END AS span_repeat_flag
+    FROM adj
+    GROUP BY doc_id
+    """,
+)
+def txt_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document longest repeated substring (grid-floored to
+    LRS_GRID, suffix keys capped at LRS_CAP chars) from sorted-suffix
+    adjacency, with a span-repetition flag at >= {LRS_FLAG_MIN}."""
+    from pyspark.sql import Window as W
+
+    norm = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), r"\s+", " ").alias("txt"),
+    )
+    suf = norm.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(txt)), i -> substring(txt, i, {LRS_CAP}))")
+        ).alias("i", "k"),
+    )
+    adj = suf.withColumn(
+        "nk", F.lead("k").over(W.partitionBy("doc_id").orderBy("k", "i"))
+    )
+    cp = F.greatest(
+        *[
+            F.when(
+                (F.length("k") >= g)
+                & (F.length("nk") >= g)
+                & (F.substring("k", 1, g) == F.substring("nk", 1, g)),
+                g,
+            ).otherwise(0)
+            for g in LRS_GRID
+        ]
+    )
+    return (
+        adj.groupBy("doc_id")
+        .agg(F.max(cp).cast("int").alias("lrs_grid"))
+        .select(
+            "doc_id",
+            "lrs_grid",
+            F.when(F.col("lrs_grid") >= LRS_FLAG_MIN, 1).otherwise(0).alias(
+                "span_repeat_flag"
+            ),
+        )
+    )

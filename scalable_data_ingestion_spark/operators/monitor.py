@@ -666,3 +666,75 @@ def mon_wow_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("alert"),
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed quantile drift (round-9 shortlist #2b): the tail-shape
+# companion to mon_wow_event_volume's volume alarms and the PSI
+# monitors' binned shapes. Binned monitors miss drift that moves WITHIN
+# a bin; tracking exact windowed quantiles (p50/p90 per calendar month)
+# catches median/tail migration directly. Month grain keeps every
+# window dense (~190 orders/month at sf0.01) and the output
+# dimension-sized: one exact-percentile aggregate per month — a single
+# shuffle keyed on the month, partial-aggregated map-side — then lag()
+# over the ~80-row month series. At 100 TB the per-month percentile
+# would ride the mergeable sketch (sk_tdigest_order_values below is the
+# same monitor's sketch-backed twin); the exact form here is the
+# oracle-checkable reference.
+# --------------------------------------------------------------------------
+QDRIFT_ALERT_X20 = 20  # alert when abs(p50 - prev) * 20 > prev (5% move)
+
+
+@register(
+    "mon_quantile_drift_monthly",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             quantile_cont(o_totalprice, 0.5) AS p50,
+             quantile_cont(o_totalprice, 0.9) AS p90
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT *, lag(p50) OVER (ORDER BY month_start) AS prev_p50
+      FROM monthly
+    )
+    SELECT month_start, n_orders,
+           round(p50, 6) AS p50_price, round(p90, 6) AS p90_price,
+           round(abs(p50 - prev_p50), 6) AS d50_abs,
+           CASE WHEN prev_p50 IS NULL THEN NULL
+                WHEN abs(p50 - prev_p50) * {QDRIFT_ALERT_X20} > prev_p50
+                THEN 1 ELSE 0 END AS alert
+    FROM lagged
+    """,
+)
+def mon_quantile_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact monthly p50/p90 of order value with month-over-month
+    median-drift alerts (>5% move, compared in multiply-through form so
+    both engines branch on the identical double expression)."""
+    o = table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month_start")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    )
+    lagged = monthly.withColumn(
+        "prev_p50", F.lag("p50").over(W.orderBy("month_start"))
+    )
+    return lagged.select(
+        "month_start",
+        "n_orders",
+        F.round("p50", 6).alias("p50_price"),
+        F.round("p90", 6).alias("p90_price"),
+        F.round(F.abs(F.col("p50") - F.col("prev_p50")), 6).alias("d50_abs"),
+        F.when(F.col("prev_p50").isNull(), F.lit(None).cast("int"))
+        .when(
+            F.abs(F.col("p50") - F.col("prev_p50")) * QDRIFT_ALERT_X20
+            > F.col("prev_p50"),
+            1,
+        )
+        .otherwise(0)
+        .alias("alert"),
+    )

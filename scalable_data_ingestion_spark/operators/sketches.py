@@ -1054,3 +1054,129 @@ def sk_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_intersection"),
         "exact_intersection",
     )
+
+
+# --------------------------------------------------------------------------
+# t-digest-style mergeable quantile digest (round-9 shortlist #2a) —
+# the third member of the engine-internal sketch family next to HLL++
+# (sk_approx_event_profile) and the GK-style percentile_approx rows.
+# Unlike those two (Spark-native sketches), this one builds the digest
+# IN DataFrame algebra, making the merge semantics inspectable:
+#
+#   map side   — shard values by hash (stand-in for executors/
+#                partitions), rank within shard, compress each shard's
+#                distribution into <= DELTA centroids via the t-digest
+#                k1 scale function k(q) = asin(2q-1) (Dunning &
+#                Ertl 2019): tail bins are narrower, so tail quantiles
+#                stay accurate after compression;
+#   merge side — the shards' centroids (a <= SHARDS*DELTA-row relation,
+#                kilobytes regardless of corpus size) sort by mean and
+#                re-compress with the same scale function on GLOBAL
+#                cumulative weight — exactly how t-digests merge across
+#                1000 executors without ever materializing the sorted
+#                value stream;
+#   query side — quantile lookup walks the merged centroids'
+#                cumulative weights.
+#
+# Centroid means use exact cent-grid BIGINT sums (uniform exact-sums
+# policy), so the whole digest is deterministic under any partitioning
+# and the output is reproducible bit-for-bit — but the VALUES are
+# sketch-specific by design, so this registers rows-only (like HLL++/
+# GK) with the error-bound property test in tests/test_corpus_ops.py:
+# the estimated quantile's true rank must sit within the digest's
+# accuracy envelope of the requested rank.
+# --------------------------------------------------------------------------
+TD_DELTA = 32  # digest compression (max centroids per digest)
+TD_SHARDS = 32  # map-side digests (stand-in for executor count)
+TD_PCTS = (0.5, 0.9, 0.99)
+
+
+def _td_bin(q: F.Column) -> F.Column:
+    """k1 scale-function bin: floor(DELTA * (asin(2q-1)/pi + 1/2))."""
+    import math
+
+    k = (F.asin(q * 2 - 1) / math.pi + 0.5) * TD_DELTA
+    return F.least(F.floor(k).cast("int"), F.lit(TD_DELTA - 1))
+
+
+@register("sk_tdigest_order_values")
+def sk_tdigest_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles answered from a merged t-digest-style
+    sketch: per-shard k1-compressed centroids, merged by global
+    cumulative weight, queried at p in {0.5, 0.9, 0.99}."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sharded = o.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(TD_SHARDS)).alias("shard"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    ws = W.partitionBy("shard").orderBy("v", "o_orderkey")
+    ranked = sharded.select(
+        "shard",
+        "v",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("shard")).alias("n"),
+    )
+    # map-side digest: shard-local quantile of each value -> k1 bin
+    local = ranked.select(
+        "shard",
+        "v",
+        _td_bin((F.col("r") - 0.5) / F.col("n")).alias("bin"),
+    )
+    shard_cent = local.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.sum(F.floor(F.col("v") * 100 + F.lit(0.5)).cast("bigint")).alias(
+            "sum_cents"
+        ),
+    ).withColumn("mean", F.col("sum_cents") / (F.col("w") * 100))
+    # merge: global re-compression of the centroid relation (tiny) by
+    # cumulative weight under the same scale function
+    wm = W.orderBy("mean", "shard", "bin")
+    merged_in = shard_cent.select(
+        "shard",
+        "bin",
+        "w",
+        "sum_cents",
+        "mean",
+        (F.sum("w").over(wm) - F.col("w") / 2).alias("cum_mid"),
+        F.sum("w").over(W.partitionBy()).alias("n_total"),
+    )
+    merged = (
+        merged_in.withColumn(
+            "mbin", _td_bin(F.col("cum_mid") / F.col("n_total"))
+        )
+        .groupBy("mbin")
+        .agg(
+            F.sum("w").alias("w"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.max("n_total").alias("n_total"),
+        )
+        .withColumn("mean", F.col("sum_cents") / (F.col("w") * 100))
+    )
+    # query: first centroid whose cumulative weight reaches p * N
+    wq = W.orderBy("mean", "mbin")
+    cum = merged.select(
+        "mean", "n_total", F.sum("w").over(wq).alias("cum_hi"), "w"
+    )
+    pcts = cum.crossJoin(
+        F.broadcast(
+            spark.range(1).select(
+                F.explode(F.array(*[F.lit(p) for p in TD_PCTS])).alias("p")
+            )
+        )
+    )
+    hit = pcts.filter(F.col("cum_hi") >= F.col("p") * F.col("n_total"))
+    wh = W.partitionBy("p").orderBy("cum_hi", "mean")
+    est = (
+        hit.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p").alias("quantile"),
+            F.round("mean", 6).alias("est_value"),
+        )
+    )
+    n_cent = merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_centroids"),
+        F.max("n_total").cast("bigint").alias("total_weight"),
+    )
+    return est.crossJoin(F.broadcast(n_cent))

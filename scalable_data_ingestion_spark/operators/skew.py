@@ -196,3 +196,99 @@ def sk_join_key_skew_report(spark, sf_dir):
             )
         )
     return reduce(DataFrame.unionByName, parts)
+
+
+# --------------------------------------------------------------------------
+# Skew-join evidence pair (round-9 verdict #8): the same deliberately
+# hot-keyed join expressed two ways, priced side by side in BENCH so
+# SCALING.md's "AQE handles the hot key" claim is a measured row, not
+# prose. Construction: every event maps to a nation key, but HALF of
+# all users fold onto nation 0 (pmod(user_id, 10) < 5) — the worst-
+# case shuffle-join shape — and the join enriches events with the
+# nation dim.
+#
+# - sk_hot_key_join_aqe: the PLAIN join. Catalyst picks the physical
+#   strategy: with the small dim it broadcasts (no shuffle on the fact
+#   side, skew impossible — the right answer); with broadcast off it
+#   is a sort-merge join whose hot partition AQE's skewJoin rule
+#   splits at runtime (asserted by tests/test_plan_quality.py with
+#   broadcast disabled and split thresholds lowered to bench scale).
+# - sk_hot_key_join_salted: the manual mitigation for the cases AQE
+#   cannot reach. Salting costs an explode replication of the dim side
+#   even when it isn't needed — the bench delta between the twins IS
+#   that price.
+#
+# Measured structural limits of the AQE path (probed on this exact
+# shape, Spark 4.1): OptimizeSkewedJoin only fires when the skewed
+# SHUFFLE sits directly under the join's Sort — a dim side built by an
+# aggregation (or read from cache) breaks the pattern and the hot
+# partition stays whole; and a skewed reduce partition fed by a single
+# map task (one parquet row group) cannot be split at all, because the
+# split unit is the mapper range. Both are reasons the manual salted
+# twin stays in the library: it works for ANY plan shape.
+#
+# Both queries return identical values (one oracle checks both). The
+# weighted sum multiplies exact value-cents BIGINTs by the dim key
+# before a single integer sum, so the hash is order-independent.
+# --------------------------------------------------------------------------
+_HOT_KEY_ORACLE = """
+WITH keyed AS (
+  SELECT event_type, value,
+         CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id % 25 END AS skew_key
+  FROM events
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(k.value * 100 + 0.5) AS BIGINT)
+                * (n.n_regionkey + 1)) AS BIGINT) AS weighted_cents
+FROM keyed k JOIN nation n ON k.skew_key = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def _hot_keyed_events(spark, sf_dir):
+    ev = _table(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    return ev.select(
+        "event_type",
+        "value",
+        F.when(F.pmod("user_id", F.lit(10)) < 5, F.lit(0).cast("bigint"))
+        .otherwise(F.pmod("user_id", F.lit(25)))
+        .alias("skew_key"),
+    )
+
+
+def _nation_dim(spark, sf_dir):
+    return _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("skew_key"),
+        "n_name",
+        "n_regionkey",
+    )
+
+
+def _hot_key_rollup(joined: DataFrame) -> DataFrame:
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            * (F.col("n_regionkey").cast("bigint") + 1)
+        )
+        .cast("bigint")
+        .alias("weighted_cents"),
+    )
+
+
+@register("sk_hot_key_join_aqe", oracle=_HOT_KEY_ORACLE)
+def sk_hot_key_join_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key fact-dim join, planner's choice (broadcast when the dim
+    is small; SMJ + AQE skew split when it isn't)."""
+    keyed = _hot_keyed_events(spark, sf_dir)
+    return _hot_key_rollup(keyed.join(_nation_dim(spark, sf_dir), "skew_key"))
+
+
+@register("sk_hot_key_join_salted", oracle=_HOT_KEY_ORACLE)
+def sk_hot_key_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through the manual salted path (identical values;
+    the bench delta vs the AQE twin prices the salting overhead)."""
+    keyed = _hot_keyed_events(spark, sf_dir)
+    joined = salted_join(keyed, _nation_dim(spark, sf_dir), "skew_key")
+    return _hot_key_rollup(joined)

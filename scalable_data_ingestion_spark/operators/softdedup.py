@@ -509,3 +509,128 @@ def dq_cross_lang_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("overlap"))
         .filter(F.col("overlap") >= LEAK_MIN_OVERLAP)
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source n-gram contamination matrix (round-9 shortlist #4b):
+# the SOURCE-granular rollup of the leakage audits above — the table a
+# data-mixing decision reads ("how much does src7 overlap src12?"),
+# and the cross-SOURCE companion of dd_cross_source_matrix (which
+# counts near-dup DOC pairs; this measures vocabulary-span overlap
+# directly, GPT-3/PaLM-report style). 8-gram grain: long enough that
+# any shared gram is a copied span, not topical vocabulary.
+#
+# Scale shape: the index is distinct (source, gram) — at most
+# n_sources rows per gram regardless of corpus size — and the
+# self-join runs on that source-deduplicated relation, so candidate
+# volume is bounded by sum over grams of n_sources^2, NOT docs^2.
+# The doc-level DF cap (same policy/value as CROSS_LANG_DF_CAP)
+# drops boilerplate grams in both engines before source-dedup. The
+# full 190-cell matrix materializes via a source cross-join (20x20
+# dimension table) so silent zeros are visible rows, not absent ones.
+# --------------------------------------------------------------------------
+CONTAM_N = 8  # word n-gram width for span contamination
+CONTAM_DF_CAP = 1000
+
+
+@register(
+    "dd_contamination_ngram_matrix",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= {CONTAM_N}
+    ),
+    idx AS (
+      SELECT doc_id, source, t,
+             unnest(generate_series(1, len(t) - {CONTAM_N - 1})) AS i
+      FROM tok
+    ),
+    g_all AS (
+      SELECT DISTINCT doc_id, source,
+             {" || ' ' || ".join(f"t[i+{k}]" for k in range(CONTAM_N))} AS g
+      FROM idx
+    ),
+    g_capped AS (
+      SELECT * FROM g_all
+      WHERE g IN (SELECT g FROM g_all GROUP BY g
+                  HAVING count(*) <= {CONTAM_DF_CAP})
+    ),
+    sg AS (SELECT DISTINCT source, g FROM g_capped),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           coalesce(sh.n_shared, 0) AS n_shared,
+           sa.n AS n_grams_a, sb.n AS n_grams_b,
+           round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE)
+                 / least(sa.n, sb.n), 6) AS containment
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN shared sh
+      ON sh.source_a = sa.source AND sh.source_b = sb.source
+    """,
+)
+def dd_contamination_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct shared {CONTAM_N}-gram counts and containment for every
+    source pair — the corpus-mixing contamination matrix (zeros
+    materialized)."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    gram_terms = ", ".join(f"t[i+{k}]" for k in range(CONTAM_N))
+    g_all = (
+        docs.select("doc_id", "source", toks.alias("t"))
+        .filter(F.size("t") >= CONTAM_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {CONTAM_N}), "
+                    f"i -> concat_ws(' ', {gram_terms}))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df_count = F.count(F.lit(1)).over(W.partitionBy("g"))
+    sg = (
+        g_all.withColumn("_df", df_count)
+        .filter(F.col("_df") <= CONTAM_DF_CAP)
+        .select("source", "g")
+        .distinct()
+        # feeds sizes AND both join sides — three references
+        .persist()
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = sg.alias("a"), sg.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_grams_b"))
+    return (
+        F.broadcast(sa)
+        .join(F.broadcast(sb), F.col("source_a") < F.col("source_b"))
+        .join(shared, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            "n_grams_a",
+            "n_grams_b",
+            F.round(
+                F.coalesce("n_shared", F.lit(0)).cast("double")
+                / F.least("n_grams_a", "n_grams_b"),
+                6,
+            ).alias("containment"),
+        )
+    )

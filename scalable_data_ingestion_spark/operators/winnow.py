@@ -104,6 +104,18 @@ def _winnow_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprints_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, L, fp) distinct winnowing fingerprints of an arbitrary
+    (doc_id, text) relation — normalization, length filter and the
+    narrow array pipeline in one map-only pass (shared by the batch
+    queries here and streaming/span_dedup.py's store-dedup sink)."""
+    c = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), r"\s+", " ").alias("txt"),
+    ).filter(F.length("txt") >= WINNOW_K + WINNOW_W - 1)
+    return _fps_of_normalized(c)
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, L, fp) distinct winnowing fingerprints, computed with a
     single narrow array pipeline per row (no shuffle).
@@ -116,7 +128,10 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(len) md5 sweep re-runs per window position: O(len^2) hashing,
     measured 20x slower at 300-char docs. The Generate node pins one
     evaluation per row and keeps the stage narrow (no Exchange)."""
-    c = _winnow_corpus(spark, sf_dir)
+    return _fps_of_normalized(_winnow_corpus(spark, sf_dir))
+
+
+def _fps_of_normalized(c: DataFrame) -> DataFrame:
     hashes = F.expr(
         f"transform(sequence(1, length(txt) - {WINNOW_K - 1}), "
         f"i -> substring(md5(substring(txt, i, {WINNOW_K})), 1, 8))"

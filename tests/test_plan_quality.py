@@ -608,3 +608,112 @@ def test_rolling_hll_window_is_bucket_partitioned(spark, sf_dir):
 def test_single_reference_fanout_has_no_union(spark, sf_dir, name):
     p = plan(registry.QUERIES[name](spark, sf_dir), "simple")
     assert "Union" not in p, f"{name} regressed to a union fan-out:\n{p}"
+
+
+@pytest.fixture
+def _skew_test_confs(spark):
+    """Lower the AQE skew thresholds to smoke-data scale and disable
+    broadcast so the hot-key join plans as a sort-merge join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_hot_key_join_aqe_skew_split_fires(spark, sf_dir, _skew_test_confs):
+    """The AQE evidence row's claim, executed: with broadcast off and
+    thresholds at smoke-data scale, the hot-key join's final adaptive
+    plan splits the skewed partition (SortMergeJoin(skew=true)).
+
+    The .repartition(8) stands in for the many map tasks a real scan
+    produces (the smoke parquet is one row group = one mapper, and a
+    skewed partition fed by a single mapper cannot be split — the
+    split unit is the mapper range; see operators/skew.py notes)."""
+    from scalable_data_ingestion_spark.operators.skew import (
+        _hot_key_rollup,
+        _hot_keyed_events,
+        _nation_dim,
+    )
+
+    keyed = _hot_keyed_events(spark, sf_dir).repartition(8, "event_type")
+    df = _hot_key_rollup(keyed.join(_nation_dim(spark, sf_dir), "skew_key"))
+    df.collect()  # drive THIS DataFrame's own QueryExecution to final
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in final, final[:2000]
+
+
+def test_hot_key_join_plain_broadcasts_small_dim(spark, sf_dir):
+    # Planner's-choice twin: with the default threshold the 25-row dim
+    # broadcasts — no shuffle on the fact side at all.
+    p = plan(registry.QUERIES["sk_hot_key_join_aqe"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_hot_key_twins_agree(spark, sf_dir):
+    a = {
+        tuple(r)
+        for r in registry.QUERIES["sk_hot_key_join_aqe"](spark, sf_dir).collect()
+    }
+    s = {
+        tuple(r)
+        for r in registry.QUERIES["sk_hot_key_join_salted"](spark, sf_dir).collect()
+    }
+    assert a == s
+
+
+def test_bucketed_user_join_has_no_join_exchange(spark, sf_dir):
+    """The evidence row's claim: the fact-profile join reads bucket-
+    aligned tables, so the ONLY Exchange in the plan belongs to the
+    final event_type rollup (plus the broadcast of the 1-row total)."""
+    df = registry.QUERIES["ev_bucketed_user_join"](spark, sf_dir)
+    p = plan(df, "simple")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert p.count("Bucketed: true") == 2  # both join sides bucket-read
+    shuffles = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+    ]
+    assert len(shuffles) == 1, p  # the rollup's — none under the join
+    assert all("event_type" in ln for ln in shuffles), p
+
+
+def test_round9_text_ops_plan_shapes(spark, sf_dir):
+    # suffix-LRS: per-doc window + aggregate, NO join anywhere.
+    p = plan(registry.QUERIES["txt_suffix_lrs"](spark, sf_dir), "simple")
+    assert "Join" not in p
+    # contamination matrix: candidate join is an equi-join on the gram,
+    # never a nested-loop product; sources dimension cross is broadcast.
+    p = plan(
+        registry.QUERIES["dd_contamination_ngram_matrix"](spark, sf_dir),
+        "simple",
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_opq_perm_is_broadcast_and_rq_curve_monotone(spark, sf_dir):
+    # the 64-row permutation mapping rides as a broadcast
+    p = plan(registry.QUERIES["sim_opq_permute_eval"](spark, sf_dir))
+    assert "BroadcastExchange" in p
+    # RQ distortion strictly decreases per level (each level removes
+    # the best K-centroid approximation of what remains)
+    rows = {
+        r.level: r.mean_sq_dist
+        for r in registry.QUERIES["sim_rq_distortion"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    assert rows[0] > rows[1] > rows[2]
