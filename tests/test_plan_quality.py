@@ -335,6 +335,13 @@ GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     "ts_mom_yoy_growth",
     # day-grain lag over the post-aggregation daily series (<= 2.4k rows)
     "stat_runs_test_daily",
+    # month-grain lag over the post-aggregation monthly percentile
+    # series — same calendar-bounded class as ts_mom_yoy_growth
+    "mon_quantile_drift_monthly",
+    # merge/query windows over the shard-centroid relation, bounded by
+    # construction at TD_SHARDS x TD_DELTA (= 1024) rows regardless of
+    # corpus size — that bound is the digest's entire point
+    "sk_tdigest_order_values",
 }
 
 
