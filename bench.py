@@ -366,6 +366,7 @@ HEADLINE_R15 = [
     "sim_rq_distortion",
     "st_winnow_store_decisions",
     "st_bbit_store_decisions",
+    "ev_dpp_partitioned_join",
 ]
 
 ALL_HEADLINE = (

@@ -635,3 +635,88 @@ def ev_bucketed_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("heavy_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic-partition-pruning evidence row (round 9): the partitioned-
+# layout sibling of ev_bucketed_user_join. Bucketing deletes the join
+# shuffle; Hive-style partitioning deletes the SCAN — when a fact table
+# partitioned on the join key is joined against a FILTERED dim, Spark
+# plans a DPP subquery (SubqueryAdaptiveBroadcast dynamicpruning#N,
+# reusing the join's own broadcast) that computes the dim's surviving
+# keys at runtime and prunes fact partitions before any fact bytes are
+# read. At 100 TB with a date- or tenant-partitioned fact this is the
+# difference between scanning the whole table and scanning the slice
+# the query can use — and unlike static pushdown it works when the
+# filter is only known at runtime (top-k dims, subquery results).
+#
+# The query writes events partitioned by event_type, derives the dim
+# (top-2 event types by exact value-cents) from the partitioned table,
+# joins back, and rolls up. Plan-gated: the fact scan carries a
+# dynamicpruning PartitionFilter (tests/test_plan_quality.py). Same
+# EAGER CONTRACT as ev_bucketed_user_join (one partitioned write per
+# call, priced in BENCH).
+# --------------------------------------------------------------------------
+DPP_TOP_TYPES = 2
+_DPP_ORACLE = f"""
+WITH ranked AS (
+  SELECT event_type,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS type_cents,
+         row_number() OVER (
+             ORDER BY sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) DESC,
+                      event_type) AS rnk
+  FROM events GROUP BY 1
+),
+top_dim AS (
+  SELECT event_type, type_cents FROM ranked WHERE rnk <= {DPP_TOP_TYPES}
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       max(t.type_cents) AS type_cents
+FROM events e JOIN top_dim t ON e.event_type = t.event_type
+GROUP BY 1
+"""
+
+
+@register("ev_dpp_partitioned_join", oracle=_DPP_ORACLE)
+def ev_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-revenue event-type activity through the partitioned-layout
+    join path: events written partitioned by event_type, dim = top-2
+    types by exact cents, join pruned by DPP at the fact scan."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    loc = Path(tempfile.gettempdir()) / "sdi_dpp_r9" / "events_by_type"
+    shutil.rmtree(loc, ignore_errors=True)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(str(loc))
+    fact = spark.read.parquet(str(loc))
+    cents = F.sum(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    ).cast("bigint")
+    dim = (
+        fact.groupBy("event_type")
+        .agg(cents.alias("type_cents"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.orderBy(F.desc("type_cents"), "event_type")
+            ),
+        )
+        .filter(F.col("rnk") <= DPP_TOP_TYPES)
+        .drop("rnk")
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.max("type_cents").cast("bigint").alias("type_cents"),
+        )
+    )

@@ -342,6 +342,9 @@ GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     # construction at TD_SHARDS x TD_DELTA (= 1024) rows regardless of
     # corpus size — that bound is the digest's entire point
     "sk_tdigest_order_values",
+    # top-k rank over the per-event-type aggregate — 5 rows at any SF
+    # (same dimension-bounded class as w_nation_revenue_rank)
+    "ev_dpp_partitioned_join",
 }
 
 
@@ -724,3 +727,16 @@ def test_opq_perm_is_broadcast_and_rq_curve_monotone(spark, sf_dir):
     }
     assert set(rows) == {0, 1, 2}
     assert rows[0] > rows[1] > rows[2]
+
+
+def test_dpp_partitioned_join_prunes_fact_scan(spark, sf_dir):
+    """The DPP evidence row's claim: the fact scan carries a dynamic-
+    pruning PartitionFilter fed by the dim subquery, so only the
+    surviving event_type partitions are read."""
+    df = registry.QUERIES["ev_dpp_partitioned_join"](spark, sf_dir)
+    p = plan(df, "formatted")
+    assert "dynamicpruning" in p.lower(), p[:3000]
+    rows = df.collect()
+    assert len(rows) == 2  # top-2 types only survive the pruned join
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in final.lower()
