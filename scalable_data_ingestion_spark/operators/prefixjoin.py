@@ -112,15 +112,23 @@ def _prefix_jaccard(sh: DataFrame) -> DataFrame:
         .join(sizes, "doc_id")
     )
     # prefix_len = n - ceil(3n/5) + 1, all integer arithmetic.
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1
-    ).select("doc_id", "sh", "n")
+    # persist: the prefix relation feeds the budget estimate AND both
+    # sides of the candidate join — uncached, the rank/row_number chain
+    # would execute twice (measured +1.9 s at sf0.1 when the guard
+    # landed unpersisted; consumers drop it via registry.cache_scope).
+    prefix = (
+        ranked.filter(
+            F.col("pos") <= F.col("n") - F.expr("(3 * n + 4) DIV 5") + 1
+        )
+        .select("doc_id", "sh", "n")
+        .persist()
+    )
 
-    # Candidate budget check: one linear pass (sh is cached by the
-    # caller, so this reuses the shingle scan) pricing the join before
-    # it runs. Σ c·(c−1)/2 over prefix postings upper-bounds the
-    # candidate pairs exactly; the expensive stages (candidate join,
-    # distinct, verify join) never start if the budget is blown.
+    # Candidate budget check: one linear pass pricing the join before
+    # it runs (and materializing the prefix cache). Σ c·(c−1)/2 over
+    # prefix postings upper-bounds the candidate pairs exactly; the
+    # expensive stages (candidate join, distinct, verify join) never
+    # start if the budget is blown.
     cand_est = (
         prefix.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("c"))
