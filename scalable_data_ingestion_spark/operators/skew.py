@@ -292,3 +292,108 @@ def sk_hot_key_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = _hot_keyed_events(spark, sf_dir)
     joined = salted_join(keyed, _nation_dim(spark, sf_dir), "skew_key")
     return _hot_key_rollup(joined)
+
+
+# --------------------------------------------------------------------------
+# Auto skew strategy (round-10 verdict #2): turn the MEASURED structural
+# limits of AQE's OptimizeSkewedJoin (probed on the hot-key shape above,
+# Spark 4.1) into a library chooser. The rule only rewrites
+# SMJ(Sort(ShuffleQueryStage), Sort(ShuffleQueryStage)) — so:
+#
+#   blocker 1  — a join side built by an Aggregate / Window, or served
+#                from cache (InMemoryRelation), puts an operator between
+#                its shuffle and the join's Sort: the hot partition
+#                stays whole at ANY skew threshold.
+#   blocker 2  — a skewed reduce partition fed by a SINGLE map task
+#                (map-only side over one parquet file = one row group)
+#                cannot be split: the split unit is the mapper range.
+#
+# choose_skew_join_strategy inspects the two sides' optimized logical
+# plans (driver-side, no job) for exactly those shapes and returns
+# "aqe" (plain join — Catalyst broadcasts small dims, AQE splits hot
+# SMJ partitions at runtime) or "salted" (the manual rewrite, which
+# works for ANY plan shape). Conservative by design: a false "salted"
+# still returns identical values and merely pays the dim replication
+# (the sk_hot_key_join_aqe/_salted BENCH twins price that delta);
+# a false "aqe" would leave the hot task serialized, so unmeasured
+# shapes are NOT added to the blocked set until probed.
+# --------------------------------------------------------------------------
+_AQE_BLOCKING_NODES = ("Aggregate", "Window", "InMemoryRelation")
+_SHUFFLE_SHAPE_NODES = _AQE_BLOCKING_NODES + ("Join", "Repartition", "Sort")
+
+
+def _fresh_optimized_plan(df: DataFrame) -> str:
+    """Optimized logical plan from a FRESH QueryExecution. A Dataset's
+    own queryExecution().optimizedPlan() is a JVM lazy val — inspected
+    once before a later .persist(), it would never show the
+    InMemoryRelation substitution. select('*') forces a new execution
+    (the trivial Project collapses away in optimization)."""
+    return df.select("*")._jdf.queryExecution().optimizedPlan().toString()
+
+
+def aqe_skew_split_blockers(skewed: DataFrame, small: DataFrame) -> list[str]:
+    """The measured reasons AQE could not split this join's hot
+    partition (empty list = the AQE path is safe to rely on)."""
+    reasons: list[str] = []
+    for side, df in (("skewed", skewed), ("small", small)):
+        lp = _fresh_optimized_plan(df)
+        for node in _AQE_BLOCKING_NODES:
+            if node in lp:
+                reasons.append(
+                    f"{side} side plans a {node} between its shuffle and "
+                    "the join Sort (OptimizeSkewedJoin needs "
+                    "Sort(ShuffleQueryStage) directly)"
+                )
+                break
+    skewed_plan = _fresh_optimized_plan(skewed)
+    map_only = not any(n in skewed_plan for n in _SHUFFLE_SHAPE_NODES)
+    # == 1, not <= 1: a non-file leaf (range/LocalRelation) reports zero
+    # input files but parallelizes over default-parallelism mappers.
+    if map_only and len(skewed.inputFiles()) == 1:
+        reasons.append(
+            "skewed side is map-only over a single file (one map task): "
+            "a skewed reduce partition fed by one mapper cannot be split "
+            "(the split unit is the mapper block range)"
+        )
+    return reasons
+
+
+def choose_skew_join_strategy(
+    skewed: DataFrame, small: DataFrame
+) -> tuple[str, list[str]]:
+    """('aqe' | 'salted', blocker descriptions). Driver-side plan
+    inspection only — no Spark job runs."""
+    reasons = aqe_skew_split_blockers(skewed, small)
+    return ("salted" if reasons else "aqe"), reasons
+
+
+def skew_resilient_join(
+    skewed: DataFrame, small: DataFrame, key: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Inner equi-join that survives a hot key on ``skewed`` under ANY
+    plan shape: plain join (broadcast / AQE skew split) when the rule
+    can fire, the salted rewrite exactly when a measured blocker means
+    it can't. Values are identical either way (oracle-proved by
+    sk_hot_key_join_auto)."""
+    strategy, _ = choose_skew_join_strategy(skewed, small)
+    if strategy == "salted":
+        return salted_join(skewed, small, key, salt_buckets)
+    return skewed.join(small, key)
+
+
+@register("sk_hot_key_join_auto", oracle=_HOT_KEY_ORACLE)
+def sk_hot_key_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through skew_resilient_join on the measured
+    AQE-blocked shape: the dim side is built by an aggregation (a
+    primary-key groupBy — semantically the identity, but an Aggregate
+    in the plan), so OptimizeSkewedJoin could never split the hot
+    partition and the chooser takes the salted path. Same oracle as
+    the aqe/salted twins — the strategy changes the PLAN, never the
+    answer."""
+    keyed = _hot_keyed_events(spark, sf_dir)
+    dim = (
+        _nation_dim(spark, sf_dir)
+        .groupBy("skew_key", "n_name")
+        .agg(F.max("n_regionkey").alias("n_regionkey"))
+    )
+    return _hot_key_rollup(skew_resilient_join(keyed, dim, "skew_key"))

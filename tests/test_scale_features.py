@@ -494,3 +494,68 @@ def test_runtime_bloom_filter_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skew_strategy_auto_selects_salting_on_measured_shapes(
+    spark, sf_dir, tmp_path
+):
+    """choose_skew_join_strategy picks 'salted' on EXACTLY the shapes
+    where OptimizeSkewedJoin was measured unable to split (aggregate/
+    cache-built side; single-mapper skewed side) and 'aqe' otherwise."""
+    from scalable_data_ingestion_spark.operators.skew import (
+        choose_skew_join_strategy,
+        skew_resilient_join,
+    )
+
+    fact_src = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    fact_src.repartition(4).write.mode("overwrite").parquet(
+        str(tmp_path / "fact_multi")
+    )
+    fact_src.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "fact_single")
+    )
+    dim_src = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    dim_src.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    fact_multi = spark.read.parquet(str(tmp_path / "fact_multi"))
+    fact_single = spark.read.parquet(str(tmp_path / "fact_single"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+    assert len(fact_multi.inputFiles()) > 1
+    assert len(fact_single.inputFiles()) == 1
+
+    # plain scan-shaped sides, many mappers: AQE path is safe
+    strategy, reasons = choose_skew_join_strategy(fact_multi, dim)
+    assert (strategy, reasons) == ("aqe", [])
+
+    # measured shape 1a: dim built by an aggregation
+    dim_agg = dim.groupBy("k").agg(F.max("dim_val").alias("dim_val"))
+    strategy, reasons = choose_skew_join_strategy(fact_multi, dim_agg)
+    assert strategy == "salted"
+    assert any("Aggregate" in r for r in reasons)
+
+    # measured shape 1b: dim served from cache
+    dim_cached = dim.persist()
+    dim_cached.count()
+    try:
+        strategy, reasons = choose_skew_join_strategy(fact_multi, dim_cached)
+        assert strategy == "salted"
+        assert any("InMemoryRelation" in r for r in reasons)
+    finally:
+        dim_cached.unpersist()
+
+    # measured shape 2: skewed side map-only over ONE file (one mapper)
+    strategy, reasons = choose_skew_join_strategy(fact_single, dim)
+    assert strategy == "salted"
+    assert any("single file" in r for r in reasons)
+
+    # the auto join returns plain-join values on a blocked shape
+    got = sorted(
+        map(tuple, skew_resilient_join(fact_multi, dim_agg, "k").collect())
+    )
+    want = sorted(map(tuple, fact_multi.join(dim_agg, "k").collect()))
+    assert got == want
