@@ -720,3 +720,86 @@ def ev_dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("type_cents").cast("bigint").alias("type_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Warehouse read-after-write bucketed join (round-10 verdict #3): the
+# S7 upsert sink's read-back path at layout quality. ev_bucketed_user_
+# join prices the EVENTS layout; this row mirrors it on the warehouse
+# itself — orders and their customer dim written through
+# Warehouse.save_bucketed on custkey — because enrich-orders-with-
+# customer is the join a real user hits on every read-after-write. With
+# both sides bucket-aligned the join is Exchange-free: each task reads
+# matching bucket files from both tables, so at 100 TB the read-back
+# enrichment costs no shuffle at all (plan-asserted by
+# tests/test_plan_quality.py::test_wh_bucketed_orders_join_no_exchange).
+#
+# The dim side carries c_custkey AS the fact's key name so the bucket
+# spec and the join condition are the same single column on both sides.
+# The avg rides on exact value-cents BIGINTs (uniform exact-sums
+# policy) so both engines branch identically. Same EAGER CONTRACT as
+# ev_bucketed_user_join (two bucketed writes per call, priced in
+# BENCH); same MERGE hint rationale — at evidence scale Catalyst would
+# broadcast the dim (the right call, covered by sk_hot_key_join_aqe),
+# the hint pins the sort-merge path whose bucket alignment this row
+# exists to price.
+# --------------------------------------------------------------------------
+WH_BUCKETS = 16
+_WHB_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       round(CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / (count(*) * 100), 6) AS avg_order_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register("wh_bucketed_orders_join", oracle=_WHB_ORACLE)
+def wh_bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through the warehouse's bucketed
+    read-after-write path: save_bucketed(orders, custkey) x
+    save_bucketed(customer dim, custkey), Exchange-free enrichment
+    join, segment rollup. Values identical to the plain join — the
+    layout changes the PLAN, never the answer."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..storage.warehouse import Warehouse
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    # Stable tmp warehouse root + explicit drop: a fresh session's
+    # in-memory catalog doesn't know last session's table but the
+    # directory survives — same idempotence shape as ev_bucketed_
+    # user_join.
+    root = Path(tempfile.gettempdir()) / "sdi_wh_bucketed_r10"
+    wh = Warehouse(spark, str(root))
+    for name in ("r10_wh_orders_by_cust", "r10_wh_cust_by_cust"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(root / name, ignore_errors=True)
+    ob = wh.save_bucketed(
+        orders, "r10_wh_orders_by_cust", "o_custkey", buckets=WH_BUCKETS
+    )
+    cb = wh.save_bucketed(
+        cust, "r10_wh_cust_by_cust", "o_custkey", buckets=WH_BUCKETS
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        ob.join(cb.hint("merge"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("revenue_cents"),
+            F.round(
+                F.sum(cents).cast("double") / (F.count(F.lit(1)) * 100), 6
+            ).alias("avg_order_value"),
+        )
+    )

@@ -338,6 +338,11 @@ GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     # month-grain lag over the post-aggregation monthly percentile
     # series — same calendar-bounded class as ts_mom_yoy_growth
     "mon_quantile_drift_monthly",
+    # its digest-backed twin: month-grain lag over the same monthly
+    # series, plus merge/query windows over the per-month shard-centroid
+    # relation (bounded at QD_SHARDS x TD_DELTA = 256 rows per month by
+    # construction — the digest's entire point)
+    "mon_tdigest_drift_monthly",
     # merge/query windows over the shard-centroid relation, bounded by
     # construction at TD_SHARDS x TD_DELTA (= 1024) rows regardless of
     # corpus size — that bound is the digest's entire point
@@ -740,3 +745,36 @@ def test_dpp_partitioned_join_prunes_fact_scan(spark, sf_dir):
     assert len(rows) == 2  # top-2 types only survive the pruned join
     final = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in final.lower()
+
+
+def test_hot_key_auto_takes_salted_path_on_blocked_shape(spark, sf_dir):
+    """sk_hot_key_join_auto's dim is aggregate-built (the measured
+    OptimizeSkewedJoin blocker), so the chooser must take the salted
+    rewrite: the plan carries the dim-side salt replication (explode =
+    Generate) that a plain join would not."""
+    df = registry.QUERIES["sk_hot_key_join_auto"](spark, sf_dir)
+    p = plan(df, "simple")
+    assert "Generate explode" in p, p
+    # and the values equal the planner's-choice twin (same oracle)
+    a = {
+        tuple(r)
+        for r in registry.QUERIES["sk_hot_key_join_aqe"](spark, sf_dir).collect()
+    }
+    auto = {tuple(r) for r in df.collect()}
+    assert auto == a
+
+
+def test_wh_bucketed_orders_join_no_exchange(spark, sf_dir):
+    """The warehouse read-after-write evidence row: both save_bucketed
+    tables bucket-read, the enrichment join Exchange-free, the ONLY
+    shuffle belonging to the segment rollup."""
+    df = registry.QUERIES["wh_bucketed_orders_join"](spark, sf_dir)
+    p = plan(df, "simple")
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+    assert p.count("Bucketed: true") == 2
+    shuffles = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+    ]
+    assert len(shuffles) == 1, p
+    assert all("c_mktsegment" in ln for ln in shuffles), p
