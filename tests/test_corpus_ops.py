@@ -199,3 +199,43 @@ def test_tdigest_rank_error_within_scale_function_envelope(spark, sf_dir):
         if prev is not None:
             assert r.est_value >= prev  # quantile estimates monotone in p
         prev = r.est_value
+
+
+def test_tdigest_drift_monitor_rank_error_per_month(spark, sf_dir):
+    """The digest-of-digests drift monitor (round-10): per month, the
+    merged digest's p50/p90 estimates must have TRUE within-month rank
+    inside the k1 envelope, and each merged digest's total weight must
+    equal the month's exact row count — the digest-of-digests merge
+    loses no mass."""
+    import bisect
+    from collections import defaultdict
+
+    from scalable_data_ingestion_spark.operators.monitor import (
+        mon_tdigest_drift_monthly,
+    )
+    from scalable_data_ingestion_spark.operators.sketches import TD_DELTA
+
+    est = {
+        r.month_start: r
+        for r in mon_tdigest_drift_monthly(spark, sf_dir).collect()
+    }
+    by_month = defaultdict(list)
+    for r in (
+        table(spark, sf_dir, "orders")
+        .select(F.trunc("o_orderdate", "month").alias("m"), "o_totalprice")
+        .collect()
+    ):
+        by_month[r.m].append(r.o_totalprice)
+    assert set(est) == set(by_month)
+    bounds = {0.5: 2.0 / TD_DELTA, 0.9: 1.0 / TD_DELTA}
+    for m, vals in by_month.items():
+        vals.sort()
+        n = len(vals)
+        r = est[m]
+        assert r.n_orders == n  # merge preserves total weight
+        for p, col in ((0.5, r.est_p50), (0.9, r.est_p90)):
+            true_rank = bisect.bisect_right(vals, col) / n
+            # + 1/n: with ~15-row months at the smoke SF, rank is only
+            # defined on a 1/n grid — the envelope is continuous.
+            assert abs(true_rank - p) <= bounds[p] + 1.0 / n, (m, p, true_rank)
+        assert r.est_p50 <= r.est_p90
