@@ -369,10 +369,21 @@ HEADLINE_R15 = [
     "ev_dpp_partitioned_join",
 ]
 
+# Round-16 (build round 10): the verdict-directed evidence rows — the
+# auto skew-strategy join on the measured AQE-blocked shape, the
+# warehouse read-after-write bucketed join (S7/S8 at layout quality),
+# and the digest-of-digests drift monitor (mergeable-sketch twin of
+# mon_quantile_drift_monthly).
+HEADLINE_R16 = [
+    "sk_hot_key_join_auto",
+    "wh_bucketed_orders_join",
+    "mon_tdigest_drift_monthly",
+]
+
 ALL_HEADLINE = (
     HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
     + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12
-    + HEADLINE_R13 + HEADLINE_R14 + HEADLINE_R15
+    + HEADLINE_R13 + HEADLINE_R14 + HEADLINE_R15 + HEADLINE_R16
 )
 
 
