@@ -367,15 +367,59 @@ def choose_skew_join_strategy(
     return ("salted" if reasons else "aqe"), reasons
 
 
+def key_skew_stats(df: DataFrame, key: str) -> dict:
+    """Rows-per-key distribution of a join side in ONE pass: the same
+    shuffle the join itself would do, but carrying only partial-
+    aggregated counts (sk_join_key_skew_report's kernel as a library
+    call). Keys of the result: n_rows, n_keys, max_rows_per_key,
+    top_key_share — top_key_share >> 1/shuffle-partitions is the
+    signature that one reduce task carries the table."""
+    row = (
+        df.groupBy(F.col(key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("n").cast("bigint").alias("max_rows_per_key"),
+        )
+        .first()
+    )
+    n_rows = int(row["n_rows"] or 0)
+    max_n = int(row["max_rows_per_key"] or 0)
+    return {
+        "n_rows": n_rows,
+        "n_keys": int(row["n_keys"] or 0),
+        "max_rows_per_key": max_n,
+        "top_key_share": (max_n / n_rows) if n_rows else 0.0,
+    }
+
+
 def skew_resilient_join(
-    skewed: DataFrame, small: DataFrame, key: str, salt_buckets: int = 16
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    min_hot_share: float | None = None,
 ) -> DataFrame:
     """Inner equi-join that survives a hot key on ``skewed`` under ANY
     plan shape: plain join (broadcast / AQE skew split) when the rule
     can fire, the salted rewrite exactly when a measured blocker means
     it can't. Values are identical either way (oracle-proved by
-    sk_hot_key_join_auto)."""
+    sk_hot_key_join_auto).
+
+    Structural blockers say AQE *couldn't* split a hot partition — not
+    that one exists. Pass ``min_hot_share`` (e.g. 2/salt_buckets) to
+    confirm the skew is real before paying the dim replication: on a
+    blocked shape, one extra counting pass over the skewed side
+    (:func:`key_skew_stats`) downgrades to the plain join when the
+    hottest key's row share is below the threshold — a blocked-but-
+    uniform join needs no mitigation at all. Default None keeps the
+    zero-job, plan-only decision (the registered evidence row's
+    contract)."""
     strategy, _ = choose_skew_join_strategy(skewed, small)
+    if strategy == "salted" and min_hot_share is not None:
+        if key_skew_stats(skewed, key)["top_key_share"] < min_hot_share:
+            strategy = "aqe"
     if strategy == "salted":
         return salted_join(skewed, small, key, salt_buckets)
     return skewed.join(small, key)

@@ -559,3 +559,68 @@ def test_skew_strategy_auto_selects_salting_on_measured_shapes(
     )
     want = sorted(map(tuple, fact_multi.join(dim_agg, "k").collect()))
     assert got == want
+
+
+def test_key_skew_stats_and_data_driven_downgrade(spark, tmp_path):
+    """key_skew_stats returns exact distribution numbers, and
+    skew_resilient_join with min_hot_share only pays the salting
+    replication when the skew is REAL — a structurally-blocked but
+    uniform join downgrades to the plain join."""
+    from scalable_data_ingestion_spark.operators.skew import (
+        key_skew_stats,
+        skew_resilient_join,
+    )
+
+    hot = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    hot.repartition(4).write.mode("overwrite").parquet(str(tmp_path / "hot"))
+    uniform = spark.range(1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("payload")
+    )
+    uniform.repartition(4).write.mode("overwrite").parquet(
+        str(tmp_path / "uniform")
+    )
+    hot_df = spark.read.parquet(str(tmp_path / "hot"))
+    uni_df = spark.read.parquet(str(tmp_path / "uniform"))
+
+    stats = key_skew_stats(uni_df, "k")
+    assert stats == {
+        "n_rows": 1000,
+        "n_keys": 50,
+        "max_rows_per_key": 20,
+        "top_key_share": 0.02,
+    }
+    assert key_skew_stats(hot_df, "k")["top_key_share"] == 0.9
+
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    dim.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "dim2"))
+    dim_agg = (
+        spark.read.parquet(str(tmp_path / "dim2"))
+        .groupBy("k")
+        .agg(F.max("dim_val").alias("dim_val"))
+    )  # structurally blocked shape on the dim side
+
+    def is_salted(df):
+        return "Generate explode" in df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+
+    # blocked + hot: salts; blocked + uniform: downgrades to plain
+    assert is_salted(skew_resilient_join(hot_df, dim_agg, "k", min_hot_share=0.125))
+    assert not is_salted(
+        skew_resilient_join(uni_df, dim_agg, "k", min_hot_share=0.125)
+    )
+    # default (no data check) stays plan-only: both salt
+    assert is_salted(skew_resilient_join(uni_df, dim_agg, "k"))
+    # and values are identical on every path
+    got = sorted(
+        map(
+            tuple,
+            skew_resilient_join(hot_df, dim_agg, "k", min_hot_share=0.125).collect(),
+        )
+    )
+    assert got == sorted(map(tuple, hot_df.join(dim_agg, "k").collect()))
