@@ -803,3 +803,351 @@ def wh_bucketed_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_order_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Warehouse deletion-vector read path (lakehouse delete-without-rewrite):
+# delete_orders_where appends key tombstones (O(deleted) bytes, zero
+# data-file rewrites), read_orders_live anti-joins them out with a
+# BROADCAST hash join. The registered row drives the full API cycle —
+# save -> tombstone a deterministic md5-keyed 1/16 slice of the 'F'
+# orders -> live read — and reports per-status totals, live counts and
+# exact live cents, so the driver hash covers both the tombstone
+# selection and the anti-join semantics. At 100 TB this is the delete
+# path a compliance or curation sweep uses between compactions: the
+# write cost is the tombstone list, the read cost one broadcast
+# anti-join, and vacuum_deletes folds the debt into the next rewrite
+# (pytest covers vacuum + idempotent re-delete).
+#
+# EAGER CONTRACT: one warehouse write + one tombstone write per call
+# (priced in BENCH, same policy as the bucketed-layout rows). SCAN
+# GATE: 3 leaves of the tmp warehouse by design (raw totals + live +
+# tombstones — the raw-vs-live delta IS the evidence), allowlisted in
+# tests/test_scan_gate.py.
+# --------------------------------------------------------------------------
+_DV_ORACLE = """
+WITH latest AS (
+  SELECT o_orderkey AS order_id, o_orderstatus AS status, o_totalprice
+  FROM orders
+),
+del AS (
+  SELECT order_id FROM latest
+  WHERE status = 'F'
+    AND substr(md5(CAST(order_id AS VARCHAR) || '|dv'), 1, 1) = '0'
+)
+SELECT l.status,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN d.order_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_live,
+       CAST(sum(CASE WHEN d.order_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_deleted,
+       CAST(sum(CASE WHEN d.order_id IS NULL
+                     THEN CAST(floor(l.o_totalprice * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS live_cents
+FROM latest l LEFT JOIN del d ON d.order_id = l.order_id
+GROUP BY 1
+"""
+
+
+@register("wh_deletion_vector_read", oracle=_DV_ORACLE)
+def wh_deletion_vector_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order counts and exact live cents through the
+    warehouse deletion-vector cycle: save_orders, tombstone the
+    md5-keyed 1/16 slice of finished orders, read_orders_live."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ..storage.warehouse import Warehouse
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_amount"),
+    )
+    # scratch root is SF-suffixed: a pytest building this row at
+    # sf0.001 must not race a concurrent sf0.01 drive on one directory
+    root = Path(tempfile.gettempdir()) / (
+        "sdi_wh_dv_r10_" + Path(sf_dir).name
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(spark, str(root))
+    wh.save_orders(orders)
+    doomed = (F.col("status") == "F") & (
+        F.substring(
+            F.md5(F.concat(F.col("order_id").cast("string"), F.lit("|dv"))),
+            1,
+            1,
+        )
+        == "0"
+    )
+    wh.delete_orders_where(doomed)
+    live = (
+        wh.read_orders_live()
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_live"),
+            F.sum(
+                F.floor(F.col("total_amount") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("live_cents"),
+        )
+    )
+    totals = (
+        wh.read_orders()
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    )
+    return totals.join(live, "status", "left").select(
+        "status",
+        "n_total",
+        F.coalesce("n_live", F.lit(0)).cast("bigint").alias("n_live"),
+        (F.col("n_total") - F.coalesce("n_live", F.lit(0)))
+        .cast("bigint")
+        .alias("n_deleted"),
+        F.coalesce("live_cents", F.lit(0)).cast("bigint").alias("live_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve zone maps — the locality A/B for zo_zonemap_extents'
+# Morton/z-order layout. Same 10-bit domain-normalized grid, same
+# 64-bucket / extent-fraction output schema, but the file key is the
+# HILBERT index: unlike the z-curve, the Hilbert curve never jumps
+# across the domain between consecutive keys, so bucket bounding boxes
+# are tighter on average — which is exactly the min/max-pruning figure
+# of merit (Delta/Iceberg OPTIMIZE offers both orderings for this
+# reason; pytest asserts the mean-extent win over the z twin).
+#
+# The xy->d transform is the standard iterative quadrant
+# rotate-and-accumulate, unrolled to {HIL_GRID_BITS} fixed steps of
+# pure integer CASE/mask arithmetic — the SAME generated step text
+# runs as a Spark selectExpr chain and as a DuckDB CTE chain, so the
+# curve math itself is value-checked cross-engine (no float anywhere).
+# --------------------------------------------------------------------------
+HIL_GRID_BITS = ZMAP_GRID_BITS  # share the zonemap grid: 1024 x 1024
+HIL_BUCKET_SHIFT = 2 * HIL_GRID_BITS - 6  # top 6 hilbert bits: 64 buckets
+
+
+def _hilbert_step_exprs(s: int) -> tuple[str, str, str]:
+    """(d, x, y) update expressions for one Hilbert iteration at side
+    ``s`` (read cols d/x/y, emit the rotated quadrant state)."""
+    d = (
+        f"d + CASE WHEN (x & {s}) > 0 AND (y & {s}) > 0 THEN {2 * s * s} "
+        f"WHEN (x & {s}) > 0 THEN {3 * s * s} "
+        f"WHEN (y & {s}) > 0 THEN {s * s} ELSE 0 END"
+    )
+    x = (
+        f"CASE WHEN (y & {s}) > 0 THEN x "
+        f"WHEN (x & {s}) > 0 THEN {s - 1} - y ELSE y END"
+    )
+    y = (
+        f"CASE WHEN (y & {s}) > 0 THEN y "
+        f"WHEN (x & {s}) > 0 THEN {s - 1} - x ELSE x END"
+    )
+    return d, x, y
+
+
+_HIL_SIDES = [1 << k for k in range(HIL_GRID_BITS - 1, -1, -1)]
+
+
+def _hilbert_duck_chain() -> str:
+    steps = []
+    prev = "h0"
+    for i, s in enumerate(_HIL_SIDES, start=1):
+        d, x, y = _hilbert_step_exprs(s)
+        steps.append(
+            f"h{i} AS (SELECT ck, dy, ({d}) AS d, ({x}) AS x, ({y}) AS y "
+            f"FROM {prev})"
+        )
+        prev = f"h{i}"
+    return ",\n".join(steps)
+
+
+_HIL_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey AS ck,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS dy
+  FROM orders
+),
+dom AS (
+  SELECT min(ck) AS ck_min, max(ck) - min(ck) + 1 AS ck_dom,
+         min(dy) AS dy_min, max(dy) - min(dy) + 1 AS dy_dom
+  FROM base
+),
+h0 AS (
+  SELECT ck, dy, CAST(0 AS BIGINT) AS d,
+         CAST(floor((ck - ck_min) * {_ZMAP_GRID}.0 / ck_dom) AS BIGINT) AS x,
+         CAST(floor((dy - dy_min) * {_ZMAP_GRID}.0 / dy_dom) AS BIGINT) AS y
+  FROM base CROSS JOIN dom
+),
+{_hilbert_duck_chain()},
+b AS (
+  SELECT ck, dy, d >> {HIL_BUCKET_SHIFT} AS bucket FROM h{HIL_GRID_BITS}
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ck) AS BIGINT) AS ck_lo,
+       CAST(max(ck) AS BIGINT) AS ck_hi,
+       CAST(min(dy) AS BIGINT) AS dy_lo,
+       CAST(max(dy) AS BIGINT) AS dy_hi,
+       round((max(ck) - min(ck) + 1) * 1.0 / (SELECT ck_dom FROM dom), 6)
+           AS ck_extent,
+       round((max(dy) - min(dy) + 1) * 1.0 / (SELECT dy_dom FROM dom), 6)
+           AS dy_extent
+FROM b
+GROUP BY bucket
+"""
+
+
+@register("zo_hilbert_extents", oracle=_HIL_ORACLE)
+def zo_hilbert_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket zone maps of the 64-bucket HILBERT-ordered orders
+    layout — zo_zonemap_extents' schema on the locality-optimal curve.
+
+    One map-side normalize, {HIL_GRID_BITS} chained integer projections
+    (each collapses into the same whole-stage-codegen span — no
+    shuffle, no float), one grouped aggregate; domain stats fold in as
+    a broadcast 1-row join."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("dy"),
+    )
+    dom = base.agg(
+        F.min("ck").alias("ck_min"),
+        (F.max("ck") - F.min("ck") + 1).alias("ck_dom"),
+        F.min("dy").alias("dy_min"),
+        (F.max("dy") - F.min("dy") + 1).alias("dy_dom"),
+    )
+    cur = base.crossJoin(F.broadcast(dom)).select(
+        "ck",
+        "dy",
+        "ck_dom",
+        "dy_dom",
+        F.lit(0).cast("bigint").alias("d"),
+        F.floor((F.col("ck") - F.col("ck_min")) * float(_ZMAP_GRID) / F.col("ck_dom"))
+        .cast("bigint")
+        .alias("x"),
+        F.floor((F.col("dy") - F.col("dy_min")) * float(_ZMAP_GRID) / F.col("dy_dom"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    for s in _HIL_SIDES:
+        d, x, y = _hilbert_step_exprs(s)
+        cur = cur.select(
+            "ck",
+            "dy",
+            "ck_dom",
+            "dy_dom",
+            F.expr(d).alias("d"),
+            F.expr(x).alias("x"),
+            F.expr(y).alias("y"),
+        )
+    b = cur.select(
+        "ck", "dy", "ck_dom", "dy_dom",
+        F.expr(f"d >> {HIL_BUCKET_SHIFT}").alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket", "ck_dom", "dy_dom")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("ck").cast("bigint").alias("ck_lo"),
+            F.max("ck").cast("bigint").alias("ck_hi"),
+            F.min("dy").cast("bigint").alias("dy_lo"),
+            F.max("dy").cast("bigint").alias("dy_hi"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "ck_lo",
+            "ck_hi",
+            "dy_lo",
+            "dy_hi",
+            F.round(
+                (F.col("ck_hi") - F.col("ck_lo") + 1) * 1.0 / F.col("ck_dom"), 6
+            ).alias("ck_extent"),
+            F.round(
+                (F.col("dy_hi") - F.col("dy_lo") + 1) * 1.0 / F.col("dy_dom"), 6
+            ).alias("dy_extent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution read (mergeSchema): ingestion batches drift —
+# early files carry (order_id, cents), later ones add a channel column
+# and drop cents. A plain parquet read picks ONE footer's schema
+# (whichever file is listed first — silently wrong either way);
+# option("mergeSchema", "true") unions the schemas, null-filling the
+# columns each batch lacks, which is the contract a long-lived ingest
+# directory needs. The row drives two appends with different schemas
+# into one directory and value-checks the merged view: row counts per
+# schema generation, exact cents over the generation that has them,
+# channel cardinality over the one that has channels. At 100 TB
+# mergeSchema's cost is footer-only (one small task per file footer,
+# no data read) — and the durable fix is backfill/registration in a
+# real catalog, which is why the warehouse's own tables keep a FIXED
+# schema and this row lives on a scratch directory. EAGER CONTRACT:
+# two small parquet appends per call.
+# --------------------------------------------------------------------------
+_SEV_ORACLE = """
+WITH b1 AS (
+  SELECT o_orderkey AS order_id,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+b2 AS (
+  SELECT o_orderkey AS order_id, o_orderpriority AS channel
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT CAST((SELECT count(*) FROM b1) + (SELECT count(*) FROM b2) AS BIGINT)
+           AS n_rows,
+       CAST((SELECT count(*) FROM b1) AS BIGINT) AS n_with_cents,
+       CAST((SELECT count(*) FROM b2) AS BIGINT) AS n_with_channel,
+       CAST((SELECT sum(cents) FROM b1) AS BIGINT) AS sum_cents,
+       CAST((SELECT count(DISTINCT channel) FROM b2) AS BIGINT) AS n_channels
+"""
+
+
+@register("wh_schema_evolution_read", oracle=_SEV_ORACLE)
+def wh_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-schema read over two schema-drifted ingest batches:
+    row counts per generation, exact cents and channel cardinality
+    through the union-of-schemas view."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    orders = table(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    b2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderpriority").alias("channel"),
+    )
+    # SF-suffixed scratch dir (concurrent-harness isolation)
+    path = Path(tempfile.gettempdir()) / (
+        "sdi_wh_schema_drift_r10_" + Path(sf_dir).name
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    b1.write.mode("append").parquet(str(path))
+    b2.write.mode("append").parquet(str(path))
+    merged = spark.read.option("mergeSchema", "true").parquet(str(path))
+    return merged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("cents").cast("bigint").alias("n_with_cents"),
+        F.count("channel").cast("bigint").alias("n_with_channel"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.countDistinct("channel").cast("bigint").alias("n_channels"),
+    )

@@ -92,6 +92,13 @@ ALLOWED: dict[str, dict[str, int]] = {
     "ts_stl_residual_anomalies": {"orders": 4},
     "txt_bm25_topk": {"documents": 4},
     "txt_decontamination": {"documents": 3},
+    # 3 leaves of the TMP warehouse it wrote at build time (unattributed
+    # -> "<other>"): the raw-totals scan, the live scan, and the
+    # tombstone list. Raw-vs-live is the row's whole point (the n_total
+    # minus n_live delta IS the deletion-vector evidence) — a two-view
+    # eval by design, each leaf a pruned aggregate over the small tmp
+    # table, never the sf tables.
+    "wh_deletion_vector_read": {"<other>": 3},
 }
 
 

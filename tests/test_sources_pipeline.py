@@ -253,3 +253,38 @@ def test_config_dot_notation(tmp_path):
     assert cfg2.get("warehouse.root") == "/custom/root"
     assert cfg2.get("api.timeout") == 5
     assert cfg2.get("api.retry_attempts") == 3  # default preserved
+
+
+def test_warehouse_deletion_vectors(spark, tmp_path):
+    """Delete-without-rewrite cycle: tombstone append, live read via
+    broadcast anti-join, idempotent re-delete, vacuum folds the debt."""
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "whdv"))
+    rows = [
+        (f"DV-{i:04d}", "widget" if i % 2 else "gadget", float(i), 1)
+        for i in range(20)
+    ]
+    wh.save_orders(
+        spark.createDataFrame(rows, ["order_id", "product", "price", "quantity"])
+    )
+    assert wh.delete_orders_where(F.col("product") == "gadget") == 10
+    live = wh.read_orders_live()
+    assert live.count() == 10
+    assert {r["product"] for r in live.select("product").distinct().collect()} == {
+        "widget"
+    }
+    # raw read still sees every row — no data file was rewritten
+    assert wh.read_orders().count() == 20
+    # tombstoned rows are no longer live: re-delete matches nothing
+    assert wh.delete_orders_where(F.col("product") == "gadget") == 0
+    # read-side merge is one BROADCAST anti-join (tombstones are small)
+    plan = wh.read_orders_live()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # vacuum: physical rewrite, tombstones cleared, live set unchanged
+    wh.vacuum_deletes()
+    import os
+
+    assert not os.path.isdir(str(tmp_path / "whdv" / "orders__deletes"))
+    assert wh.read_orders().count() == 10
+    assert wh.read_orders_live().count() == 10
