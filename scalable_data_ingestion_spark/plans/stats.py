@@ -1547,3 +1547,204 @@ def opt_bloom_join_filter_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*)"
         ).alias("skip_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# NATIVE runtime bloom-filter join evidence — the optimizer twin of
+# opt_bloom_join_filter_sim above. The sim row value-checks the sketch
+# MATH; this row proves Spark's own InjectRuntimeFilter actually
+# rewrites the plan on the 100 TB shape: a fact-dim equi-join whose dim
+# carries a selective filter but is too big to broadcast. Measured on
+# this runtime (Spark 4.1): the rule fires ONLY when
+#   - the application-side scan clears applicationSideScanSizeThreshold
+#     (default 10 GiB — lowered to 0 inside the conf scope), and
+#   - the join actually shuffles (broadcast disabled in-scope; with a
+#     BHJ the build side already prunes, so a bloom filter is pointless
+#     and the rule correctly declines).
+# The aggregate is collected EAGERLY while the confs hold (runtime
+# filters are injected at optimization time, which happens at the
+# action — a lazy return would optimize after the finally restores the
+# confs and silently lose the rewrite), then both confs are restored so
+# nothing leaks into the shared session. bloom_injected is read off the
+# optimized plan (might_contain + bloom_filter_agg) and value-checked
+# against the oracle's literal TRUE — if a Spark upgrade stops
+# injecting, the driver hash goes red.
+# --------------------------------------------------------------------------
+_RBJ_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs,
+       TRUE AS bloom_injected
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register("opt_runtime_bloom_join", oracle=_RBJ_ORACLE)
+def opt_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILDING-segment order rollup through Spark's native runtime
+    bloom filter (InjectRuntimeFilter), plus the plan-derived
+    bloom_injected flag. EAGER: the 1-row aggregate runs inside the
+    conf scope; both confs are restored before returning."""
+    from pyspark.sql import types as T
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        joined = orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_custs"),
+        )
+        plan = agg.select("*")._jdf.queryExecution().optimizedPlan().toString()
+        injected = "might_contain" in plan and "bloom_filter_agg" in plan
+        row = agg.collect()[0]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    schema = T.StructType(
+        [
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("revenue_cents", T.LongType()),
+            T.StructField("n_custs", T.LongType()),
+            T.StructField("bloom_injected", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(row["n_orders"], row["revenue_cents"], row["n_custs"], injected)],
+        schema,
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate query processing: Bernoulli-sampled aggregate with a
+# Horvitz-Thompson estimate and a normal-approximation CI, next to the
+# exact answer it approximates (BlinkDB-style error-bounded sampling).
+# The 100 TB story: a 1/16 md5-keyed sample answers the rollup reading
+# 1/16th of the fact bytes; the CI tells the analyst whether that is
+# good enough BEFORE paying for the full scan. Everything is
+# deterministic — membership is a pure md5 function of the key, the
+# estimate is exact integer arithmetic (est = 16 * sampled cents), and
+# the variance term sums x^2 in DECIMAL/HUGEINT (never a float
+# accumulation, so both engines agree bit-for-bit); the only float ops
+# are one final sqrt/multiply per stratum on identical inputs.
+#   Var(T_hat) = (1-p)/p^2 * sum_{i in S} x_i^2   (Bernoulli HT)
+# --------------------------------------------------------------------------
+AQP_P_INV = 16  # 1/p: one md5 nibble
+
+
+_AQP_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR) || '|aqp'), 1, 1)
+                   = '0' THEN 1 ELSE 0 END AS s
+  FROM orders
+),
+agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(s) AS BIGINT) AS n_sampled,
+         CAST(sum(cents) AS BIGINT) AS exact_cents,
+         CAST({AQP_P_INV} * sum(CASE WHEN s = 1 THEN cents ELSE 0 END)
+              AS BIGINT) AS est_cents,
+         CAST(sum(CASE WHEN s = 1 THEN CAST(cents AS HUGEINT) * cents
+                       ELSE 0 END) AS DOUBLE) AS ssq
+  FROM base GROUP BY 1
+),
+ci AS (
+  SELECT *,
+         1.96 * sqrt(({AQP_P_INV} - 1.0) * {AQP_P_INV} * ssq) AS half
+  FROM agg
+)
+SELECT o_orderpriority, n_total, n_sampled, exact_cents, est_cents,
+       round((est_cents - exact_cents) / CAST(exact_cents AS DOUBLE), 6)
+           AS rel_err,
+       CAST(floor(est_cents - half + 0.5) AS BIGINT) AS ci_lo_cents,
+       CAST(floor(est_cents + half + 0.5) AS BIGINT) AS ci_hi_cents,
+       (exact_cents >= est_cents - half AND exact_cents <= est_cents + half)
+           AS covered
+FROM ci
+"""
+
+
+@register("opt_sample_agg_ci", oracle=_AQP_ORACLE)
+def opt_sample_agg_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue: exact vs 1/16-sample Horvitz-Thompson
+    estimate with a 95% normal CI and its realized coverage."""
+    orders = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    s = (
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("|aqp"))),
+            1,
+            1,
+        )
+        == "0"
+    ).cast("int")
+    base = orders.select("o_orderpriority", cents.alias("cents"), s.alias("s"))
+    agg = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("s").cast("bigint").alias("n_sampled"),
+        F.sum("cents").cast("bigint").alias("exact_cents"),
+        (
+            F.lit(AQP_P_INV)
+            * F.sum(F.when(F.col("s") == 1, F.col("cents")).otherwise(F.lit(0)))
+        )
+        .cast("bigint")
+        .alias("est_cents"),
+        F.sum(
+            F.when(
+                F.col("s") == 1,
+                F.col("cents").cast("decimal(38,0)") * F.col("cents"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+        .cast("double")
+        .alias("ssq"),
+    )
+    half = F.lit(1.96) * F.sqrt(
+        F.lit(float(AQP_P_INV - 1)) * F.lit(float(AQP_P_INV)) * F.col("ssq")
+    )
+    est_d = F.col("est_cents").cast("double")
+    return agg.select(
+        "o_orderpriority",
+        "n_total",
+        "n_sampled",
+        "exact_cents",
+        "est_cents",
+        F.round(
+            (est_d - F.col("exact_cents")) / F.col("exact_cents").cast("double"),
+            6,
+        ).alias("rel_err"),
+        F.floor(est_d - half + F.lit(0.5)).cast("bigint").alias("ci_lo_cents"),
+        F.floor(est_d + half + F.lit(0.5)).cast("bigint").alias("ci_hi_cents"),
+        (
+            (F.col("exact_cents") >= est_d - half)
+            & (F.col("exact_cents") <= est_d + half)
+        ).alias("covered"),
+    )

@@ -778,3 +778,36 @@ def test_wh_bucketed_orders_join_no_exchange(spark, sf_dir):
     ]
     assert len(shuffles) == 1, p
     assert all("c_mktsegment" in ln for ln in shuffles), p
+
+
+def test_runtime_bloom_join_injects_and_restores_confs(spark, sf_dir):
+    """opt_runtime_bloom_join: Spark's InjectRuntimeFilter fires inside
+    the row's conf scope (shuffle join + zeroed application-side
+    threshold), the flag rides the returned row, and both confs come
+    back restored. Negative control: at the default 10 GiB threshold
+    the same join does NOT inject — which is why the row needs the
+    scope at test SF."""
+    k_app = (
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold"
+    )
+    k_bc = "spark.sql.autoBroadcastJoinThreshold"
+    before = (spark.conf.get(k_app), spark.conf.get(k_bc))
+    row = registry.QUERIES["opt_runtime_bloom_join"](spark, sf_dir).collect()[0]
+    assert row["bloom_injected"] is True
+    assert (spark.conf.get(k_app), spark.conf.get(k_bc)) == before
+    # negative control at default confs: no injection
+    from pyspark.sql import functions as F
+    from scalable_data_ingestion_spark.catalog import table
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    p = j.select("*")._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" not in p
