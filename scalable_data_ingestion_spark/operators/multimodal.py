@@ -465,3 +465,267 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_duplicates"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual near-duplicate detection (dHash): the standard image-dedup
+# operator a multimodal corpus runs after exact payload dedup —
+# re-encoded/slightly-retouched copies share no md5 but land within a
+# few bits in difference-hash space. Pipeline shape (the part that must
+# scale): decode -> 8x9 grayscale grid -> 64-bit dHash packed as FOUR
+# 16-bit bands -> banded EQUI-JOIN on (band_id, band_value) for
+# candidates (pigeonhole: hamming <= 3 guarantees one identical band;
+# never an all-pairs cross join) -> exact hamming verify on the
+# candidates only. That is dd_minhash_lsh_pairs' bucketing discipline
+# applied to image space.
+#
+# The DECODE step is the documented stub seam (no image libs in this
+# container): pixels come from a deterministic md5-derived fake
+# luminance grid — per-(base, row) md5, one hex digit per column — and
+# "re-encodes" (variant 1/2 of each base image) perturb exactly one
+# pixel, flipping <=2 dHash bits, which is what a real JPEG re-encode
+# does to a real dHash. Determinism makes the WHOLE pipeline — banding,
+# candidate join, hamming verify, precision/recall — value-checkable in
+# DuckDB, the strongest available check for a stubbed-codec path (same
+# policy as mm_media_features).
+# --------------------------------------------------------------------------
+PH_N_BASE = 40
+PH_VARIANTS = 3  # original + two perturbed re-encodes per base
+PH_HAM_MAX = 8
+_PH_PERTURB = {1: (3, 5), 2: (6, 1)}  # variant -> perturbed (row, col)
+
+
+def _ph_px_sql(r: int, c: int) -> str:
+    base = (
+        f"('0x' || substr(md5(CAST(u % {PH_N_BASE} AS VARCHAR) || ':{r}'), "
+        f"{c + 1}, 1))::INT"
+    )
+    for v, (pr, pc) in _PH_PERTURB.items():
+        if (r, c) == (pr, pc):
+            return (
+                f"CASE WHEN u // {PH_N_BASE} = {v} THEN ({base} + 8) % 16 "
+                f"ELSE {base} END"
+            )
+    return base
+
+
+def _ph_band_sql(b: int) -> str:
+    bits = []
+    for ro in range(2):
+        r = 2 * b + ro
+        for c in range(8):
+            bits.append(
+                f"(CASE WHEN ({_ph_px_sql(r, c + 1)}) > ({_ph_px_sql(r, c)}) "
+                f"THEN {1 << (8 * ro + c)} ELSE 0 END)"
+            )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+_PH_N_UP = PH_N_BASE * PH_VARIANTS
+_PH_ORACLE = f"""
+WITH up AS (
+  SELECT unnest(generate_series(0, {_PH_N_UP - 1})) AS u
+),
+hashed AS (
+  SELECT u, {", ".join(f"{_ph_band_sql(b)} AS band{b}" for b in range(4))}
+  FROM up
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT u, {b} AS band_id, band{b} AS val FROM hashed"
+      for b in range(4)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.u AS ua, b.u AS ub
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.val = b.val
+  WHERE a.u < b.u
+),
+verified AS (
+  SELECT c.ua, c.ub,
+         CAST({" + ".join(
+             f"bit_count(xor(x.band{b}, y.band{b}))" for b in range(4)
+         )} AS BIGINT) AS hamming,
+         CASE WHEN x.u % {PH_N_BASE} = y.u % {PH_N_BASE} THEN 1 ELSE 0 END
+             AS same_base
+  FROM cand c
+  JOIN hashed x ON x.u = c.ua
+  JOIN hashed y ON y.u = c.ub
+)
+SELECT CAST({_PH_N_UP * (_PH_N_UP - 1) // 2} AS BIGINT) AS n_all_pairs,
+       CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN hamming <= {PH_HAM_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_verified_pairs,
+       CAST({PH_N_BASE * PH_VARIANTS * (PH_VARIANTS - 1) // 2} AS BIGINT)
+           AS n_true_pairs,
+       CAST(sum(CASE WHEN hamming <= {PH_HAM_MAX} AND same_base = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_verified_true
+FROM verified
+"""
+
+
+def _ph_px_col(r: int, c: int):
+    md5 = F.md5(
+        F.concat((F.col("u") % PH_N_BASE).cast("string"), F.lit(f":{r}"))
+    )
+    base = F.conv(F.substring(md5, c + 1, 1), 16, 10).cast("int")
+    for v, (pr, pc) in _PH_PERTURB.items():
+        if (r, c) == (pr, pc):
+            return F.when(
+                (F.col("u") / PH_N_BASE).cast("int") == v,
+                (base + 8) % 16,
+            ).otherwise(base)
+    return base
+
+
+def _ph_band_col(b: int):
+    acc = F.lit(0)
+    for ro in range(2):
+        r = 2 * b + ro
+        for c in range(8):
+            acc = acc + F.when(
+                _ph_px_col(r, c + 1) > _ph_px_col(r, c),
+                F.lit(1 << (8 * ro + c)),
+            ).otherwise(F.lit(0))
+    return acc.cast("bigint").alias(f"band{b}")
+
+
+@register("mm_phash_neardup", oracle=_PH_ORACLE)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash perceptual near-dup sweep over the synthetic re-encode
+    stream: banded candidate join + exact hamming verify, reported as
+    one row of pruning/precision/recall counts."""
+    up = spark.range(_PH_N_UP).select(F.col("id").alias("u"))
+    hashed = up.select("u", *[_ph_band_col(b) for b in range(4)]).persist()
+    bands = hashed.select(
+        "u",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"band{b}").alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("u", "bv.band_id", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.u") < F.col("b.u")),
+        )
+        .select(F.col("a.u").alias("ua"), F.col("b.u").alias("ub"))
+        .distinct()
+    )
+    x = hashed.select(
+        F.col("u").alias("ua"), *[F.col(f"band{b}").alias(f"xa{b}") for b in range(4)]
+    )
+    y = hashed.select(
+        F.col("u").alias("ub"), *[F.col(f"band{b}").alias(f"yb{b}") for b in range(4)]
+    )
+    hamming = sum(
+        F.expr(f"bit_count(xa{b} ^ yb{b})") for b in range(4)
+    ).cast("bigint")
+    verified = (
+        cand.join(x, "ua")
+        .join(y, "ub")
+        .select(
+            hamming.alias("hamming"),
+            (
+                (F.col("ua") % PH_N_BASE) == (F.col("ub") % PH_N_BASE)
+            ).cast("int").alias("same_base"),
+        )
+    )
+    ok = F.col("hamming") <= PH_HAM_MAX
+    return verified.agg(
+        F.lit(_PH_N_UP * (_PH_N_UP - 1) // 2).cast("bigint").alias("n_all_pairs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias("n_verified_pairs"),
+        F.lit(PH_N_BASE * PH_VARIANTS * (PH_VARIANTS - 1) // 2)
+        .cast("bigint")
+        .alias("n_true_pairs"),
+        F.sum(F.when(ok & (F.col("same_base") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_verified_true"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed media-file ingest via Spark's binaryFile source — the
+# missing first step of this module: everything above assumes payloads
+# are ALREADY a binary column; this row ingests them from a directory
+# the way a 100 TB media corpus actually arrives (millions of small
+# object-store files). format("binaryFile") distributes the file
+# listing across executors, packs small files into splits by
+# spark.sql.files.maxPartitionBytes, and exposes (path, length,
+# modificationTime, content) with column pruning — a metadata-only
+# query (count, sum(length)) never reads file bytes (plan-asserted in
+# tests/test_multimodal_datasource.py). The fixture files are
+# deterministic ("MEDIA:" + zero-padded id, {MM_INGEST_DISTINCT}
+# distinct payloads under {MM_INGEST_N} uploads), so the md5-distinct
+# payload count value-checks the full ingest -> fingerprint path in
+# DuckDB. EAGER CONTRACT: writes the {MM_INGEST_N} fixture files once
+# per call (driver-side, kilobytes).
+# --------------------------------------------------------------------------
+MM_INGEST_N = 64
+MM_INGEST_DISTINCT = 48
+
+
+@register(
+    "mm_binary_ingest",
+    oracle=f"""
+    WITH up AS (
+      SELECT unnest(generate_series(0, {MM_INGEST_N - 1})) AS i
+    ),
+    payloads AS (
+      SELECT i,
+             'MEDIA:' || lpad(CAST(i % {MM_INGEST_DISTINCT} AS VARCHAR),
+                              12, '0') AS body
+      FROM up
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(length(body)) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT md5(body)) AS BIGINT) AS n_distinct_payloads,
+           CAST(min(i) AS BIGINT) AS min_id,
+           CAST(max(i) AS BIGINT) AS max_id
+    FROM payloads
+    """,
+)
+def mm_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile-source ingest sweep over the deterministic media
+    drop directory: file count, byte volume, md5-distinct payloads,
+    id range — the arrival-side twin of mm_payload_dedup."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    # SF-suffixed scratch dir (concurrent-harness isolation)
+    root = Path(tempfile.gettempdir()) / ("sdi_mm_ingest_r10_" + Path(sf_dir).name)
+    shutil.rmtree(root, ignore_errors=True)
+    root.mkdir(parents=True)
+    for i in range(MM_INGEST_N):
+        (root / f"{i:04d}.bin").write_bytes(
+            f"MEDIA:{i % MM_INGEST_DISTINCT:012d}".encode()
+        )
+    raw = spark.read.format("binaryFile").load(str(root))
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"(\d{4})\.bin$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+    )
+    return media.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.md5("payload")).cast("bigint").alias(
+            "n_distinct_payloads"
+        ),
+        F.min("media_id").cast("bigint").alias("min_id"),
+        F.max("media_id").cast("bigint").alias("max_id"),
+    )

@@ -126,3 +126,36 @@ def test_rest_datasource_streaming_poll(spark, tmp_path):
         .collect()
     )
     assert {tuple(r) for r in got} == {tuple(r) for r in batch}
+
+
+def test_binary_ingest_metadata_query_prunes_content(spark, tmp_path):
+    """binaryFile source: a metadata-only projection (length) must not
+    read file bytes — the scan's ReadSchema carries length but not
+    content. Also the full ingest row agrees with the on-disk truth."""
+    for i in range(8):
+        (tmp_path / f"{i:02d}.bin").write_bytes(b"PAYLOAD-%02d" % i)
+    raw = spark.read.format("binaryFile").load(str(tmp_path))
+    meta_only = raw.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("length").alias("total")
+    )
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all("content" not in ln for ln in scan_lines), plan
+    row = meta_only.first()
+    assert row["n"] == 8 and row["total"] == 8 * len(b"PAYLOAD-00")
+
+    # content projection does read bytes, and they round-trip exactly
+    got = {
+        bytes(r["content"])
+        for r in raw.select("content").collect()
+    }
+    assert got == {b"PAYLOAD-%02d" % i for i in range(8)}
+
+
+def test_mm_binary_ingest_registered_row(spark):
+    from scalable_data_ingestion_spark import registry
+
+    row = registry.queries()["mm_binary_ingest"](spark, "unused").first()
+    assert row["n_files"] == 64
+    assert row["n_distinct_payloads"] == 48
+    assert (row["min_id"], row["max_id"]) == (0, 63)
