@@ -119,6 +119,16 @@ def _agg_exprs(df: DataFrame) -> dict[str, Column]:
 
     # A6 record-level validity (replaces the reference's iterrows loop
     # with one boolean conjunction column).
+    exprs["n_valid_records"] = F.sum(
+        F.coalesce(record_valid_expr(cols), F.lit(False)).cast("long")
+    )
+
+    return exprs
+
+
+def record_valid_expr(cols: list[str]) -> Column:
+    """A6 validity as one boolean conjunction column (shared by the
+    aggregate pass and the observe() side-channel)."""
     valid = F.lit(True)
     for c in REQUIRED_FIELDS:
         if c in cols:
@@ -127,9 +137,7 @@ def _agg_exprs(df: DataFrame) -> dict[str, Column]:
         valid = valid & (F.col("price").try_cast("double") > 0)
     if "quantity" in cols:
         valid = valid & (F.col("quantity").try_cast("double") > 0)
-    exprs["n_valid_records"] = F.sum(F.coalesce(valid, F.lit(False)).cast("long"))
-
-    return exprs
+    return valid
 
 
 def _mean_of(cols: list[Column]) -> Column:
@@ -235,6 +243,29 @@ def record_quality_counts(df: DataFrame) -> tuple[int, int]:
     """A6 valid/invalid record counts (src/validation.py:252-282)."""
     row = quality_scores_df(df).select("valid_records", "invalid_records").first()
     return int(row["valid_records"]), int(row["invalid_records"])
+
+
+def attach_quality_observation(df: DataFrame):
+    """A6 counts as a ZERO-COST side-channel: ``df.observe`` computes
+    row/valid/invalid counts inside whatever action the caller runs
+    anyway (the ingest write, an export), so pipeline-health metrics
+    cost no second scan — at 100 TB the difference between monitoring
+    for free and re-reading the table. Returns ``(observed_df,
+    Observation)``; read ``observation.get`` AFTER the first action on
+    the returned frame (it blocks until one completes). Values match
+    ``record_quality_counts`` exactly (same validity conjunction,
+    pytest-locked in tests/test_pipeline_stages.py)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality_counts")
+    valid = F.coalesce(record_valid_expr(df.columns), F.lit(False))
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(valid.cast("long")).alias("valid_records"),
+        F.sum((~valid).cast("long")).alias("invalid_records"),
+    )
+    return observed, obs
 
 
 def field_profile(df: DataFrame) -> DataFrame:

@@ -122,3 +122,78 @@ def sst_events_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER stream-stream join — the semantically hard variant: a
+# click with no purchase inside HORIZON must STILL emit (with null
+# purchase columns), but only once Spark can PROVE no match is coming,
+# i.e. when the watermark passes click_ts + HORIZON and the click's
+# state is evicted. Inner rows emit as matches arrive; null rows emit
+# on state expiry — so in a live stream the "did not convert" signal
+# trails real time by watermark + horizon, which is the correctness/
+# latency trade every outer streaming join makes. The batch twin is
+# a plain LEFT JOIN (oracle-checked); the streaming test replays the
+# same history in two triggers with a far-future watermark-pusher file
+# and must reproduce the batch rows EXACTLY, nulls included
+# (tests/test_streaming.py::test_stream_stream_outer_join_equals_batch).
+# State sizing at 100 TB: per-key state holds only clicks younger than
+# watermark + HORIZON — bounded by click rate x horizon, independent
+# of history length.
+# ---------------------------------------------------------------------------
+def click_purchase_pairs_outer(
+    events: DataFrame, streaming: bool = False, watermark: str = "1 day"
+) -> DataFrame:
+    """Every click paired with each purchase by the same user within
+    HORIZON, or with nulls if none arrived (left-outer semantics)."""
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    if streaming:
+        clicks = clicks.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {HORIZON}")
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).alias("secs_to_purchase"),
+    )
+
+
+@register(
+    "ssj_click_purchase_outer",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('second', c.ts, p.ts) AS secs_to_purchase
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 2 HOUR
+    """,
+)
+def ssj_click_purchase_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return click_purchase_pairs_outer(table(spark, sf_dir, "events"))

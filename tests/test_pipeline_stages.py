@@ -250,3 +250,24 @@ def test_standardize(spark):
     assert row["price"] == 1.23
     assert row["total_amount"] == 2.35
     assert row["estimated_profit"] == 0.57
+
+
+def test_observed_quality_counts_match_aggregate_pass(spark, tmp_path):
+    """attach_quality_observation: the observe() side-channel returns
+    the SAME A6 counts as the dedicated aggregate pass, collected for
+    free off the action the caller runs anyway (a parquet write here —
+    no second scan of the input)."""
+    from scalable_data_ingestion_spark.quality.metrics import (
+        attach_quality_observation,
+    )
+
+    df = recent_date_df(spark).withColumn(
+        "price",
+        F.when(F.col("order_id") == "API-0001", -1.0).otherwise(F.col("price")),
+    )
+    observed, obs = attach_quality_observation(df)
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    valid, invalid = record_quality_counts(df)
+    assert (got["valid_records"], got["invalid_records"]) == (valid, invalid)
+    assert got["n_rows"] == valid + invalid == 3

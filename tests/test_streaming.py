@@ -329,3 +329,131 @@ def test_stream_static_join_equals_batch(spark):
     e = {tuple(r) for r in expected.collect()}
     assert g == e
     assert len(e) > 0
+
+
+def test_stream_stream_outer_join_equals_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows emit as purchases
+    arrive; unmatched clicks emit their null row only when the
+    watermark proves no match can come (state eviction). Two triggers
+    — the real history, then a far-future watermark-pusher click —
+    must reproduce the batch LEFT JOIN exactly, nulls included."""
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from scalable_data_ingestion_spark.catalog import table
+    from scalable_data_ingestion_spark.streaming.joins import (
+        click_purchase_pairs_outer,
+    )
+
+    # withWatermark rejects TIMESTAMP_NTZ; the session runs in UTC so
+    # the cast is value-preserving (same note as event_stream_from_parquet)
+    ev = table(spark, SF, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def stage_one_file(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(str(stage / part), str(src / name))
+
+    stage_one_file(ev, "a_history.parquet")
+    mx = ev.agg(F.max("ts")).first()[0]
+    # TWO pusher files: watermark set at the end of batch N evicts
+    # state only in batch N+1, and availableNow does not tack a
+    # no-data batch onto the end — so the second pusher is the batch
+    # in which the first pusher's watermark flushes the tail clicks.
+    # each pusher file carries BOTH event types: the global watermark is
+    # the min over the two watermarked branches, and a click-only pusher
+    # is filtered out of the purchases branch, stalling its watermark.
+    for i, days in enumerate((30, 60), start=1):
+        pusher = spark.createDataFrame(
+            [
+                (-i, 999999998, "click", mx + timedelta(days=days)),
+                (-10 * i, 999999999, "purchase", mx + timedelta(days=days)),
+            ],
+            schema=ev.schema,
+        )
+        stage_one_file(pusher, f"b_pusher{i}.parquet")
+    now = os.path.getmtime(src / "b_pusher2.parquet")
+    os.utime(src / "a_history.parquet", (now - 120, now - 120))
+    os.utime(src / "b_pusher1.parquet", (now - 60, now - 60))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = run_to_memory(
+        click_purchase_pairs_outer(stream, streaming=True),
+        "t_ssj_outer",
+        spark,
+        output_mode="append",
+    )
+    g = {
+        tuple(r)
+        for r in got.filter(F.col("user_id") < 999999000).collect()
+    }
+    e = {tuple(r) for r in click_purchase_pairs_outer(ev).collect()}
+    assert g == e
+    # the outer semantics actually exercised: some clicks never convert
+    assert any(r[2] is None for r in e)
+    assert any(r[2] is not None for r in e)
+
+
+def test_native_dedup_within_watermark_equals_batch_distinct(spark, tmp_path):
+    """Spark's native dropDuplicatesWithinWatermark on a stream that
+    re-delivers every event in a second file (at-least-once delivery)
+    keeps exactly one copy per event_id — matching batch DISTINCT.
+    Contrast with the custom store-dedup sinks (streaming/span_dedup,
+    lsh_dedup): the native API bounds its state by the watermark and
+    only guarantees dedup of duplicates arriving WITHIN it, while the
+    store sinks guarantee first-copy-ever-wins across any gap and any
+    restart at the cost of an external store. Both belong in the
+    engine; this test pins the native half."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from scalable_data_ingestion_spark.catalog import table
+
+    ev = table(spark, SF, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def stage_one_file(df, name):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.move(str(stage / part), str(src / name))
+
+    stage_one_file(ev, "a_first_delivery.parquet")
+    stage_one_file(ev, "b_redelivery.parquet")
+    now = os.path.getmtime(src / "b_redelivery.parquet")
+    os.utime(src / "a_first_delivery.parquet", (now - 60, now - 60))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = stream.withWatermark("ts", "90 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    got = run_to_memory(deduped, "t_native_dedup", spark, output_mode="append")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
