@@ -380,10 +380,23 @@ HEADLINE_R16 = [
     "mon_tdigest_drift_monthly",
 ]
 
+# Round-10 batches 3+4: native runtime-filter / AQP / lakehouse-delete /
+# perceptual-dedup / layout-locality / ingest-surface rows.
+HEADLINE_R17 = [
+    "opt_runtime_bloom_join",
+    "opt_sample_agg_ci",
+    "wh_deletion_vector_read",
+    "mm_phash_neardup",
+    "zo_hilbert_extents",
+    "mm_binary_ingest",
+    "wh_schema_evolution_read",
+    "ssj_click_purchase_outer",
+]
+
 ALL_HEADLINE = (
     HEADLINE + HEADLINE_R3 + HEADLINE_R4 + HEADLINE_R5 + HEADLINE_R6 + HEADLINE_R7
     + HEADLINE_R8 + HEADLINE_R9 + HEADLINE_R10 + HEADLINE_R11 + HEADLINE_R12
-    + HEADLINE_R13 + HEADLINE_R14 + HEADLINE_R15 + HEADLINE_R16
+    + HEADLINE_R13 + HEADLINE_R14 + HEADLINE_R15 + HEADLINE_R16 + HEADLINE_R17
 )
 
 
