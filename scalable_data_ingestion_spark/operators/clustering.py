@@ -143,24 +143,154 @@ def _materialize_centroids(cent: DataFrame) -> DataFrame:
     return cent.sparkSession.createDataFrame(rows, schema=cent.schema)
 
 
+def _fmt_double(x: float) -> str:
+    """A SQL literal that parses to exactly this double (17 significant
+    digits round-trip; the exponent form parses as DOUBLE, not
+    DECIMAL)."""
+    return f"({float(x):.17e})"
+
+
+def _cb_sql(cents: list[tuple[int, list[float]]]) -> tuple[str, str]:
+    """(codebook, ids) SQL literals for a sorted centroid list: an
+    array-of-arrays of exact doubles and the parallel cluster-id array.
+    Constant-folds to two Literal nodes, so the expression tree stays
+    tiny (a fully unrolled arithmetic form was measured to cost ~30 s
+    of optimizer/codegen time per elbow plan at 4096 terms)."""
+    cb = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(_fmt_double(v) for v in ce) + ")" for _, ce in cents
+        )
+        + ")"
+    )
+    ids = "array(" + ",".join(str(int(cid)) for cid, _ in cents) + ")"
+    return cb, ids
+
+
+def _dists_sql(cb: str, col: str) -> str:
+    """Per-centroid squared-L2 distance array: the IDENTICAL
+    `aggregate(zip_with(...))` fold the DataFrame `_assign`/`_sq_dist`
+    path evaluates — same lambda, same 0.0 seed, same left-to-right
+    order — mapped over the literal codebook instead of crossJoin'd
+    rows. Bit-exact by construction; zero joins, zero shuffles."""
+    return (
+        f"transform({cb}, ce -> aggregate(zip_with({col}, ce, "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+
+
+def _assign_exprs(
+    cents: list[tuple[int, list[float]]], col: str = "emb"
+) -> tuple[F.Column, F.Column]:
+    """(cluster_id, dist) argmin Columns over driver-side centroids.
+
+    `array_position(ds, array_min(ds))` takes the FIRST index holding
+    the minimum — in ascending cluster_id order that is exactly the
+    `row_number() OVER (ORDER BY dist, cluster_id) = 1` /
+    `min(struct(dist, cluster_id))` tie rule of the DataFrame path.
+    Distances are always >= +0.0 (sums of squares), so the -0.0 vs 0.0
+    equality corner cannot arise. The whole assignment is map-only:
+    no crossJoin row multiplication, no vec_id-keyed shuffle."""
+    cents = sorted(cents, key=lambda t: t[0])
+    cb, ids = _cb_sql(cents)
+    ds = _dists_sql(cb, col)
+    cid = F.expr(
+        f"element_at({ids}, CAST(array_position({ds}, array_min({ds})) AS INT))"
+    )
+    dist = F.expr(f"array_min({ds})")
+    return cid, dist
+
+
+def _rebuild_cents(rows) -> list[tuple[int, list[float]]]:
+    """(cid, d, fx, cnt) partials -> new centroid doubles, with the
+    IDENTICAL `fx / (1000000.0 * cnt)` IEEE division the DataFrame
+    `_update` evaluates (bigint fx sums are exact, so the doubles are
+    bit-equal under any partitioning)."""
+    acc: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        acc.setdefault(r.cid, {})[r.d] = (r.fx, r.cnt)
+    return [
+        (
+            c,
+            [acc[c][d][0] / (1000000.0 * acc[c][d][1]) for d in sorted(acc[c])],
+        )
+        for c in sorted(acc)
+    ]
+
+
+def _driver_lloyd(
+    corpus: DataFrame, iters: int, seed_max: int
+) -> list[tuple[int, list[float]]]:
+    """Exact Lloyd rounds with dimension-sized state held driver-side.
+
+    Each round is ONE narrow Spark job: the vectorized Arrow argmin +
+    per-(cluster, dim) fixed-point partial sums (lloyd_arrow module —
+    map-side combining, partitions x K x DIM rows shuffled, <= K x DIM
+    rows collected). Bit-equal to the pure DataFrame chain (see
+    lloyd_arrow docstring for the exactness argument), asserted by
+    tests/test_kmeans_literal_parity.py. Replaces, per round, a K-way
+    crossJoin + full-corpus vec_id-keyed shuffle (emb payload) + a
+    two-level centroid aggregate whose distance expression was an
+    interpreted CodegenFallback lambda fold: guide §2.4 (remove
+    shuffles) + §4.2 (vectorize the per-row kernel)."""
+    from .lloyd_arrow import lloyd_partials
+
+    corpus = corpus.persist()
+    seed = (
+        corpus.filter(F.col("vec_id") < seed_max)
+        .select(F.col("vec_id").cast("int").alias("cid"), "emb")
+        .collect()
+    )
+    cents = sorted((r.cid, [float(v) for v in r.emb]) for r in seed)
+    for _ in range(iters):
+        cents = _rebuild_cents(lloyd_partials(corpus, cents))
+    return cents
+
+
+def _assign_fast(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    with_emb: bool = True,
+) -> DataFrame:
+    """Map-only assignment against driver-side centroids — same output
+    relation as `_assign(corpus, cent)` (vec_id[, emb], cluster_id,
+    dist), with zero joins and zero shuffles. Pass with_emb=False when
+    the consumer does not need the vectors back: mapInArrow is opaque
+    to column pruning, so unneeded columns must be dropped explicitly
+    (guide §4.1)."""
+    from .lloyd_arrow import assign_rows
+
+    return assign_rows(corpus, cents, with_emb=with_emb)
+
+
+def _centroids_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.IntegerType(), False),
+            T.StructField("cemb", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(c, list(ce)) for c, ce in sorted(cents)], schema=schema
+    )
+
+
 def _kmeans_centroids(corpus: DataFrame) -> DataFrame:
     """ITERS Lloyd rounds from the deterministic seed; returns the final
     centroid relation (cluster_id, cemb)."""
-    # The corpus is referenced by every assign round AND the seed —
-    # persist so the scan runs once (MLlib's "cache your input" rule;
-    # plan-keyed, so callers that already persisted just hit the same
-    # cache entry).
+    if DRIVER_CENTROIDS:
+        return _centroids_df(
+            corpus.sparkSession, _driver_lloyd(corpus, ITERS, K)
+        )
+    # A/B fallback (SPARK_GRAFT_KMEANS_DRIVER_CENTROIDS=0): the pure
+    # DataFrame chain — referenced once downstream, the whole
+    # ITERS-round DAG executes as one pipelined job.
     corpus = corpus.persist()
     cent = corpus.filter(F.col("vec_id") < K).select(
         F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
     )
-    # The centroid chain stays a pure DataFrame here: it is referenced
-    # exactly once downstream, so the whole ITERS-round DAG executes as
-    # ONE pipelined job — measured faster than per-round driver
-    # collects (elbow 4.2 s vs 5.7 s at sf0.1). _materialize_centroids
-    # is for call sites that reference the trained centroids more than
-    # once (see pq._codebook), where a pure chain re-executes training
-    # per reference.
     for _ in range(ITERS):
         cent = _update(_assign(corpus, cent))
     return cent
@@ -169,6 +299,8 @@ def _kmeans_centroids(corpus: DataFrame) -> DataFrame:
 def _kmeans(corpus: DataFrame) -> DataFrame:
     """ITERS Lloyd rounds from the deterministic seed; returns the final
     assignment (vec_id, emb, cluster_id, dist)."""
+    if DRIVER_CENTROIDS:
+        return _assign_fast(corpus, _driver_lloyd(corpus, ITERS, K))
     return _assign(corpus, _kmeans_centroids(corpus))
 
 
@@ -465,8 +597,13 @@ def sim_ivf_kmeans_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe scoring), so they are materialized driver-side (K x DIM,
     # the multi-reference case _materialize_centroids exists for);
     # _kmeans_centroids persists the corpus the rounds iterate over.
-    cent = _materialize_centroids(_kmeans_centroids(corpus))
-    fin = _assign(corpus, cent)
+    if DRIVER_CENTROIDS:
+        cents = _driver_lloyd(corpus, ITERS, K)
+        cent = _centroids_df(spark, cents)
+        fin = _assign_fast(corpus, cents)
+    else:
+        cent = _materialize_centroids(_kmeans_centroids(corpus))
+        fin = _assign(corpus, cent)
 
     q = corpus.filter(F.col("vec_id") < IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
@@ -577,6 +714,11 @@ def sim_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = widen_if_narrow(raw.filter(F.col("vec_id") % 4 < 3))
     newb = raw.filter(F.col("vec_id") % 4 == 3)
+    if DRIVER_CENTROIDS:
+        cents = _driver_lloyd(corpus, ITERS, _IVF_INC_SEED_MAX)
+        return _assign_fast(newb, cents).select(
+            "vec_id", "cluster_id", F.round("dist", 6).alias("sq_dist")
+        )
     cent = corpus.filter(F.col("vec_id") < _IVF_INC_SEED_MAX).select(
         F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
     )
@@ -648,13 +790,29 @@ def emb_silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
         )
     )
-    cent = _kmeans_centroids(corpus)
-    scored = corpus.crossJoin(F.broadcast(cent)).withColumn("dist", _sq_dist())
-    top2 = scored.groupBy("vec_id").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("dist", "cluster_id"))), 1, 2
-        ).alias("t")
-    )
+    if DRIVER_CENTROIDS:
+        # Map-only top-2: the K centroid distances are a literal-unrolled
+        # struct array sorted per row — same (dist, cluster_id) struct
+        # ordering as sort_array(collect_list(...)), minus the K-way
+        # crossJoin and the vec_id-keyed shuffle of K structs per vector.
+        cents = _driver_lloyd(corpus, ITERS, K)
+        cb, ids = _cb_sql(sorted(cents))
+        ds = _dists_sql(cb, "emb")
+        top2 = corpus.select(
+            "vec_id",
+            F.expr(
+                f"slice(sort_array(zip_with({ds}, {ids}, "
+                "(d, c) -> named_struct('dist', d, 'cluster_id', c))), 1, 2)"
+            ).alias("t"),
+        )
+    else:
+        cent = _kmeans_centroids(corpus)
+        scored = corpus.crossJoin(F.broadcast(cent)).withColumn("dist", _sq_dist())
+        top2 = scored.groupBy("vec_id").agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("dist", "cluster_id"))), 1, 2
+            ).alias("t")
+        )
     d1 = F.col("t")[0]["dist"]
     d2 = F.col("t")[1]["dist"]
     pair = top2.select(
@@ -737,13 +895,16 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     per_k = []
     for k in ELBOW_KS:
-        cent = corpus.filter(F.col("vec_id") < k).select(
-            F.col("vec_id").cast("int").alias("cluster_id"),
-            F.col("emb").alias("cemb"),
-        )
-        for _ in range(ITERS):
-            cent = _update(_assign(corpus, cent))
-        fin = _assign(corpus, cent)
+        if DRIVER_CENTROIDS:
+            fin = _assign_fast(corpus, _driver_lloyd(corpus, ITERS, k))
+        else:
+            cent = corpus.filter(F.col("vec_id") < k).select(
+                F.col("vec_id").cast("int").alias("cluster_id"),
+                F.col("emb").alias("cemb"),
+            )
+            for _ in range(ITERS):
+                cent = _update(_assign(corpus, cent))
+            fin = _assign(corpus, cent)
         fx = F.sum(
             F.floor(F.col("dist") * ELBOW_FX).cast("bigint")
         )

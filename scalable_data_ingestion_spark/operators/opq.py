@@ -41,11 +41,16 @@ from pyspark.sql import functions as F
 
 from ..catalog import table, widen_if_narrow
 from ..registry import register
+from . import clustering
 from .pq import (
     PQ_SUBDIM,
     PQ_SUBS,
+    _centroid_case_sql,
     _codebook,
+    _driver_lloyd_sub,
     _sqdist,
+    _sub_assign_exprs,
+    _sub_centroids_df,
     _sub_corpus,
     _sub_corpus_sql,
     _duck_codebook,
@@ -61,17 +66,27 @@ RQ_ITERS = 1  # unrolled Lloyd rounds per level (init: first RQ_K vectors)
 # Shared distortion rollup (Spark): per-subspace exact fixed-point MSE.
 # --------------------------------------------------------------------------
 def _distortion(sub: DataFrame, cent: DataFrame, codes: DataFrame) -> DataFrame:
-    dists = (
-        codes.join(sub, ["vec_id", "s"])
-        .join(F.broadcast(cent), ["s", "cid"])
-        .withColumn("dist", _sqdist())
-        .select(
+    if "dist" in codes.columns:
+        # literal-codebook path (pq._codebook): dist to the assigned
+        # codeword is already on codes — one aggregate, no re-joins.
+        dists = codes.select(
             "s",
             F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
             .cast("bigint")
             .alias("dfx"),
         )
-    )
+    else:
+        dists = (
+            codes.join(sub, ["vec_id", "s"])
+            .join(F.broadcast(cent), ["s", "cid"])
+            .withColumn("dist", _sqdist())
+            .select(
+                "s",
+                F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
+                .cast("bigint")
+                .alias("dfx"),
+            )
+        )
     return dists.groupBy(F.col("s").cast("int").alias("s")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.round(
@@ -222,8 +237,21 @@ def _full_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.lit(0).cast("int").alias("s"), "se").persist()
 
 
-def _rq_codebook(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One RQ level: Lloyd rounds at K=RQ_K, init = first RQ_K vectors."""
+def _rq_codebook(corpus: DataFrame):
+    """One RQ level: Lloyd rounds at K=RQ_K, init = first RQ_K vectors.
+
+    Returns (cent, codes, cents) — `cents` is the driver-side codebook
+    (None on the DataFrame fallback path); on the literal path `codes`
+    carries `se` and `dist` so residual/distortion consumers are
+    join-free."""
+    if clustering.DRIVER_CENTROIDS:
+        cents = _driver_lloyd_sub(corpus, RQ_ITERS, RQ_K)
+        cid_col, dist_col = _sub_assign_exprs(cents)
+        codes = corpus.select(
+            "vec_id", "s", "se", cid_col.alias("cid"), dist_col.alias("dist")
+        )
+        return _sub_centroids_df(corpus.sparkSession, cents), codes, cents
+
     from .clustering import _materialize_centroids
     from .pq import _assign, _update
 
@@ -233,10 +261,25 @@ def _rq_codebook(corpus: DataFrame) -> tuple[DataFrame, DataFrame]:
     for _ in range(RQ_ITERS):
         cent = _materialize_centroids(_update(_assign(corpus, cent)))
     codes = _assign(corpus, cent).select("vec_id", "s", "cid")
-    return cent, codes
+    return cent, codes, None
 
 
-def _residuals(corpus: DataFrame, cent: DataFrame, codes: DataFrame) -> DataFrame:
+def _residuals(
+    corpus: DataFrame, cent: DataFrame, codes: DataFrame, cents=None
+) -> DataFrame:
+    if cents is not None:
+        # literal path: the assigned centroid is a CASE-on-cid literal
+        # array — the residual is one map stage, no joins (codes
+        # already carries se). Same `a - b` zip as the join path.
+        case_sql = _centroid_case_sql(next(iter(cents.values())))  # RQ: s == 0 only
+        return (
+            codes.select(
+                "vec_id",
+                "s",
+                F.expr(f"zip_with(se, {case_sql}, (a, b) -> a - b)").alias("se"),
+            )
+            .persist()
+        )
     return (
         codes.join(corpus, ["vec_id", "s"])
         .join(F.broadcast(cent), ["s", "cid"])
@@ -346,9 +389,9 @@ def sim_rq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coarse codebook, (level 2) the residuals after the second-level
     codebook — exact fixed-point means throughout."""
     corpus = _full_corpus(spark, sf_dir)
-    cent1, codes1 = _rq_codebook(corpus)
-    resid = _residuals(corpus, cent1, codes1)
-    cent2, codes2 = _rq_codebook(resid)
+    cent1, codes1, cents1 = _rq_codebook(corpus)
+    resid = _residuals(corpus, cent1, codes1, cents1)
+    cent2, codes2, _cents2 = _rq_codebook(resid)
 
     def norm_level(df: DataFrame, level: int) -> DataFrame:
         sq = F.expr(

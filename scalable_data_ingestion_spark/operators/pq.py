@@ -53,7 +53,13 @@ from pyspark.sql import functions as F
 
 from ..catalog import table, widen_if_narrow
 from ..registry import register
-from .clustering import _materialize_centroids
+from . import clustering
+from .clustering import (
+    _cb_sql,
+    _dists_sql,
+    _fmt_double,
+    _materialize_centroids,
+)
 
 PQ_SUBS = 8  # subspaces
 PQ_SUBDIM = 8  # dims per subspace (8 x 8 = 64)
@@ -212,8 +218,128 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+SubCents = dict[int, list[tuple[int, list[float]]]]
+
+
+def _sub_assign_exprs(cents_by_s: SubCents, col: str = "se"):
+    """(cid, dist) argmin Columns against driver-side per-subspace
+    codebooks: a CASE on the subspace key dispatches to that subspace's
+    literal-unrolled distance array (clustering._assign_exprs semantics
+    per branch — FIRST index of the min, ties to lowest cid, distances
+    always >= +0.0). Map-only: replaces the per-round broadcast join +
+    (vec_id, s)-keyed row_number window of the DataFrame `_assign`."""
+
+    def branch(cents: list[tuple[int, list[float]]]) -> tuple[str, str]:
+        cents = sorted(cents, key=lambda t: t[0])
+        cb, ids = _cb_sql(cents)
+        ds = _dists_sql(cb, col)
+        cid = f"element_at({ids}, CAST(array_position({ds}, array_min({ds})) AS INT))"
+        return cid, f"array_min({ds})"
+
+    if len(cents_by_s) == 1:
+        cid_sql, dist_sql = branch(next(iter(cents_by_s.values())))
+        return F.expr(cid_sql), F.expr(dist_sql)
+    # subspace ids are contiguous 0..S-1 (the sub corpus explodes them
+    # that way); index the per-subspace codebooks with one literal
+    # array-of-codebooks lookup instead of a CASE chain.
+    ss = sorted(cents_by_s)
+    assert ss == list(range(len(ss))), f"non-contiguous subspace ids: {ss}"
+    cbs, idss = zip(*(_cb_sql(sorted(cents_by_s[s])) for s in ss))
+    cb3 = "array(" + ",".join(cbs) + ")"
+    ids2 = "array(" + ",".join(idss) + ")"
+    ds = _dists_sql(f"element_at({cb3}, CAST(s AS INT) + 1)", col)
+    cid = (
+        f"element_at(element_at({ids2}, CAST(s AS INT) + 1), "
+        f"CAST(array_position({ds}, array_min({ds})) AS INT))"
+    )
+    return F.expr(cid), F.expr(f"array_min({ds})")
+
+
+def _driver_lloyd_sub(sub: DataFrame, iters: int, k: int) -> SubCents:
+    """Per-subspace exact Lloyd rounds with the (s, cid)-keyed codebook
+    held driver-side (dimension-sized: S x K rows). Each round is one
+    narrow job — map-only literal argmin + (s, cid, d)-keyed fixed-point
+    aggregate — with the new centroid doubles computed on the driver via
+    the IDENTICAL `fx / (1000000.0 * cnt)` division the DataFrame
+    `_update` uses. Bit-equal to the DataFrame chain
+    (tests/test_kmeans_literal_parity.py)."""
+    sub = sub.persist()
+    seed = (
+        sub.filter(F.col("vec_id") < k)
+        .select("s", F.col("vec_id").cast("int").alias("cid"), "se")
+        .collect()
+    )
+    cents: SubCents = {}
+    for r in seed:
+        cents.setdefault(r.s, []).append((r.cid, [float(v) for v in r.se]))
+    for s in cents:
+        cents[s].sort()
+    for _ in range(iters):
+        cid_col, _d = _sub_assign_exprs(cents)
+        rows = (
+            sub.select("s", cid_col.alias("cid"), F.posexplode("se").alias("d", "v"))
+            .groupBy("s", "cid", "d")
+            .agg(
+                F.sum(
+                    F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+                ).alias("fx"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+        for r in rows:
+            acc.setdefault((r.s, r.cid), {})[r.d] = (r.fx, r.cnt)
+        cents = {}
+        for (s, cid) in sorted(acc):
+            dims = acc[(s, cid)]
+            cents.setdefault(s, []).append(
+                (cid, [dims[d][0] / (1000000.0 * dims[d][1]) for d in sorted(dims)])
+            )
+    return cents
+
+
+def _sub_centroids_df(spark, cents_by_s: SubCents) -> DataFrame:
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("s", T.IntegerType(), False),
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("ce", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    rows = [
+        (int(s), int(c), list(ce))
+        for s in sorted(cents_by_s)
+        for c, ce in sorted(cents_by_s[s])
+    ]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _centroid_case_sql(cents: list[tuple[int, list[float]]], key: str = "cid") -> str:
+    """CASE mapping an assigned cid to its literal centroid array."""
+    whens = " ".join(
+        f"WHEN {int(c)} THEN array({','.join(_fmt_double(v) for v in ce)})"
+        for c, ce in sorted(cents)
+    )
+    return f"(CASE {key} {whens} END)"
+
+
 def _codebook(sub: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Train the per-subspace codebooks; returns (centroids, codes)."""
+    """Train the per-subspace codebooks; returns (centroids, codes).
+
+    `codes` additionally carries `se` and `dist` (distance to the
+    assigned codeword) on the literal path so distortion consumers skip
+    the codes->sub and codes->cent re-joins entirely; Catalyst prunes
+    the extra columns wherever they are unused."""
+    if clustering.DRIVER_CENTROIDS:
+        cents = _driver_lloyd_sub(sub, PQ_ITERS, PQ_K)
+        cid_col, dist_col = _sub_assign_exprs(cents)
+        codes = sub.select(
+            "vec_id", "s", "se", cid_col.alias("cid"), dist_col.alias("dist")
+        )
+        return _sub_centroids_df(sub.sparkSession, cents), codes
     cent = sub.filter(F.col("vec_id") < PQ_K).select(
         "s", F.col("vec_id").cast("int").alias("cid"), F.col("se").alias("ce")
     )
@@ -383,16 +509,23 @@ def _register_ivfpq() -> None:
         ).persist()
         # coarse quantizer (full-vector k-means from clustering.py)
         from .clustering import K as IVF_K
+        from .clustering import _assign_fast, _centroids_df, _driver_lloyd
 
-        cent = corpus.filter(F.col("vec_id") < IVF_K).select(
-            F.col("vec_id").cast("int").alias("cluster_id"), F.col("emb").alias("cemb")
-        )
-        for _ in range(IVF_ITERS):
-            cent = ivf_update(ivf_assign(corpus, cent))
-        # trained coarse centroids are referenced twice (corpus
-        # assignment + query probe scoring) — materialize driver-side.
-        cent = _materialize_centroids(cent)
-        fin = ivf_assign(corpus, cent)
+        if clustering.DRIVER_CENTROIDS:
+            ccents = _driver_lloyd(corpus, IVF_ITERS, IVF_K)
+            cent = _centroids_df(spark, ccents)
+            fin = _assign_fast(corpus, ccents)
+        else:
+            cent = corpus.filter(F.col("vec_id") < IVF_K).select(
+                F.col("vec_id").cast("int").alias("cluster_id"),
+                F.col("emb").alias("cemb"),
+            )
+            for _ in range(IVF_ITERS):
+                cent = ivf_update(ivf_assign(corpus, cent))
+            # trained coarse centroids are referenced twice (corpus
+            # assignment + query probe scoring) — materialize driver-side.
+            cent = _materialize_centroids(cent)
+            fin = ivf_assign(corpus, cent)
 
         q = corpus.filter(F.col("vec_id") < PQ_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
@@ -469,17 +602,28 @@ def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks (exact fixed-point means)."""
     sub = _sub_corpus(spark, sf_dir)
     cent, codes = _codebook(sub)
-    dists = (
-        codes.join(sub, ["vec_id", "s"])
-        .join(F.broadcast(cent), ["s", "cid"])
-        .withColumn("dist", _sqdist())
-        .select(
+    if "dist" in codes.columns:
+        # literal path: dist to the assigned codeword is already on the
+        # codes relation — the distortion rollup is one aggregate, no
+        # codes->sub / codes->cent re-joins.
+        dists = codes.select(
             "s",
             F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
             .cast("bigint")
             .alias("dfx"),
         )
-    )
+    else:
+        dists = (
+            codes.join(sub, ["vec_id", "s"])
+            .join(F.broadcast(cent), ["s", "cid"])
+            .withColumn("dist", _sqdist())
+            .select(
+                "s",
+                F.floor(F.col("dist") * F.lit(1000000.0) + F.lit(0.5))
+                .cast("bigint")
+                .alias("dfx"),
+            )
+        )
     return dists.groupBy(F.col("s").cast("int").alias("s")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.round(F.sum("dfx") / (F.lit(float(_FX)) * F.count(F.lit(1))), 6).alias(
