@@ -177,6 +177,60 @@ def global_running_sums(
     return out.drop("_gr_pid")
 
 
+def bounded_global_rank(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    rank_col: str,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY ...)`` for relations that are
+    provably DIMENSION-BOUNDED (post-aggregation calendar series,
+    duration grains, model tables — cardinality fixed by the domain,
+    not the corpus).
+
+    Output-identical to :func:`global_rank` (same total-order rank),
+    but a single bounded window instead of the range-repartition
+    machinery — which costs a sampling pass over the input, a
+    partitions-sized collect, and a range Exchange that are pure
+    overhead when the input is a few thousand rows at ANY scale
+    (round-10 optimization; guide §2.4). Every registered caller must
+    appear in tests/test_plan_quality.py's
+    GLOBAL_WINDOW_BOUNDED_ALLOWLIST with a boundedness justification —
+    the plan gate still fails unlisted unbounded global windows."""
+    return df.withColumn(rank_col, F.row_number().over(W.orderBy(*order_by)))
+
+
+def bounded_running_sums(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    values: dict[str, Column],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Prefix sums over a DIMENSION-BOUNDED relation via one bounded
+    global window — output-identical to :func:`global_running_sums`
+    (same coalesce-to-0 empty-frame rule, same bigint sums), minus the
+    range repartition + per-column offset collects. Same allowlist
+    contract as :func:`bounded_global_rank`."""
+    upper = 0 if inclusive else -1
+    frame = W.orderBy(*order_by).rowsBetween(W.unboundedPreceding, upper)
+    out = df
+    for name, value in values.items():
+        out = out.withColumn(
+            name, F.coalesce(F.sum(value).over(frame), F.lit(0))
+        )
+    return out
+
+
+def bounded_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value: Column,
+    out_col: str,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Single-column :func:`bounded_running_sums`."""
+    return bounded_running_sums(df, order_by, {out_col: value}, inclusive)
+
+
 def global_ntile(
     df: DataFrame,
     order_by: Sequence[Column],

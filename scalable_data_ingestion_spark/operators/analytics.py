@@ -811,7 +811,7 @@ def cust_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival S(t) over customer lifetimes with
     {KM_CHURN_GAP}-day churn definition and right-censoring at the
     corpus watermark."""
-    from ..functions.ranking import global_running_sum
+    from ..functions.ranking import bounded_running_sum
 
     orders = table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
@@ -831,8 +831,13 @@ def cust_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("event")).cast("bigint").alias("c"),
     )
     n = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
-    # exclusive prefix of leavers -> at-risk counts
-    left_before = global_running_sum(
+    # exclusive prefix of leavers -> at-risk counts. The duration grain
+    # is calendar-bounded (<= days spanned by the corpus, ~2.4k rows at
+    # any SF), so the prefix sums run as bounded global windows —
+    # allowlisted in test_plan_quality.py (round-10 optimization: the
+    # two range-repartition passes + offset collects were pure overhead
+    # on a dimension-sized relation).
+    left_before = bounded_running_sum(
         per_t,
         [F.col("duration")],
         F.col("d") + F.col("c"),
@@ -854,7 +859,7 @@ def cust_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     steps = risk.withColumn("fx", fx)
     # inclusive prefix of the ln terms -> survival at each duration
-    curve = global_running_sum(
+    curve = bounded_running_sum(
         steps, [F.col("duration")], F.col("fx"), "_cum", inclusive=True
     )
     return curve.select(
@@ -3449,9 +3454,10 @@ def ev_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cust_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nelson-Aalen cumulative hazard over customer lifetimes — exact
-    BIGINT micro-unit steps (d*1e6 DIV n), cumulated with the
-    range-partitioned running sum (never a single-reducer window)."""
-    from ..functions.ranking import global_running_sum
+    BIGINT micro-unit steps (d*1e6 DIV n), cumulated over the
+    calendar-bounded duration grain (bounded global window, same
+    allowlist class as cust_survival_km)."""
+    from ..functions.ranking import bounded_running_sum
 
     orders = table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
@@ -3471,7 +3477,7 @@ def cust_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("event")).cast("bigint").alias("c"),
     )
     n = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
-    left_before = global_running_sum(
+    left_before = bounded_running_sum(
         per_t,
         [F.col("duration")],
         F.col("d") + F.col("c"),
@@ -3488,7 +3494,7 @@ def cust_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hz_micro",
         F.expr("(d * CAST(1000000 AS BIGINT)) DIV at_risk"),
     )
-    curve = global_running_sum(
+    curve = bounded_running_sum(
         steps, [F.col("duration")], F.col("hz_micro"), "_cum", inclusive=True
     )
     return curve.select(

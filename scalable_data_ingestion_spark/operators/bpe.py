@@ -50,6 +50,51 @@ _FOLD_SPARK = (
     f"THEN concat(acc, x) ELSE concat(acc, {_SEP}, x) END)"
 )
 
+# Round-10 optimization (guide §1.2 per-task work): the Spark-side
+# merge application is a compiled regexp_replace over the
+# separator-joined segmentation instead of the interpreted
+# higher-order `aggregate` fold above (CodegenFallback, and the fold's
+# per-symbol string concat is quadratic in word length). Java's regex
+# scan is left-to-right over NON-OVERLAPPING matches, which is exactly
+# the fold's greedy-left merge order, and the (?<![^\\x1f]) /
+# (?![^\\x1f]) guards pin full-symbol boundaries (start/end of word or
+# a separator) so a pair never matches inside a longer symbol — the
+# same condition the fold's _LAST_IS_A check enforces. The fold stays
+# the DuckDB oracle's definition; strict parity pins the equivalence.
+_SEP_CH = "\x1f"
+
+
+def _merge_pattern(a: str, b: str) -> str:
+    import re as _re
+
+    return (
+        f"(?<![^{_SEP_CH}])" + _re.escape(a) + _SEP_CH + _re.escape(b) + f"(?![^{_SEP_CH}])"
+    )
+
+
+def _merge_repl(a: str, b: str) -> str:
+    return (a + b).replace("\\", "\\\\").replace("$", "\\$")
+
+
+def _pair_counts(seg: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the (word, wc, s) relation
+    (s = separator-joined symbols)."""
+    return (
+        seg.select("wc", F.expr(f"split(s, {_SEP})").alias("sym"))
+        .select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(sym, 1, size(sym) - 1),"
+                    "         slice(sym, 2, size(sym) - 1),"
+                    "         (x, y) -> named_struct('a', x, 'b', y))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").cast("bigint").alias("c"))
+    )
+
 
 def _round_sql(i: int) -> str:
     """DuckDB CTEs for training round ``i`` (1-based)."""
@@ -87,6 +132,8 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first {BPE_ROUNDS} BPE merge rules learned from the corpus
     word-count table: (round, left, right, merged symbol, weighted
     pair count)."""
+    from pyspark.sql import types as T
+
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -94,50 +141,38 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .persist()
     )
-    seg = words.select("word", "wc", F.expr("split(word, '')").alias("sym"))
-    bests = []
+    seg = words.select(
+        "word", "wc", F.expr(f"concat_ws({_SEP}, split(word, ''))").alias("s")
+    )
+    # Round-10: the best pair is ONE row — collect it (TakeOrdered) and
+    # fold it into the next round as literals, removing the per-round
+    # crossJoin + broadcast build; the merge applies as a compiled
+    # regexp (see _merge_pattern) instead of the interpreted fold.
+    bests: list[tuple] = []
     for i in range(1, BPE_ROUNDS + 1):
-        pairs = (
-            seg.select(
-                "wc",
-                F.explode(
-                    F.expr(
-                        "zip_with(slice(sym, 1, size(sym) - 1),"
-                        "         slice(sym, 2, size(sym) - 1),"
-                        "         (x, y) -> named_struct('a', x, 'b', y))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("wc").cast("bigint").alias("c"))
-        )
-        best = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
-        bests.append(
-            best.select(
-                F.lit(i).alias("round"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.concat("a", "b").alias("merged"),
-                F.col("c").alias("pair_count"),
-            )
-        )
-        # Each round references the previous segmentation TWICE (pair
-        # counts AND the fold) — persist per round so the vocab-sized
-        # frame evaluates once per level instead of 2^rounds times.
-        seg = (
-            seg.crossJoin(F.broadcast(best))
-            .select(
-                "word",
-                "wc",
-                F.expr(f"split({_FOLD_SPARK}, {_SEP})").alias("sym"),
-            )
-            .persist()
-        )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out
+        rows = _pair_counts(seg).orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+        if not rows:
+            seg = seg.filter(F.lit(False))
+            continue
+        a, b, c = rows[0].a, rows[0].b, rows[0].c
+        bests.append((i, a, b, a + b, c))
+        seg = seg.select(
+            "word",
+            "wc",
+            F.regexp_replace("s", _merge_pattern(a, b), _merge_repl(a, b)).alias("s"),
+        ).persist()
+    schema = T.StructType(
+        [
+            T.StructField("round", T.IntegerType(), False),
+            T.StructField("left_sym", T.StringType(), True),
+            T.StructField("right_sym", T.StringType(), True),
+            T.StructField("merged", T.StringType(), True),
+            T.StructField("pair_count", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(bests, schema=schema)
 
 
 _BPE_COMPRESSION_ORACLE = f"""
@@ -175,35 +210,21 @@ def tok_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
         .persist()
     )
-    seg = words.select("word", "wc", F.expr("split(word, '')").alias("sym"))
+    seg = words.select(
+        "word", "wc", F.expr(f"concat_ws({_SEP}, split(word, ''))").alias("s")
+    )
+    # Same collected-best + compiled-regexp rounds as tok_bpe_merges.
     for _ in range(BPE_ROUNDS):
-        pairs = (
-            seg.select(
-                "wc",
-                F.explode(
-                    F.expr(
-                        "zip_with(slice(sym, 1, size(sym) - 1),"
-                        "         slice(sym, 2, size(sym) - 1),"
-                        "         (x, y) -> named_struct('a', x, 'b', y))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("wc").cast("bigint").alias("c"))
-        )
-        best = pairs.orderBy(F.col("c").desc(), "a", "b").limit(1)
-        # Each round references the previous segmentation TWICE (pair
-        # counts AND the fold) — persist per round so the vocab-sized
-        # frame evaluates once per level instead of 2^rounds times.
-        seg = (
-            seg.crossJoin(F.broadcast(best))
-            .select(
-                "word",
-                "wc",
-                F.expr(f"split({_FOLD_SPARK}, {_SEP})").alias("sym"),
-            )
-            .persist()
-        )
+        rows = _pair_counts(seg).orderBy(F.col("c").desc(), "a", "b").limit(1).collect()
+        if not rows:
+            seg = seg.filter(F.lit(False))
+            continue
+        a, b = rows[0].a, rows[0].b
+        seg = seg.select(
+            "word",
+            "wc",
+            F.regexp_replace("s", _merge_pattern(a, b), _merge_repl(a, b)).alias("s"),
+        ).persist()
     totals = words.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_word_forms"),
         F.sum("wc").cast("bigint").alias("n_corpus_words"),
@@ -211,7 +232,9 @@ def tok_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         seg.agg(
-            F.sum(F.col("wc") * F.size("sym")).cast("bigint").alias("tokens_bpe")
+            F.sum(
+                F.col("wc") * F.size(F.expr(f"split(s, {_SEP})"))
+            ).cast("bigint").alias("tokens_bpe")
         )
         .crossJoin(F.broadcast(totals))
         .select(

@@ -893,10 +893,27 @@ def ml_kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     ).persist()
+    fins: dict[int, DataFrame] = {}
+    if DRIVER_CENTROIDS:
+        # The per-k Lloyd trainings are independent job chains — run
+        # them from a small thread pool so k=4's rounds back-fill the
+        # executor slots k=2's tail leaves idle (guide §2.6 overlap
+        # independent jobs). Results are keyed by k, so scheduling
+        # order cannot affect the output.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(ELBOW_KS)) as pool:
+            cents_by_k = list(
+                pool.map(lambda k: _driver_lloyd(corpus, ITERS, k), ELBOW_KS)
+            )
+        fins = {
+            k: _assign_fast(corpus, c)
+            for k, c in zip(ELBOW_KS, cents_by_k)
+        }
     per_k = []
     for k in ELBOW_KS:
         if DRIVER_CENTROIDS:
-            fin = _assign_fast(corpus, _driver_lloyd(corpus, ITERS, k))
+            fin = fins[k]
         else:
             cent = corpus.filter(F.col("vec_id") < k).select(
                 F.col("vec_id").cast("int").alias("cluster_id"),

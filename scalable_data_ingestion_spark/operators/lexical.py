@@ -297,36 +297,49 @@ def _lrs_grid_sql(k: str, nk: str) -> str:
 def txt_suffix_lrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document longest repeated substring (grid-floored to
     LRS_GRID, suffix keys capped at LRS_CAP chars) from sorted-suffix
-    adjacency, with a span-repetition flag at >= {LRS_FLAG_MIN}."""
-    from pyspark.sql import Window as W
+    adjacency, with a span-repetition flag at >= {LRS_FLAG_MIN}.
 
+    Round-10 optimization (guide §2.4): the suffix sort is PER
+    DOCUMENT, so it runs inside the row — ``array_sort`` over the
+    capped suffix array + a ``zip_with`` of the two adjacency slices —
+    instead of posexploding a 64x-the-corpus suffix relation through a
+    doc-keyed Exchange + window sort. Same multiset of sorted-adjacent
+    key pairs (equal keys yield identical common-prefix values, so the
+    explode-order tie-break the window used cannot change the max);
+    zero shuffles, zero joins, output unchanged."""
+    grid_cases = " , ".join(
+        f"CASE WHEN length(a) >= {g} AND length(b) >= {g} "
+        f"AND substr(a, 1, {g}) = substr(b, 1, {g}) THEN {g} ELSE 0 END"
+        for g in LRS_GRID
+    )
+    lrs = F.expr(
+        "coalesce(array_max(zip_with("
+        " slice(sufs, 1, size(sufs) - 1),"
+        " slice(sufs, 2, size(sufs) - 1),"
+        f" (a, b) -> greatest({grid_cases}))), 0)"
+    ).cast("int")
     norm = table(spark, sf_dir, "documents").select(
         "doc_id",
         F.regexp_replace(F.lower("text"), r"\s+", " ").alias("txt"),
     )
-    suf = norm.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(f"transform(sequence(1, length(txt)), i -> substring(txt, i, {LRS_CAP}))")
-        ).alias("i", "k"),
-    )
-    adj = suf.withColumn(
-        "nk", F.lead("k").over(W.partitionBy("doc_id").orderBy("k", "i"))
-    )
-    cp = F.greatest(
-        *[
-            F.when(
-                (F.length("k") >= g)
-                & (F.length("nk") >= g)
-                & (F.substring("k", 1, g) == F.substring("nk", 1, g)),
-                g,
-            ).otherwise(0)
-            for g in LRS_GRID
-        ]
-    )
+    # The per-doc suffix sort is CPU-bound; when the scan yields fewer
+    # splits than cores (small corpora arrive as one parquet split),
+    # spread the 1x text once so the map stage uses the machine —
+    # scale-adaptive, a no-op at real scale where the scan already has
+    # more splits than cores (guide §2.5 input skew).
+    par = spark.sparkContext.defaultParallelism
+    if norm.rdd.getNumPartitions() < par:
+        norm = norm.repartition(par)
     return (
-        adj.groupBy("doc_id")
-        .agg(F.max(cp).cast("int").alias("lrs_grid"))
+        norm
+        .select(
+            "doc_id",
+            F.expr(
+                "array_sort(transform(sequence(1, length(txt)),"
+                f" i -> substring(txt, i, {LRS_CAP})))"
+            ).alias("sufs"),
+        )
+        .select("doc_id", lrs.alias("lrs_grid"))
         .select(
             "doc_id",
             "lrs_grid",

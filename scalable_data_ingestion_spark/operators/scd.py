@@ -903,6 +903,57 @@ def ev_markov_path_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
 MARKOV_POWER_ROUNDS = 8
 
 
+def _ppm_rows(p) -> list:
+    """Collect the transition model — |event_types|^2 rows (<= ~100 at
+    any SF; the state space is the fixed event-type domain, not the
+    corpus). Round-10 optimization: the power-/value-iteration rounds
+    over this dimension-sized model used to run as
+    MARKOV_POWER_ROUNDS/VI_ROUNDS chained broadcast-join + aggregate
+    stages (each a separate broadcast build + tiny shuffle); they are
+    pure BIGINT arithmetic, so they run driver-side exactly (Python
+    ints, `//` == SQL DIV on the non-negative operands involved) and
+    the final vector re-enters Spark as a literal relation. Rounding
+    and any float math stay IN Spark so engine float semantics are
+    untouched. Corpus-scale work (the lead() window + transition
+    counts) is unchanged."""
+    return p.collect()
+
+
+def _mkv_power_iterate(rows: list, rounds: int) -> dict[str, int]:
+    """Driver-side twin of the unrolled power-iteration rounds: same
+    initial 1e12 DIV k mass, same u * p_ppm DIV 1e6 terms, same
+    drop-states-with-no-incoming-mass inner-join semantics."""
+    states = sorted({r.event_type for r in rows})
+    if not states:
+        return {}
+    k = len(states)
+    u = {s: 10**12 // k for s in states}
+    for _ in range(rounds):
+        nu: dict[str, int] = {}
+        for r in rows:
+            if r.event_type in u:
+                nu[r.next_type] = (
+                    nu.get(r.next_type, 0)
+                    + (u[r.event_type] * r.p_ppm) // 10**6
+                )
+        u = nu
+    return u
+
+
+def _mkv_vector_df(spark, u: dict[str, int], col: str):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("state", T.StringType(), True),
+            T.StructField(col, T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(s, int(u[s])) for s in sorted(u)], schema=schema
+    )
+
+
 def _mkv_round_sql(i: int) -> str:
     return f"""v{i} AS (
       SELECT p.next_type AS state,
@@ -982,25 +1033,9 @@ def ev_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    n_states = fm.select(F.count(F.lit(1)).alias("k"))
-    v = (
-        fm.crossJoin(F.broadcast(n_states))
-        .select(
-            F.col("event_type").alias("state"),
-            F.expr("1000000000000 DIV k").cast("bigint").alias("u"),
-        )
+    v = _mkv_vector_df(
+        spark, _mkv_power_iterate(_ppm_rows(p), MARKOV_POWER_ROUNDS), "u"
     )
-    for _ in range(MARKOV_POWER_ROUNDS):
-        v = (
-            v.join(F.broadcast(p), p.event_type == F.col("state"))
-            .select(
-                F.col("next_type").alias("nstate"),
-                F.expr("u * p_ppm DIV 1000000").alias("term"),
-            )
-            .groupBy("nstate")
-            .agg(F.sum("term").cast("bigint").alias("u"))
-            .withColumnRenamed("nstate", "state")
-        )
     marginal = ev.groupBy(F.col("event_type").alias("state")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events")
     ).persist()
@@ -1201,26 +1236,22 @@ def ev_markov_absorbing_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    e = fm.select(
-        F.col("event_type").alias("state"), F.lit(0).cast("bigint").alias("e")
-    )
+    # Driver-side exact twin of the VI rounds (same dimension-sized
+    # model + BIGINT arithmetic rationale as _mkv_power_iterate).
+    rows = _ppm_rows(p)
+    ev_map: dict[str, int] = {r.event_type: 0 for r in rows}
     for _ in range(VI_ROUNDS):
-        e = (
-            p.join(F.broadcast(e), p.next_type == e.state)
-            .groupBy("event_type")
-            .agg(
-                F.sum(F.expr("p_ppm * e DIV 1000000"))
-                .cast("bigint")
-                .alias("s")
-            )
-            .select(
-                F.col("event_type").alias("state"),
-                F.when(F.col("event_type") == VI_ABSORB, F.lit(0))
-                .otherwise(F.lit(1000000) + F.col("s"))
-                .cast("bigint")
-                .alias("e"),
-            )
-        )
+        s_acc: dict[str, int] = {}
+        for r in rows:
+            if r.next_type in ev_map:
+                s_acc[r.event_type] = (
+                    s_acc.get(r.event_type, 0) + (r.p_ppm * ev_map[r.next_type]) // 10**6
+                )
+        ev_map = {
+            et: (0 if et == VI_ABSORB else 10**6 + sv)
+            for et, sv in s_acc.items()
+        }
+    e = _mkv_vector_df(spark, ev_map, "e")
     direct = p.filter(F.col("next_type") == VI_ABSORB).select(
         F.col("event_type").alias("state"), "p_ppm"
     )
@@ -1312,22 +1343,9 @@ def ev_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    n_states = fm.select(F.count(F.lit(1)).alias("k"))
-    v = fm.crossJoin(F.broadcast(n_states)).select(
-        F.col("event_type").alias("state"),
-        F.expr("1000000000000 DIV k").cast("bigint").alias("u"),
+    v = _mkv_vector_df(
+        spark, _mkv_power_iterate(_ppm_rows(p), MARKOV_POWER_ROUNDS), "u"
     )
-    for _ in range(MARKOV_POWER_ROUNDS):
-        v = (
-            v.join(F.broadcast(p), p.event_type == F.col("state"))
-            .select(
-                F.col("next_type").alias("nstate"),
-                F.expr("u * p_ppm DIV 1000000").alias("term"),
-            )
-            .groupBy("nstate")
-            .agg(F.sum("term").cast("bigint").alias("u"))
-            .withColumnRenamed("nstate", "state")
-        )
     hrow = p.groupBy(F.col("event_type").alias("state")).agg(
         F.sum(
             F.when(

@@ -599,20 +599,41 @@ def dd_contamination_ngram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .distinct()
     )
-    df_count = F.count(F.lit(1)).over(W.partitionBy("g"))
-    sg = (
-        g_all.withColumn("_df", df_count)
+    # Round-10 optimization (guide §2.3/§2.4): ONE gram-keyed aggregate
+    # replaces the window-DF pass + (source, g) distinct + gram-keyed
+    # self-join — the per-gram source set is bounded by n_sources (20),
+    # so doc-DF and the full source set come out of a single groupBy(g),
+    # and the source PAIRS per gram (<= 190) explode from the sorted
+    # set in-row (sort_array ascending == the a.source < b.source
+    # string order of the join it replaces). 2 corpus-scale shuffles
+    # instead of 4; identical counts by construction.
+    per_g = (
+        g_all.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("_df"),
+            F.sort_array(F.collect_set("source")).alias("srcs"),
+        )
         .filter(F.col("_df") <= CONTAM_DF_CAP)
-        .select("source", "g")
-        .distinct()
-        # feeds sizes AND both join sides — three references
+        .select("srcs")
+        # feeds sizes AND shared — two references
         .persist()
     )
-    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a, b = sg.alias("a"), sg.alias("b")
+    sizes = (
+        per_g.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
     shared = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
-        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        per_g.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) ->"
+                    " transform(slice(srcs, i + 2, size(srcs)),"
+                    " b -> named_struct('source_a', a, 'source_b', b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_grams_a"))

@@ -522,7 +522,7 @@ _ACF_DAILY = """
 def ts_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACF of daily revenue at lags 1..7 from exact decimal sums."""
     from ..catalog import table
-    from ..functions.ranking import global_rank
+    from ..functions.ranking import bounded_global_rank
 
     daily = (
         table(spark, sf_dir, "orders")
@@ -533,7 +533,7 @@ def ts_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    ranked = global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
+    ranked = bounded_global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
     ranked = ranked.persist()
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     stats = ranked.agg(
@@ -617,7 +617,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day CUSUM deviations with the max-|deviation| changepoint
     flag, from one range-partitioned prefix-sum pass."""
     from ..catalog import table
-    from ..functions.ranking import global_running_sums
+    from ..functions.ranking import bounded_running_sums
 
     daily = (
         table(spark, sf_dir, "orders")
@@ -628,7 +628,9 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    cum = global_running_sums(
+    # day grain: calendar-bounded input -> bounded global window
+    # (allowlisted; round-10 optimization)
+    cum = bounded_running_sums(
         daily, [F.col("d")], {"p": F.col("cents"), "i": F.lit(1)}
     )
     tot = daily.agg(
@@ -1536,7 +1538,7 @@ _H_LNW_CASE = " ".join(f"WHEN {w} THEN {v!r}" for w, v in _H_LNW.items())
 def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hurst exponent (R/S log-log slope over 8/16/32/64-day windows)
     of daily order revenue, with per-size mean rescaled ranges."""
-    from ..functions.ranking import global_rank
+    from ..functions.ranking import bounded_global_rank
 
     orders = table(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
@@ -1544,7 +1546,7 @@ def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    ranked = global_rank(daily, [F.col("day")], "idx").select("cents", "idx")
+    ranked = bounded_global_rank(daily, [F.col("day")], "idx").select("cents", "idx")
     n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
     sizes = spark.createDataFrame([(w,) for w in HURST_SIZES], "w bigint")
     bucketed = (
@@ -1753,7 +1755,7 @@ def _pacf_oracle() -> str:
 def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PACF of daily revenue at lags 1..{PACF_MAX_LAG} via the
     unrolled Durbin-Levinson ladder over exact-sum ACF inputs."""
-    from ..functions.ranking import global_rank
+    from ..functions.ranking import bounded_global_rank
 
     daily = (
         table(spark, sf_dir, "orders")
@@ -1764,7 +1766,7 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    ranked = global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
+    ranked = bounded_global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
     ranked = ranked.persist()
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     stats = ranked.agg(
@@ -2078,7 +2080,7 @@ def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ljung-Box Q over daily-revenue autocorrelations (lags 1..7),
     fixed-order expression arithmetic on exact decimal moments."""
     from ..catalog import table
-    from ..functions.ranking import global_rank
+    from ..functions.ranking import bounded_global_rank
 
     daily = (
         table(spark, sf_dir, "orders")
@@ -2089,7 +2091,7 @@ def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    ranked = global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
+    ranked = bounded_global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
     ranked = ranked.persist()
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     stats = ranked.agg(
@@ -2191,7 +2193,7 @@ def eval_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MASE of the lag-7 seasonal-naive forecast vs the lag-1 naive
     scale, as an exact integer rational."""
     from ..catalog import table
-    from ..functions.ranking import global_rank
+    from ..functions.ranking import bounded_global_rank
 
     daily = (
         table(spark, sf_dir, "orders")
@@ -2202,7 +2204,7 @@ def eval_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    ranked = global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
+    ranked = bounded_global_rank(daily, [F.col("d")], "idx").select("cents", "idx")
     ranked = ranked.persist()
 
     def lag_err(k: int, n_col: str, s_col: str) -> DataFrame:

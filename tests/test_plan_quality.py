@@ -350,6 +350,19 @@ GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
     # top-k rank over the per-event-type aggregate — 5 rows at any SF
     # (same dimension-bounded class as w_nation_revenue_rank)
     "ev_dpp_partitioned_join",
+    # round-10: prefix sums / ranks over POST-AGGREGATION calendar-
+    # bounded series (day or duration grain, <= days spanned by the
+    # corpus ~2.4k rows at any SF) — the range-repartition helpers'
+    # sampling pass + offset collects were pure overhead at that
+    # cardinality (see functions/ranking.py bounded_* docstrings)
+    "cust_survival_km",
+    "cust_nelson_aalen",
+    "ts_acf_daily_revenue",
+    "ts_cusum_changepoint",
+    "ts_hurst_rescaled_range",
+    "ts_pacf_durbin_levinson",
+    "ts_ljung_box_q",
+    "eval_seasonal_naive_mase",
 }
 
 
@@ -441,12 +454,21 @@ def test_fertility_is_map_side_single_pass(spark, sf_dir):
 
 
 def test_silhouette_centroids_broadcast(spark, sf_dir):
-    """Every centroid-scoring pass in the silhouette plan broadcasts
-    the K-row centroid relation — no shuffled join of the corpus."""
+    """The centroid-scoring pass never shuffles or joins the corpus:
+    with driver-held centroids (round-10 default) the K-row codebook is
+    a literal expression — zero join nodes; with the pure-DataFrame
+    chain (SPARK_GRAFT_KMEANS_DRIVER_CENTROIDS=0) it must at least
+    broadcast the K-row relation."""
+    from scalable_data_ingestion_spark.operators import clustering
+
     p = plan(registry.QUERIES["emb_silhouette_by_cluster"](spark, sf_dir), "simple")
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
-    assert "BroadcastNestedLoopJoin" in p, p  # K-row centroid cross join
+    if clustering.DRIVER_CENTROIDS:
+        # literal codebook: no join of any kind in the scoring pass
+        assert "Join" not in p, p
+    else:
+        assert "BroadcastNestedLoopJoin" in p, p  # K-row centroid cross join
 
 
 def test_grid_outliers_density_broadcasts(spark, sf_dir):
