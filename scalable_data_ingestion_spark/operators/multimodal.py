@@ -564,11 +564,10 @@ FROM verified
 """
 
 
-def _ph_px_col(r: int, c: int):
-    md5 = F.md5(
-        F.concat((F.col("u") % PH_N_BASE).cast("string"), F.lit(f":{r}"))
-    )
-    base = F.conv(F.substring(md5, c + 1, 1), 16, 10).cast("int")
+def _ph_px_from_md5(r: int, c: int):
+    """Pixel (r, c) from the already-projected per-row md5 column
+    ``m{r}`` — same value as the former inline expression."""
+    base = F.conv(F.substring(F.col(f"m{r}"), c + 1, 1), 16, 10).cast("int")
     for v, (pr, pc) in _PH_PERTURB.items():
         if (r, c) == (pr, pc):
             return F.when(
@@ -578,16 +577,42 @@ def _ph_px_col(r: int, c: int):
     return base
 
 
-def _ph_band_col(b: int):
-    acc = F.lit(0)
-    for ro in range(2):
-        r = 2 * b + ro
-        for c in range(8):
-            acc = acc + F.when(
-                _ph_px_col(r, c + 1) > _ph_px_col(r, c),
-                F.lit(1 << (8 * ro + c)),
-            ).otherwise(F.lit(0))
-    return acc.cast("bigint").alias(f"band{b}")
+def _ph_hashed(up):
+    """(u, band0..band3) via LAYERED projections — round-10
+    optimization (guide §1.2 per-task work): the former single-select
+    band expressions inlined the md5 + hex-digit subtree per
+    comparison operand (~32 md5 subtrees per band, 128 per row), which
+    both bloated the generated code and re-evaluated each pixel twice.
+    Three stacked Projects (md5 strings -> pixel ints -> band bits)
+    pin one evaluation per md5 and per pixel; the band bit formula and
+    every per-pixel expression are unchanged, so the values are
+    identical."""
+    m = up.select(
+        "u",
+        *[
+            F.md5(
+                F.concat(
+                    (F.col("u") % PH_N_BASE).cast("string"), F.lit(f":{r}")
+                )
+            ).alias(f"m{r}")
+            for r in range(8)
+        ],
+    )
+    px = m.select(
+        "u", *[_ph_px_from_md5(r, c).alias(f"px_{r}_{c}") for r in range(8) for c in range(9)]
+    )
+    bands = []
+    for b in range(4):
+        acc = F.lit(0)
+        for ro in range(2):
+            r = 2 * b + ro
+            for c in range(8):
+                acc = acc + F.when(
+                    F.col(f"px_{r}_{c + 1}") > F.col(f"px_{r}_{c}"),
+                    F.lit(1 << (8 * ro + c)),
+                ).otherwise(F.lit(0))
+        bands.append(acc.cast("bigint").alias(f"band{b}"))
+    return px.select("u", *bands)
 
 
 @register("mm_phash_neardup", oracle=_PH_ORACLE)
@@ -596,7 +621,7 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream: banded candidate join + exact hamming verify, reported as
     one row of pruning/precision/recall counts."""
     up = spark.range(_PH_N_UP).select(F.col("id").alias("u"))
-    hashed = up.select("u", *[_ph_band_col(b) for b in range(4)]).persist()
+    hashed = _ph_hashed(up).persist()
     bands = hashed.select(
         "u",
         F.explode(

@@ -35,7 +35,7 @@ span-level dedup; this is part of the LLM-pipeline extension surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -202,15 +202,22 @@ def dd_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse; a shared substring of length >= k+w-1 = 11 normalized chars
     guarantees a shared fingerprint, so recall on real partial copies
     is structural, not probabilistic."""
-    fp_rows = winnow_fingerprints(spark, sf_dir).select("doc_id", "fp")
-    # document-frequency cap in one pass (count window, same pattern as
-    # operators/dedup.py shingles) — boilerplate fingerprints appearing
-    # in many docs would otherwise explode the self-join.
-    df_count = F.count(F.lit(1)).over(W.partitionBy("fp"))
+    fp_rows = winnow_fingerprints(spark, sf_dir).select("doc_id", "fp").persist()
+    # document-frequency cap — boilerplate fingerprints appearing in
+    # many docs would otherwise explode the self-join. Round-10
+    # optimization (guide §2.3 aggregate before you shuffle): the
+    # over-cap list comes from a map-side-combining groupBy (tiny
+    # output: only fps with df > cap) broadcast into an anti-join,
+    # instead of shuffling + sorting EVERY (doc, fp) row through a
+    # count window. Identical capped relation by construction.
+    hot = (
+        fp_rows.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > WINNOW_DF_CAP)
+        .select("fp")
+    )
     capped = (
-        fp_rows.withColumn("_df", df_count)
-        .filter(F.col("_df") <= WINNOW_DF_CAP)
-        .drop("_df")
+        fp_rows.join(F.broadcast(hot), "fp", "left_anti")
         # feeds the size aggregate AND both sides of the pair self-join;
         # uncached, the per-character md5 fingerprinting (the expensive
         # subtree) would execute three times.

@@ -68,6 +68,11 @@ class Warehouse:
                 self.MONTH_COL, F.date_format("order_date", "yyyy-MM")
             )
             partition_cols = (self.MONTH_COL,)
+        # Count from the PRE-repartition frame (round-10, guide §2.4):
+        # the count is the same either way, but counting the written
+        # frame re-ran the repartition Exchange a second time; on the
+        # un-repartitioned plan the count is a column-pruned scan+agg.
+        pre_shuffle = df
         if partition_cols:
             # Cluster rows by their hive partition before the write: one
             # task then owns each partition directory instead of every
@@ -80,7 +85,7 @@ class Warehouse:
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(self._path("orders"))
-        return df.count()
+        return pre_shuffle.count()
 
     def _raw_orders(self) -> DataFrame:
         return self.spark.read.parquet(self._path("orders"))

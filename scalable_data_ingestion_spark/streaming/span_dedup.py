@@ -84,18 +84,23 @@ def winnow_decisions(batch_fp: DataFrame, store_fp: DataFrame) -> DataFrame:
     a fingerprint that common identifies boilerplate, not a copied
     span. Store-side df makes the cap incremental-friendly: it never
     depends on the batch's own contents."""
-    store_df = F.count(F.lit(1)).over(W.partitionBy("fp"))
+    # Round-10 optimization (guide §2.3 aggregate before you shuffle):
+    # the over-cap fingerprint list comes from a map-side-combining
+    # groupBy (output: only fps with df > cap) instead of a count
+    # window that shuffled + sorted every (doc, fp) store row.
+    # Identical hot set: the window counted (doc, fp) rows per fp, and
+    # store_fp is distinct per doc, so groupBy count == window count.
     hot = (
-        store_fp.withColumn("_df", store_df)
+        store_fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") > WINNOW_DF_CAP)
         .select("fp")
-        .distinct()
     )
     bf = batch_fp.select(F.col("doc_id").alias("batch_id"), "fp").join(
-        hot, "fp", "left_anti"
+        F.broadcast(hot), "fp", "left_anti"
     )
     sf = store_fp.select(F.col("doc_id").alias("store_id"), "fp").join(
-        hot, "fp", "left_anti"
+        F.broadcast(hot), "fp", "left_anti"
     )
     shared = (
         bf.join(sf, "fp")
