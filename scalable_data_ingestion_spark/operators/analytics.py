@@ -820,12 +820,16 @@ def cust_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(d).alias("first_d"), F.max(d).alias("last_d")
     )
     gap = F.datediff("w", "last_d")
+    # customer-grain and referenced twice (per_t + the total count) —
+    # persist so the full-orders groupBy runs ONCE (round-10: unpersisted,
+    # the n/total branch re-aggregated the whole orders table and the
+    # scan gate counted orders x4).
     labeled = cust.crossJoin(F.broadcast(ref)).select(
         F.when(gap > KM_CHURN_GAP, 1).otherwise(0).alias("event"),
         F.when(gap > KM_CHURN_GAP, F.datediff("last_d", "first_d"))
         .otherwise(F.datediff("w", "first_d"))
         .alias("duration"),
-    )
+    ).persist()
     per_t = labeled.groupBy("duration").agg(
         F.sum("event").cast("bigint").alias("d"),
         F.sum(1 - F.col("event")).cast("bigint").alias("c"),
@@ -3466,12 +3470,16 @@ def cust_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(d).alias("first_d"), F.max(d).alias("last_d")
     )
     gap = F.datediff("w", "last_d")
+    # customer-grain and referenced twice (per_t + the total count) —
+    # persist so the full-orders groupBy runs ONCE (round-10: unpersisted,
+    # the n/total branch re-aggregated the whole orders table and the
+    # scan gate counted orders x4).
     labeled = cust.crossJoin(F.broadcast(ref)).select(
         F.when(gap > KM_CHURN_GAP, 1).otherwise(0).alias("event"),
         F.when(gap > KM_CHURN_GAP, F.datediff("last_d", "first_d"))
         .otherwise(F.datediff("w", "first_d"))
         .alias("duration"),
-    )
+    ).persist()
     per_t = labeled.groupBy("duration").agg(
         F.sum("event").cast("bigint").alias("d"),
         F.sum(1 - F.col("event")).cast("bigint").alias("c"),

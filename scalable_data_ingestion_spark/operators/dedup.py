@@ -816,6 +816,48 @@ def _plane_sign(h_expr: str, d_expr: str) -> str:
     )
 
 
+def _plane_signs_py() -> list[list[float]]:
+    """The 24 x 64 ±1.0 plane-sign matrix, precomputed in Python —
+    hashlib.md5 over the identical "h:d" bytes with the identical
+    lowercase-hex first-char >= '8' comparison as the SQL CASE above
+    (value-pinned by tests/test_lsh_literal_signs.py).
+
+    Round-10 (guide §4.1/§1.2): the Spark-side projection fold used to
+    evaluate the CASE's md5 PER ROW — 24 planes x 64 dims = 1536
+    interpreted md5 calls per vector on the signature hot path. The
+    signs are a pure function of the literal (h, d), so they now ride
+    as one constant-folded array-of-arrays literal; the fold itself
+    (shape, seed, order) is unchanged, so projections are bit-exact.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{h}:{d}".encode()).hexdigest()[0] >= "8"
+            else -1.0
+            for d in range(64)
+        ]
+        for h in range(EMB_LSH_PLANES)
+    ]
+
+
+def _plane_signs_sql() -> str:
+    """array(array(...)) literal of the sign matrix ('D' suffix: a bare
+    1.0 parses as DECIMAL in Spark SQL). ConstantFolding collapses it to
+    a single Literal node, so the expression tree stays tiny (the fully
+    unrolled arithmetic chain was measured to cost seconds of
+    analysis/codegen per plan — the clustering._cb_sql lesson)."""
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{v}D" for v in row) + ")"
+            for row in _plane_signs_py()
+        )
+        + ")"
+    )
+
+
 _EMB_LSH_R = EMB_LSH_PLANES // EMB_LSH_BANDS
 
 
@@ -886,10 +928,13 @@ def dd_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = _emb_corpus(spark, sf_dir)
     r = _EMB_LSH_R
+    # round-10: literal sign matrix replaces the per-row md5 CASE (1536
+    # md5 calls per vector eliminated); same fold, same seed, same order
+    # -> bit-identical projections (see _plane_signs_py).
     projs_expr = (
         f"transform(sequence(0, {EMB_LSH_PLANES - 1}), h -> "
         f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, d) -> "
-        f"acc + emb[d] * ({_plane_sign('h', 'd')})))"
+        f"acc + emb[d] * element_at(element_at({_plane_signs_sql()}, h + 1), d + 1)))"
     )
     bsig_expr = (
         f"transform(sequence(0, {EMB_LSH_BANDS - 1}), b -> "
@@ -1329,10 +1374,12 @@ def dd_lsh_bands_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate volume, recall, and precision of the 24-bit SRP
     signature under 1/2/3/4-band splits, vs exact all-pairs truth."""
     corpus = _emb_corpus(spark, sf_dir)
+    # round-10: literal sign matrix (no per-row md5) — same rewrite as
+    # dd_embedding_lsh_pairs, bit-identical projections.
     projs_expr = (
         f"transform(sequence(0, {EMB_LSH_PLANES - 1}), h -> "
         f"aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE), (acc, d) -> "
-        f"acc + emb[d] * ({_plane_sign('h', 'd')})))"
+        f"acc + emb[d] * element_at(element_at({_plane_signs_sql()}, h + 1), d + 1)))"
     )
     proj = corpus.withColumn("projs", F.expr(projs_expr)).select(
         "vec_id", "projs"

@@ -239,9 +239,17 @@ class Warehouse:
             .select("order_id")
             .distinct()
         )
-        n = doomed.count()
-        if n:
-            doomed.write.mode("append").parquet(self._path(self.DELETES))
+        # round-10 (guide §5): the count and the tombstone write share
+        # one evaluation of the doomed set — unpersisted, the full
+        # upsert-window pass over the orders table ran twice (once for
+        # count, once for the write).
+        doomed = doomed.persist()
+        try:
+            n = doomed.count()
+            if n:
+                doomed.write.mode("append").parquet(self._path(self.DELETES))
+        finally:
+            doomed.unpersist()
         return n
 
     def read_orders_live(self) -> DataFrame:
