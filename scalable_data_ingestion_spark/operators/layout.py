@@ -586,9 +586,6 @@ def ev_bucketed_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pathlib import Path
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    prof = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_user_events")
-    )
     # External tables under a stable tmp root: a fresh session's
     # in-memory catalog doesn't know last session's managed table, but
     # its warehouse directory survives and blocks the managed write
@@ -596,8 +593,15 @@ def ev_bucketed_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idempotent across sessions. Same shape as warehouse.save_bucketed
     # (the bucket spec needs saveAsTable; a plain .parquet(path) write
     # cannot record it).
+    #
+    # round-10 (guide §2.4): the user profile derives from the BUCKETED
+    # events table, not the raw parquet — the bucketed scan already
+    # reports hashpartitioning(user_id), so the profile groupBy needs no
+    # Exchange, and the raw events parquet is scanned once (the events
+    # write) instead of twice. Same counts either way.
     root = Path(tempfile.gettempdir()) / "sdi_bucketed_r9"
-    for name, df in (("r9_events_by_user", ev), ("r9_users_by_user", prof)):
+
+    def _write_bucketed(df: DataFrame, name: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         loc = root / name
         shutil.rmtree(loc, ignore_errors=True)
@@ -609,8 +613,13 @@ def ev_bucketed_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .format("parquet")
             .saveAsTable(name)
         )
-    evb = spark.table("r9_events_by_user")
-    profb = spark.table("r9_users_by_user")
+        return spark.table(name)
+
+    evb = _write_bucketed(ev, "r9_events_by_user")
+    prof = evb.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_user_events")
+    )
+    profb = _write_bucketed(prof, "r9_users_by_user")
     tot = profb.agg(
         F.sum("n_user_events").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
