@@ -94,6 +94,7 @@ def register_query_views(
     spark: SparkSession,
     sf_dir: str,
     names: list[str] | None = None,
+    prebuilt: dict | None = None,
 ) -> list[str]:
     """Expose registry queries as ``spark.sql``-addressable temp views.
 
@@ -123,7 +124,14 @@ def register_query_views(
     done: list[str] = []
     for name, fn in qs.items():
         try:
-            fn(spark, sf_dir).createOrReplaceTempView(name)
+            # ``prebuilt`` reuses already-constructed DataFrames (e.g.
+            # a test session's shared plan build) — view registration
+            # itself is pure naming, so skipping the rebuild (and any
+            # eager training jobs it runs) changes nothing.
+            df = prebuilt[name] if prebuilt and name in prebuilt else fn(
+                spark, sf_dir
+            )
+            df.createOrReplaceTempView(name)
         except Exception:  # pragma: no cover - defensive per-view guard
             continue
         done.append(name)

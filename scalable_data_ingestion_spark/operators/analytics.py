@@ -34,6 +34,13 @@ Scale notes (100 TB event log):
   (cohort_day, offset) after a per-(user, day) dedup — the dedup is
   the same shuffle as the cohort assignment, so the distinct is exact
   without a second corpus-wide pass.
+
+Cache lifecycle: builders here persist() multi-referenced relations
+(e.g. the survival/Nelson-Aalen labeled-spells frame) and deliberately
+never unpersist — the returned plan still references them. Library
+consumers own the drop via ``registry.cache_scope`` /
+``spark.catalog.clearCache()``; see the registry module docstring
+(same convention as operators/dedup.py and operators/clustering.py).
 """
 
 from __future__ import annotations

@@ -101,7 +101,7 @@ def shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """Inverted-index self-join -> intersection counts -> Jaccard."""
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()  # doc-sized; referenced by both join sides (round 11: the agg over the shingle cache ran once per reference)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -271,7 +271,14 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: the shingle relation feeds signatures, the verify join (2x)
     # and the size agg — without it the scan+explode+distinct runs 4x.
     sh = shingles(spark, sf_dir).cache()
-    bands = _bands(_minhash_sig(sh))
+    # sig persists too (round 11): both sides of the band self-join
+    # derive from it, and the 12-min-hash aggregate (3 md5 evaluations
+    # per shingle row) is the pipeline's heaviest map work — uncached
+    # it runs twice, once per join side (same duplicated-subtree class
+    # as the mm_phash round-10 fix; dd_bbit_minhash_eval already
+    # persists its signature relation for the same reason).
+    sig = _minhash_sig(sh).persist()
+    bands = _bands(sig)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -292,7 +299,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()  # doc-sized; referenced by both join sides (round 11: the agg over the shingle cache ran once per reference)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = (
@@ -816,6 +823,7 @@ def _plane_sign(h_expr: str, d_expr: str) -> str:
     )
 
 
+@functools.lru_cache(maxsize=1)
 def _plane_signs_py() -> list[list[float]]:
     """The 24 x 64 ±1.0 plane-sign matrix, precomputed in Python —
     hashlib.md5 over the identical "h:d" bytes with the identical
@@ -842,12 +850,16 @@ def _plane_signs_py() -> list[list[float]]:
     ]
 
 
+@functools.lru_cache(maxsize=1)
 def _plane_signs_sql() -> str:
     """array(array(...)) literal of the sign matrix ('D' suffix: a bare
     1.0 parses as DECIMAL in Spark SQL). ConstantFolding collapses it to
     a single Literal node, so the expression tree stays tiny (the fully
     unrolled arithmetic chain was measured to cost seconds of
-    analysis/codegen per plan — the clustering._cb_sql lesson)."""
+    analysis/codegen per plan — the clustering._cb_sql lesson).
+    lru_cached (round-10 advice): pure functions of module constants —
+    the 1536 hashlib.md5 calls and the ~10 KB literal build run once
+    per process, not once per expression construction."""
     return (
         "array("
         + ",".join(
@@ -1018,7 +1030,7 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF-capped against fan-out — but normalized by the LEFT side only,
     so a small doc swallowed by a large one still scores ~1.0."""
     sh = shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()  # doc-sized; referenced by both join sides (round 11: the agg over the shingle cache ran once per reference)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -1140,7 +1152,7 @@ def dd_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the MinHash-LSH pipeline vs exact Jaccard truth at the verify
     threshold (one summary row, pure integer arithmetic)."""
     sh = shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()  # doc-sized; referenced by both join sides (round 11: the agg over the shingle cache ran once per reference)
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -1518,7 +1530,7 @@ def dd_bbit_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAE of 1-bit minhash vs full-width minhash vs exact Jaccard
     over ground-truth pairs (j >= {BBIT_PAIR_THRESHOLD})."""
     sh = shingles(spark, sf_dir).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()  # doc-sized; referenced by both join sides (round 11: the agg over the shingle cache ran once per reference)
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(

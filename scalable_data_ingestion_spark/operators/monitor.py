@@ -753,38 +753,117 @@ def mon_quantile_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # answers p50/p90 and the month-over-month drift alert FROM the merged
 # digests.
 #
-# Registered rows-only (sketch values by design, same bar as
-# sk_tdigest_order_values); the accuracy contract is the rank-error
-# property test in tests/test_corpus_ops.py: per month, the estimate's
-# TRUE within-month rank sits inside the k1 envelope, and each merged
-# digest's total weight equals the month's exact row count. Centroid
-# means ride exact value-cents BIGINT sums, so the whole monitor is
-# deterministic under any partitioning.
+# Fully oracle-checked since round 11 (verdict #4, same treatment as
+# sk_tdigest_order_values): sharding rides the md5 top byte instead of
+# xxhash64 and the k1 bin is evaluated against precomputed boundary
+# literals (sketches._k1_boundaries), so the whole digest-of-digests
+# pipeline has an exact DuckDB twin. The accuracy contract remains the
+# rank-error property test in tests/test_corpus_ops.py: per month, the
+# estimate's TRUE within-month rank sits inside the k1 envelope, and
+# each merged digest's total weight equals the month's exact row
+# count. Centroid means ride exact value-cents BIGINT sums, so the
+# whole monitor is deterministic under any partitioning.
 # --------------------------------------------------------------------------
 QD_SHARDS = 8  # map-side digests per month (stand-in for executor count)
 
 
-def _qd_bin(q: F.Column, delta: int) -> F.Column:
-    """t-digest k1 scale-function bin (Dunning & Ertl 2019)."""
-    import math
+def _qd_oracle() -> str:
+    from .sketches import (
+        TD_DELTA,
+        _k1_bin_duck,
+        _md5_shard_sql,
+    )
 
-    k = (F.asin(q * 2 - 1) / math.pi + 0.5) * delta
-    return F.least(F.floor(k).cast("int"), F.lit(delta - 1))
+    return f"""
+    WITH sharded AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+             {_md5_shard_sql("o_orderkey", QD_SHARDS)} AS shard,
+             o_totalprice AS v, o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT month_start, shard, v,
+             row_number() OVER (PARTITION BY month_start, shard
+                                ORDER BY v, o_orderkey) AS r,
+             count(*) OVER (PARTITION BY month_start, shard) AS n
+      FROM sharded
+    ),
+    loc AS (
+      SELECT month_start, shard, v,
+             {_k1_bin_duck("(CAST(r AS DOUBLE) - 0.5) / CAST(n AS DOUBLE) * 2 - 1", TD_DELTA)} AS bin
+      FROM ranked
+    ),
+    shard_cent AS (
+      SELECT month_start, shard, bin, CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM loc GROUP BY month_start, shard, bin
+    ),
+    merged_in AS (
+      SELECT month_start, w, sum_cents, sum_cents / (w * 100) AS mean,
+             sum(w) OVER (PARTITION BY month_start
+                          ORDER BY sum_cents / (w * 100), shard, bin) AS cum,
+             sum(w) OVER (PARTITION BY month_start) AS n_month
+      FROM shard_cent
+    ),
+    merged AS (
+      SELECT month_start, mbin, CAST(sum(w) AS BIGINT) AS w,
+             CAST(sum(sum_cents) AS BIGINT) AS sum_cents,
+             CAST(max(n_month) AS BIGINT) AS n_month
+      FROM (
+        SELECT *,
+               {_k1_bin_duck("(CAST(cum AS DOUBLE) - CAST(w AS DOUBLE) / 2)"
+                             " / CAST(n_month AS DOUBLE) * 2 - 1", TD_DELTA)} AS mbin
+        FROM merged_in
+      ) GROUP BY month_start, mbin
+    ),
+    cumq AS (
+      SELECT month_start, sum_cents / (w * 100) AS mean, n_month,
+             sum(w) OVER (PARTITION BY month_start
+                          ORDER BY sum_cents / (w * 100), mbin) AS cum_hi
+      FROM merged
+    ),
+    est AS (
+      SELECT month_start,
+             CAST(max(n_month) AS BIGINT) AS n_orders,
+             round(max(CASE WHEN p = 0.5 THEN mean END), 6) AS est_p50,
+             round(max(CASE WHEN p = 0.9 THEN mean END), 6) AS est_p90
+      FROM (
+        SELECT c.month_start, c.mean, c.n_month, t.p,
+               row_number() OVER (PARTITION BY c.month_start, t.p
+                                  ORDER BY c.cum_hi, c.mean) AS rn
+        FROM cumq c
+        JOIN (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS p) t
+          ON CAST(c.cum_hi AS DOUBLE) >= t.p * CAST(c.n_month AS DOUBLE)
+      ) WHERE rn = 1
+      GROUP BY month_start
+    ),
+    lagged AS (
+      SELECT *, lag(est_p50) OVER (ORDER BY month_start) AS prev_p50
+      FROM est
+    )
+    SELECT month_start, n_orders, est_p50, est_p90,
+           round(abs(est_p50 - prev_p50), 6) AS d50_abs,
+           CASE WHEN prev_p50 IS NULL THEN NULL
+                WHEN abs(est_p50 - prev_p50) * {QDRIFT_ALERT_X20} > prev_p50
+                THEN 1 ELSE 0 END AS alert
+    FROM lagged
+    """
 
 
-@register("mon_tdigest_drift_monthly")
+@register("mon_tdigest_drift_monthly", oracle=_qd_oracle())
 def mon_tdigest_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly p50/p90 of order value answered from merged per-shard
     t-digests, with the same >5% median-drift alert rule as the exact
-    twin — the monitor a 100 TB pipeline actually runs."""
-    from .sketches import TD_DELTA
+    twin — the monitor a 100 TB pipeline actually runs. Fully
+    oracle-checked (round 11): md5 sharding + literal-boundary k1 bins."""
+    from .sketches import TD_DELTA, _k1_bin, _md5_shard_spark
 
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
     sharded = o.select(
         F.trunc("o_orderdate", "month").alias("month_start"),
-        F.pmod(F.xxhash64("o_orderkey"), F.lit(QD_SHARDS)).alias("shard"),
+        _md5_shard_spark("o_orderkey", QD_SHARDS),
         F.col("o_totalprice").alias("v"),
         "o_orderkey",
     )
@@ -801,7 +880,7 @@ def mon_tdigest_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_start",
         "shard",
         "v",
-        _qd_bin((F.col("r") - 0.5) / F.col("n"), TD_DELTA).alias("bin"),
+        _k1_bin((F.col("r") - 0.5) / F.col("n") * 2 - 1, TD_DELTA).alias("bin"),
     )
     shard_cent = (
         local.groupBy("month_start", "shard", "bin")
@@ -825,7 +904,10 @@ def mon_tdigest_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w").over(wm) - F.col("w") / 2).alias("cum_mid"),
             F.sum("w").over(W.partitionBy("month_start")).alias("n_month"),
         )
-        .withColumn("mbin", _qd_bin(F.col("cum_mid") / F.col("n_month"), TD_DELTA))
+        .withColumn(
+            "mbin",
+            _k1_bin(F.col("cum_mid") / F.col("n_month") * 2 - 1, TD_DELTA),
+        )
         .groupBy("month_start", "mbin")
         .agg(
             F.sum("w").alias("w"),

@@ -201,24 +201,37 @@ def _variant_distortion_sql(sub_cte: str, variant: str) -> str:
 def sim_opq_permute_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-subspace PQ distortion under the identity dimension layout
     vs the OPQ-style energy-balanced permutation — identical training
-    budget, the layout is the only difference."""
-    out = []
-    ident = _sub_corpus(spark, sf_dir)
-    cent, codes = _codebook(ident)
-    out.append(
-        _distortion(ident, cent, codes).select(
+    budget, the layout is the only difference.
+
+    The two trainings are INDEPENDENT (they share only the raw
+    embeddings scan), so they run from a 2-thread pool (guide §2.6
+    overlap-independent-jobs; the clustering.ml_kmeans_elbow pattern):
+    on the driver-centroid path each `_codebook` is a seed-collect +
+    one Arrow-partials job, and the second training's jobs back-fill
+    executors left idle by the first's collect round-trips. Results
+    are unchanged — the branches touch disjoint relations."""
+
+    def branch_identity() -> DataFrame:
+        ident = _sub_corpus(spark, sf_dir)
+        cent, codes = _codebook(ident)
+        return _distortion(ident, cent, codes).select(
             F.lit("identity").alias("variant"), "s", "n_vectors", "mean_sq_dist"
         )
-    )
-    ex = _exploded_dims(spark, sf_dir)
-    balanced = _permuted_sub(ex, _balanced_perm(ex))
-    centb, codesb = _codebook(balanced)
-    out.append(
-        _distortion(balanced, centb, codesb).select(
+
+    def branch_balanced() -> DataFrame:
+        ex = _exploded_dims(spark, sf_dir)
+        balanced = _permuted_sub(ex, _balanced_perm(ex))
+        centb, codesb = _codebook(balanced)
+        return _distortion(balanced, centb, codesb).select(
             F.lit("balanced").alias("variant"), "s", "n_vectors", "mean_sq_dist"
         )
-    )
-    return out[0].unionByName(out[1])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(branch_identity)
+        fb = pool.submit(branch_balanced)
+        return fi.result().unionByName(fb.result())
 
 
 # --------------------------------------------------------------------------
@@ -237,15 +250,17 @@ def _full_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.lit(0).cast("int").alias("s"), "se").persist()
 
 
-def _rq_codebook(corpus: DataFrame):
-    """One RQ level: Lloyd rounds at K=RQ_K, init = first RQ_K vectors.
+def _rq_codebook(corpus: DataFrame, seed_cents=None):
+    """One RQ level: Lloyd rounds at K=RQ_K, init = first RQ_K vectors
+    (or the caller-provided ``seed_cents``, skipping the seed-collect
+    job — see sim_rq_distortion's driver-side level-2 seeding).
 
     Returns (cent, codes, cents) — `cents` is the driver-side codebook
     (None on the DataFrame fallback path); on the literal path `codes`
     carries `se` and `dist` so residual/distortion consumers are
     join-free."""
     if clustering.DRIVER_CENTROIDS:
-        cents = _driver_lloyd_sub(corpus, RQ_ITERS, RQ_K)
+        cents = _driver_lloyd_sub(corpus, RQ_ITERS, RQ_K, seed_cents=seed_cents)
         cid_col, dist_col = _sub_assign_exprs(cents)
         codes = corpus.select(
             "vec_id", "s", "se", cid_col.alias("cid"), dist_col.alias("dist")
@@ -350,6 +365,31 @@ def _duck_rq_level(corpus: str, prefix: str) -> str:
 _RQ_DFX = "CAST(floor({expr} * " + _FX + " + 0.5) AS BIGINT)"
 
 
+def _assign_residual_py(
+    x: list[float], cents: list[tuple[int, list[float]]]
+) -> list[float]:
+    """Driver-side twin of the literal argmin + CASE-residual map for
+    ONE vector: the identical left-to-right IEEE fold per centroid
+    ((a-b)*(a-b) accumulated dimension by dimension from 0.0), the
+    FIRST-minimum tie rule over cid-ascending centroids, then one
+    IEEE subtract per dimension — bit-equal to evaluating
+    `zip_with(se, CASE cid ..., (a, b) -> a - b)` over the
+    `_sub_assign_exprs` assignment in the JVM (the centroid literals
+    round-trip exactly via clustering._fmt_double)."""
+    best_i = 0
+    best_d: float | None = None
+    for i, (_cid, ce) in enumerate(cents):  # sorted ascending cid
+        acc = 0.0
+        for a, b in zip(x, ce):
+            t = a - b
+            acc = acc + t * t
+        if best_d is None or acc < best_d:
+            best_d = acc
+            best_i = i
+    ce = cents[best_i][1]
+    return [a - b for a, b in zip(x, ce)]
+
+
 @register(
     "sim_rq_distortion",
     oracle=f"""
@@ -389,9 +429,35 @@ def sim_rq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the coarse codebook, (level 2) the residuals after the second-level
     codebook — exact fixed-point means throughout."""
     corpus = _full_corpus(spark, sf_dir)
-    cent1, codes1, cents1 = _rq_codebook(corpus)
-    resid = _residuals(corpus, cent1, codes1, cents1)
-    cent2, codes2, _cents2 = _rq_codebook(resid)
+    if clustering.DRIVER_CENTROIDS:
+        # One seed-collect job feeds BOTH levels: level 2's seeds (the
+        # first RQ_K residual vectors) are exact driver-side residuals
+        # of level 1's seeds, so the level-2 seed job — a full
+        # materialization pass over the residual relation — disappears
+        # (guide §1.2 job-cadence; round-11 verdict #1).
+        seed_rows = (
+            corpus.filter(F.col("vec_id") < RQ_K)
+            .select("vec_id", "se")
+            .collect()
+        )
+        seed1 = {
+            0: sorted(
+                (int(r.vec_id), [float(v) for v in r.se]) for r in seed_rows
+            )
+        }
+        cent1, codes1, cents1 = _rq_codebook(corpus, seed_cents=seed1)
+        resid = _residuals(corpus, cent1, codes1, cents1)
+        seed2 = {
+            0: [
+                (cid, _assign_residual_py(vals, cents1[0]))
+                for cid, vals in seed1[0]
+            ]
+        }
+        cent2, codes2, _cents2 = _rq_codebook(resid, seed_cents=seed2)
+    else:
+        cent1, codes1, cents1 = _rq_codebook(corpus)
+        resid = _residuals(corpus, cent1, codes1, cents1)
+        cent2, codes2, _cents2 = _rq_codebook(resid)
 
     def norm_level(df: DataFrame, level: int) -> DataFrame:
         sq = F.expr(

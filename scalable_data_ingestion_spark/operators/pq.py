@@ -255,41 +255,45 @@ def _sub_assign_exprs(cents_by_s: SubCents, col: str = "se"):
     return F.expr(cid), F.expr(f"array_min({ds})")
 
 
-def _driver_lloyd_sub(sub: DataFrame, iters: int, k: int) -> SubCents:
+def _driver_lloyd_sub(
+    sub: DataFrame, iters: int, k: int, seed_cents: SubCents | None = None
+) -> SubCents:
     """Per-subspace exact Lloyd rounds with the (s, cid)-keyed codebook
-    held driver-side (dimension-sized: S x K rows). Each round is one
-    narrow job — map-only literal argmin + (s, cid, d)-keyed fixed-point
-    aggregate — with the new centroid doubles computed on the driver via
-    the IDENTICAL `fx / (1000000.0 * cnt)` division the DataFrame
-    `_update` uses. Bit-equal to the DataFrame chain
-    (tests/test_kmeans_literal_parity.py)."""
+    held driver-side (dimension-sized: S x K rows). Each round is ONE
+    narrow job: the vectorized Arrow argmin + per-(s, cid, d)
+    fixed-point partial sums (lloyd_arrow.sub_lloyd_partials — map-side
+    combined, partitions x S x K x D rows shuffled), with the new
+    centroid doubles computed on the driver via the IDENTICAL
+    `fx / (1000000.0 * cnt)` division the DataFrame `_update` uses.
+    Bit-equal to the DataFrame chain (see the lloyd_arrow module
+    docstring for the IEEE-order argument; pinned end-to-end by
+    tests/test_kmeans_literal_parity.py).
+
+    ``seed_cents`` lets a caller that already holds the seed rows
+    driver-side (e.g. the RQ level-2 training, whose seeds are exact
+    residuals of level-1's seeds) skip the seed-collect job."""
+    from .lloyd_arrow import sub_lloyd_partials
+
     sub = sub.persist()
-    seed = (
-        sub.filter(F.col("vec_id") < k)
-        .select("s", F.col("vec_id").cast("int").alias("cid"), "se")
-        .collect()
-    )
-    cents: SubCents = {}
-    for r in seed:
-        cents.setdefault(r.s, []).append((r.cid, [float(v) for v in r.se]))
-    for s in cents:
-        cents[s].sort()
-    for _ in range(iters):
-        cid_col, _d = _sub_assign_exprs(cents)
-        rows = (
-            sub.select("s", cid_col.alias("cid"), F.posexplode("se").alias("d", "v"))
-            .groupBy("s", "cid", "d")
-            .agg(
-                F.sum(
-                    F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
-                ).alias("fx"),
-                F.count(F.lit(1)).alias("cnt"),
-            )
+    if seed_cents is None:
+        seed = (
+            sub.filter(F.col("vec_id") < k)
+            .select("s", F.col("vec_id").cast("int").alias("cid"), "se")
             .collect()
         )
+        cents: SubCents = {}
+        for r in seed:
+            cents.setdefault(r.s, []).append((r.cid, [float(v) for v in r.se]))
+        for s in cents:
+            cents[s].sort()
+    else:
+        cents = seed_cents
+    for _ in range(iters):
+        rows = sub_lloyd_partials(sub, cents)
         acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
         for r in rows:
-            acc.setdefault((r.s, r.cid), {})[r.d] = (r.fx, r.cnt)
+            if r.cnt > 0:  # kernel emits the full (s, cid, d) grid;
+                acc.setdefault((r.s, r.cid), {})[r.d] = (r.fx, r.cnt)
         cents = {}
         for (s, cid) in sorted(acc):
             dims = acc[(s, cid)]

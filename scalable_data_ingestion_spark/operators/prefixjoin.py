@@ -87,7 +87,7 @@ def _prefix_jaccard(sh: DataFrame) -> DataFrame:
     band [ceil(t*n_a), n_a*5 DIV 3] in the same integer arithmetic, so
     both engines prune identically with no float boundaries.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()  # doc-sized; referenced by both join sides (round 11: the agg over the shingle cache ran once per reference)
 
     # Global rarity order over the vocabulary — range-partitioned
     # offset ranking, so even an extreme vocabulary never funnels

@@ -394,6 +394,61 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _moment_cells(e: DataFrame) -> DataFrame:
+    """Map-side raw-second-moment partials over (vec_id, emb) rows:
+    (d1, d2, p) cells with p = an exact per-task integer sum of
+    fx_d1 * fx_d2 products, emitted as DECIMAL(38,0).
+
+    Kernel arithmetic: fx = floor(emb_d * 1e6 + 0.5) as float64 (exact
+    below 2**53, the identical IEEE expression the relational path
+    evaluates) cast to int64; per Arrow batch the outer-product matrix
+    accumulates in int64 (|fx| <= ~2e6 -> |product| <= ~4e12, safe for
+    > 1e6 rows per batch against the 2**63 bound, and Arrow batches cap
+    at 10k rows); batch matrices add into arbitrary-precision Python
+    ints so a task of ANY size stays exact."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: list[list[int]] | None = None
+        D = 0
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            ecol = b.column(b.schema.get_field_index("emb"))
+            first = ecol[0].as_py()
+            D = len(first)
+            X = np.asarray(ecol.flatten(), dtype=np.float64).reshape(-1, D)
+            FX = np.floor(X * _PCA_VFX + 0.5).astype(np.int64)
+            M = FX.T @ FX  # int64-exact at Arrow batch sizes
+            if acc is None:
+                acc = [[0] * D for _ in range(D)]
+            for i in range(D):
+                row = acc[i]
+                mi = M[i]
+                for j in range(D):
+                    row[j] += int(mi[j])
+        if acc is None:
+            return
+        d1 = np.repeat(np.arange(1, D + 1, dtype=np.int32), D)
+        d2 = np.tile(np.arange(1, D + 1, dtype=np.int32), D)
+        vals = [acc[i][j] for i in range(D) for j in range(D)]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(d1, type=pa.int32()),
+                pa.array(d2, type=pa.int32()),
+                pa.array(vals, type=pa.decimal128(38, 0)),
+            ],
+            names=["d1", "d2", "p"],
+        )
+
+    return e.select("emb").mapInArrow(
+        kernel, "d1 int, d2 int, p decimal(38,0)"
+    )
+
+
 def _pca_power(spark: SparkSession, sf_dir: str):
     """POWER_ITERS fixed-point rounds; returns (v(d, vfx), nrm)."""
     e = table(spark, sf_dir, "embeddings").select(
@@ -409,30 +464,17 @@ def _pca_power(spark: SparkSession, sf_dir: str):
     )
     nn = dims.agg(F.countDistinct("vec_id").cast("bigint").alias("n"))
     su = dims.groupBy("d").agg(F.sum(F.col("fx").cast("decimal(38,0)")).alias("su"))
-    # Second-moment matrix as a MAP-SIDE outer product: each vector
-    # emits its own 64x64 integer products in-task and the partial
-    # aggregate collapses them to <= 4096 cells per task before the
-    # only shuffle. The former dims self-join on vec_id shuffled the
-    # full (rows x dims) relation twice and then reduced 82M joined
-    # rows — same exact DECIMAL sums, strictly worse movement.
-    fxarr = F.expr(
-        f"transform(emb, x -> CAST(floor(x * {_PCA_VFX} + 0.5) AS BIGINT))"
-    )
-    mom = (
-        e.select(fxarr.alias("fx"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(fx, (xi, i) -> transform(fx, (xj, j) -> "
-                    "named_struct('d1', i + 1, 'd2', j + 1, "
-                    "'p', CAST(xi AS DECIMAL(19,0)) * xj))))"
-                )
-            ).alias("_m")
-        )
-        .select("_m.*")
-        .groupBy("d1", "d2")
-        .agg(F.sum("p").alias("s"))
-    )
+    # Second-moment matrix as a MAP-SIDE outer product: each task
+    # accumulates the 64x64 integer-product sums over its rows and
+    # emits <= D^2 partial cells before the only shuffle. Round 11
+    # moves the per-row outer product from a Catalyst nested-transform
+    # explode (interpreted HOF: rows x 4096 named_structs) into a
+    # vectorized Arrow kernel (guide §4.2). Exactness is free here:
+    # the cells are SUMS OF INTEGER PRODUCTS (fx = floor(x * 1e6 + .5)
+    # is the identical IEEE expression, int64-exact), accumulated in
+    # arbitrary-precision Python ints and emitted as DECIMAL(38,0) —
+    # order-independent, so any grouping produces the same bits.
+    mom = _moment_cells(e).groupBy("d1", "d2").agg(F.sum("p").alias("s"))
     sa = su.select(F.col("d").alias("d1"), F.col("su").alias("sua"))
     sb = su.select(F.col("d").alias("d2"), F.col("su").alias("sub"))
     cmat = (

@@ -935,6 +935,86 @@ def eval_retrieval_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 LOO_EVERY = 10  # vec_id % 10 == 0 -> fixed-fraction eval subset
 
+# Candidate margin for the LOO Arrow kernel: the winner under the
+# ROUNDED-cosine ordering has raw cosine >= raw_max - 1.01e-6 (round to
+# 6 decimals moves a value by <= 5.0e-7 + one double ulp each way), so
+# keeping everything within 2.5e-6 of each batch's raw per-query max is
+# a strict superset of every possible rounded-order argmax and its
+# rounding ties.
+_LOO_MARGIN = 2.5e-6
+
+
+def _loo_candidates(corpus: DataFrame, qrows) -> DataFrame:
+    """Map-only near-argmax candidate generation for the LOO 1-NN.
+
+    Bit-exactness contract (same discipline as operators/lloyd_arrow.py):
+    the emitted `cos_raw` doubles replay the IDENTICAL IEEE operation
+    order of the Catalyst expression
+    `aggregate(zip_with(q, v, (x, y) -> double(x) * double(y)), 0.0, +)
+     / (sqrt(fold q*q) * sqrt(fold v*v))`
+    — explicit loop over dimensions (`acc += Q[:,d] * V[:,d]` is one
+    multiply + one add per step, left-to-right, 0.0 + t == t), float32
+    -> float64 widening is exact, np.sqrt is correctly rounded IEEE,
+    one multiply for the norm product and one division. Rounding and
+    the (cosine, -neighbor_id) max live OUTSIDE the kernel, in the same
+    JVM expressions the all-pairs plan used, so a candidate superset is
+    all the kernel has to guarantee (see _LOO_MARGIN)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = sorted(qrows, key=lambda r: r.vec_id)
+    Q = np.array([[float(v) for v in r.embedding] for r in qrows], dtype=np.float64)
+    qid = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qlab = np.array([r.label for r in qrows], dtype=np.int32)
+    D = Q.shape[1]
+    qn_sq = np.zeros(len(qrows), dtype=np.float64)
+    for d in range(D):
+        qn_sq += Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn_sq)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            nid = np.asarray(
+                b.column(b.schema.get_field_index("vec_id")), dtype=np.int64
+            )
+            nlab = np.asarray(
+                b.column(b.schema.get_field_index("label")), dtype=np.int32
+            )
+            ecol = b.column(b.schema.get_field_index("embedding"))
+            V = np.asarray(ecol.flatten(), dtype=np.float64).reshape(-1, D)
+            dot = np.zeros((len(qid), V.shape[0]), dtype=np.float64)
+            vn_sq = np.zeros(V.shape[0], dtype=np.float64)
+            for d in range(D):
+                dot += Q[:, d][:, None] * V[:, d][None, :]
+                vn_sq += V[:, d] * V[:, d]
+            cos = dot / (qn[:, None] * np.sqrt(vn_sq)[None, :])
+            self_mask = qid[:, None] == nid[None, :]
+            masked = np.where(self_mask, -np.inf, cos)
+            bmax = masked.max(axis=1)
+            # ~self_mask guards the all-self batch (bmax = -inf would
+            # otherwise keep the masked rows: -inf >= -inf - margin).
+            keep = (masked >= (bmax[:, None] - _LOO_MARGIN)) & ~self_mask
+            qi, vi = np.nonzero(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid[qi], type=pa.int64()),
+                    pa.array(qlab[qi], type=pa.int32()),
+                    pa.array(nlab[vi], type=pa.int32()),
+                    pa.array(nid[vi], type=pa.int64()),
+                    pa.array(cos[qi, vi], type=pa.float64()),
+                ],
+                names=["query_id", "q_label", "n_label", "neighbor_id", "cos_raw"],
+            )
+
+    return corpus.mapInArrow(
+        kernel,
+        "query_id long, q_label int, n_label int, neighbor_id long, cos_raw double",
+    )
+
 
 @register(
     "ml_knn_loo_accuracy",
@@ -967,42 +1047,37 @@ LOO_EVERY = 10  # vec_id % 10 == 0 -> fixed-fraction eval subset
 )
 def ml_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label leave-one-out 1-NN classification accuracy over the
-    embedding space (deterministic eval subset, exact cosine)."""
+    embedding space (deterministic eval subset, exact cosine).
+
+    Round-11 optimization (guide §4.2): the cosine of every
+    (query, corpus) pair was a Catalyst `aggregate(zip_with(...))`
+    fold — CodegenFallback, interpreted per array element — under a
+    broadcast nested-loop join (~queries x corpus x 3 folds). The
+    scoring now runs as a map-only `mapInArrow` kernel over the corpus
+    with the query block in the task closure (the same bounded-query
+    posture the broadcast join had): per Arrow batch it computes the
+    cosines vectorized in the IDENTICAL IEEE order (see
+    `_loo_candidates`) and emits only the near-argmax candidates; the
+    exact `round(..., 6)` + `max_by` tie rule then runs in the JVM on
+    that dimension-sized candidate relation, so the 1-NN per query is
+    bit-identical to the all-pairs plan (pinned by
+    tests/test_properties.py::test_loo_candidate_kernel_matches_pairs).
+    """
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % LOO_EVERY == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("qe"),
-        _norm("embedding").alias("qn"),
+    qrows = (
+        emb.filter(F.col("vec_id") % LOO_EVERY == 0)
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("n_label"),
-        F.col("embedding").alias("ve"),
-        _norm("embedding").alias("vn"),
-    )
-    pairs = (
-        F.broadcast(queries)
-        .crossJoin(corpus)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "q_label",
-            "n_label",
-            "neighbor_id",
-            F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
+    cand = _loo_candidates(emb.select("vec_id", "label", "embedding"), qrows)
     # top-1 via max_by partial aggregation (map-side combinable), not a
     # ranking window: the pair relation never hits a per-query sort.
     # max over (cosine, -neighbor_id) == rank 1 of (cosine DESC, id ASC).
-    nn = pairs.groupBy("query_id", "q_label").agg(
+    nn = cand.groupBy("query_id", "q_label").agg(
         F.max_by(
             "n_label",
             F.struct(
-                F.col("cosine").alias("c"),
+                F.round(F.col("cos_raw"), 6).alias("c"),
                 (-F.col("neighbor_id")).alias("nid"),
             ),
         ).alias("n_label")

@@ -25,7 +25,6 @@ from scalable_data_ingestion_spark.operators.similarity import (
     sim_knn_bruteforce,
 )
 from scalable_data_ingestion_spark.operators.sketches import (
-    HLL_RSD,
     sk_approx_event_profile,
 )
 
@@ -157,14 +156,14 @@ def test_sketches_within_error_bounds(spark, sf_dir):
     }
     rows = sk_approx_event_profile(spark, sf_dir).collect()
     assert set(r.event_type for r in rows) == set(exact)
+    # round 11: the profile's distinct-count sketch is the module's own
+    # deterministic 256-register md5 HLL (oracle-checkable), rsd =
+    # 1.04/sqrt(256) ≈ 0.065; percentiles are exact.
+    hll_rsd = 1.04 / (256 ** 0.5)
     for r in rows:
         e = exact[r.event_type]
-        # HLL++: allow 5 sigma of the requested rsd
-        assert abs(r.approx_users - e.users) <= max(2.0, 5 * HLL_RSD * e.users)
-        # quantile sketch with accuracy 10000 on small data: near-exact;
-        # bound loosely by the spread of the distribution
-        spread = abs(e.p99 - e.p50) + 1e-6
-        assert abs(r.approx_p50 - e.p50) <= 0.05 * spread + 1e-6
+        assert abs(r.approx_users - e.users) <= max(2.0, 5 * hll_rsd * e.users)
+        assert abs(r.approx_p50 - e.p50) <= 1e-9
         assert r.approx_p50 <= r.approx_p90 <= r.approx_p99
 
 

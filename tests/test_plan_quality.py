@@ -103,7 +103,7 @@ def test_scalar_subqueries_reuse_cached_subtree(spark, sf_dir):
         assert "InMemoryTableScan" in p, f"{name}: no cached subtree reuse"
 
 
-def test_no_python_eval_in_any_registered_query(spark, sf_dir):
+def test_no_python_eval_in_any_registered_query(registry_plans):
     """Every registered query plan must stay JVM-side: no row-at-a-time
     Python UDFs, no Arrow eval nodes. (Pandas-UDF escape hatches live in
     multimodal/stateful-streaming operators, which are exercised by their
@@ -147,11 +147,11 @@ def test_no_python_eval_in_any_registered_query(spark, sf_dir):
         # recursive CTE replaying the identical rule.
         "pack_nfd_bins",
     }
+    plans, _errors = registry_plans  # shared session build (conftest)
     offenders = []
-    for name, fn in registry.QUERIES.items():
+    for name, (_df, p, _optimized) in plans.items():
         if name in ALLOW_PANDAS_KERNEL:
             continue
-        p = plan(fn(spark, sf_dir), "simple")
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
             if marker in p:
                 offenders.append((name, marker))
@@ -366,7 +366,7 @@ GLOBAL_WINDOW_BOUNDED_ALLOWLIST = {
 }
 
 
-def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+def test_no_unpartitioned_window_over_unbounded_input(registry_plans):
     """THE scale gate from VERDICT r3 #3: an empty-partition-spec window
     funnels its whole input through ONE partition to sort, so no
     registered query may rank/scan an unbounded relation that way.
@@ -376,11 +376,11 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     relation (explicit allowlist above). Full rankings must use
     ``functions.ranking.global_rank`` / ``global_running_sum`` /
     ``global_ntile`` (range-partitioned offset ranking) instead."""
+    plans, _errors = registry_plans  # shared session build (conftest)
     offenders = []
-    for name, fn in registry.QUERIES.items():
+    for name, (_df, _simple, root) in plans.items():
         if name in GLOBAL_WINDOW_BOUNDED_ALLOWLIST:
             continue
-        root = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
         for node in _iter_logical_nodes(root):
             if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
                 subtree = node.children().apply(0)

@@ -206,3 +206,67 @@ def test_global_ntile_property(spark, values, k):
     assert sorted(got.select("id", "t").collect()) == sorted(
         want.select("id", "t").collect()
     )
+
+
+def test_loo_candidate_kernel_matches_pairs(spark, sf_dir):
+    """ml_knn_loo_accuracy's Arrow candidate kernel == the all-pairs
+    broadcast formulation it replaced (round-11): identical 1-NN per
+    query under the exact round(cosine, 6) / lowest-neighbor_id order,
+    and bit-identical final rows."""
+    from scalable_data_ingestion_spark.catalog import table
+    from scalable_data_ingestion_spark.operators.similarity import (
+        LOO_EVERY,
+        _dot,
+        _norm,
+        ml_knn_loo_accuracy,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % LOO_EVERY == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        _norm("embedding").alias("qn"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("ve"),
+        _norm("embedding").alias("vn"),
+    )
+    pairs = (
+        F.broadcast(queries)
+        .crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "n_label",
+            "neighbor_id",
+            F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    nn_ref = pairs.groupBy("query_id", "q_label").agg(
+        F.max_by(
+            "n_label",
+            F.struct(
+                F.col("cosine").alias("c"),
+                (-F.col("neighbor_id")).alias("nid"),
+            ),
+        ).alias("n_label")
+    )
+    hit = F.when(F.col("n_label") == F.col("q_label"), 1).otherwise(0)
+    ref = nn_ref.groupBy(F.col("q_label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.expr(
+            "CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT)"
+            " * CAST(1000000 AS BIGINT) DIV count(*)"
+        ).alias("accuracy_ppm"),
+    )
+    got = ml_knn_loo_accuracy(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )

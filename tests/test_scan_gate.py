@@ -121,28 +121,22 @@ def _pin_plan_shape_toggles(monkeypatch):
     monkeypatch.setattr(prefixjoin, "PJ_CANDIDATE_CAP", 10_000_000)
 
 
-def test_no_new_scan_fanout(spark):
-    from scalable_data_ingestion_spark import registry
-
-    qs = registry.queries()
-    sf = "/root/testdata/sf0.001"
-    violations = []
-    for name, fn in qs.items():
-        try:
-            df = fn(spark, sf)
-            counts = scan_audit._leaf_counts(
-                df._jdf.queryExecution().optimizedPlan()
-            )
-        except Exception as exc:  # plan-time failure is itself a regression
-            violations.append(f"{name}: PLAN ERROR {type(exc).__name__}: {exc}")
-            continue
+def test_no_new_scan_fanout(registry_plans):
+    # Consumes the session-wide shared plan build (conftest
+    # registry_plans) — round 11: four whole-registry gates each
+    # rebuilt every query independently.
+    plans, errors = registry_plans
+    violations = [
+        f"{name}: PLAN ERROR {err}" for name, err in sorted(errors.items())
+    ]
+    for name, (_df, _simple, optimized) in plans.items():
+        counts = scan_audit._leaf_counts(optimized)
         allowed = ALLOWED.get(name, {})
         for t, c in counts.items():
             if c >= FLAG_MIN and c > allowed.get(t, 0):
                 violations.append(
                     f"{name}: reads {t} x{c} (allowed {allowed.get(t, 0)})"
                 )
-        spark.catalog.clearCache()
     assert not violations, (
         "scan-fanout regressions (see tests/test_scan_gate.py header for "
         "the acceptance policy):\n" + "\n".join(violations)

@@ -69,15 +69,19 @@ def test_register_query_views_unknown_name(spark, sf_dir):
         register_query_views(spark, sf_dir, names=["no_such_query"])
 
 
-def test_register_query_views_full_registry(spark, sf_dir):
+def test_register_query_views_full_registry(spark, sf_dir, registry_plans):
     # The complete SQL frontend: every registered query becomes an
-    # addressable view. Plan construction only (no execution), so this
-    # stays test-speed; ranking-offset queries run their small boundary
-    # jobs at build time, which is the documented cost.
+    # addressable view. View registration is pure naming, so it reuses
+    # the session's shared plan build (conftest registry_plans) instead
+    # of rebuilding every query (and its eager training jobs) a second
+    # time — round-11 suite-runtime fix.
     from scalable_data_ingestion_spark.catalog import register_query_views
     from scalable_data_ingestion_spark.registry import queries
 
-    done = register_query_views(spark, sf_dir)
+    plans, _errors = registry_plans
+    done = register_query_views(
+        spark, sf_dir, prebuilt={n: df for n, (df, _s, _o) in plans.items()}
+    )
     assert len(done) == len(queries())
     assert set(done) <= {
         t.name for t in spark.catalog.listTables() if t.isTemporary
