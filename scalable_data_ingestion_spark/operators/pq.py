@@ -515,11 +515,10 @@ def _register_ivfpq() -> None:
         from .clustering import K as IVF_K
         from .clustering import _assign_fast, _centroids_df, _driver_lloyd
 
-        if clustering.DRIVER_CENTROIDS:
-            ccents = _driver_lloyd(corpus, IVF_ITERS, IVF_K)
-            cent = _centroids_df(spark, ccents)
-            fin = _assign_fast(corpus, ccents)
-        else:
+        def _coarse():
+            if clustering.DRIVER_CENTROIDS:
+                ccents = _driver_lloyd(corpus, IVF_ITERS, IVF_K)
+                return _centroids_df(spark, ccents), _assign_fast(corpus, ccents)
             cent = corpus.filter(F.col("vec_id") < IVF_K).select(
                 F.col("vec_id").cast("int").alias("cluster_id"),
                 F.col("emb").alias("cemb"),
@@ -529,7 +528,24 @@ def _register_ivfpq() -> None:
             # trained coarse centroids are referenced twice (corpus
             # assignment + query probe scoring) — materialize driver-side.
             cent = _materialize_centroids(cent)
-            fin = ivf_assign(corpus, cent)
+            return cent, ivf_assign(corpus, cent)
+
+        def _fine():
+            sub = _sub_corpus(spark, sf_dir)
+            pcent, pcodes = _codebook(sub)
+            return sub, pcent, pcodes
+
+        # The two quantizer trainings are INDEPENDENT (full-vector
+        # k-means over `corpus` vs subspace codebooks over the reshaped
+        # relation) — overlap their eager job chains from a 2-thread
+        # pool (guide §2.6; the sim_opq_permute_eval pattern).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_coarse = pool.submit(_coarse)
+            f_fine = pool.submit(_fine)
+            cent, fin = f_coarse.result()
+            sub, pcent, pcodes = f_fine.result()
 
         q = corpus.filter(F.col("vec_id") < PQ_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
@@ -547,9 +563,7 @@ def _register_ivfpq() -> None:
             .select("query_id", "cluster_id")
         )
 
-        # fine quantizer (subspace codebooks) + ADC
-        sub = _sub_corpus(spark, sf_dir)
-        pcent, pcodes = _codebook(sub)
+        # ADC table over the (thread-pooled) fine quantizer's output
         dt = _adc_table(sub, pcent)
 
         cand_ids = F.broadcast(probe).join(
