@@ -704,7 +704,7 @@ def sim_abtt_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     principal component from every embedding."""
     from pyspark.sql import Window as W
 
-    from .similarity import N_QUERIES, TOP_K, _dot, _norm
+    from .similarity import N_QUERIES, TOP_K
 
     v, _ = _pca_power(spark, sf_dir)
     vfx = {r.d: r.vfx for r in v.collect()}  # 64 values, dimension-sized
@@ -735,33 +735,27 @@ def sim_abtt_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def topk(source):
-        queries = source.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("qe"),
-            _norm("emb").alias("qn"),
-        )
-        corpus = source.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("emb").alias("ve"),
-            _norm("emb").alias("vn"),
-        )
-        pairs = (
-            F.broadcast(queries)
-            .crossJoin(corpus)
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id",
-                "neighbor_id",
-                F.round(_dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6).alias(
-                    "cosine"
-                ),
-            )
-        )
+        # Round 11 (guide §4.2, the ml_knn_loo_accuracy pattern): the
+        # exact-cosine scoring runs as a map-only Arrow kernel emitting
+        # a PROVEN superset of the top-{TOP_K} (see _topk_candidates);
+        # the exact round(...,6) + (cosine DESC, neighbor_id) ranking
+        # window — identical to the broadcast-pairs formulation it
+        # replaces — runs in the JVM over the dimension-sized candidate
+        # relation, so the selected rows are bit-identical (pinned by
+        # tests/test_properties.py::test_topk_candidate_kernel_matches_pairs
+        # and the unchanged DuckDB oracle).
+        from .similarity import _topk_candidates
+
+        src = source.persist()  # feeds the query-collect AND the kernel
+        qrows = src.filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", "emb"
+        ).collect()
+        cand = _topk_candidates(src, qrows, TOP_K)
         w = W.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
+            F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
         )
         return (
-            pairs.withColumn("rank", F.row_number().over(w))
+            cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "neighbor_id")
         )

@@ -944,6 +944,70 @@ LOO_EVERY = 10  # vec_id % 10 == 0 -> fixed-fraction eval subset
 _LOO_MARGIN = 2.5e-6
 
 
+def _topk_candidates(corpus: DataFrame, qrows, k: int) -> DataFrame:
+    """Map-only near-top-k candidate generation for exact-cosine kNN:
+    emits every (query, neighbor) whose RAW cosine is within
+    _LOO_MARGIN of the batch's k-th best per-query raw — a strict
+    superset of the global top-k under the (round(cosine, 6) DESC,
+    neighbor_id ASC) row_number order and of its rounding ties (the
+    k-th largest raw over a superset of rows is >= the batch's, and
+    round moves a value <= 5e-7 + 1 ulp, so anything below
+    batch_kth - 1.02e-6 has k rows strictly above it after rounding).
+    Same IEEE-order contract as :func:`_loo_candidates`; `qrows` are
+    collected (vec_id, emb) rows of the SAME relation, so the query
+    block is JVM-exact by construction."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    qrows = sorted(qrows, key=lambda r: r.vec_id)
+    Q = np.array([[float(v) for v in r.emb] for r in qrows], dtype=np.float64)
+    qid = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    D = Q.shape[1]
+    qn_sq = np.zeros(len(qrows), dtype=np.float64)
+    for d in range(D):
+        qn_sq += Q[:, d] * Q[:, d]
+    qn = np.sqrt(qn_sq)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            nid = np.asarray(
+                b.column(b.schema.get_field_index("vec_id")), dtype=np.int64
+            )
+            ecol = b.column(b.schema.get_field_index("emb"))
+            V = np.asarray(ecol.flatten(), dtype=np.float64).reshape(-1, D)
+            dot = np.zeros((len(qid), V.shape[0]), dtype=np.float64)
+            vn_sq = np.zeros(V.shape[0], dtype=np.float64)
+            for d in range(D):
+                dot += Q[:, d][:, None] * V[:, d][None, :]
+                vn_sq += V[:, d] * V[:, d]
+            cos = dot / (qn[:, None] * np.sqrt(vn_sq)[None, :])
+            self_mask = qid[:, None] == nid[None, :]
+            masked = np.where(self_mask, -np.inf, cos)
+            if masked.shape[1] > k:
+                # k-th largest per query row
+                kth = np.partition(masked, -k, axis=1)[:, -k]
+            else:
+                kth = np.full(masked.shape[0], -np.inf)
+            keep = (masked >= (kth[:, None] - _LOO_MARGIN)) & ~self_mask
+            qi, vi = np.nonzero(keep)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid[qi], type=pa.int64()),
+                    pa.array(nid[vi], type=pa.int64()),
+                    pa.array(cos[qi, vi], type=pa.float64()),
+                ],
+                names=["query_id", "neighbor_id", "cos_raw"],
+            )
+
+    return corpus.select("vec_id", "emb").mapInArrow(
+        kernel, "query_id long, neighbor_id long, cos_raw double"
+    )
+
+
 def _loo_candidates(corpus: DataFrame, qrows) -> DataFrame:
     """Map-only near-argmax candidate generation for the LOO 1-NN.
 

@@ -270,3 +270,81 @@ def test_loo_candidate_kernel_matches_pairs(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_topk_candidate_kernel_matches_pairs(spark, sf_dir):
+    """sim_abtt_recall's top-k Arrow candidate kernel == the broadcast
+    all-pairs + ranking-window formulation it replaced (round-11):
+    identical top-5 rows per query under the exact
+    (round(cosine, 6) DESC, neighbor_id) order, on BOTH the raw and the
+    ABTT-projected relations (the two relations the query ranks)."""
+    from pyspark.sql import Window as W
+
+    from scalable_data_ingestion_spark.catalog import table
+    from scalable_data_ingestion_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _dot,
+        _norm,
+        _topk_candidates,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb"),
+    )
+
+    def ref_topk(source):
+        queries = source.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            _norm("emb").alias("qn"),
+        )
+        corpus = source.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("ve"),
+            _norm("emb").alias("vn"),
+        )
+        pairs = (
+            F.broadcast(queries)
+            .crossJoin(corpus)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    _dot("qe", "ve") / (F.col("qn") * F.col("vn")), 6
+                ).alias("cosine"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    def kernel_topk(source):
+        src = source.persist()
+        qrows = src.filter(F.col("vec_id") < N_QUERIES).select(
+            "vec_id", "emb"
+        ).collect()
+        cand = _topk_candidates(src, qrows, TOP_K)
+        w = W.partitionBy("query_id").orderBy(
+            F.round(F.col("cos_raw"), 6).desc(), F.col("neighbor_id")
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    for source in (e, e.select("vec_id", F.expr(
+        "transform(emb, (x, i) -> x * CAST(1.0 + i / 100.0 AS DOUBLE))"
+    ).alias("emb"))):
+        got = sorted(map(tuple, kernel_topk(source).collect()))
+        want = sorted(map(tuple, ref_topk(source).collect()))
+        assert got == want and got
+    spark.catalog.clearCache()
